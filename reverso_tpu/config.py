@@ -1,0 +1,212 @@
+"""Typed configuration for the Reverso-TPU engine.
+
+The reference keeps its knobs as hard-coded constants scattered through
+`core_system.py` plus a dead `config.py` that is never imported
+(reference `config.py:1-18`, `core_system.py:222-223,363,492,612`).
+Here every knob lives in one typed, immutable config tree; the defaults
+reproduce the reference's behavior exactly (the "compat profile").
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+# Image extensions the folder scanner accepts (reference core_system.py:492).
+IMAGE_EXTENSIONS: tuple[str, ...] = (".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".webp")
+
+# Video extensions (reference video_processing.py:28,478).
+VIDEO_EXTENSIONS: tuple[str, ...] = (".mp4", ".mov", ".avi", ".mkv", ".webm")
+
+# Domain allowlist for URL ingestion (reference video_processing.py:70-76).
+SUPPORTED_VIDEO_DOMAINS: frozenset[str] = frozenset({
+    "youtube.com", "youtu.be", "youtube-nocookie.com",
+    "twitter.com", "x.com", "nitter.net",
+    "facebook.com", "fb.com", "m.facebook.com",
+    "instagram.com", "tiktok.com", "vimeo.com",
+    "dailymotion.com", "twitch.tv",
+})
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout.
+
+    axes: mapping of logical axis name -> size. By convention:
+      - "data":   batch / throughput axis (DP for embedding, row-shard for search)
+      - "model":  tensor-parallel axis for the ViT (optional, 1 by default)
+    A size of -1 means "all remaining devices".
+    """
+    axis_names: tuple[str, ...] = ("data", "model")
+    axis_sizes: tuple[int, ...] = (-1, 1)
+
+    def resolved_sizes(self, n_devices: int) -> tuple[int, ...]:
+        sizes = list(self.axis_sizes)
+        known = 1
+        wild = None
+        for i, s in enumerate(sizes):
+            if s == -1:
+                if wild is not None:
+                    raise ValueError("at most one mesh axis may be -1")
+                wild = i
+            else:
+                known *= s
+        if wild is not None:
+            if n_devices % known:
+                raise ValueError(f"{n_devices} devices not divisible by {known}")
+            sizes[wild] = n_devices // known
+        total = 1
+        for s in sizes:
+            total *= s
+        if total != n_devices:
+            raise ValueError(f"mesh {sizes} != {n_devices} devices")
+        return tuple(sizes)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Vision-tower architecture (PE-Core family; reference core_system.py:169-203)."""
+    name: str = "PE-Core-L14-336"
+    image_size: int = 336
+    patch_size: int = 14
+    width: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    embed_dim: int = 1024          # output embedding dim (1024-d, core_system.py:596)
+    use_cls_token: bool = True
+    pool_type: str = "attn"        # "attn" | "cls" | "mean"
+    use_rope: bool = True          # PE-Core uses 2D RoPE
+    use_abs_pos: bool = True
+    use_ln_post: bool = True
+    layer_scale_init: float | None = 0.1
+    dtype: str = "bfloat16"        # activation dtype on TPU
+    param_dtype: str = "float32"
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + (1 if self.use_cls_token else 0)
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Open-vocabulary detection + segmentation (reference core_system.py:205-235)."""
+    box_threshold: float = 0.35    # core_system.py:222
+    text_threshold: float = 0.25   # core_system.py:223
+    max_regions: int = 50          # hard cap per image, core_system.py:363
+    mask_threshold: float = 0.5
+    image_size: int = 1024         # SAM-style input resolution
+    default_prompt: str = "object"  # fallback when prompt empty, core_system.py:213
+
+
+@dataclass(frozen=True)
+class StoreConfig:
+    """On-device sharded embedding store + host persistence."""
+    root_dir: str = "./simple_reverso_db"   # reference DB root, core_system.py:76,471
+    dtype: str = "bfloat16"                 # on-device matrix dtype
+    capacity_step: int = 65536              # device matrix grows in multiples of this
+    shard_axis: str = "data"                # mesh axis rows are sharded over
+    upsert_batch: int = 100                 # reference upsert batch, core_system.py:612
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """Query defaults (reference core_system.py:650, ui.py:341-342)."""
+    score_threshold: float = 0.7
+    top_k: int = 5
+    query_tile: int = 256     # queries per kernel tile
+    db_tile: int = 1024       # database rows per kernel tile
+    exact_dtype: str = "float32"   # parity mode accumulates/storage in fp32
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    batch_size: int = 64           # images per device batch in the embed pipeline
+    max_regions: int = 50
+    checkpoint_every: int = 10     # images between checkpoints, core_system.py:582
+    image_extensions: tuple[str, ...] = IMAGE_EXTENSIONS
+    video_extensions: tuple[str, ...] = VIDEO_EXTENSIONS
+    jpeg_quality: int = 95         # frame-write quality, video_processing.py:275
+    frames_per_scene: int = 2
+    scene_threshold: float = 30.0
+    uniform_num_frames: int = 20
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    store: StoreConfig = field(default_factory=StoreConfig)
+    search: SearchConfig = field(default_factory=SearchConfig)
+    ingest: IngestConfig = field(default_factory=IngestConfig)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "EngineConfig":
+        raw = json.loads(text)
+        def build(cls, d):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kw = {}
+            for k, v in d.items():
+                if k not in fields:
+                    continue
+                t = fields[k].type
+                if dataclasses.is_dataclass(fields[k].default_factory() if fields[k].default_factory is not dataclasses.MISSING else None):  # type: ignore[misc]
+                    kw[k] = build(type(fields[k].default_factory()), v)  # type: ignore[misc]
+                elif isinstance(v, list):
+                    kw[k] = tuple(v)
+                else:
+                    kw[k] = v
+            return cls(**kw)
+        return build(EngineConfig, raw)
+
+
+# Named model presets (PE-Core family; sizes follow the public PE-Core family:
+# the reference targets PE-Core-L14-336 with fallback to any available config,
+# core_system.py:177-191).
+MODEL_PRESETS: Mapping[str, ModelConfig] = {
+    "PE-Core-T16-384": ModelConfig(
+        name="PE-Core-T16-384", image_size=384, patch_size=16, width=192,
+        depth=12, num_heads=3, embed_dim=512),
+    "PE-Core-S16-384": ModelConfig(
+        name="PE-Core-S16-384", image_size=384, patch_size=16, width=384,
+        depth=12, num_heads=6, embed_dim=512),
+    "PE-Core-B16-224": ModelConfig(
+        name="PE-Core-B16-224", image_size=224, patch_size=16, width=768,
+        depth=12, num_heads=12, embed_dim=1024),
+    "PE-Core-L14-336": ModelConfig(
+        name="PE-Core-L14-336", image_size=336, patch_size=14, width=1024,
+        depth=24, num_heads=16, embed_dim=1024),
+    "PE-Core-G14-448": ModelConfig(
+        name="PE-Core-G14-448", image_size=448, patch_size=14, width=1536,
+        depth=50, num_heads=16, mlp_ratio=8960 / 1536, embed_dim=1280),
+    # Tiny config for tests / CI (not a released PE model).
+    "test-tiny": ModelConfig(
+        name="test-tiny", image_size=32, patch_size=8, width=64,
+        depth=2, num_heads=4, embed_dim=32),
+}
+
+
+def default_config() -> EngineConfig:
+    return EngineConfig()
+
+
+def db_root() -> str:
+    return os.environ.get("REVERSO_DB_ROOT", StoreConfig.root_dir)

@@ -1,0 +1,8 @@
+from .topk import (
+    cosine_topk_xla,
+    cosine_topk_pallas,
+    cosine_topk,
+    sharded_cosine_topk,
+    apply_score_threshold,
+)
+from .norm import l2_normalize

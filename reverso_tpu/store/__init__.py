@@ -1,0 +1,10 @@
+from .persist import (
+    VectorStore,
+    StoreError,
+    StoreLockedError,
+    list_databases,
+    delete_database,
+    unlock_database,
+    collection_name,
+)
+from .index import DeviceIndex, SearchResult

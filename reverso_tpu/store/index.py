@@ -1,0 +1,92 @@
+"""DeviceIndex: the on-device, mesh-sharded search index.
+
+The reference keeps all vectors inside qdrant's embedded local store and
+scans them in Python per query (core_system.py:659-664). Here the vector
+matrix lives in HBM, row-sharded across the mesh's "data" axis, padded to
+tile/shard multiples at build time (so the fused kernel never copies), and
+searched with the Pallas streaming top-k kernel + an all_gather merge.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..config import SearchConfig, StoreConfig
+from ..ops.topk import (
+    cosine_topk_pallas,
+    cosine_topk_xla,
+    sharded_cosine_topk,
+    _round_up,
+)
+from ..parallel.sharding import row_sharding, replicated_sharding
+
+
+@dataclass
+class SearchResult:
+    """Device search output joined with host payloads."""
+    scores: np.ndarray          # [Q, k] f32
+    indices: np.ndarray         # [Q, k] int32, -1 = below threshold / absent
+    payloads: list              # [Q][k] payload dict or None
+
+
+class DeviceIndex:
+    """Immutable snapshot of an embedding matrix, resident on device.
+
+    Rows are padded up to a multiple of (db_tile * mesh_axis_size) so the
+    kernel streams aligned tiles and every shard has equal rows; `n_valid`
+    masks the padding. Rebuild (cheap: one host->device transfer) after
+    appending to the backing store.
+    """
+
+    def __init__(self, vectors: np.ndarray, *, mesh: Optional[Mesh] = None,
+                 axis: str = "data", dtype: str = "bfloat16",
+                 db_tile: int = 1024):
+        n, d = vectors.shape
+        self.n_valid = n
+        self.dim = d
+        self.mesh = mesh
+        self.axis = axis
+        self.db_tile = db_tile
+        self._dtype = jnp.dtype(dtype)
+
+        n_shards = mesh.shape[axis] if mesh is not None else 1
+        padded = _round_up(max(n, 1), db_tile * n_shards)
+        host = np.zeros((padded, d), np.float32)
+        host[:n] = np.asarray(vectors, np.float32)
+        arr = jnp.asarray(host, self._dtype)
+        if mesh is not None:
+            arr = jax.device_put(arr, row_sharding(mesh, axis))
+        self.matrix = arr
+
+    @property
+    def nbytes(self) -> int:
+        return self.matrix.size * self.matrix.dtype.itemsize
+
+    def search(self, queries, k: int, *, impl: str = "auto"):
+        """Exact cosine top-k. queries: [Q, d] L2-normalized (host or device).
+
+        Returns device arrays (scores [Q, k] f32, idx [Q, k] int32); idx -1
+        marks slots beyond the number of valid rows.
+        """
+        q = jnp.asarray(queries, self._dtype)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.n_valid == 0:
+            qn = q.shape[0]
+            return (jnp.full((qn, k), -jnp.inf, jnp.float32),
+                    jnp.full((qn, k), -1, jnp.int32))
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            q = jax.device_put(q, replicated_sharding(self.mesh))
+            return sharded_cosine_topk(self.matrix, q, k, self.mesh,
+                                       axis=self.axis, impl=impl,
+                                       n_valid=self.n_valid)
+        if impl == "xla" or (impl == "auto" and k > 128):
+            return cosine_topk_xla(self.matrix, q, k, n_valid=self.n_valid)
+        return cosine_topk_pallas(self.matrix, q, k,
+                                  db_tile=self.db_tile, n_valid=self.n_valid)

@@ -1,0 +1,258 @@
+"""Host-side persistence for embedding databases.
+
+Replaces the reference's embedded qdrant-client local mode
+(reference core_system.py:100,521,600-622): one directory per database
+under a root, holding
+
+    <root>/<name>/
+        meta.json       collection metadata (name, dim, count, dtype)
+        vectors.bin     raw little-endian fp32 [N, d], append-only
+        payloads.jsonl  one JSON payload per row, append-only
+        .lock           advisory lock (reference `unlock_database`,
+                        core_system.py:137-154)
+
+The append-only binary layout supports cheap resume (truncate to a row
+count), zero-copy memmap reads, and a future C++ loader. Collection
+naming keeps the reference convention `simple_reverso_<name>` with the
+legacy bare-name fallback (core_system.py:95-107).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Sequence
+
+import numpy as np
+
+META_FILE = "meta.json"
+VEC_FILE = "vectors.bin"
+PAYLOAD_FILE = "payloads.jsonl"
+LOCK_FILE = ".lock"
+COLLECTION_PREFIX = "simple_reverso_"   # reference core_system.py:101,597
+
+
+class StoreError(RuntimeError):
+    pass
+
+
+class StoreLockedError(StoreError):
+    pass
+
+
+def collection_name(db_name: str) -> str:
+    return f"{COLLECTION_PREFIX}{db_name}"
+
+
+def list_databases(root: str) -> list[str]:
+    """Directory listing of the DB root (reference core_system.py:74-88)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if os.path.isdir(p) and name != "checkpoints":
+            out.append(name)
+    return out
+
+
+def delete_database(root: str, name: str) -> None:
+    """shutil.rmtree of the DB dir (reference core_system.py:121-135)."""
+    path = os.path.join(root, name)
+    if not os.path.isdir(path):
+        raise StoreError(f"Database not found: {name}")
+    shutil.rmtree(path)
+
+
+def unlock_database(root: str, name: str) -> bool:
+    """Remove a stale lock file; returns True if one was removed
+    (reference core_system.py:137-154)."""
+    path = os.path.join(root, name)
+    if not os.path.isdir(path):
+        raise StoreError(f"Database not found: {name}")
+    lock = os.path.join(path, LOCK_FILE)
+    if os.path.exists(lock):
+        os.remove(lock)
+        return True
+    return False
+
+
+@dataclass
+class VectorStore:
+    """Append-only on-disk store of L2-normalized fp32 vectors + payloads."""
+
+    path: str
+    name: str
+    dim: int
+    collection: str
+    count: int = 0
+    _vec_f: Any = field(default=None, repr=False)
+    _pay_f: Any = field(default=None, repr=False)
+    _locked: bool = field(default=False, repr=False)
+
+    # -- lifecycle -----------------------------------------------------
+
+    @staticmethod
+    def create(root: str, name: str, dim: int, *, overwrite: bool = False) -> "VectorStore":
+        path = os.path.join(root, name)
+        if os.path.isdir(path) and overwrite:
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        meta_path = os.path.join(path, META_FILE)
+        if os.path.exists(meta_path) and not overwrite:
+            raise StoreError(f"Database already exists: {name}")
+        store = VectorStore(path=path, name=name, dim=dim,
+                            collection=collection_name(name), count=0)
+        store._acquire_lock()
+        store._write_meta()
+        # touch data files
+        open(os.path.join(path, VEC_FILE), "ab").close()
+        open(os.path.join(path, PAYLOAD_FILE), "ab").close()
+        return store
+
+    @staticmethod
+    def open(root: str, name: str, *, writable: bool = False) -> "VectorStore":
+        path = os.path.join(root, name)
+        meta_path = os.path.join(path, META_FILE)
+        if not os.path.isdir(path):
+            raise StoreError(f"Database not found: {name}")
+        if not os.path.exists(meta_path):
+            raise StoreError(f"Collection not found in database: {name}")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        # legacy-name fallback (reference core_system.py:107)
+        coll = meta.get("collection", collection_name(name))
+        store = VectorStore(path=path, name=name, dim=int(meta["dim"]),
+                            collection=coll, count=int(meta["count"]))
+        vec_path = os.path.join(path, VEC_FILE)
+        actual_rows = os.path.getsize(vec_path) // (4 * store.dim) if os.path.exists(vec_path) else 0
+        if actual_rows < store.count:
+            raise StoreError(
+                f"Corrupt store {name}: meta says {store.count} rows, file has {actual_rows}")
+        if actual_rows > store.count:
+            # torn append (crash between write and meta flush): keep the
+            # durable prefix, ignore the tail.
+            pass
+        if writable:
+            store._acquire_lock()
+        return store
+
+    def _acquire_lock(self) -> None:
+        lock = os.path.join(self.path, LOCK_FILE)
+        if os.path.exists(lock):
+            raise StoreLockedError(
+                f"Database '{self.name}' is locked; unlock it first")
+        with open(lock, "w") as f:
+            f.write(str(os.getpid()))
+        self._locked = True
+
+    def close(self) -> None:
+        self.flush()
+        if self._vec_f is not None:
+            self._vec_f.close()
+            self._vec_f = None
+        if self._pay_f is not None:
+            self._pay_f.close()
+            self._pay_f = None
+        if self._locked:
+            lock = os.path.join(self.path, LOCK_FILE)
+            if os.path.exists(lock):
+                os.remove(lock)
+            self._locked = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- io ------------------------------------------------------------
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.path, META_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"name": self.name, "collection": self.collection,
+                       "dim": self.dim, "count": self.count,
+                       "dtype": "float32", "version": 1}, f, indent=2)
+        os.replace(tmp, os.path.join(self.path, META_FILE))
+
+    def append(self, vectors: np.ndarray, payloads: Sequence[dict]) -> None:
+        """Append a batch of L2-normalized fp32 vectors with payloads."""
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise StoreError(f"expected [*, {self.dim}] vectors, got {vectors.shape}")
+        if len(payloads) != vectors.shape[0]:
+            raise StoreError("payload count != vector count")
+        if not self._locked:
+            raise StoreError("store opened read-only")
+        if self._vec_f is None:
+            self._vec_f = open(os.path.join(self.path, VEC_FILE), "ab")
+            self._pay_f = open(os.path.join(self.path, PAYLOAD_FILE), "ab")
+        self._vec_f.write(vectors.tobytes())
+        for p in payloads:
+            self._pay_f.write((json.dumps(p, separators=(",", ":")) + "\n").encode())
+        self.count += vectors.shape[0]
+
+    def flush(self) -> None:
+        if self._vec_f is not None:
+            self._vec_f.flush()
+            os.fsync(self._vec_f.fileno())
+        if self._pay_f is not None:
+            self._pay_f.flush()
+            os.fsync(self._pay_f.fileno())
+        if self._locked:
+            self._write_meta()
+
+    def vectors(self) -> np.ndarray:
+        """Memory-mapped [count, dim] fp32 view (zero copy)."""
+        self.flush()
+        path = os.path.join(self.path, VEC_FILE)
+        if self.count == 0:
+            return np.zeros((0, self.dim), np.float32)
+        return np.memmap(path, dtype=np.float32, mode="r",
+                         shape=(self.count, self.dim))
+
+    def payloads(self, indices: Iterable[int] | None = None) -> list[dict]:
+        """Load payloads; `indices` selects specific rows (host-side join
+        after a device-side top-k)."""
+        self.flush()
+        path = os.path.join(self.path, PAYLOAD_FILE)
+        with open(path, "rb") as f:
+            lines = f.read().splitlines()
+        lines = lines[: self.count]
+        if indices is None:
+            return [json.loads(l) for l in lines]
+        out = []
+        for i in indices:
+            if i < 0 or i >= len(lines):
+                out.append(None)
+            else:
+                out.append(json.loads(lines[i]))
+        return out
+
+    def truncate(self, count: int) -> None:
+        """Drop rows beyond `count` (resume support: roll back a torn batch)."""
+        if not self._locked:
+            raise StoreError("store opened read-only")
+        if count > self.count:
+            raise StoreError("cannot truncate upward")
+        self.close_files_for_truncate()
+        vec_path = os.path.join(self.path, VEC_FILE)
+        with open(vec_path, "r+b") as f:
+            f.truncate(count * 4 * self.dim)
+        pay_path = os.path.join(self.path, PAYLOAD_FILE)
+        with open(pay_path, "rb") as f:
+            lines = f.read().splitlines(keepends=True)
+        with open(pay_path, "wb") as f:
+            f.writelines(lines[:count])
+        self.count = count
+        self._write_meta()
+
+    def close_files_for_truncate(self) -> None:
+        if self._vec_f is not None:
+            self._vec_f.close()
+            self._vec_f = None
+        if self._pay_f is not None:
+            self._pay_f.close()
+            self._pay_f = None
