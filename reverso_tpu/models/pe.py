@@ -1,0 +1,97 @@
+"""PerceptionEncoder: the engine-facing embedding model.
+
+Wraps the flax VisionTransformer with the reference's `encode_image`
+semantics (reference core_system.py:320-455): batched image -> embedding,
+mean-pool fallback for token-format outputs, fp32 L2 normalization. The
+forward is jitted once per (batch shape, config) and runs bf16 on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, MODEL_PRESETS
+from ..ops.norm import l2_normalize
+from .vit import VisionTransformer
+
+# Per-family architectural quirks not captured by ModelConfig's size fields.
+_FAMILY_KW = {
+    "pe": dict(act="gelu", use_ln_pre=False, patch_bias=True),
+    "clip": dict(act="quick_gelu", use_ln_pre=True, patch_bias=False),
+}
+
+# CLIP/PE preprocessing constants (the reference uses perception_models'
+# 336 px transform, core_system.py:200: resize + center crop + normalize).
+IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+class PerceptionEncoder:
+    def __init__(self, cfg: ModelConfig, *, family: str = "pe",
+                 params: Optional[Any] = None, seed: int = 0,
+                 use_flash: Optional[bool] = None):
+        self.cfg = cfg
+        self.family = family
+        kw = dict(_FAMILY_KW[family])
+        if use_flash is not None:
+            kw["use_flash"] = use_flash
+        self.module = VisionTransformer(cfg, **kw)
+        if params is None:
+            dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3),
+                              jnp.float32)
+            params = jax.jit(self.module.init)(
+                jax.random.PRNGKey(seed), dummy)["params"]
+        self.params = params
+
+        @functools.partial(jax.jit, static_argnames=("return_tokens",))
+        def _fwd(params, images, return_tokens=False):
+            out = self.module.apply({"params": params}, images,
+                                    return_tokens=return_tokens)
+            # The barrier stops XLA from fusing the fp32 normalize into the
+            # bf16 projection (with --xla_allow_excess_precision the fused
+            # form recomputes operands in bf16 and norms drift to ~5e-4).
+            if return_tokens:
+                pooled, tokens = out
+                pooled = jax.lax.optimization_barrier(pooled)
+                return l2_normalize(pooled.astype(jnp.float32)), tokens
+            out = jax.lax.optimization_barrier(out)
+            return l2_normalize(out.astype(jnp.float32))
+
+        self._fwd = _fwd
+
+    @classmethod
+    def from_preset(cls, name: str, **kw) -> "PerceptionEncoder":
+        return cls(MODEL_PRESETS[name], **kw)
+
+    def encode_image(self, images, *, normalized: bool = True):
+        """images: [B, H, W, 3] float (already mean/std preprocessed).
+        Returns L2-normalized [B, embed_dim] fp32 embeddings
+        (reference core_system.py:341,407)."""
+        emb = self._fwd(self.params, jnp.asarray(images))
+        if not normalized:
+            raise ValueError("embeddings are always L2-normalized")
+        return emb
+
+    def encode_with_tokens(self, images):
+        """Returns (embeddings [B, E], tokens [B, S, W]) for region pooling."""
+        return self._fwd(self.params, jnp.asarray(images), return_tokens=True)
+
+    @property
+    def embed_dim(self) -> int:
+        return self.cfg.embed_dim
+
+
+def preprocess_images(batch: np.ndarray) -> np.ndarray:
+    """uint8/float [B, H, W, 3] in [0, 255] -> normalized float32.
+
+    Host-side equivalent of the reference's torchvision transform chain
+    output (resize/crop happen in the ingest pipeline; this is the
+    mean/std step)."""
+    x = np.asarray(batch, np.float32)
+    if x.max() > 1.5:
+        x = x / 255.0
+    return (x - IMAGE_MEAN) / IMAGE_STD

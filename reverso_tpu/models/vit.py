@@ -1,0 +1,225 @@
+"""Vision transformer (PE-Core / CLIP family) in flax.
+
+Rebuilds the reference's vision tower — `pe.CLIP.from_config("PE-Core-L14-336")`
+running through torch (reference core_system.py:169-203, SURVEY.md §2.2) —
+as a config-driven flax module covering both the PE-Core layout (2D RoPE,
+attention pooling) and the HF CLIP layout (abs pos, CLS pooling,
+quick-GELU), so converted torch checkpoints from either family load into
+the same code path. TPU-native choices: NHWC inputs, bf16 activations with
+fp32 params/layernorms, attention via the Pallas flash kernel.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.attention import attention
+from ..ops.rope import rope_2d_tables, apply_rope_2d
+
+
+def _act(name: str):
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    raise ValueError(name)
+
+
+class MHA(nn.Module):
+    """Multi-head self-attention with optional 2D RoPE."""
+    cfg: ModelConfig
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x):  # [B, S, W]
+        cfg = self.cfg
+        w, h = cfg.width, cfg.num_heads
+        hd = w // h
+        dense = lambda name: nn.Dense(w, dtype=x.dtype, param_dtype=jnp.dtype(cfg.param_dtype), name=name)
+        q = dense("q_proj")(x)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+
+        def split(t):  # [B, S, W] -> [B, H, S, hd]
+            b, s, _ = t.shape
+            return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        if cfg.use_rope:
+            cos, sin = rope_2d_tables(cfg.grid_size, hd,
+                                      cls_token=cfg.use_cls_token)
+            q = apply_rope_2d(q, cos, sin)
+            k = apply_rope_2d(k, cos, sin)
+        o = attention(q, k, v, use_flash=self.use_flash)
+        b, _, s, _ = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
+        return dense("out_proj")(o)
+
+
+class MLP(nn.Module):
+    cfg: ModelConfig
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        hidden = int(cfg.width * cfg.mlp_ratio)
+        pd = jnp.dtype(cfg.param_dtype)
+        x = nn.Dense(hidden, dtype=x.dtype, param_dtype=pd, name="fc1")(x)
+        x = _act(self.act)(x)
+        return nn.Dense(cfg.width, dtype=x.dtype, param_dtype=pd, name="fc2")(x)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init: float
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.constant(self.init),
+                           (self.dim,), jnp.float32)
+        return x * gamma.astype(x.dtype)
+
+
+class Block(nn.Module):
+    cfg: ModelConfig
+    act: str = "gelu"
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                       param_dtype=jnp.float32, name=name)
+        y = ln("ln1")(x).astype(x.dtype)
+        y = MHA(cfg, use_flash=self.use_flash, name="attn")(y)
+        if cfg.layer_scale_init is not None:
+            y = LayerScale(cfg.width, cfg.layer_scale_init, name="ls1")(y)
+        x = x + y
+        y = ln("ln2")(x).astype(x.dtype)
+        y = MLP(cfg, act=self.act, name="mlp")(y)
+        if cfg.layer_scale_init is not None:
+            y = LayerScale(cfg.width, cfg.layer_scale_init, name="ls2")(y)
+        return x + y
+
+
+class AttentionPool(nn.Module):
+    """Single-probe attention pooling (PE-Core head): a learned query
+    attends over all tokens; output is the pooled feature."""
+    cfg: ModelConfig
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x):  # [B, S, W] -> [B, W]
+        cfg = self.cfg
+        w, h = cfg.width, cfg.num_heads
+        hd = w // h
+        pd = jnp.dtype(cfg.param_dtype)
+        probe = self.param("probe", nn.initializers.normal(0.02), (1, 1, w),
+                           jnp.float32)
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="ln")
+        xq = jnp.broadcast_to(probe.astype(x.dtype), (x.shape[0], 1, w))
+        dense = lambda name: nn.Dense(w, dtype=x.dtype, param_dtype=pd, name=name)
+        q = dense("q_proj")(xq)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+
+        def split(t):
+            b, s, _ = t.shape
+            return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+
+        # 1-query attention: XLA path (flash kernel pads 1 -> 128 queries)
+        o = attention(split(q), split(k), split(v), use_flash=False)
+        o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], 1, w)
+        o = dense("out_proj")(o)
+        return ln(o[:, 0, :]).astype(x.dtype)
+
+
+class VisionTransformer(nn.Module):
+    """Config-driven ViT producing image embeddings.
+
+    __call__ returns the final embedding [B, embed_dim] (pre-normalization;
+    the engine L2-normalizes, matching reference core_system.py:407,447).
+    `features()` returns token features [B, S, width] for region pooling.
+    """
+    cfg: ModelConfig
+    act: str = "gelu"
+    use_ln_pre: bool = False
+    patch_bias: bool = True
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, images, *, return_tokens: bool = False):
+        cfg = self.cfg
+        pd = jnp.dtype(cfg.param_dtype)
+        dtype = jnp.dtype(cfg.dtype)
+        x = images.astype(dtype)
+        if x.shape[1] == 3 and x.shape[-1] != 3:
+            x = x.transpose(0, 2, 3, 1)       # NCHW -> NHWC
+        b = x.shape[0]
+
+        x = nn.Conv(cfg.width, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size),
+                    padding="VALID", use_bias=self.patch_bias,
+                    dtype=dtype, param_dtype=pd, name="patch_embed")(x)
+        x = x.reshape(b, -1, cfg.width)       # [B, P, W]
+
+        if cfg.use_cls_token:
+            cls = self.param("cls_token", nn.initializers.normal(0.02),
+                             (1, 1, cfg.width), jnp.float32)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls.astype(dtype), (b, 1, cfg.width)), x],
+                axis=1)
+
+        if cfg.use_abs_pos:
+            pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                             (1, cfg.seq_len, cfg.width), jnp.float32)
+            x = x + pos.astype(dtype)
+
+        if self.use_ln_pre:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             param_dtype=jnp.float32,
+                             name="ln_pre")(x).astype(dtype)
+
+        for i in range(cfg.depth):
+            x = Block(cfg, act=self.act, use_flash=self.use_flash,
+                      name=f"block{i}")(x)
+
+        tokens = x
+        if cfg.pool_type == "attn":
+            if cfg.use_ln_post:
+                tokens_n = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                        param_dtype=jnp.float32,
+                                        name="ln_post")(tokens).astype(dtype)
+            else:
+                tokens_n = tokens
+            pooled = AttentionPool(cfg, use_flash=self.use_flash,
+                                   name="attn_pool")(tokens_n)
+        elif cfg.pool_type == "cls":
+            pooled = tokens[:, 0, :]
+            if cfg.use_ln_post:
+                pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                      param_dtype=jnp.float32,
+                                      name="ln_post")(pooled).astype(dtype)
+        elif cfg.pool_type == "mean":
+            pooled = tokens.mean(axis=1)
+            if cfg.use_ln_post:
+                pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                      param_dtype=jnp.float32,
+                                      name="ln_post")(pooled).astype(dtype)
+        else:
+            raise ValueError(cfg.pool_type)
+
+        # both PE and CLIP end in a (bias-free) visual projection
+        pooled = nn.Dense(cfg.embed_dim, use_bias=False, dtype=dtype,
+                          param_dtype=pd, name="proj")(pooled)
+        if return_tokens:
+            return pooled, tokens
+        return pooled

@@ -1,0 +1,159 @@
+"""Multi-head attention: Pallas flash kernel + XLA reference.
+
+The reference's PE ViT forward runs through PyTorch SDPA inside
+`pe_model.encode_image` (reference core_system.py:341). Here attention is
+a first-class op with two interchangeable implementations:
+
+  * `attention_xla` — plain dot-product attention, the parity reference
+    and CPU path;
+  * `flash_attention` — a Pallas kernel with online softmax: per (batch,
+    head) the query tile loops over key/value tiles keeping running
+    (max, sum, acc) in fp32, so the [S, S] probability matrix never hits
+    HBM. Non-causal (ViT), with optional key-padding mask via `kv_valid`.
+
+Both take [B, H, S, D] and return [B, H, S, D].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .topk import _round_up, _pad_dim, _dot_precision
+
+
+def attention_xla(q, k, v, *, kv_valid: Optional[int] = None, scale=None):
+    """Reference attention. q,k,v: [B, H, S, D] (kv may have S_kv != S_q)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   precision=_dot_precision(q.dtype)).astype(jnp.float32)
+    s = s * scale
+    if kv_valid is not None:
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(kpos < kv_valid, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                      precision=_dot_precision(q.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (non-causal, inference)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
+                  scale: float, kv_blocks: int, kv_tile: int,
+                  kv_valid: int, kv_len: int):
+    """One (batch*head, q_tile) program: online-softmax over kv tiles."""
+    q = q_ref[0]                       # [TQ, D]
+    tq, d = q.shape
+    m = jnp.full((tq, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((tq, 1), jnp.float32)
+    acc = jnp.zeros((tq, d), jnp.float32)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+
+    for i in range(kv_blocks):
+        lo = i * kv_tile
+        kb = k_ref[0, lo:lo + kv_tile, :]          # [TK, D]
+        vb = v_ref[0, lo:lo + kv_tile, :]
+        s = jax.lax.dot_general(
+            qs, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype))      # [TQ, TK]
+        if lo + kv_tile > kv_valid:                 # static: mask pad keys
+            kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + lo
+            s = jnp.where(kpos < kv_valid, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(q.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype))
+        m = m_new
+
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "q_tile", "kv_tile", "kv_valid", "interpret"))
+def _flash_jit(q, k, v, *, scale: float, q_tile: int, kv_tile: int,
+               kv_valid: int, interpret: bool):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    d_p = _round_up(d, 128)
+    sq_p = _round_up(sq, q_tile)
+    skv_p = _round_up(skv, kv_tile)
+
+    qp = _pad_dim(_pad_dim(q, 3, d_p), 2, sq_p).reshape(b * h, sq_p, d_p)
+    kp = _pad_dim(_pad_dim(k, 3, d_p), 2, skv_p).reshape(b * h, skv_p, d_p)
+    vp = _pad_dim(_pad_dim(v, 3, d_p), 2, skv_p).reshape(b * h, skv_p, d_p)
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_blocks=skv_p // kv_tile,
+        kv_tile=kv_tile, kv_valid=kv_valid, kv_len=skv_p)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, sq_p // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, d_p), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_p, d_p), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_p, d_p), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_tile, d_p), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d_p), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * skv_p * d_p,
+            bytes_accessed=(qp.size + kp.size + vp.size + out_size(b, h, sq_p, d_p))
+                           * q.dtype.itemsize,
+            transcendentals=b * h * sq_p * skv_p,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
+
+
+def out_size(b, h, s, d):
+    return b * h * s * d
+
+
+def flash_attention(q, k, v, *, kv_valid: Optional[int] = None,
+                    scale: Optional[float] = None,
+                    q_tile: int = 256, kv_tile: int = 256,
+                    interpret: Optional[bool] = None):
+    """Flash attention over [B, H, S, D]. `kv_valid` masks trailing pad keys
+    (static int — ViT sequences have fixed length)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    d = q.shape[-1]
+    skv = k.shape[2]
+    scale = float(scale) if scale is not None else d ** -0.5
+    kv_valid = int(kv_valid) if kv_valid is not None else skv
+    q_tile = min(q_tile, _round_up(q.shape[2], 128))
+    kv_tile = min(kv_tile, _round_up(skv, 128))
+    return _flash_jit(q, k, v, scale=scale, q_tile=q_tile, kv_tile=kv_tile,
+                      kv_valid=kv_valid, interpret=interpret)
+
+
+def attention(q, k, v, *, kv_valid: Optional[int] = None,
+              scale: Optional[float] = None, use_flash: Optional[bool] = None):
+    """Dispatch: flash kernel on TPU, XLA reference elsewhere."""
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    if use_flash:
+        return flash_attention(q, k, v, kv_valid=kv_valid, scale=scale)
+    return attention_xla(q, k, v, kv_valid=kv_valid, scale=scale)

@@ -1,0 +1,183 @@
+"""Model-parity tests (SURVEY.md §4 items 2, 3).
+
+The gold standard is torch: a randomly-initialized HuggingFace
+CLIPVisionModelWithProjection is converted with `convert_vision_tower`
+and must produce the same embeddings through the flax VisionTransformer.
+This validates the converter + model stack end to end without downloading
+weights (no-egress environment).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reverso_tpu.config import MODEL_PRESETS, ModelConfig
+from reverso_tpu.models import (
+    VisionTransformer, PerceptionEncoder, convert_vision_tower,
+    preprocess_images,
+)
+from reverso_tpu.ops.attention import attention_xla, flash_attention
+
+TINY = MODEL_PRESETS["test-tiny"]
+
+
+def clip_like(cfg: ModelConfig) -> ModelConfig:
+    return dataclasses.replace(
+        cfg, use_rope=False, pool_type="cls", layer_scale_init=None,
+        dtype="float32")
+
+
+def test_forward_shapes():
+    cfg = dataclasses.replace(TINY, dtype="float32")
+    pe = PerceptionEncoder(cfg, family="pe")
+    imgs = np.random.default_rng(0).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    emb = np.asarray(pe.encode_image(imgs))
+    assert emb.shape == (2, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+    emb2, tokens = pe.encode_with_tokens(imgs)
+    assert tokens.shape == (2, cfg.seq_len, cfg.width)
+    np.testing.assert_allclose(np.asarray(emb2), emb, atol=1e-6)
+
+
+def test_pool_types():
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    for pool in ("attn", "cls", "mean"):
+        cfg = dataclasses.replace(TINY, pool_type=pool, dtype="float32")
+        pe = PerceptionEncoder(cfg)
+        emb = np.asarray(pe.encode_image(imgs))
+        assert np.isfinite(emb).all(), pool
+
+
+def test_parity_vs_hf_clip():
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    cfg = clip_like(TINY)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=cfg.width, intermediate_size=int(cfg.width * cfg.mlp_ratio),
+        num_hidden_layers=cfg.depth, num_attention_heads=cfg.num_heads,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        projection_dim=cfg.embed_dim, hidden_act="quick_gelu",
+        attention_dropout=0.0)
+    torch.manual_seed(0)
+    model = CLIPVisionModelWithProjection(hf_cfg).eval()
+
+    rng = np.random.default_rng(1)
+    imgs = rng.standard_normal((3, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(
+            imgs.transpose(0, 3, 1, 2))).image_embeds.numpy()
+
+    params = convert_vision_tower(model.state_dict(), cfg, scheme="auto")
+    vit = VisionTransformer(cfg, act="quick_gelu", use_ln_pre=True,
+                            patch_bias=False, use_flash=False)
+    out = np.asarray(vit.apply({"params": params}, jnp.asarray(imgs)))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_parity_vs_openai_style_torch():
+    """Round-trip the openai_clip scheme: build a torch module with that
+    naming (fused qkv, resblocks, attn_pool) and compare."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    cfg = dataclasses.replace(TINY, use_rope=False, pool_type="attn",
+                              layer_scale_init=None, dtype="float32")
+    W, H, P, E = cfg.width, cfg.num_heads, cfg.patch_size, cfg.embed_dim
+    S = cfg.seq_len
+
+    class Block(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = tnn.LayerNorm(W)
+            self.attn = tnn.MultiheadAttention(W, H, batch_first=True)
+            self.ln_2 = tnn.LayerNorm(W)
+            self.mlp = tnn.Sequential()
+            self.mlp.c_fc = tnn.Linear(W, int(W * cfg.mlp_ratio))
+            self.mlp.c_proj = tnn.Linear(int(W * cfg.mlp_ratio), W)
+
+        def forward(self, x):
+            y = self.ln_1(x)
+            x = x + self.attn(y, y, y, need_weights=False)[0]
+            y = self.ln_2(x)
+            return x + self.mlp.c_proj(torch.nn.functional.gelu(self.mlp.c_fc(y)))
+
+    class Pool(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.probe = tnn.Parameter(torch.randn(1, 1, W) * 0.02)
+            self.attn = tnn.MultiheadAttention(W, H, batch_first=True)
+            self.layernorm = tnn.LayerNorm(W)
+
+        def forward(self, x):
+            q = self.probe.expand(x.shape[0], -1, -1)
+            return self.layernorm(self.attn(q, x, x, need_weights=False)[0][:, 0])
+
+    class Tower(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, W, P, P, bias=True)
+            self.class_embedding = tnn.Parameter(torch.randn(W) * 0.02)
+            self.positional_embedding = tnn.Parameter(torch.randn(S, W) * 0.02)
+            self.transformer = tnn.Module()
+            self.transformer.resblocks = tnn.ModuleList(
+                [Block() for _ in range(cfg.depth)])
+            self.ln_post = tnn.LayerNorm(W)
+            self.attn_pool = Pool()
+            self.proj = tnn.Parameter(torch.randn(W, E) * 0.02)
+
+        def forward(self, x):
+            x = self.conv1(x).flatten(2).transpose(1, 2)
+            cls = self.class_embedding.expand(x.shape[0], 1, -1)
+            x = torch.cat([cls, x], dim=1) + self.positional_embedding
+            for b in self.transformer.resblocks:
+                x = b(x)
+            x = self.ln_post(x)
+            return self.attn_pool(x) @ self.proj
+
+    torch.manual_seed(0)
+    tower = Tower().eval()
+    rng = np.random.default_rng(2)
+    imgs = rng.standard_normal((2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tower(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+
+    sd = {f"visual.{k}": v for k, v in tower.state_dict().items()}
+    params = convert_vision_tower(sd, cfg, scheme="openai_clip")
+    vit = VisionTransformer(cfg, act="gelu", use_ln_pre=False,
+                            patch_bias=True, use_flash=False)
+    out = np.asarray(vit.apply({"params": params}, jnp.asarray(imgs)))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("b,h,sq,skv,d", [
+    (2, 4, 64, 64, 32),
+    (1, 2, 130, 130, 64),   # unaligned seq -> padding path
+])
+def test_flash_attention_parity(rng, b, h, sq, skv, d):
+    q = jnp.asarray(rng.standard_normal((b, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, skv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, skv, d)), jnp.float32)
+    ref = np.asarray(attention_xla(q, k, v))
+    out = np.asarray(flash_attention(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_kv_mask(rng):
+    b, h, s, d = 1, 2, 64, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    ref = np.asarray(attention_xla(q, k[:, :, :40], v[:, :, :40]))
+    out = np.asarray(flash_attention(q, k, v, kv_valid=40))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_preprocess_range():
+    img = np.full((1, 8, 8, 3), 255, np.uint8)
+    x = preprocess_images(img)
+    assert x.shape == (1, 8, 8, 3)
+    assert np.isfinite(x).all() and x.max() < 3
