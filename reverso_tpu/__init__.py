@@ -9,6 +9,7 @@ JAX/XLA for the compute graph, Pallas kernels for the hot paths
 
 __version__ = "0.1.0"
 
+from .engine import Reverso
 from .config import (
     EngineConfig,
     MeshConfig,

@@ -1,0 +1,151 @@
+"""Command-line interface.
+
+The reference is launched only through its Gradio UI (`python main.py`,
+reference main.py:23-40); this CLI exposes the same capabilities headless
+(build / search / list / delete / unlock / serve) for scripted and
+production use.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from .config import EngineConfig, MODEL_PRESETS, default_config
+
+
+def _make_engine(args, *, need_detector: bool = False):
+    from .engine import Reverso
+    from .models.pe import PerceptionEncoder
+
+    cfg = default_config()
+    if args.model:
+        cfg = dataclasses.replace(cfg, model=MODEL_PRESETS[args.model])
+    if args.db_root:
+        cfg = dataclasses.replace(
+            cfg, store=dataclasses.replace(cfg.store, root_dir=args.db_root))
+    encoder = PerceptionEncoder(cfg.model)
+    detector = None
+    if need_detector:
+        from .detect import StubDetector
+        detector = StubDetector(cfg.detector)
+    return Reverso(cfg, encoder=encoder, detector=detector)
+
+
+def cmd_build(args) -> int:
+    engine = _make_engine(args, need_detector=not args.direct_pe)
+    transcript = engine.create_database(
+        args.folder, args.name, text_prompt=args.prompt,
+        use_direct_pe=args.direct_pe,
+        resume_from_checkpoint=args.resume,
+        include_subfolders=args.subfolders)  # StatusLog already echoes to stderr
+    print(transcript.splitlines()[-1] if transcript else "")
+    return 0 if "ready for searching" in transcript or "complete" in transcript else 1
+
+
+def cmd_search(args) -> int:
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    engine.process_image_direct_pe(args.image)
+    text, items = engine.search_similar(args.threshold, args.top_k)
+    if args.json:
+        print(json.dumps([
+            {"filename": it["filename"], "score": it["score"],
+             "bbox": it["bbox"], "source": it["payload"].get("image_source")}
+            for it in items], indent=2))
+    else:
+        print(text)
+    return 0 if items else 2
+
+
+def cmd_list(args) -> int:
+    engine = _make_engine(args)
+    for name in engine.list_databases():
+        print(name)
+    return 0
+
+
+def cmd_delete(args) -> int:
+    engine = _make_engine(args)
+    msg = engine.delete_database(args.name)
+    print(msg)
+    return 0 if msg.startswith("✅") else 1
+
+
+def cmd_unlock(args) -> int:
+    engine = _make_engine(args)
+    msg = engine.unlock_database(args.name)
+    print(msg)
+    return 0 if not msg.startswith("❌") else 1
+
+
+def cmd_serve(args) -> int:
+    from .ui.server import serve
+    engine = _make_engine(args, need_detector=True)
+    serve(engine, host=args.host, port=args.port)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="reverso",
+                                description="TPU-native visual investigation engine")
+    p.add_argument("--model", choices=sorted(MODEL_PRESETS), default=None,
+                   help="model preset (default PE-Core-L14-336)")
+    p.add_argument("--db-root", default=None, help="database root directory")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a searchable database from a folder")
+    b.add_argument("folder")
+    b.add_argument("--name", required=True)
+    b.add_argument("--prompt", default="person . car . building")
+    b.add_argument("--direct-pe", action="store_true",
+                   help="whole-image embeddings, no detection")
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--subfolders", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="search a database with a query image")
+    s.add_argument("image")
+    s.add_argument("--name", required=True)
+    s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--top-k", type=int, default=None)
+    s.add_argument("--json", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    l = sub.add_parser("list", help="list databases")
+    l.set_defaults(fn=cmd_list)
+
+    d = sub.add_parser("delete", help="delete a database")
+    d.add_argument("name")
+    d.set_defaults(fn=cmd_delete)
+
+    u = sub.add_parser("unlock", help="remove a stale database lock")
+    u.add_argument("name")
+    u.set_defaults(fn=cmd_unlock)
+
+    v = sub.add_parser("serve", help="start the web UI")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=7860)
+    v.set_defaults(fn=cmd_serve)
+
+    be = sub.add_parser("bench", help="run the headline benchmark")
+    be.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

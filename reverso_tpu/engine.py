@@ -1,0 +1,266 @@
+"""Reverso: the engine facade.
+
+Public API mirroring the reference's `SimpleReverso`
+(reference core_system.py:44-757) — detect_regions / extract_embeddings /
+process_image_direct_pe / create_database / search_similar /
+visualize_detections / list-load-delete-unlock — engineered properly:
+
+  * the model forward is batched and jitted (not per-image, not
+    re-initialized per call like the reference's detector,
+    core_system.py:249);
+  * the search index is the device-resident `DeviceIndex`, rebuilt lazily
+    after store mutations, instead of a Python scan;
+  * per-query state is returned to the caller AND kept on the engine for
+    UI convenience, but the engine is explicitly not thread-safe for
+    concurrent queries (the reference had a shared-state race across its
+    Gradio callbacks, SURVEY.md §5.2 — the UI layer here serializes).
+
+Status-message strings keep the reference's emoji format because the UI
+surfaces them verbatim.
+"""
+from __future__ import annotations
+
+import os
+import threading
+import uuid
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .config import EngineConfig, MODEL_PRESETS, default_config
+from .detect.regions import Regions, parse_prompts
+from .ingest.images import preprocess_pil
+from .ingest.pipeline import (
+    build_database, direct_pe_metadata, region_metadata, BuildResult,
+)
+from .models.pe import PerceptionEncoder
+from .parallel.sharding import make_mesh
+from .store import (
+    VectorStore, DeviceIndex, StoreError,
+    list_databases as _list_databases,
+    delete_database as _delete_database,
+    unlock_database as _unlock_database,
+)
+from .utils.logging import get_logger
+from .utils.profiling import Metrics
+from .viz import visualize_detections as _viz, render_result_thumbnail, to_rgb_array
+
+log = get_logger("engine")
+
+
+class Reverso:
+    """Visual investigation engine: detect -> embed -> store -> search."""
+
+    def __init__(self, config: Optional[EngineConfig] = None, *,
+                 encoder: Optional[PerceptionEncoder] = None,
+                 detector=None, use_mesh: bool = False):
+        self.config = config or default_config()
+        self.encoder = encoder or PerceptionEncoder(self.config.model)
+        self.detector = detector
+        self.mesh = make_mesh(self.config.mesh) if use_mesh else None
+        self.metrics = Metrics()
+
+        # current database
+        self._store: Optional[VectorStore] = None
+        self._index: Optional[DeviceIndex] = None
+        self.current_database: Optional[str] = None
+
+        # last query state (single-session convenience, like the reference)
+        self.detected_regions: Optional[Regions] = None
+        self.region_embeddings: Optional[np.ndarray] = None
+        self.region_metadata_list: list[dict] = []
+
+        self._stop_event = threading.Event()
+
+    # -- database management (reference core_system.py:74-154) ----------
+
+    @property
+    def db_root(self) -> str:
+        return self.config.store.root_dir
+
+    def list_databases(self) -> list[str]:
+        return _list_databases(self.db_root)
+
+    def load_database(self, database_name: str) -> str:
+        if not database_name:
+            return "❌ Please provide a database name"
+        try:
+            store = VectorStore.open(self.db_root, database_name)
+        except StoreError:
+            if not os.path.isdir(os.path.join(self.db_root, database_name)):
+                return f"❌ Database not found: {database_name}"
+            return f"❌ Collection not found in database: {database_name}"
+        self._set_store(store)
+        return f"✅ Loaded database: {database_name}"
+
+    def delete_database(self, database_name: str) -> str:
+        if not database_name:
+            return "❌ Please provide a database name"
+        try:
+            if self.current_database == database_name:
+                self._set_store(None)
+            _delete_database(self.db_root, database_name)
+            return f"✅ Deleted database: {database_name}"
+        except StoreError:
+            return f"❌ Database not found: {database_name}"
+        except Exception as e:
+            return f"❌ Error deleting database: {e}"
+
+    def unlock_database(self, database_name: str) -> str:
+        if not database_name:
+            return "❌ Please provide a database name"
+        try:
+            removed = _unlock_database(self.db_root, database_name)
+        except StoreError:
+            return f"❌ Database not found: {database_name}"
+        if removed:
+            return f"✅ Removed lock file from database: {database_name}"
+        return f"ℹ️ No lock file found for database: {database_name}"
+
+    def _set_store(self, store: Optional[VectorStore]) -> None:
+        self._store = store
+        self._index = None
+        self.current_database = store.name if store else None
+
+    def _get_index(self) -> DeviceIndex:
+        if self._store is None:
+            raise StoreError("no database loaded")
+        if self._index is None or self._index.n_valid != self._store.count:
+            self._index = DeviceIndex(
+                np.asarray(self._store.vectors()),
+                mesh=self.mesh,
+                dtype=self.config.store.dtype,
+                db_tile=self.config.search.db_tile)
+        return self._index
+
+    # -- query path -----------------------------------------------------
+
+    def _preprocess(self, image) -> tuple[np.ndarray, tuple[int, int]]:
+        from PIL import Image as PILImage
+        arr = to_rgb_array(image)
+        h, w = arr.shape[:2]
+        px = preprocess_pil(PILImage.fromarray(arr), self.config.model.image_size)
+        return px[None], (w, h)
+
+    def process_image_direct_pe(self, image):
+        """Whole-image embedding (reference core_system.py:431-455)."""
+        px, (w, h) = self._preprocess(image)
+        emb = np.asarray(self.encoder.encode_image(px))
+        meta = direct_pe_metadata(w, h)
+        self.detected_regions = None
+        self.region_embeddings = emb
+        self.region_metadata_list = [meta]
+        return emb, [meta]
+
+    def detect_regions(self, image, text_prompt: Optional[str] = None) -> int:
+        """Prompt-conditioned region detection (reference core_system.py:237-318)."""
+        if self.detector is None:
+            raise RuntimeError(
+                "no detector configured; construct Reverso(detector=...) or "
+                "use process_image_direct_pe")
+        prompts = parse_prompts(text_prompt, self.config.detector.default_prompt)
+        arr = to_rgb_array(image)
+        self.detected_regions = self.detector.detect(arr, prompts)
+        self.region_embeddings = None
+        self.region_metadata_list = []
+        log.info(f"found {len(self.detected_regions)} regions for prompts {prompts}")
+        return len(self.detected_regions)
+
+    def extract_embeddings(self, image):
+        """Embed detected regions (reference core_system.py:320-429).
+
+        Compat mode: every region carries the global image embedding
+        (exactly what the reference does, core_system.py:406)."""
+        regions = self.detected_regions
+        if regions is None or len(regions) == 0:
+            return [], []
+        px, (w, h) = self._preprocess(image)
+        emb = np.asarray(self.encoder.encode_image(px))[0]
+        vecs, metas = [], []
+        for i in range(min(len(regions), self.config.ingest.max_regions)):
+            meta = region_metadata(regions, i)
+            if meta is None:
+                continue
+            if meta["bbox"] is None:
+                meta["bbox"] = [0, 0, w, h]
+            vecs.append(emb)
+            metas.append(meta)
+        self.region_embeddings = np.stack(vecs) if vecs else np.zeros((0, emb.shape[0]), np.float32)
+        self.region_metadata_list = metas
+        return list(self.region_embeddings), metas
+
+    def search_similar(self, similarity_threshold: Optional[float] = None,
+                       max_results: Optional[int] = None,
+                       query_index: int = 0):
+        """Search the loaded database with a previously extracted embedding
+        (reference core_system.py:650-717). Returns (text, items)."""
+        cfg = self.config.search
+        threshold = cfg.score_threshold if similarity_threshold is None else similarity_threshold
+        k = cfg.top_k if max_results is None else max_results
+        if self.region_embeddings is None or len(self.region_embeddings) == 0:
+            return ("❌ No query embeddings available. Please detect/process an image first.", [])
+        if self._store is None:
+            return ("❌ No database loaded. Please create or load a database first.", [])
+        query_index = min(query_index, len(self.region_embeddings) - 1)
+        query = self.region_embeddings[query_index]
+
+        index = self._get_index()
+        import jax
+        scores, ids = jax.device_get(index.search(query, k))
+        scores, ids = scores[0], ids[0]
+        hits = [(float(s), int(i)) for s, i in zip(scores, ids)
+                if i >= 0 and s >= threshold]
+        if not hits:
+            return (f"❌ No similar regions found above threshold {threshold}", [])
+
+        payloads = self._store.payloads([i for _, i in hits])
+        text = f"🎯 Found {len(hits)} similar regions:\n\n"
+        items = []
+        for rank, ((score, _), payload) in enumerate(zip(hits, payloads)):
+            payload = payload or {}
+            filename = payload.get("filename", "Unknown")
+            image_path = payload.get("image_source", "")
+            bbox = payload.get("bbox", [0, 0, 0, 0])
+            text += f"{rank + 1}. {filename} (Similarity: {score:.3f})\n"
+            text += f"   Source: {image_path}\n"
+            text += f"   📍 Bounding box: {bbox}\n\n"
+            thumb = render_result_thumbnail(image_path, score) if image_path else None
+            items.append({"image": thumb, "score": score,
+                          "filename": filename, "bbox": bbox,
+                          "payload": payload})
+        return text, items
+
+    # -- index build ------------------------------------------------------
+
+    def request_stop(self) -> None:
+        """Cooperative cancellation (reference core_system.py:457-459)."""
+        self._stop_event.set()
+
+    def create_database(self, folder_path: str, database_name: str,
+                        text_prompt: str = "person . car . building",
+                        use_direct_pe: bool = False,
+                        progress_callback=None,
+                        resume_from_checkpoint: bool = False,
+                        include_subfolders: bool = False) -> str:
+        """Build a searchable database from a folder
+        (reference core_system.py:461-648)."""
+        self._set_store(None)  # release any handle on the target store
+        result = build_database(
+            self.encoder, folder_path, database_name,
+            config=self.config, text_prompt=text_prompt,
+            use_direct_pe=use_direct_pe, detector=self.detector,
+            progress_callback=progress_callback,
+            resume_from_checkpoint=resume_from_checkpoint,
+            include_subfolders=include_subfolders,
+            stop_event=self._stop_event, metrics=self.metrics)
+        if result.total_embeddings > 0 and not result.stopped:
+            try:
+                self._set_store(VectorStore.open(self.db_root, database_name))
+            except StoreError:
+                pass
+        return result.transcript
+
+    # -- visualization ----------------------------------------------------
+
+    def visualize_detections(self, image, selected_region_index=None):
+        return _viz(image, self.detected_regions, selected_region_index)

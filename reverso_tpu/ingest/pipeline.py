@@ -1,0 +1,307 @@
+"""The index-build pipeline: folder -> detect -> embed -> normalize -> append.
+
+Rebuilds the reference's `create_database` hot loop
+(reference core_system.py:461-648) the TPU way:
+
+  * images load + preprocess in host threads while the device embeds the
+    previous batch (the reference runs strictly serial, batch size 1);
+  * embeddings append to the durable `VectorStore` as they are produced —
+    no giant in-memory partial list, and resume actually works (the
+    reference's checkpoint was broken: missing json/datetime imports and
+    unserializable tensors, SURVEY.md §5.4);
+  * cooperative stop via a flag checked between batches (reference
+    `request_stop`, core_system.py:457-459,542-545);
+  * per-image fault tolerance: unreadable files log and are marked
+    processed (reference core_system.py:585-591).
+
+Checkpoint design: a JSON manifest (processed file list + durable store
+row count) under `<root>/checkpoints/<name>_checkpoint.json` (the
+reference's path scheme, core_system.py:476). On resume the store is
+truncated to the manifest count, rolling back any torn batch.
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..config import EngineConfig
+from ..detect.regions import Regions, parse_prompts
+from ..store.persist import VectorStore
+from ..utils.logging import StatusLog
+from ..utils.profiling import Metrics, StageTimer
+from .images import scan_images, iter_batches
+
+
+def checkpoint_path(root: str, name: str) -> str:
+    return os.path.join(root, "checkpoints", f"{name}_checkpoint.json")
+
+
+def _save_checkpoint(root: str, name: str, processed: Sequence[str],
+                     store_count: int, folder: str) -> None:
+    path = checkpoint_path(root, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({
+            "processed_files": sorted(processed),
+            "store_count": store_count,
+            "database_name": name,
+            "folder_path": folder,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }, f)
+    os.replace(tmp, path)
+
+
+def _load_checkpoint(root: str, name: str) -> Optional[dict]:
+    path = checkpoint_path(root, name)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def direct_pe_metadata(width: int, height: int) -> dict:
+    """Whole-image metadata (reference core_system.py:450-453)."""
+    return {
+        "region_id": str(uuid.uuid4()),
+        "bbox": [0, 0, width, height],
+        "area_ratio": 1.0,
+        "detection_index": 0,
+        "confidence": 1.0,
+        "detected_class": "full_image",
+    }
+
+
+def region_metadata(regions: Regions, i: int) -> Optional[dict]:
+    """Per-region metadata from a mask (reference core_system.py:398-418).
+    Returns None for empty masks (skipped, core_system.py:402-404)."""
+    meta = {
+        "region_id": str(uuid.uuid4()),
+        "detection_index": i,
+        "confidence": float(regions.confidences[i]),
+        "detected_class": regions.class_name(i),
+    }
+    if regions.masks is None or i >= len(regions.masks):
+        # missing mask -> global embedding fallback (core_system.py:368-389)
+        meta.update({"bbox": None, "area_ratio": 1.0,
+                     "mask_status": "missing_or_unavailable"})
+        return meta
+    mask = regions.masks[i]
+    mask_b = mask > 0.5 if mask.dtype != bool else mask
+    total = int(mask_b.sum())
+    if total == 0:
+        return None
+    ys, xs = np.where(mask_b)
+    meta.update({
+        "bbox": [int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())],
+        "area_ratio": float(total / mask_b.size),
+        "mask_status": "processed",
+    })
+    return meta
+
+
+@dataclass
+class BuildResult:
+    transcript: str
+    processed: int
+    failed: int
+    total_embeddings: int
+    stopped: bool = False
+
+
+def build_database(
+    encoder,                       # PerceptionEncoder
+    folder_path: str,
+    database_name: str,
+    *,
+    config: EngineConfig,
+    text_prompt: str = "person . car . building",
+    use_direct_pe: bool = False,
+    detector=None,
+    progress_callback: Optional[Callable] = None,
+    resume_from_checkpoint: bool = False,
+    include_subfolders: bool = False,
+    stop_event: Optional[threading.Event] = None,
+    metrics: Optional[Metrics] = None,
+) -> BuildResult:
+    """Build (or resume) a searchable database from an image folder."""
+    log = StatusLog(progress_callback)
+    stop_event = stop_event or threading.Event()
+    timer = StageTimer(metrics or Metrics())
+    root = config.store.root_dir
+    os.makedirs(root, exist_ok=True)
+
+    # --- resume / create store ------------------------------------------
+    processed_files: set[str] = set()
+    store: Optional[VectorStore] = None
+    if resume_from_checkpoint:
+        ck = _load_checkpoint(root, database_name)
+        if ck is not None:
+            try:
+                store = VectorStore.open(root, database_name, writable=True)
+                store.truncate(min(int(ck.get("store_count", 0)), store.count))
+                processed_files = set(ck.get("processed_files", []))
+                log(f"📋 Resuming from checkpoint: {len(processed_files)} files already processed")
+            except Exception as e:
+                log(f"⚠️ Error loading checkpoint: {e}. Starting fresh.")
+                store = None
+                processed_files = set()
+    if store is None:
+        store = VectorStore.create(root, database_name, encoder.embed_dim,
+                                   overwrite=True)
+
+    log(f"📁 Creating database '{database_name}' from {folder_path}")
+
+    files = scan_images(folder_path, include_subfolders=include_subfolders,
+                        extensions=config.ingest.image_extensions)
+    if not files:
+        store.close()
+        return BuildResult(log(f"❌ No images found in {folder_path}"), 0, 0, 0)
+
+    todo = [f for f in files if f not in processed_files]
+    if resume_from_checkpoint and not todo:
+        store.close()
+        return BuildResult(log("✅ All files already processed. Database is complete."),
+                           0, 0, store.count)
+
+    log(f"📊 Found {len(todo)} images to process", 0.1)
+    if include_subfolders:
+        log("📂 Including images from subfolders")
+    log(f"🔧 Processing mode: {'Direct PE' if use_direct_pe else 'Detection + PE'}")
+    log(f"📂 Database will be stored at: {store.path}")
+
+    prompts = parse_prompts(text_prompt, config.detector.default_prompt)
+    size = config.model.image_size
+    batch_size = config.ingest.batch_size
+    processed = failed = 0
+    since_checkpoint = 0
+    stopped = False
+
+    def checkpoint():
+        store.flush()
+        _save_checkpoint(root, database_name, processed_files, store.count,
+                         folder_path)
+
+    try:
+        for batch in iter_batches(todo, size, batch_size):
+            if stop_event.is_set():
+                log("🛑 Stop requested. Saving progress...")
+                checkpoint()
+                stopped = True
+                break
+
+            for path, err in batch.failed:
+                log(f"❌ Error processing {os.path.basename(path)}: {err}")
+                failed += 1
+                processed_files.add(path)
+
+            if not batch.paths:
+                continue
+
+            done_frac = 0.1 + 0.7 * (processed + failed) / max(len(todo), 1)
+            log(f"🔄 Processing batch of {len(batch.paths)} "
+                f"({processed + len(batch.paths)}/{len(todo)})", done_frac)
+
+            if use_direct_pe:
+                with timer.stage("embed", len(batch.paths)):
+                    emb = np.asarray(encoder.encode_image(batch.pixels))
+                metas = []
+                for j, path in enumerate(batch.paths):
+                    w, h = batch.sizes[j]
+                    m = direct_pe_metadata(w, h)
+                    m["image_source"] = path
+                    m["filename"] = os.path.basename(path)
+                    m["original_region_id"] = m["region_id"]
+                    m["region_id"] = str(uuid.uuid4())
+                    metas.append(m)
+                with timer.stage("append", len(metas)):
+                    store.append(emb, metas)
+            else:
+                if detector is None:
+                    store.close()
+                    raise RuntimeError(
+                        "Region mode needs a detector; pass detector= or "
+                        "use_direct_pe=True")
+                # whole-image embeddings (shared per region in compat mode,
+                # reference core_system.py:406)
+                with timer.stage("embed", len(batch.paths)):
+                    emb = np.asarray(encoder.encode_image(batch.pixels))
+                vecs, metas = [], []
+                with timer.stage("detect", len(batch.paths)):
+                    for j, path in enumerate(batch.paths):
+                        img_u8 = _denormalize(batch.pixels[j])
+                        regions = detector.detect(img_u8, prompts)
+                        n = min(len(regions), config.ingest.max_regions)
+                        kept = 0
+                        for i in range(n):
+                            meta = region_metadata(regions, i)
+                            if meta is None:
+                                continue
+                            if meta["bbox"] is None:
+                                w, h = batch.sizes[j]
+                                meta["bbox"] = [0, 0, w, h]
+                            meta["image_source"] = path
+                            meta["filename"] = os.path.basename(path)
+                            meta["original_region_id"] = meta["region_id"]
+                            meta["region_id"] = str(uuid.uuid4())
+                            vecs.append(emb[j])
+                            metas.append(meta)
+                            kept += 1
+                        if kept == 0:
+                            log(f"⚠️ No regions found in {os.path.basename(path)}, skipping")
+                if metas:
+                    with timer.stage("append", len(metas)):
+                        store.append(np.stack(vecs), metas)
+
+            processed += len(batch.paths)
+            for path in batch.paths:
+                processed_files.add(path)
+            since_checkpoint += len(batch.paths)
+            if since_checkpoint >= config.ingest.checkpoint_every:
+                checkpoint()
+                since_checkpoint = 0
+
+        if not stopped:
+            if store.count == 0:
+                result = BuildResult(
+                    log("❌ No embeddings extracted from any images"),
+                    processed, failed, 0)
+                store.close()
+                return result
+            store.flush()
+            ck = checkpoint_path(root, database_name)
+            if os.path.exists(ck):
+                os.remove(ck)
+                log("🧹 Cleaned up checkpoint file")
+            log("\n📊 Final Summary:", 0.9)
+            log(f"✅ Successfully processed: {processed} images")
+            if failed:
+                log(f"⚠️ Failed to process: {failed} images")
+            log(f"🔍 Total embeddings stored: {store.count}")
+            log(f"🎯 Database '{database_name}' ready for searching!", 1.0)
+    finally:
+        total = store.count
+        store.close()
+        stop_event.clear()
+
+    transcript = log.text
+    if stopped:
+        transcript += "\n\n⏸️ Processing stopped. You can resume later."
+    return BuildResult(transcript, processed, failed, total, stopped)
+
+
+def _denormalize(pixels: np.ndarray) -> np.ndarray:
+    """Normalized float back to uint8 RGB for the detector."""
+    from ..models.pe import IMAGE_MEAN, IMAGE_STD
+    x = pixels * IMAGE_STD + IMAGE_MEAN
+    return np.clip(x * 255.0, 0, 255).astype(np.uint8)

@@ -1,0 +1,1 @@
+from .clip import ClipTrainer, siglip_loss, param_partition_spec

@@ -1,0 +1,185 @@
+"""End-to-end integration tests: folder -> build -> search (SURVEY.md §4
+item 5: tiny-image-folder golden tests with the stub detector, no model
+weights needed)."""
+import dataclasses
+import os
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from reverso_tpu.config import MODEL_PRESETS, default_config
+from reverso_tpu.detect import StubDetector, parse_prompts
+from reverso_tpu.engine import Reverso
+from reverso_tpu.models.pe import PerceptionEncoder
+from reverso_tpu.ingest.pipeline import checkpoint_path
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    cfg = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+    return PerceptionEncoder(cfg)
+
+
+@pytest.fixture()
+def engine(tmp_path, encoder):
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=encoder.cfg,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")),
+    )
+    return Reverso(cfg, encoder=encoder, detector=StubDetector())
+
+
+def make_corpus(path, n=8, size=48, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(path, exist_ok=True)
+    files = []
+    for i in range(n):
+        arr = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        p = os.path.join(path, f"img_{i:03d}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        files.append(p)
+    return files
+
+
+def test_prompt_parsing():
+    assert parse_prompts("person . car .building") == ["person", "car", "building"]
+    assert parse_prompts("  ") == ["object"]
+    assert parse_prompts(None) == ["object"]
+
+
+def test_build_and_search_direct_pe(engine, tmp_path):
+    files = make_corpus(tmp_path / "imgs")
+    transcript = engine.create_database(str(tmp_path / "imgs"), "direct",
+                                        use_direct_pe=True)
+    assert "ready for searching" in transcript
+    assert engine.current_database == "direct"
+
+    # query with one of the corpus images -> should match itself first
+    engine.process_image_direct_pe(files[3])
+    text, items = engine.search_similar(similarity_threshold=0.5, max_results=5)
+    assert items, text
+    assert items[0]["filename"] == "img_003.jpg"
+    assert items[0]["score"] > 0.98
+    assert items[0]["payload"]["detected_class"] == "full_image"
+    assert items[0]["payload"]["confidence"] == 1.0
+
+
+def test_build_region_mode(engine, tmp_path):
+    make_corpus(tmp_path / "imgs", n=4)
+    transcript = engine.create_database(str(tmp_path / "imgs"), "regions",
+                                        text_prompt="person . car")
+    assert "ready for searching" in transcript
+    n = engine.detect_regions(str(tmp_path / "imgs" / "img_000.jpg"),
+                              "person . car")
+    assert n == 4   # stub: 2 boxes per prompt
+    embs, metas = engine.extract_embeddings(
+        str(tmp_path / "imgs" / "img_000.jpg"))
+    assert len(embs) == 4
+    assert metas[0]["detected_class"] == "person"
+    assert metas[0]["mask_status"] == "processed"
+    assert len(metas[0]["bbox"]) == 4
+    text, items = engine.search_similar(similarity_threshold=0.5)
+    assert items
+    # payload schema parity (reference core_system.py:382-418,568-574)
+    payload = items[0]["payload"]
+    for key in ("region_id", "original_region_id", "bbox", "area_ratio",
+                "detection_index", "confidence", "detected_class",
+                "mask_status", "image_source", "filename"):
+        assert key in payload, key
+
+
+def test_search_without_query(engine):
+    text, items = engine.search_similar()
+    assert text.startswith("❌ No query embeddings")
+
+
+def test_search_without_db(engine, tmp_path):
+    make_corpus(tmp_path / "imgs", n=1)
+    engine.process_image_direct_pe(str(tmp_path / "imgs" / "img_000.jpg"))
+    text, items = engine.search_similar()
+    assert text.startswith("❌ No database loaded")
+
+
+def test_db_management_messages(engine):
+    assert engine.load_database("") == "❌ Please provide a database name"
+    assert engine.load_database("nope") == "❌ Database not found: nope"
+    assert engine.delete_database("nope") == "❌ Database not found: nope"
+    assert engine.unlock_database("nope") == "❌ Database not found: nope"
+
+
+def test_resume_after_stop(engine, tmp_path, encoder):
+    """Checkpoint/resume actually works (the reference's was broken,
+    SURVEY.md §5.4)."""
+    files = make_corpus(tmp_path / "imgs", n=12)
+    cfg = engine.config
+    small = dataclasses.replace(
+        cfg, ingest=dataclasses.replace(cfg.ingest, batch_size=2,
+                                        checkpoint_every=2))
+    engine.config = small
+
+    calls = {"n": 0}
+
+    def cb(msg, p):
+        calls["n"] += 1
+        if "Processing batch" in msg and calls["n"] > 4:
+            engine.request_stop()
+
+    transcript = engine.create_database(str(tmp_path / "imgs"), "resumable",
+                                        use_direct_pe=True,
+                                        progress_callback=cb)
+    assert "Processing stopped" in transcript
+    assert os.path.exists(checkpoint_path(engine.db_root, "resumable"))
+
+    transcript2 = engine.create_database(str(tmp_path / "imgs"), "resumable",
+                                         use_direct_pe=True,
+                                         resume_from_checkpoint=True)
+    assert "Resuming from checkpoint" in transcript2
+    assert "ready for searching" in transcript2
+    assert not os.path.exists(checkpoint_path(engine.db_root, "resumable"))
+
+    # all 12 images indexed exactly once
+    from reverso_tpu.store import VectorStore
+    store = VectorStore.open(engine.db_root, "resumable")
+    assert store.count == 12
+    names = sorted(p["filename"] for p in store.payloads())
+    assert names == sorted(os.path.basename(f) for f in files)
+
+
+def test_corrupt_image_fault_tolerance(engine, tmp_path):
+    make_corpus(tmp_path / "imgs", n=3)
+    with open(tmp_path / "imgs" / "broken.jpg", "wb") as f:
+        f.write(b"not a jpeg")
+    transcript = engine.create_database(str(tmp_path / "imgs"), "faulty",
+                                        use_direct_pe=True)
+    assert "❌ Error processing broken.jpg" in transcript
+    assert "ready for searching" in transcript
+    from reverso_tpu.store import VectorStore
+    assert VectorStore.open(engine.db_root, "faulty").count == 3
+
+
+def test_visualize(engine, tmp_path):
+    make_corpus(tmp_path / "imgs", n=1)
+    path = str(tmp_path / "imgs" / "img_000.jpg")
+    engine.detect_regions(path, "thing")
+    img = engine.visualize_detections(path, selected_region_index=0)
+    assert img.size == (48, 48)
+
+
+def test_cli_end_to_end(tmp_path, monkeypatch):
+    from reverso_tpu import cli
+    imgs = tmp_path / "imgs"
+    make_corpus(imgs, n=5)
+    root = str(tmp_path / "db")
+    base = ["--model", "test-tiny", "--db-root", root]
+    assert cli.main(base + ["build", str(imgs), "--name", "clidb",
+                            "--direct-pe"]) == 0
+    assert cli.main(base + ["list"]) == 0
+    rc = cli.main(base + ["search", str(imgs / "img_001.jpg"),
+                          "--name", "clidb", "--json", "--threshold", "0.5"])
+    assert rc == 0
+    assert cli.main(base + ["delete", "clidb"]) == 0
+    assert cli.main(base + ["delete", "clidb"]) == 1
