@@ -17,7 +17,10 @@ import numpy as np
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from reverso_tpu.cli import _enable_compile_cache
     from reverso_tpu.ops import cosine_topk_pallas, l2_normalize
+
+    _enable_compile_cache()
 
     N_PAD, N, D, Q, K = 1024 * 1024, 1_000_000, 1024, 256, 10
 

@@ -15,7 +15,20 @@ import sys
 from .config import EngineConfig, MODEL_PRESETS, default_config
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: without it every CLI process pays
+    the full (minutes-long over the remote tunnel) jit compile again."""
+    import os
+    import jax
+    cache = os.environ.get("REVERSO_JAX_CACHE",
+                           os.path.expanduser("~/.cache/reverso_jax"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
 def _make_engine(args, *, need_detector: bool = False):
+    _enable_compile_cache()
     from .engine import Reverso
     from .models.pe import PerceptionEncoder
 
@@ -95,6 +108,23 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_video_local(args) -> int:
+    from .ingest.video import process_local_videos_with_progress
+    msg = process_local_videos_with_progress(
+        args.input_folder, args.output_folder, args.fps, args.threshold)
+    print(msg)
+    return 0 if msg.startswith("✅") else 1
+
+
+def cmd_video_urls(args) -> int:
+    from .ingest.video import extract_frames_with_progress
+    msg = extract_frames_with_progress(
+        args.urls, args.output_folder, fps=args.fps, thresh=args.threshold,
+        qual=args.quality)
+    print(msg)
+    return 0 if msg.startswith("✅") else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="reverso",
                                 description="TPU-native visual investigation engine")
@@ -139,6 +169,24 @@ def build_parser() -> argparse.ArgumentParser:
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)
+
+    vid = sub.add_parser("video", help="extract keyframes from videos")
+    vid_sub = vid.add_subparsers(dest="video_cmd", required=True)
+    vl = vid_sub.add_parser("local", help="process videos in a folder")
+    vl.add_argument("input_folder")
+    vl.add_argument("output_folder")
+    vl.add_argument("--fps", type=float, default=2,
+                    help="frames per scene/second")
+    vl.add_argument("--threshold", type=float, default=30.0,
+                    help="scene-cut sensitivity (lower = more scenes)")
+    vl.set_defaults(fn=cmd_video_local)
+    vu = vid_sub.add_parser("urls", help="download + process video URLs")
+    vu.add_argument("urls", help="comma/newline separated URLs")
+    vu.add_argument("output_folder")
+    vu.add_argument("--fps", type=float, default=2)
+    vu.add_argument("--threshold", type=float, default=30.0)
+    vu.add_argument("--quality", default="720p")
+    vu.set_defaults(fn=cmd_video_urls)
     return p
 
 
