@@ -1,0 +1,447 @@
+"""Web UI: stdlib HTTP server + single-page app.
+
+The reference serves a 5-tab Gradio Blocks app (reference ui.py:235-408,
+main.py:30-40). Gradio is not a dependency here; this module provides the
+same five surfaces (video frame extraction, database build with
+stop/resume, detect+search, database management, about) as a dependency-
+free JSON API + embedded single-page app.
+
+Concurrency model: the reference mutates a global engine from every
+callback and races across sessions (SURVEY.md §5.2). Here every engine
+call runs under one lock; long-running builds execute on a worker thread
+with polled progress; query state lives server-side per session token.
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+from urllib.parse import urlparse
+
+from ..utils.logging import get_logger
+
+log = get_logger("ui")
+
+
+class BuildJob:
+    def __init__(self):
+        self.transcript = ""
+        self.progress = 0.0
+        self.done = False
+        self.error: Optional[str] = None
+        self.thread: Optional[threading.Thread] = None
+
+
+class UIState:
+    def __init__(self, engine):
+        self.engine = engine
+        self.lock = threading.Lock()       # serializes engine access
+        self.build: Optional[BuildJob] = None
+
+
+def _img_to_b64(pil_img) -> Optional[str]:
+    if pil_img is None:
+        return None
+    buf = io.BytesIO()
+    pil_img.save(buf, format="JPEG", quality=85)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _b64_to_pil(data: str):
+    from PIL import Image
+    return Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
+
+
+def make_handler(state: UIState):
+    engine = state.engine
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            log.debug(fmt % args)
+
+        # -- plumbing ---------------------------------------------------
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj: Any, code: int = 200) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _read_json(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            if n == 0:
+                return {}
+            return json.loads(self.rfile.read(n))
+
+        # -- routes ------------------------------------------------------
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path in ("/", "/index.html"):
+                self._send(200, INDEX_HTML.encode(), "text/html; charset=utf-8")
+            elif path == "/api/databases":
+                with state.lock:
+                    self._json({"databases": engine.list_databases(),
+                                "current": engine.current_database})
+            elif path == "/api/build/status":
+                job = state.build
+                if job is None:
+                    self._json({"state": "idle"})
+                else:
+                    self._json({
+                        "state": "error" if job.error else
+                                 ("done" if job.done else "running"),
+                        "progress": job.progress,
+                        "transcript": job.transcript,
+                        "error": job.error,
+                    })
+            elif path == "/api/about":
+                self._json({"name": "Reverso-TPU",
+                            "model": engine.config.model.name,
+                            "backend": _backend_name()})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            path = urlparse(self.path).path
+            try:
+                body = self._read_json()
+            except Exception as e:
+                self._json({"error": f"bad json: {e}"}, 400)
+                return
+            try:
+                handler = {
+                    "/api/build": self._build,
+                    "/api/build/stop": self._stop,
+                    "/api/db/load": self._db_load,
+                    "/api/db/delete": self._db_delete,
+                    "/api/db/unlock": self._db_unlock,
+                    "/api/query/detect": self._detect,
+                    "/api/query/search": self._search,
+                    "/api/video/local": self._video_local,
+                    "/api/video/urls": self._video_urls,
+                }.get(path)
+                if handler is None:
+                    self._json({"error": "not found"}, 404)
+                    return
+                handler(body)
+            except Exception as e:
+                log.exception("request failed")
+                self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+        # -- build -------------------------------------------------------
+        def _build(self, body: dict) -> None:
+            if state.build is not None and not state.build.done and state.build.error is None:
+                self._json({"error": "a build is already running"}, 409)
+                return
+            job = BuildJob()
+
+            def progress_cb(msg, p):
+                if p is not None:
+                    job.progress = float(p)
+
+            def run():
+                try:
+                    with state.lock:
+                        job.transcript = engine.create_database(
+                            body["folder"], body["name"],
+                            text_prompt=body.get("prompt", "person . car . building"),
+                            use_direct_pe=bool(body.get("direct_pe", False)),
+                            resume_from_checkpoint=bool(body.get("resume", False)),
+                            include_subfolders=bool(body.get("subfolders", False)),
+                            progress_callback=progress_cb)
+                except Exception as e:
+                    job.error = f"{type(e).__name__}: {e}"
+                finally:
+                    job.done = True
+
+            job.thread = threading.Thread(target=run, daemon=True)
+            state.build = job
+            job.thread.start()
+            self._json({"started": True})
+
+        def _stop(self, body: dict) -> None:
+            engine.request_stop()
+            self._json({"stopping": True})
+
+        # -- db management ----------------------------------------------
+        def _db_load(self, body: dict) -> None:
+            with state.lock:
+                self._json({"message": engine.load_database(body.get("name", ""))})
+
+        def _db_delete(self, body: dict) -> None:
+            with state.lock:
+                self._json({"message": engine.delete_database(body.get("name", ""))})
+
+        def _db_unlock(self, body: dict) -> None:
+            with state.lock:
+                self._json({"message": engine.unlock_database(body.get("name", ""))})
+
+        # -- query -------------------------------------------------------
+        def _detect(self, body: dict) -> None:
+            img = _b64_to_pil(body["image"])
+            with state.lock:
+                if body.get("direct_pe", False):
+                    _, metas = engine.process_image_direct_pe(img)
+                    regions = []
+                else:
+                    n = engine.detect_regions(img, body.get("prompt") or None)
+                    _, metas = engine.extract_embeddings(img)
+                    regions = [
+                        {"index": i,
+                         "label": f"Region {i + 1}: {m['detected_class']} "
+                                  f"({m['confidence']:.2f})"}
+                        for i, m in enumerate(metas)]
+                viz = engine.visualize_detections(img)
+            self._json({"num_regions": len(metas), "regions": regions,
+                        "visualization": _img_to_b64(viz)})
+
+        def _search(self, body: dict) -> None:
+            with state.lock:
+                text, items = engine.search_similar(
+                    body.get("threshold"), body.get("max_results"),
+                    query_index=int(body.get("region_index", 0)))
+            self._json({
+                "summary": text,
+                "results": [{
+                    "filename": it["filename"], "score": it["score"],
+                    "bbox": it["bbox"],
+                    "image": _img_to_b64(it["image"]),
+                } for it in items],
+            })
+
+        # -- video -------------------------------------------------------
+        def _video_local(self, body: dict) -> None:
+            from ..ingest.video import process_local_videos_with_progress
+            msg = process_local_videos_with_progress(
+                body.get("input_folder", ""), body.get("output_folder", ""),
+                float(body.get("fps", 2)), float(body.get("threshold", 30)))
+            self._json({"message": msg})
+
+        def _video_urls(self, body: dict) -> None:
+            from ..ingest.video import extract_frames_with_progress
+            msg = extract_frames_with_progress(
+                body.get("urls", ""), body.get("output_folder", ""),
+                fps=float(body.get("fps", 2)),
+                thresh=float(body.get("threshold", 30)),
+                qual=body.get("quality", "720p"))
+            self._json({"message": msg})
+
+    return Handler
+
+
+def _backend_name() -> str:
+    try:
+        import jax
+        return jax.default_backend()
+    except Exception:
+        return "unknown"
+
+
+def create_server(engine, host: str = "127.0.0.1", port: int = 7860) -> ThreadingHTTPServer:
+    state = UIState(engine)
+    return ThreadingHTTPServer((host, port), make_handler(state))
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 7860) -> None:
+    server = create_server(engine, host, port)
+    log.info(f"Reverso-TPU UI at http://{host}:{server.server_address[1]}/")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Single-page app (the reference's 5 tabs, ui.py:245-408)
+# ---------------------------------------------------------------------------
+
+INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Revers-o TPU</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:0;background:#f6f7f9;color:#1a202c}
+header{background:#1a202c;color:#fff;padding:14px 24px;font-size:20px}
+nav{display:flex;gap:4px;background:#fff;border-bottom:1px solid #e2e8f0;padding:0 16px}
+nav button{border:0;background:none;padding:12px 16px;cursor:pointer;font-size:14px;border-bottom:2px solid transparent}
+nav button.active{border-color:#3182ce;color:#3182ce;font-weight:600}
+main{padding:24px;max-width:980px;margin:0 auto}
+.tab{display:none}.tab.active{display:block}
+label{display:block;margin:10px 0 4px;font-size:13px;color:#4a5568}
+input[type=text],textarea,select{width:100%;padding:8px;border:1px solid #cbd5e0;border-radius:6px;box-sizing:border-box}
+button.primary{background:#3182ce;color:#fff;border:0;border-radius:6px;padding:10px 18px;margin-top:12px;cursor:pointer}
+button.danger{background:#e53e3e;color:#fff;border:0;border-radius:6px;padding:10px 18px;margin-top:12px;cursor:pointer}
+pre{background:#1a202c;color:#e2e8f0;padding:12px;border-radius:6px;white-space:pre-wrap;max-height:320px;overflow:auto}
+.row{display:flex;gap:16px}.row>*{flex:1}
+.grid{display:grid;grid-template-columns:repeat(auto-fill,minmax(180px,1fr));gap:12px;margin-top:12px}
+.grid img{width:100%;border-radius:6px;border:1px solid #e2e8f0}
+progress{width:100%;height:10px}
+img.viz{max-width:100%;border-radius:6px;margin-top:12px}
+</style></head><body>
+<header>🔍 Revers-o TPU — Visual Investigation Engine</header>
+<nav>
+<button data-tab="video" class="active">🎬 Extract Video Frames</button>
+<button data-tab="build">🗃️ Create Database</button>
+<button data-tab="search">🔎 Search Similar</button>
+<button data-tab="manage">⚙️ Database Management</button>
+<button data-tab="about">ℹ️ About</button>
+</nav>
+<main>
+
+<div class="tab active" id="tab-video">
+<h2>Extract Frames from Videos</h2>
+<div class="row"><div>
+<h3>🔗 From URLs</h3>
+<label>Video URLs (comma or newline separated)</label><textarea id="v-urls" rows="3"></textarea>
+<label>Output Folder</label><input type="text" id="v-url-out">
+<div class="row">
+<div><label>Frames per Scene</label><input type="text" id="v-url-fps" value="2"></div>
+<div><label>Scene Threshold</label><input type="text" id="v-url-thresh" value="30"></div>
+<div><label>Max Quality</label><select id="v-url-qual"><option>360p</option><option>480p</option><option selected>720p</option><option>1080p</option><option>best</option></select></div>
+</div>
+<button class="primary" onclick="videoUrls()">🎬 Extract from URLs</button>
+</div><div>
+<h3>📁 From Local Files</h3>
+<label>Video Folder Path</label><input type="text" id="v-local-in">
+<label>Output Folder</label><input type="text" id="v-local-out">
+<div class="row">
+<div><label>Frames per Scene</label><input type="text" id="v-local-fps" value="2"></div>
+<div><label>Scene Threshold</label><input type="text" id="v-local-thresh" value="30"></div>
+</div>
+<button class="primary" onclick="videoLocal()">🎬 Extract from Local Videos</button>
+</div></div>
+<pre id="v-status">Ready.</pre>
+</div>
+
+<div class="tab" id="tab-build">
+<h2>Build a searchable database from your images</h2>
+<label>📁 Image Folder Path</label><input type="text" id="b-folder">
+<label>🏷️ Database Name</label><input type="text" id="b-name">
+<label>🎯 Detection Prompts (period-separated, e.g. 'car . building')</label>
+<input type="text" id="b-prompt" value="person . car . building">
+<div class="row">
+<div><label><input type="checkbox" id="b-direct"> 🔍 Direct PE (no detection, faster)</label></div>
+<div><label><input type="checkbox" id="b-resume"> 🔄 Resume from checkpoint</label></div>
+<div><label><input type="checkbox" id="b-sub"> 📂 Include subfolders</label></div>
+</div>
+<button class="primary" onclick="buildDb()">🚀 Build Database</button>
+<button class="danger" onclick="stopBuild()">⏸️ Stop Processing</button>
+<progress id="b-progress" value="0" max="1"></progress>
+<pre id="b-status">Idle.</pre>
+</div>
+
+<div class="tab" id="tab-search">
+<h2>Search for similar regions in your database</h2>
+<label>Upload Query Image</label><input type="file" id="s-file" accept="image/*">
+<label>Detection Prompt</label><input type="text" id="s-prompt" value="person . car . building">
+<label><input type="checkbox" id="s-direct"> Use Direct PE for Query Image</label>
+<button class="primary" onclick="detectQuery()">🔎 Detect Regions / Process Query</button>
+<img id="s-viz" class="viz" style="display:none">
+<label>Select Query Region</label><select id="s-region"></select>
+<div class="row">
+<div><label>🎚️ Similarity Threshold</label><input type="text" id="s-thresh" value="0.7"></div>
+<div><label>📊 Max Results</label><select id="s-max"><option>3</option><option selected>5</option><option>10</option><option>20</option><option>50</option></select></div>
+</div>
+<button class="primary" onclick="searchDb()">🎯 Search Database</button>
+<pre id="s-summary">No search yet.</pre>
+<div class="grid" id="s-results"></div>
+</div>
+
+<div class="tab" id="tab-manage">
+<h2>Manage your databases</h2>
+<label>Select Database</label><select id="m-db"></select>
+<button class="primary" onclick="dbOp('load')">📂 Load</button>
+<button class="danger" onclick="dbOp('delete')">🗑️ Delete</button>
+<button class="primary" onclick="dbOp('unlock')">🔓 Unlock</button>
+<button class="primary" onclick="reloadDbs()">🔄 Reload List</button>
+<pre id="m-status">-</pre>
+</div>
+
+<div class="tab" id="tab-about">
+<h2>About</h2>
+<pre id="a-info">loading…</pre>
+<p>TPU-native rebuild of the Revers-o visual investigation tool:
+prompt-conditioned region detection, Perception-Encoder embeddings, and a
+sharded on-device exact cosine search engine (JAX / XLA / Pallas).</p>
+</div>
+
+</main>
+<script>
+const $=id=>document.getElementById(id);
+document.querySelectorAll('nav button').forEach(b=>b.onclick=()=>{
+  document.querySelectorAll('nav button').forEach(x=>x.classList.remove('active'));
+  document.querySelectorAll('.tab').forEach(x=>x.classList.remove('active'));
+  b.classList.add('active'); $('tab-'+b.dataset.tab).classList.add('active');
+});
+async function api(path, body){
+  const r = await fetch(path, body===undefined?{}:{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+  return r.json();
+}
+async function videoUrls(){
+  $('v-status').textContent='Working…';
+  const r = await api('/api/video/urls',{urls:$('v-urls').value,output_folder:$('v-url-out').value,fps:+$('v-url-fps').value,threshold:+$('v-url-thresh').value,quality:$('v-url-qual').value});
+  $('v-status').textContent=r.message||JSON.stringify(r);
+}
+async function videoLocal(){
+  $('v-status').textContent='Working…';
+  const r = await api('/api/video/local',{input_folder:$('v-local-in').value,output_folder:$('v-local-out').value,fps:+$('v-local-fps').value,threshold:+$('v-local-thresh').value});
+  $('v-status').textContent=r.message||JSON.stringify(r);
+}
+let pollTimer=null;
+async function buildDb(){
+  const r = await api('/api/build',{folder:$('b-folder').value,name:$('b-name').value,prompt:$('b-prompt').value,direct_pe:$('b-direct').checked,resume:$('b-resume').checked,subfolders:$('b-sub').checked});
+  if(r.error){$('b-status').textContent=r.error;return;}
+  pollTimer=setInterval(async()=>{
+    const s = await api('/api/build/status');
+    $('b-progress').value=s.progress||0;
+    $('b-status').textContent=s.transcript||s.state;
+    if(s.state==='done'||s.state==='error'){clearInterval(pollTimer);reloadDbs();}
+  },1000);
+}
+async function stopBuild(){await api('/api/build/stop',{});}
+let queryReady=false;
+function fileToB64(f){return new Promise(res=>{const r=new FileReader();r.onload=()=>res(r.result.split(',')[1]);r.readAsDataURL(f);});}
+async function detectQuery(){
+  const f=$('s-file').files[0]; if(!f){alert('choose an image');return;}
+  const img=await fileToB64(f);
+  const r=await api('/api/query/detect',{image:img,prompt:$('s-prompt').value,direct_pe:$('s-direct').checked});
+  if(r.error){$('s-summary').textContent=r.error;return;}
+  queryReady=true;
+  if(r.visualization){$('s-viz').src='data:image/jpeg;base64,'+r.visualization;$('s-viz').style.display='block';}
+  const sel=$('s-region');sel.innerHTML='';
+  (r.regions.length?r.regions:[{index:0,label:'Full image'}]).forEach(o=>{
+    const e=document.createElement('option');e.value=o.index;e.textContent=o.label;sel.appendChild(e);});
+  $('s-summary').textContent='Found '+r.num_regions+' region(s). Ready to search.';
+}
+async function searchDb(){
+  if(!queryReady){alert('detect/process a query image first');return;}
+  const r=await api('/api/query/search',{threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0});
+  if(r.error){$('s-summary').textContent=r.error;return;}
+  $('s-summary').textContent=r.summary;
+  const g=$('s-results');g.innerHTML='';
+  (r.results||[]).forEach(it=>{
+    const d=document.createElement('div');
+    if(it.image){const i=document.createElement('img');i.src='data:image/jpeg;base64,'+it.image;d.appendChild(i);}
+    const c=document.createElement('div');c.textContent=it.filename+' — '+it.score.toFixed(3);d.appendChild(c);
+    g.appendChild(d);});
+}
+async function reloadDbs(){
+  const r=await api('/api/databases');
+  const sel=$('m-db');sel.innerHTML='';
+  r.databases.forEach(n=>{const e=document.createElement('option');e.value=n;e.textContent=n+(n===r.current?' (loaded)':'');sel.appendChild(e);});
+}
+async function dbOp(op){
+  const r=await api('/api/db/'+op,{name:$('m-db').value});
+  $('m-status').textContent=r.message||JSON.stringify(r);
+  reloadDbs();
+}
+api('/api/about').then(r=>$('a-info').textContent=JSON.stringify(r,null,2));
+reloadDbs();
+</script>
+</body></html>
+"""

@@ -1,0 +1,127 @@
+"""Web-UI API tests: live HTTP server over a test-tiny engine."""
+import base64
+import dataclasses
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from reverso_tpu.config import MODEL_PRESETS, default_config
+from reverso_tpu.detect import StubDetector
+from reverso_tpu.engine import Reverso
+from reverso_tpu.models.pe import PerceptionEncoder
+from reverso_tpu.ui.server import create_server
+
+from test_pipeline import make_corpus
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ui")
+    cfg = default_config()
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp / "db")))
+    engine = Reverso(cfg, encoder=PerceptionEncoder(model),
+                     detector=StubDetector())
+    srv = create_server(engine, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, tmp
+    srv.shutdown()
+
+
+def get(base, path):
+    with urllib.request.urlopen(base + path) as r:
+        return json.loads(r.read())
+
+
+def post(base, path, obj):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def img_b64(path):
+    with open(path, "rb") as f:
+        return base64.b64encode(f.read()).decode()
+
+
+def test_index_and_about(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/") as r:
+        html = r.read().decode()
+    for tab in ("Extract Video Frames", "Create Database", "Search Similar",
+                "Database Management", "About"):
+        assert tab in html
+    about = get(base, "/api/about")
+    assert about["name"] == "Reverso-TPU"
+
+
+def test_full_ui_flow(server, tmp_path):
+    base, tmp = server
+    files = make_corpus(tmp / "imgs", n=6)
+
+    # build (async) + poll
+    code, r = post(base, "/api/build", {
+        "folder": str(tmp / "imgs"), "name": "uidb", "direct_pe": True})
+    assert code == 200 and r["started"]
+    for _ in range(300):
+        s = get(base, "/api/build/status")
+        if s["state"] in ("done", "error"):
+            break
+        time.sleep(0.2)
+    assert s["state"] == "done", s
+    assert "ready for searching" in s["transcript"]
+
+    dbs = get(base, "/api/databases")
+    assert "uidb" in dbs["databases"]
+    assert dbs["current"] == "uidb"
+
+    # detect + search round trip
+    code, det = post(base, "/api/query/detect",
+                     {"image": img_b64(files[2]), "prompt": "person"})
+    assert code == 200 and det["num_regions"] == 2
+    assert det["visualization"]
+    code, res = post(base, "/api/query/search",
+                     {"threshold": 0.5, "max_results": 5})
+    assert code == 200, res
+    assert res["results"], res
+    assert res["results"][0]["filename"] == "img_002.jpg"
+    assert res["results"][0]["image"]    # thumbnail present
+
+    # direct-PE query path
+    code, det2 = post(base, "/api/query/detect",
+                      {"image": img_b64(files[0]), "direct_pe": True})
+    assert code == 200 and det2["num_regions"] == 1
+
+    # management ops
+    code, r = post(base, "/api/db/load", {"name": "uidb"})
+    assert "✅" in r["message"]
+    code, r = post(base, "/api/db/unlock", {"name": "uidb"})
+    assert "ℹ️" in r["message"] or "✅" in r["message"]
+    code, r = post(base, "/api/db/load", {"name": "ghost"})
+    assert "❌" in r["message"]
+
+
+def test_error_paths(server):
+    base, _ = server
+    code, r = post(base, "/api/query/detect", {"image": "!!!notb64"})
+    assert code == 500 and "error" in r
+    code, r = post(base, "/api/nonexistent", {})
+    assert code == 404
+    code, r = post(base, "/api/video/local",
+                   {"input_folder": "", "output_folder": ""})
+    assert code == 200 and r["message"].startswith("❌")
