@@ -1,0 +1,59 @@
+"""Deformable-attention parity vs the transformers pure-torch fallback."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from reverso_tpu.ops.deformable import ms_deform_attn, bilinear_sample
+
+
+def torch_reference(value, spatial_shapes, locations, weights):
+    from transformers.models.grounding_dino.modeling_grounding_dino import (
+        MultiScaleDeformableAttention)
+    shapes_t = torch.as_tensor(spatial_shapes, dtype=torch.long)
+    start = torch.cat([shapes_t.new_zeros(1),
+                       (shapes_t[:, 0] * shapes_t[:, 1]).cumsum(0)[:-1]])
+    with torch.no_grad():
+        return MultiScaleDeformableAttention()(
+            torch.from_numpy(value), shapes_t, list(spatial_shapes), start,
+            torch.from_numpy(locations), torch.from_numpy(weights),
+            im2col_step=64).numpy()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ms_deform_attn_parity(seed):
+    rng = np.random.default_rng(seed)
+    b, h, d = 2, 4, 8
+    shapes = ((8, 12), (4, 6), (2, 3))
+    lv = sum(hl * wl for hl, wl in shapes)
+    lq, n_points = 10, 4
+    value = rng.standard_normal((b, lv, h, d)).astype(np.float32)
+    # include out-of-bounds locations to exercise zero padding
+    locs = rng.uniform(-0.2, 1.2, (b, lq, h, len(shapes), n_points, 2)).astype(np.float32)
+    w = rng.uniform(0, 1, (b, lq, h, len(shapes), n_points)).astype(np.float32)
+    w /= w.sum(axis=(-2, -1), keepdims=True)
+
+    ref = torch_reference(value, shapes, locs, w)
+    out = np.asarray(ms_deform_attn(jnp.asarray(value), shapes,
+                                    jnp.asarray(locs), jnp.asarray(w)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_bilinear_matches_grid_sample():
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((1, 5, 7, 3)).astype(np.float32)
+    xy = rng.uniform(-1.5, 1.5, (1, 40, 2)).astype(np.float32)  # normalized-ish
+    # torch grid_sample expects [-1, 1] grid, align_corners=False
+    t = torch.nn.functional.grid_sample(
+        torch.from_numpy(img.transpose(0, 3, 1, 2)),
+        torch.from_numpy(xy).reshape(1, 1, 40, 2),
+        mode="bilinear", padding_mode="zeros", align_corners=False)
+    ref = t.numpy().reshape(1, 3, 40).transpose(0, 2, 1)
+    # convert [-1,1] -> pixel coords: ((g+1)/2)*size - 0.5
+    px = (xy[..., 0] + 1) / 2 * 7 - 0.5
+    py = (xy[..., 1] + 1) / 2 * 5 - 0.5
+    out = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(px),
+                                     jnp.asarray(py)))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
