@@ -76,11 +76,18 @@ class BertLayer(nn.Module):
 
 
 class BertEncoder(nn.Module):
-    """BERT without pooler: token_ids -> [B, L, H] features."""
+    """BERT without pooler: token_ids -> [B, L, H] features.
+
+    attention_mask may be [B, L] (padding mask) or [B, L, L] (the
+    block-diagonal per-phrase mask GroundingDINO feeds its text tower);
+    position_ids override the default arange (GroundingDINO restarts
+    positions at each phrase).
+    """
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask=None, token_type_ids=None):
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 position_ids=None):
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
         if attention_mask is None:
@@ -94,15 +101,21 @@ class BertEncoder(nn.Module):
                          nn.initializers.normal(0.02),
                          (c.max_position_embeddings, c.hidden_size),
                          jnp.float32)
-        emb = emb + pos[None, :input_ids.shape[1]].astype(dtype)
+        if position_ids is None:
+            emb = emb + pos[None, :input_ids.shape[1]].astype(dtype)
+        else:
+            emb = emb + jnp.take(pos, position_ids, axis=0).astype(dtype)
         emb = emb + nn.Embed(c.type_vocab_size, c.hidden_size,
                              name="token_type_embeddings",
                              dtype=dtype)(token_type_ids)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="emb_ln",
                          dtype=jnp.float32)(emb).astype(dtype)
 
-        mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
-                              -1e9).astype(jnp.float32)
+        if attention_mask.ndim == 3:
+            ext = attention_mask[:, None, :, :]
+        else:
+            ext = attention_mask[:, None, None, :]
+        mask_bias = jnp.where(ext > 0, 0.0, -1e9).astype(jnp.float32)
         for i in range(c.num_layers):
             x = BertLayer(c, name=f"layer{i}")(x, mask_bias)
         return x
