@@ -41,8 +41,20 @@ def _make_engine(args, *, need_detector: bool = False):
     encoder = PerceptionEncoder(cfg.model)
     detector = None
     if need_detector:
-        from .detect import StubDetector
-        detector = StubDetector(cfg.detector)
+        import os
+        dino = os.environ.get("REVERSO_DINO_CKPT")
+        sam = os.environ.get("REVERSO_SAM_CKPT")
+        vocab = os.environ.get("REVERSO_BERT_VOCAB")
+        if dino and sam and vocab:
+            from .detect import load_grounded_sam
+            detector = load_grounded_sam(dino, sam, vocab,
+                                         cfg=cfg.detector)
+        else:
+            # no checkpoints configured: deterministic stub (CI / smoke).
+            # Set REVERSO_DINO_CKPT / REVERSO_SAM_CKPT / REVERSO_BERT_VOCAB
+            # to local GroundingDINO + SAM checkpoints for real detection.
+            from .detect import StubDetector
+            detector = StubDetector(cfg.detector)
     return Reverso(cfg, encoder=encoder, detector=detector)
 
 

@@ -1,0 +1,100 @@
+"""GroundedSAM orchestration tests (tiny random models, tiny vocab)."""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reverso_tpu.detect.grounded import GroundedSamDetector
+from reverso_tpu.detect.wordpiece import WordPieceTokenizer
+from reverso_tpu.config import DetectorConfig
+from reverso_tpu.models.groundingdino import GroundingDino, tiny_test_config
+from reverso_tpu.models.sam import Sam, tiny_sam_config
+
+VOCAB = """[PAD]
+[UNK]
+[CLS]
+[SEP]
+.
+?
+person
+car
+build
+##ing
+red
+a
+"""
+
+
+@pytest.fixture(scope="module")
+def vocab_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("tok") / "vocab.txt"
+    p.write_text(VOCAB)
+    return str(p)
+
+
+def test_wordpiece(vocab_path):
+    tok = WordPieceTokenizer(vocab_path)
+    ids = tok.encode("person building")
+    # [CLS] person build ##ing [SEP]
+    assert ids == [2, 6, 8, 9, 3]
+    ids, spans = tok.token_spans(["person", "building"])
+    assert ids[0] == 2 and ids[-1] == 3
+    assert ids[spans[0][0]:spans[0][1]] == [6]
+    assert ids[spans[1][0]:spans[1][1]] == [8, 9]
+    # unknown word -> UNK
+    assert tok.encode("xyzzy", add_special=False) == [1]
+
+
+@pytest.fixture(scope="module")
+def detector(vocab_path):
+    dino_cfg = tiny_test_config()
+    # tokenizer vocab is tiny; shrink bert vocab accordingly (ids < 1200 ok)
+    sam_cfg = tiny_sam_config()
+    tok = WordPieceTokenizer(vocab_path)
+    dino = GroundingDino(dino_cfg)
+    dparams = jax.jit(dino.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16, 16), bool),
+        jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), bool))["params"]
+    sam = Sam(sam_cfg)
+    sparams = jax.jit(sam.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 1, 4)))["params"]
+    cfg = DetectorConfig(box_threshold=0.0, text_threshold=0.0, max_regions=8)
+    return GroundedSamDetector(dparams, sparams, tok, cfg=cfg,
+                               dino_cfg=dino_cfg, sam_cfg=sam_cfg,
+                               dino_size=64, text_len=16)
+
+
+def test_detect_structure(detector):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (48, 72, 3), dtype=np.uint8)
+    regions = detector.detect(img, ["person", "car"])
+    # thresholds are 0 -> max_regions survive
+    assert len(regions) == 8
+    assert regions.boxes.shape == (8, 4)
+    assert regions.masks.shape == (8, 48, 72)
+    assert regions.masks.dtype == bool
+    assert set(np.unique(regions.class_ids)) <= {0, 1}
+    assert regions.class_names == ["person", "car"]
+    assert (regions.boxes[:, 0] <= regions.boxes[:, 2]).all()
+    assert (regions.confidences > 0).all()
+    # determinism
+    regions2 = detector.detect(img, ["person", "car"])
+    np.testing.assert_array_equal(regions.boxes, regions2.boxes)
+
+
+def test_detect_high_threshold(detector):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    strict = dataclasses.replace(detector.cfg, box_threshold=1.1)
+    old = detector.cfg
+    try:
+        detector.cfg = strict
+        regions = detector.detect(img, ["person"])
+        assert len(regions) == 0
+        assert regions.masks.shape == (0, 32, 32)
+    finally:
+        detector.cfg = old
