@@ -134,6 +134,11 @@ class SearchConfig:
 class IngestConfig:
     batch_size: int = 64           # images per device batch in the embed pipeline
     max_regions: int = 50
+    # "compat": every region stores the global image embedding (what the
+    # reference actually does, core_system.py:406 "Use global for now").
+    # "region": fused masked-ROI attention pooling -> true per-region
+    # embeddings (north-star improvement).
+    region_embed_mode: str = "compat"
     checkpoint_every: int = 10     # images between checkpoints, core_system.py:582
     image_extensions: tuple[str, ...] = IMAGE_EXTENSIONS
     video_extensions: tuple[str, ...] = VIDEO_EXTENSIONS

@@ -48,6 +48,14 @@ from .viz import visualize_detections as _viz, render_result_thumbnail, to_rgb_a
 log = get_logger("engine")
 
 
+def _resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbor mask resize to the model input resolution."""
+    h, w = mask.shape
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    return mask[np.ix_(ys, xs)].astype(np.float32)
+
+
 class Reverso:
     """Visual investigation engine: detect -> embed -> store -> search."""
 
@@ -169,23 +177,36 @@ class Reverso:
     def extract_embeddings(self, image):
         """Embed detected regions (reference core_system.py:320-429).
 
-        Compat mode: every region carries the global image embedding
-        (exactly what the reference does, core_system.py:406)."""
+        ingest.region_embed_mode selects "compat" (every region carries
+        the global image embedding — exactly what the reference does,
+        core_system.py:406) or "region" (fused masked-ROI pooling)."""
         regions = self.detected_regions
         if regions is None or len(regions) == 0:
             return [], []
         px, (w, h) = self._preprocess(image)
-        emb = np.asarray(self.encoder.encode_image(px))[0]
+        n = min(len(regions), self.config.ingest.max_regions)
+        use_roi = (self.config.ingest.region_embed_mode == "region"
+                   and regions.masks is not None and n > 0)
+        if use_roi:
+            size = self.config.model.image_size
+            resized = np.stack([
+                _resize_mask(regions.masks[i], size) for i in range(n)])
+            _, region_embs = self.encoder.encode_regions(px, resized[None])
+            region_embs = np.asarray(region_embs)[0]
+        else:
+            emb = np.asarray(self.encoder.encode_image(px))[0]
         vecs, metas = [], []
-        for i in range(min(len(regions), self.config.ingest.max_regions)):
+        for i in range(n):
             meta = region_metadata(regions, i)
             if meta is None:
                 continue
             if meta["bbox"] is None:
                 meta["bbox"] = [0, 0, w, h]
-            vecs.append(emb)
+            vecs.append(region_embs[i] if use_roi else emb)
             metas.append(meta)
-        self.region_embeddings = np.stack(vecs) if vecs else np.zeros((0, emb.shape[0]), np.float32)
+        self.region_embeddings = (np.stack(vecs) if vecs
+                                  else np.zeros((0, self.encoder.embed_dim),
+                                                np.float32))
         self.region_metadata_list = metas
         return list(self.region_embeddings), metas
 

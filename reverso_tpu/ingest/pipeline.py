@@ -232,8 +232,10 @@ def build_database(
                     raise RuntimeError(
                         "Region mode needs a detector; pass detector= or "
                         "use_direct_pe=True")
-                # whole-image embeddings (shared per region in compat mode,
-                # reference core_system.py:406)
+                # compat mode: whole-image embedding shared per region
+                # (reference core_system.py:406); region mode: fused
+                # masked-ROI per-region embeddings.
+                roi_mode = config.ingest.region_embed_mode == "region"
                 with timer.stage("embed", len(batch.paths)):
                     emb = np.asarray(encoder.encode_image(batch.pixels))
                 vecs, metas = [], []
@@ -242,6 +244,17 @@ def build_database(
                         img_u8 = _denormalize(batch.pixels[j])
                         regions = detector.detect(img_u8, prompts)
                         n = min(len(regions), config.ingest.max_regions)
+                        region_embs = None
+                        if roi_mode and regions.masks is not None and n > 0:
+                            size = config.model.image_size
+                            from ..engine import _resize_mask
+                            resized = np.stack([
+                                _resize_mask(regions.masks[i], size)
+                                for i in range(n)])
+                            with timer.stage("roi_embed", n):
+                                _, re_ = encoder.encode_regions(
+                                    batch.pixels[j:j + 1], resized[None])
+                            region_embs = np.asarray(re_)[0]
                         kept = 0
                         for i in range(n):
                             meta = region_metadata(regions, i)
@@ -254,7 +267,8 @@ def build_database(
                             meta["filename"] = os.path.basename(path)
                             meta["original_region_id"] = meta["region_id"]
                             meta["region_id"] = str(uuid.uuid4())
-                            vecs.append(emb[j])
+                            vecs.append(region_embs[i] if region_embs is not None
+                                        else emb[j])
                             metas.append(meta)
                             kept += 1
                         if kept == 0:

@@ -31,11 +31,22 @@ IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 class PerceptionEncoder:
+    """Batched image -> embedding model.
+
+    With `mesh=`, batches are data-parallel over the mesh's "data" axis
+    (params replicated): the throughput scale-out the reference's serial
+    batch-1 loop never had (SURVEY.md §2.3 DP row). Batches are padded up
+    to a multiple of the axis size.
+    """
+
     def __init__(self, cfg: ModelConfig, *, family: str = "pe",
                  params: Optional[Any] = None, seed: int = 0,
-                 use_flash: Optional[bool] = None):
+                 use_flash: Optional[bool] = None, mesh=None,
+                 data_axis: str = "data"):
         self.cfg = cfg
         self.family = family
+        self.mesh = mesh
+        self.data_axis = data_axis
         kw = dict(_FAMILY_KW[family])
         if use_flash is not None:
             kw["use_flash"] = use_flash
@@ -45,6 +56,13 @@ class PerceptionEncoder:
                               jnp.float32)
             params = jax.jit(self.module.init)(
                 jax.random.PRNGKey(seed), dummy)["params"]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            params = jax.device_put(
+                params, NamedSharding(mesh, P()))
+            self._batch_sharding = NamedSharding(mesh, P(data_axis))
+        else:
+            self._batch_sharding = None
         self.params = params
 
         @functools.partial(jax.jit, static_argnames=("return_tokens",))
@@ -63,6 +81,17 @@ class PerceptionEncoder:
 
         self._fwd = _fwd
 
+        @jax.jit
+        def _fwd_regions(params, images, patch_masks):
+            pooled, regions = self.module.apply(
+                {"params": params}, images, region_masks=patch_masks)
+            pooled = jax.lax.optimization_barrier(pooled)
+            regions = jax.lax.optimization_barrier(regions)
+            return (l2_normalize(pooled.astype(jnp.float32)),
+                    l2_normalize(regions.astype(jnp.float32)))
+
+        self._fwd_regions = _fwd_regions
+
     @classmethod
     def from_preset(cls, name: str, **kw) -> "PerceptionEncoder":
         return cls(MODEL_PRESETS[name], **kw)
@@ -71,14 +100,44 @@ class PerceptionEncoder:
         """images: [B, H, W, 3] float (already mean/std preprocessed).
         Returns L2-normalized [B, embed_dim] fp32 embeddings
         (reference core_system.py:341,407)."""
-        emb = self._fwd(self.params, jnp.asarray(images))
         if not normalized:
             raise ValueError("embeddings are always L2-normalized")
-        return emb
+        images = jnp.asarray(images)
+        if self._batch_sharding is not None:
+            n_shards = self.mesh.shape[self.data_axis]
+            b = images.shape[0]
+            pad = (-b) % n_shards
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad,) + images.shape[1:],
+                                       images.dtype)], axis=0)
+            images = jax.device_put(images, self._batch_sharding)
+            return self._fwd(self.params, images)[:b]
+        return self._fwd(self.params, images)
 
     def encode_with_tokens(self, images):
         """Returns (embeddings [B, E], tokens [B, S, W]) for region pooling."""
         return self._fwd(self.params, jnp.asarray(images), return_tokens=True)
+
+    def encode_regions(self, images, masks):
+        """Fused masked-ROI region embeddings.
+
+        images: [B, H, W, 3] preprocessed at the model resolution;
+        masks: [B, R, H, W] bool/float region masks at the same
+        resolution. One ViT forward produces the whole-image embedding
+        AND R per-region embeddings (masked attention pooling over the
+        token grid) — the improvement over the reference, which stored
+        the global embedding for every region (core_system.py:406).
+        Returns (global [B, E], regions [B, R, E]), all L2-normalized.
+        """
+        images = jnp.asarray(images)
+        masks = jnp.asarray(masks, jnp.float32)
+        p = self.cfg.patch_size
+        g = self.cfg.grid_size
+        b, r = masks.shape[:2]
+        # average-pool pixel masks onto the patch grid
+        mg = masks.reshape(b, r, g, p, g, p).mean(axis=(3, 5))
+        return self._fwd_regions(self.params, images, mg.reshape(b, r, g * g))
 
     @property
     def embed_dim(self) -> int:

@@ -110,13 +110,19 @@ class Block(nn.Module):
 
 
 class AttentionPool(nn.Module):
-    """Single-probe attention pooling (PE-Core head): a learned query
-    attends over all tokens; output is the pooled feature."""
+    """Probe attention pooling (PE-Core head): a learned query attends
+    over all tokens; output is the pooled feature.
+
+    With `mask_bias` [B, R, S], the probe is broadcast to R query slots,
+    each attending under its own additive bias — this is the fused masked
+    ROI pooling path: R region embeddings in one attention call, sharing
+    the pooling-head weights (SURVEY.md north star; the reference instead
+    reused the global embedding per region, core_system.py:406)."""
     cfg: ModelConfig
     use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x):  # [B, S, W] -> [B, W]
+    def __call__(self, x, mask_bias=None):  # [B, S, W] -> [B, W] | [B, R, W]
         cfg = self.cfg
         w, h = cfg.width, cfg.num_heads
         hd = w // h
@@ -125,7 +131,8 @@ class AttentionPool(nn.Module):
                            jnp.float32)
         ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="ln")
-        xq = jnp.broadcast_to(probe.astype(x.dtype), (x.shape[0], 1, w))
+        r = 1 if mask_bias is None else mask_bias.shape[1]
+        xq = jnp.broadcast_to(probe.astype(x.dtype), (x.shape[0], r, w))
         dense = lambda name: nn.Dense(w, dtype=x.dtype, param_dtype=pd, name=name)
         q = dense("q_proj")(xq)
         k = dense("k_proj")(x)
@@ -135,11 +142,19 @@ class AttentionPool(nn.Module):
             b, s, _ = t.shape
             return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
 
-        # 1-query attention: XLA path (flash kernel pads 1 -> 128 queries)
-        o = attention(split(q), split(k), split(v), use_flash=False)
-        o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], 1, w)
+        if mask_bias is None:
+            # 1-query attention: XLA path (flash kernel pads 1 -> 128 queries)
+            o = attention(split(q), split(k), split(v), use_flash=False)
+        else:
+            qh, kh, vh = split(q), split(k), split(v)
+            s = jnp.einsum("bhrd,bhsd->bhrs", qh, kh).astype(jnp.float32)
+            s = s * (hd ** -0.5) + mask_bias[:, None, :, :]
+            p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+            o = jnp.einsum("bhrs,bhsd->bhrd", p, vh)
+        o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], r, w)
         o = dense("out_proj")(o)
-        return ln(o[:, 0, :]).astype(x.dtype)
+        o = ln(o).astype(x.dtype)
+        return o[:, 0, :] if mask_bias is None else o
 
 
 class VisionTransformer(nn.Module):
@@ -156,7 +171,10 @@ class VisionTransformer(nn.Module):
     use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, images, *, return_tokens: bool = False):
+    def __call__(self, images, *, return_tokens: bool = False,
+                 region_masks=None):
+        """region_masks [B, R, P] (patch-grid weights, no CLS slot): also
+        return fused masked-ROI region embeddings [B, R, embed_dim]."""
         cfg = self.cfg
         pd = jnp.dtype(cfg.param_dtype)
         dtype = jnp.dtype(cfg.dtype)
@@ -193,6 +211,7 @@ class VisionTransformer(nn.Module):
                       name=f"block{i}")(x)
 
         tokens = x
+        region_emb = None
         if cfg.pool_type == "attn":
             if cfg.use_ln_post:
                 tokens_n = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
@@ -200,26 +219,64 @@ class VisionTransformer(nn.Module):
                                         name="ln_post")(tokens).astype(dtype)
             else:
                 tokens_n = tokens
-            pooled = AttentionPool(cfg, use_flash=self.use_flash,
-                                   name="attn_pool")(tokens_n)
+            pool = AttentionPool(cfg, use_flash=self.use_flash,
+                                 name="attn_pool")
+            pooled = pool(tokens_n)
+            if region_masks is not None:
+                region_emb = pool(tokens_n,
+                                  self._region_bias(region_masks, cfg))
         elif cfg.pool_type == "cls":
             pooled = tokens[:, 0, :]
             if cfg.use_ln_post:
                 pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                       param_dtype=jnp.float32,
                                       name="ln_post")(pooled).astype(dtype)
+            if region_masks is not None:
+                region_emb = self._masked_mean(tokens, region_masks, cfg)
         elif cfg.pool_type == "mean":
             pooled = tokens.mean(axis=1)
             if cfg.use_ln_post:
                 pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                       param_dtype=jnp.float32,
                                       name="ln_post")(pooled).astype(dtype)
+            if region_masks is not None:
+                region_emb = self._masked_mean(tokens, region_masks, cfg)
         else:
             raise ValueError(cfg.pool_type)
 
         # both PE and CLIP end in a (bias-free) visual projection
-        pooled = nn.Dense(cfg.embed_dim, use_bias=False, dtype=dtype,
-                          param_dtype=pd, name="proj")(pooled)
+        proj = nn.Dense(cfg.embed_dim, use_bias=False, dtype=dtype,
+                        param_dtype=pd, name="proj")
+        pooled = proj(pooled)
+        if region_emb is not None:
+            region_emb = proj(region_emb)
+            if return_tokens:
+                return pooled, region_emb, tokens
+            return pooled, region_emb
         if return_tokens:
             return pooled, tokens
         return pooled
+
+    @staticmethod
+    def _region_bias(region_masks, cfg):
+        """[B, R, P] weights -> additive attention bias over the token
+        sequence (CLS slot masked out; empty masks fall back to uniform
+        so pooling stays finite — callers drop empty regions anyway,
+        matching reference core_system.py:402-404)."""
+        empty = jnp.sum(region_masks, axis=-1, keepdims=True) <= 0
+        m = jnp.where(empty, 1.0, region_masks)
+        bias = jnp.where(m > 0, 0.0, -1e9)
+        if cfg.use_cls_token:
+            cls_bias = jnp.full(bias.shape[:2] + (1,), -1e9, bias.dtype)
+            bias = jnp.concatenate([cls_bias, bias], axis=-1)
+        return bias
+
+    @staticmethod
+    def _masked_mean(tokens, region_masks, cfg):
+        if cfg.use_cls_token:
+            tokens = tokens[:, 1:, :]
+        w = region_masks.astype(jnp.float32)
+        denom = jnp.maximum(w.sum(-1, keepdims=True), 1e-6)
+        out = jnp.einsum("brp,bpw->brw", w / denom,
+                         tokens.astype(jnp.float32))
+        return out.astype(tokens.dtype)

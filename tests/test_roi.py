@@ -1,0 +1,80 @@
+"""Masked-ROI region embedding tests (the north-star improvement)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from reverso_tpu.config import MODEL_PRESETS, default_config
+from reverso_tpu.detect import StubDetector
+from reverso_tpu.engine import Reverso
+from reverso_tpu.models.pe import PerceptionEncoder
+
+TINY = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    return PerceptionEncoder(TINY)
+
+
+def test_encode_regions_shapes(encoder, rng):
+    b, r, s = 2, 3, TINY.image_size
+    imgs = rng.standard_normal((b, s, s, 3)).astype(np.float32)
+    masks = np.zeros((b, r, s, s), np.float32)
+    masks[:, 0, :16, :16] = 1
+    masks[:, 1, 16:, 16:] = 1
+    masks[:, 2, 8:24, 8:24] = 1
+    g, regions = encoder.encode_regions(imgs, masks)
+    assert np.asarray(g).shape == (b, TINY.embed_dim)
+    assert np.asarray(regions).shape == (b, r, TINY.embed_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(regions), axis=-1), 1.0, atol=1e-5)
+
+
+def test_regions_differ_from_global_and_each_other(encoder, rng):
+    s = TINY.image_size
+    imgs = rng.standard_normal((1, s, s, 3)).astype(np.float32)
+    masks = np.zeros((1, 2, s, s), np.float32)
+    masks[0, 0, :12, :12] = 1       # top-left corner
+    masks[0, 1, 20:, 20:] = 1       # bottom-right corner
+    g, regions = encoder.encode_regions(imgs, masks)
+    g, regions = np.asarray(g), np.asarray(regions)[0]
+    assert abs(float(regions[0] @ regions[1])) < 0.999
+    assert abs(float(regions[0] @ g[0])) < 0.999
+    # a full-image mask should be closer to... itself deterministic:
+    full = np.ones((1, 1, s, s), np.float32)
+    _, r_full = encoder.encode_regions(imgs, full)
+    r_full2 = np.asarray(r_full)[0, 0]
+    _, r_full_again = encoder.encode_regions(imgs, full)
+    np.testing.assert_allclose(np.asarray(r_full_again)[0, 0], r_full2,
+                               atol=1e-6)
+
+
+def test_empty_mask_is_finite(encoder, rng):
+    s = TINY.image_size
+    imgs = rng.standard_normal((1, s, s, 3)).astype(np.float32)
+    masks = np.zeros((1, 1, s, s), np.float32)   # empty
+    _, regions = encoder.encode_regions(imgs, masks)
+    assert np.isfinite(np.asarray(regions)).all()
+
+
+def test_engine_region_mode(tmp_path, encoder, rng):
+    from test_pipeline import make_corpus
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=TINY,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")),
+        ingest=dataclasses.replace(cfg.ingest, region_embed_mode="region"))
+    engine = Reverso(cfg, encoder=encoder, detector=StubDetector())
+    files = make_corpus(tmp_path / "imgs", n=4)
+    transcript = engine.create_database(str(tmp_path / "imgs"), "roi",
+                                        text_prompt="person . car")
+    assert "ready for searching" in transcript
+    engine.detect_regions(files[0], "person . car")
+    embs, metas = engine.extract_embeddings(files[0])
+    assert len(embs) == 4
+    # distinct regions must now have distinct embeddings (compat mode
+    # would make them identical)
+    assert not np.allclose(embs[0], embs[1])
+    text, items = engine.search_similar(similarity_threshold=0.3)
+    assert items
