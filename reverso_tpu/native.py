@@ -1,0 +1,167 @@
+"""ctypes bindings to the native C++ runtime (native/reverso_native.cpp).
+
+Provides the host-side fallback search engine (the role qdrant local
+mode's numpy scan plays in the reference, at C++ multithreaded speed),
+zero-copy mmap access to vectors.bin files, and fp32->bf16 staging for
+device upload. Builds on demand with the in-repo Makefile; every entry
+point degrades to a numpy implementation if no compiler is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .utils.logging import get_logger
+
+log = get_logger("native")
+
+_LIB: Optional[ctypes.CDLL] = None
+_LOCK = threading.Lock()
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        so = os.path.join(_native_dir(), "libreverso_native.so")
+        src = os.path.join(_native_dir(), "reverso_native.cpp")
+        stale = (os.path.exists(so) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(so))
+        if not os.path.exists(so) or stale:
+            if stale:
+                try:
+                    os.remove(so)
+                except OSError:
+                    pass
+            try:
+                subprocess.run(["make", "-C", _native_dir()], check=True,
+                               capture_output=True, timeout=120)
+            except Exception as e:
+                log.warning(f"native build failed ({e}); using numpy fallback")
+                return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:
+            log.warning(f"native load failed ({e}); using numpy fallback")
+            return None
+        lib.reverso_topk_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int]
+        lib.reverso_mmap_open.restype = ctypes.c_void_p
+        lib.reverso_mmap_open.argtypes = [ctypes.c_char_p,
+                                          ctypes.POINTER(ctypes.c_int64)]
+        lib.reverso_mmap_data.restype = ctypes.POINTER(ctypes.c_float)
+        lib.reverso_mmap_data.argtypes = [ctypes.c_void_p]
+        lib.reverso_mmap_close.argtypes = [ctypes.c_void_p]
+        lib.reverso_f32_to_bf16.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def cpu_topk(db: np.ndarray, queries: np.ndarray, k: int,
+             n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact cosine top-k on the host. db [N, d], queries [Q, d] fp32
+    (L2-normalized). Returns (scores [Q, k] f32, idx [Q, k] int64),
+    ordered by (-score, idx); idx -1 pads when k > N."""
+    db = np.ascontiguousarray(db, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+    if queries.ndim == 1:
+        queries = queries[None]
+    q = queries.shape[0]
+    lib = _load()
+    if lib is None:
+        return _numpy_topk(db, queries, k)
+    scores = np.empty((q, k), np.float32)
+    idx = np.empty((q, k), np.int64)
+    lib.reverso_topk_f32(
+        db.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        db.shape[0], db.shape[1],
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        q, k,
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_threads)
+    return scores, idx
+
+
+def _numpy_topk(db, queries, k):
+    scores = queries @ db.T
+    k_eff = min(k, db.shape[0])
+    order = np.lexsort((np.broadcast_to(np.arange(db.shape[0]), scores.shape),
+                        -scores), axis=1)[:, :k_eff]
+    s = np.take_along_axis(scores, order, axis=1)
+    if k_eff < k:
+        pad = k - k_eff
+        s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+        order = np.pad(order, ((0, 0), (0, pad)), constant_values=-1)
+    return s.astype(np.float32), order.astype(np.int64)
+
+
+class MappedVectors:
+    """Zero-copy numpy view over a vectors.bin file via the native mmap."""
+
+    def __init__(self, path: str, dim: int):
+        self.dim = dim
+        lib = _load()
+        if lib is None:
+            self._handle = None
+            self.array = np.fromfile(path, np.float32).reshape(-1, dim)
+            return
+        size = ctypes.c_int64()
+        self._lib = lib
+        self._handle = lib.reverso_mmap_open(path.encode(),
+                                             ctypes.byref(size))
+        if not self._handle:
+            raise OSError(f"mmap failed: {path}")
+        rows = size.value // (4 * dim)
+        ptr = lib.reverso_mmap_data(self._handle)
+        self.array = np.ctypeslib.as_array(ptr, shape=(rows, dim))
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.reverso_mmap_close(self._handle)
+            self._handle = None
+            self.array = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def f32_to_bf16_bits(x: np.ndarray, n_threads: int = 0) -> np.ndarray:
+    """fp32 -> bf16 (as uint16 bit patterns), round-to-nearest-even."""
+    x = np.ascontiguousarray(x, np.float32)
+    lib = _load()
+    out = np.empty(x.shape, np.uint16)
+    if lib is None:
+        bits = x.view(np.uint32)
+        lsb = (bits >> 16) & 1
+        return ((bits + 0x7FFF + lsb) >> 16).astype(np.uint16)
+    lib.reverso_f32_to_bf16(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        x.size, n_threads)
+    return out

@@ -8,3 +8,4 @@ from .persist import (
     collection_name,
 )
 from .index import DeviceIndex, SearchResult
+from .ivf import IVFIndex

@@ -1,0 +1,57 @@
+"""IVF approximate-search tests: recall vs exact scan, exactness at full
+probe, id mapping."""
+import numpy as np
+import pytest
+import jax
+
+from reverso_tpu.store.ivf import IVFIndex
+from test_topk import numpy_topk64, random_unit
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    # clustered data so IVF has structure to find
+    centers = random_unit(rng, 32, 64)
+    rows = []
+    for c in centers:
+        pts = c[None] + 0.15 * rng.standard_normal((250, 64)).astype(np.float32)
+        rows.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    db = np.concatenate(rows)
+    perm = rng.permutation(len(db))
+    return db[perm].astype(np.float32)
+
+
+def recall_at_k(pred_ids, true_ids):
+    return np.mean([len(set(p) & set(t)) / len(t)
+                    for p, t in zip(pred_ids, true_ids)])
+
+
+def test_ivf_recall(corpus):
+    rng = np.random.default_rng(1)
+    queries = corpus[rng.choice(len(corpus), 32, replace=False)]
+    true_s, true_i = numpy_topk64(corpus, queries, 10)
+    idx = IVFIndex(corpus, n_clusters=32, dtype="float32", seed=0)
+    s, i = jax.device_get(idx.search(queries, 10, nprobe=8))
+    assert recall_at_k(i, true_i) > 0.95
+    # scores are true cosine scores of the returned ids
+    got = np.take_along_axis(
+        queries.astype(np.float64) @ corpus.astype(np.float64).T, i, axis=1)
+    np.testing.assert_allclose(s, got, atol=1e-4)
+
+
+def test_ivf_full_probe_is_exact(corpus):
+    rng = np.random.default_rng(2)
+    queries = random_unit(rng, 8, 64)
+    _, true_i = numpy_topk64(corpus, queries, 10)
+    idx = IVFIndex(corpus, n_clusters=16, dtype="float32", seed=0)
+    s, i = jax.device_get(idx.search(queries, 10, nprobe=16))
+    assert recall_at_k(i, true_i) == 1.0
+
+
+def test_ivf_small_k_and_1d_query(corpus):
+    idx = IVFIndex(corpus[:500], n_clusters=8, dtype="float32")
+    s, i = jax.device_get(idx.search(corpus[3], 5, nprobe=2))
+    assert i.shape == (1, 5)
+    assert i[0, 0] == 3            # self-match survives the id mapping
+    assert s[0, 0] > 0.999
