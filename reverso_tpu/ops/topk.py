@@ -403,6 +403,67 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
     return fn(db, queries)
 
 
+def tree_merge_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
+                    mesh: Mesh, *, ici_axis: str = "chip",
+                    dcn_axis: str = "host", impl: str = "auto",
+                    n_valid=None):
+    """Two-level top-k over a database row-sharded across BOTH mesh axes.
+
+    The multi-host layout (BASELINE.md config #5): rows shard over
+    (host, chip); each chip scans its shard, candidates first merge over
+    the fast ICI axis (all_gather within a host's slice), then the much
+    smaller per-host winners merge over the DCN axis. Bandwidth over DCN
+    is k * hosts candidates instead of k * total_chips — the tree merge
+    the reference's single-process design has no analog for
+    (SURVEY.md §5.8).
+    """
+    n, d = db.shape
+    n_host = mesh.shape[dcn_axis]
+    n_chip = mesh.shape[ici_axis]
+    shards = n_host * n_chip
+    assert n % shards == 0, (n, shards)
+    local_n = n // shards
+    use_pallas = impl == "pallas" or (impl == "auto" and k <= 128)
+    if n_valid is None:
+        n_valid = n
+
+    def local_scan(db_shard, qs):
+        host = jax.lax.axis_index(dcn_axis)
+        chip = jax.lax.axis_index(ici_axis)
+        shard_id = host * n_chip + chip
+        local_valid = jnp.clip(jnp.asarray(n_valid) - shard_id * local_n,
+                               0, local_n)
+        if use_pallas:
+            s, i = cosine_topk_pallas(db_shard, qs, k, n_valid=local_valid)
+        else:
+            s, i = cosine_topk_xla(db_shard, qs, k, n_valid=local_valid)
+        i = jnp.where(i >= 0, i + shard_id * local_n, i)
+        qn = qs.shape[0]
+
+        def merge(all_s, all_i):
+            all_s = jnp.transpose(all_s, (1, 0, 2)).reshape(qn, -1)
+            all_i = jnp.transpose(all_i, (1, 0, 2)).reshape(qn, -1)
+            order = jnp.lexsort((all_i, -all_s), axis=1)[:, :k]
+            return (jnp.take_along_axis(all_s, order, axis=1),
+                    jnp.take_along_axis(all_i, order, axis=1))
+
+        # level 1: merge across chips of this host (ICI)
+        s, i = merge(jax.lax.all_gather(s, ici_axis),
+                     jax.lax.all_gather(i, ici_axis))
+        # level 2: merge the k-per-host winners across hosts (DCN)
+        s, i = merge(jax.lax.all_gather(s, dcn_axis),
+                     jax.lax.all_gather(i, dcn_axis))
+        return s, i
+
+    fn = shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P((dcn_axis, ici_axis)), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(db, queries)
+
+
 def apply_score_threshold(scores: jnp.ndarray, idx: jnp.ndarray,
                           threshold: float):
     """Invalidate hits below threshold (qdrant `score_threshold` semantics,

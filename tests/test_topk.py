@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from reverso_tpu.ops import (
+    cosine_topk,
     cosine_topk_xla,
     cosine_topk_pallas,
     sharded_cosine_topk,
@@ -139,3 +140,22 @@ def test_l2_normalize(rng):
     x = jnp.asarray(rng.standard_normal((5, 33)).astype(np.float32))
     y = np.asarray(l2_normalize(x))
     np.testing.assert_allclose(np.linalg.norm(y, axis=1), 1.0, atol=1e-5)
+
+
+def test_tree_merge_matches_single_device(rng):
+    """2-host x 4-chip virtual mesh: two-level (ICI then DCN) merge must
+    reproduce the single-device scan exactly."""
+    from jax.sharding import Mesh
+    from reverso_tpu.ops.topk import tree_merge_topk
+    import jax as _jax
+
+    devs = np.array(_jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("host", "chip"))
+    n, d, q, k = 8 * 200, 64, 16, 10
+    db = random_unit(rng, n, d)
+    qs = random_unit(rng, q, d)
+    db_sh = jax.device_put(
+        jnp.asarray(db),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(("host", "chip"))))
+    s, i = jax.device_get(tree_merge_topk(db_sh, jnp.asarray(qs), k, mesh))
+    assert_topk_equiv(db, qs, s, i, k)

@@ -62,3 +62,23 @@ def test_tp_matches_single_device():
     out1 = np.asarray(f1(t1.state.params, x))
     out8 = np.asarray(f1(t8.state.params, jax.device_put(x)))
     np.testing.assert_allclose(out1, out8, atol=2e-5, rtol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from reverso_tpu.train.checkpoint import save_train_state, restore_train_state
+    mesh = make_mesh(MeshConfig(axis_sizes=(4, 2)))
+    t = ClipTrainer(TINY, mesh, learning_rate=1e-3)
+    a = np.random.default_rng(0).standard_normal((8, 32, 32, 3)).astype(np.float32)
+    t.train_step(a, a)
+    save_train_state(str(tmp_path / "ckpt"), t.state)
+
+    t2 = ClipTrainer(TINY, mesh, learning_rate=1e-3, seed=99)
+    t2.state = restore_train_state(str(tmp_path / "ckpt"), t2.state)
+    assert int(jax.device_get(t2.state.step)) == 1
+    l1 = jax.tree.leaves(t.state.params)
+    l2 = jax.tree.leaves(t2.state.params)
+    for x, y in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # restored state must keep the TP shardings of the current mesh
+    q = t2.state.params["block0"]["attn"]["q_proj"]["kernel"]
+    assert q.sharding.spec == P(None, "model")
