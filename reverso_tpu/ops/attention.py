@@ -45,6 +45,89 @@ def attention_xla(q, k, v, *, kv_valid: Optional[int] = None, scale=None):
 # Pallas flash attention (non-causal, inference)
 # ---------------------------------------------------------------------------
 
+def _flash_fullseq_kernel(q_ref, k_ref, v_ref, o_ref, *,
+                          scale: float, kv_valid: int, heads: int):
+    """One program handles `heads` head-instances with the WHOLE sequence
+    resident in VMEM (ViT sequences are short: 577-1025 tokens, so the
+    [S, S] score tile fits). Few large programs beat many tiny ones: the
+    per-program pipeline overhead dominated the tiled variant at this
+    size. Online softmax is unnecessary when S fits — single-shot
+    max/exp/sum keeps everything in registers/VMEM."""
+    for h in range(heads):
+        q = q_ref[h]                   # [S, D]
+        k = k_ref[h]
+        v = v_ref[h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype))          # [S, S] fp32
+        s = s * scale
+        if kv_valid < s.shape[1]:
+            kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kpos < kv_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype))
+        o_ref[h] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kv_valid",
+                                             "interpret", "heads_per_prog"))
+def _flash_fullseq_jit(q, k, v, *, scale: float, kv_valid: int,
+                       interpret: bool, heads_per_prog: int):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    d_p = _round_up(d, 128)
+    s_p = _round_up(max(sq, skv), 128)
+
+    def prep(x):
+        return _pad_dim(_pad_dim(x, 3, d_p), 2, s_p).reshape(b * h, s_p, d_p)
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    bh = b * h
+    hp = heads_per_prog
+    while bh % hp:
+        hp -= 1
+
+    kernel = functools.partial(_flash_fullseq_kernel, scale=scale,
+                               kv_valid=kv_valid, heads=hp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh // hp,),
+        in_specs=[
+            pl.BlockSpec((hp, s_p, d_p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, s_p, d_p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, s_p, d_p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hp, s_p, d_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s_p, d_p), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s_p * s_p * d_p,
+            bytes_accessed=4 * bh * s_p * d_p * q.dtype.itemsize,
+            transcendentals=bh * s_p * s_p,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, s_p, d_p)[:, :, :sq, :d]
+
+
+# VMEM budget: 4 arrays x hp x S x D bf16 + [S, S] fp32 scores must fit
+# ~12 MB. For S=640, D=128: hp=8 -> 4*8*640*128*2 = 5.2 MB + 1.6 MB. For
+# S~1024: hp=4.
+_FULLSEQ_MAX_S = 2048
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
                   scale: float, kv_blocks: int, kv_tile: int,
                   kv_valid: int, kv_len: int):
@@ -143,6 +226,18 @@ def flash_attention(q, k, v, *, kv_valid: Optional[int] = None,
     skv = k.shape[2]
     scale = float(scale) if scale is not None else d ** -0.5
     kv_valid = int(kv_valid) if kv_valid is not None else skv
+    s_max = max(q.shape[2], skv)
+    if s_max <= _FULLSEQ_MAX_S:
+        s_p = _round_up(s_max, 128)
+        d_p = _round_up(d, 128)
+        # pick heads_per_prog to fit VMEM: 4 blocks (q, k, v, out), each
+        # DOUBLE-buffered by the pipeline, plus the [S, S] fp32 score
+        # temporaries (~2 live at once)
+        budget = 12 * 2**20 - 2 * s_p * s_p * 4
+        per_head = 2 * 4 * s_p * d_p * q.dtype.itemsize
+        hp = max(1, min(16, budget // per_head))
+        return _flash_fullseq_jit(q, k, v, scale=scale, kv_valid=kv_valid,
+                                  interpret=interpret, heads_per_prog=int(hp))
     q_tile = min(q_tile, _round_up(q.shape[2], 128))
     kv_tile = min(kv_tile, _round_up(skv, 128))
     return _flash_jit(q, k, v, scale=scale, q_tile=q_tile, kv_tile=kv_tile,
