@@ -183,3 +183,35 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert rc == 0
     assert cli.main(base + ["delete", "clidb"]) == 0
     assert cli.main(base + ["delete", "clidb"]) == 1
+
+
+def test_compat_shim(tmp_path, encoder):
+    """Reference-style code runs unchanged against the compat facade."""
+    import dataclasses
+    from reverso_tpu.compat import SimpleReverso
+    from reverso_tpu.config import default_config
+    from reverso_tpu.detect import StubDetector
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=encoder.cfg,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")))
+    reverso = SimpleReverso(cfg, encoder=encoder, detector=StubDetector())
+    files = make_corpus(tmp_path / "imgs", n=5)
+
+    status = reverso.create_database(str(tmp_path / "imgs"), "compat_db",
+                                     use_direct_pe=True)
+    assert "ready for searching" in status
+    assert "compat_db" in reverso.list_databases()
+    embs, metas = reverso.process_image_direct_pe(files[1])
+    assert len(embs) == 1 and metas[0]["detected_class"] == "full_image"
+    text, items = reverso.search_similar(similarity_threshold=0.5,
+                                         max_results=3)
+    assert items[0]["filename"] == "img_001.jpg"
+    n = reverso.detect_regions(files[0], "person . car")
+    assert n == 4
+    assert len(reverso.detected_regions) == 4
+    img = reverso.visualize_detections(files[0], selected_region_index=1)
+    assert img.size == (48, 48)
+    assert reverso.load_database("compat_db").startswith("✅")
+    assert reverso.delete_database("compat_db").startswith("✅")
