@@ -128,6 +128,54 @@ def cmd_video_local(args) -> int:
     return 0 if msg.startswith("✅") else 1
 
 
+def cmd_train(args) -> int:
+    """SigLIP contrastive fine-tuning on two augmented views per image."""
+    import numpy as np
+    import jax
+    from .config import MODEL_PRESETS, MeshConfig
+    from .ingest.images import scan_images, iter_batches
+    from .parallel import make_mesh
+    from .train import ClipTrainer
+    from .train.checkpoint import save_train_state, restore_train_state
+
+    _enable_compile_cache()
+    cfg = MODEL_PRESETS[args.model or "PE-Core-L14-336"]
+    mesh = make_mesh(MeshConfig(axis_sizes=(-1, args.tp)))
+    trainer = ClipTrainer(cfg, mesh, learning_rate=args.lr)
+    if args.resume and args.checkpoint:
+        trainer.state = restore_train_state(args.checkpoint, trainer.state,
+                                            mesh=mesh)
+        print(f"resumed at step {int(jax.device_get(trainer.state.step))}",
+              file=sys.stderr)
+
+    files = scan_images(args.folder)
+    if not files:
+        print(f"no images in {args.folder}", file=sys.stderr)
+        return 1
+    rng = np.random.default_rng(0)
+    step = 0
+    while step < args.steps:
+        for batch in iter_batches(files, cfg.image_size, args.batch_size):
+            if step >= args.steps or not len(batch.paths):
+                break
+            a = batch.pixels
+            # light augmentation: horizontal flip + pixel noise as view b
+            b = a[:, :, ::-1, :] + 0.02 * rng.standard_normal(
+                a.shape).astype(np.float32)
+            loss = trainer.train_step(a, b)
+            step += 1
+            if step % 10 == 0 or step == args.steps:
+                print(f"step {step}/{args.steps} loss {loss:.4f}",
+                      file=sys.stderr)
+            if args.checkpoint and step % 100 == 0:
+                save_train_state(args.checkpoint, trainer.state)
+    if args.checkpoint:
+        save_train_state(args.checkpoint, trainer.state)
+        print(f"saved checkpoint to {args.checkpoint}", file=sys.stderr)
+    print(f"final loss {loss:.4f}")
+    return 0
+
+
 def cmd_video_urls(args) -> int:
     from .ingest.video import extract_frames_with_progress
     msg = extract_frames_with_progress(
@@ -199,6 +247,16 @@ def build_parser() -> argparse.ArgumentParser:
     vu.add_argument("--threshold", type=float, default=30.0)
     vu.add_argument("--quality", default="720p")
     vu.set_defaults(fn=cmd_video_urls)
+
+    t = sub.add_parser("train", help="contrastive fine-tune of the vision tower")
+    t.add_argument("folder", help="training image folder")
+    t.add_argument("--steps", type=int, default=100)
+    t.add_argument("--batch-size", type=int, default=32)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--tp", type=int, default=1, help="tensor-parallel axis size")
+    t.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
     return p
 
 

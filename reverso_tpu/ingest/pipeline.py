@@ -286,6 +286,13 @@ def build_database(
                 since_checkpoint = 0
 
         if not stopped:
+            m = timer.metrics
+            if m.seconds.get("embed"):
+                log(f"⏱️ embed: {m.counts['embed']} images in "
+                    f"{m.seconds['embed']:.1f}s ({m.rate('embed'):.1f} img/s)")
+            if m.seconds.get("detect"):
+                log(f"⏱️ detect: {m.counts['detect']} images in "
+                    f"{m.seconds['detect']:.1f}s ({m.rate('detect'):.1f} img/s)")
             if store.count == 0:
                 result = BuildResult(
                     log("❌ No embeddings extracted from any images"),

@@ -21,10 +21,25 @@ def save_train_state(path: str, state: Any, *, force: bool = True) -> None:
         ckptr.save(path, state, force=force)
 
 
-def restore_train_state(path: str, template: Any) -> Any:
+def restore_train_state(path: str, template: Any, mesh=None) -> Any:
     """Restore onto the template's shapes/dtypes/shardings (the template is
-    the freshly-initialized TrainState of the current trainer)."""
+    the freshly-initialized TrainState of the current trainer). Leaves
+    without an explicit sharding (optimizer scalars) come back committed
+    to one device, which jit refuses to mix with mesh-committed params —
+    re-place them replicated over `mesh` when given."""
     path = os.path.abspath(path)
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, target)
+        state = ckptr.restore(path, target)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+
+        def fix(x):
+            if hasattr(x, "sharding") and not isinstance(
+                    x.sharding, NamedSharding):
+                return jax.device_put(x, rep)
+            return x
+
+        state = jax.tree.map(fix, state)
+    return state

@@ -133,12 +133,20 @@ class ClipTrainer:
         self._step = step_fn
 
     def shard_batch(self, batch):
+        """Place a batch sharded over the data axis, tiling rows up to a
+        multiple of the axis size (repeated pairs stay valid positives
+        for the pairwise loss)."""
+        batch = jnp.asarray(batch)
+        n = self.mesh.shape[self.data_axis]
+        pad = (-batch.shape[0]) % n
+        if pad:
+            batch = jnp.concatenate([batch, batch[:pad]], axis=0)
         return jax.device_put(batch, self.batch_sharding)
 
     def train_step(self, view_a, view_b):
         """One optimizer step on two augmented views [B, H, W, 3]."""
-        view_a = self.shard_batch(jnp.asarray(view_a))
-        view_b = self.shard_batch(jnp.asarray(view_b))
+        view_a = self.shard_batch(view_a)
+        view_b = self.shard_batch(view_b)
         self.state, loss = self._step(self.state, view_a, view_b)
         return float(jax.device_get(loss))
 

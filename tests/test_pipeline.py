@@ -215,3 +215,18 @@ def test_compat_shim(tmp_path, encoder):
     assert img.size == (48, 48)
     assert reverso.load_database("compat_db").startswith("✅")
     assert reverso.delete_database("compat_db").startswith("✅")
+
+
+def test_cli_train(tmp_path):
+    from reverso_tpu import cli
+    imgs = tmp_path / "imgs"
+    make_corpus(imgs, n=8, size=32)
+    ckpt = str(tmp_path / "ckpt")
+    rc = cli.main(["--model", "test-tiny", "train", str(imgs),
+                   "--steps", "3", "--batch-size", "4",
+                   "--checkpoint", ckpt])
+    assert rc == 0
+    rc = cli.main(["--model", "test-tiny", "train", str(imgs),
+                   "--steps", "2", "--batch-size", "4",
+                   "--checkpoint", ckpt, "--resume"])
+    assert rc == 0
