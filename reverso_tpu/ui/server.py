@@ -123,6 +123,7 @@ def make_handler(state: UIState):
                     "/api/db/delete": self._db_delete,
                     "/api/db/unlock": self._db_unlock,
                     "/api/query/detect": self._detect,
+                    "/api/query/visualize": self._visualize,
                     "/api/query/search": self._search,
                     "/api/video/local": self._video_local,
                     "/api/video/urls": self._video_urls,
@@ -201,6 +202,16 @@ def make_handler(state: UIState):
                 viz = engine.visualize_detections(img)
             self._json({"num_regions": len(metas), "regions": regions,
                         "visualization": _img_to_b64(viz)})
+
+        def _visualize(self, body: dict) -> None:
+            """Re-render detections highlighting the selected region
+            (reference ui.py:216-232 update_region_visualization_ui)."""
+            img = _b64_to_pil(body["image"])
+            sel = body.get("region_index")
+            with state.lock:
+                viz = engine.visualize_detections(
+                    img, None if sel is None else int(sel))
+            self._json({"visualization": _img_to_b64(viz)})
 
         def _search(self, body: dict) -> None:
             with state.lock:
@@ -406,9 +417,11 @@ async function buildDb(){
 async function stopBuild(){await api('/api/build/stop',{});}
 let queryReady=false;
 function fileToB64(f){return new Promise(res=>{const r=new FileReader();r.onload=()=>res(r.result.split(',')[1]);r.readAsDataURL(f);});}
+let lastQueryB64=null;
 async function detectQuery(){
   const f=$('s-file').files[0]; if(!f){alert('choose an image');return;}
   const img=await fileToB64(f);
+  lastQueryB64=img;
   const r=await api('/api/query/detect',{image:img,prompt:$('s-prompt').value,direct_pe:$('s-direct').checked});
   if(r.error){$('s-summary').textContent=r.error;return;}
   queryReady=true;
@@ -418,6 +431,11 @@ async function detectQuery(){
     const e=document.createElement('option');e.value=o.index;e.textContent=o.label;sel.appendChild(e);});
   $('s-summary').textContent='Found '+r.num_regions+' region(s). Ready to search.';
 }
+$('s-region').onchange=async()=>{
+  if(!lastQueryB64)return;
+  const r=await api('/api/query/visualize',{image:lastQueryB64,region_index:+$('s-region').value||0});
+  if(r.visualization){$('s-viz').src='data:image/jpeg;base64,'+r.visualization;$('s-viz').style.display='block';}
+};
 async function searchDb(){
   if(!queryReady){alert('detect/process a query image first');return;}
   const r=await api('/api/query/search',{threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0});

@@ -125,3 +125,14 @@ def test_error_paths(server):
     code, r = post(base, "/api/video/local",
                    {"input_folder": "", "output_folder": ""})
     assert code == 200 and r["message"].startswith("❌")
+
+
+def test_visualize_selection(server, tmp_path):
+    base, tmp = server
+    files = make_corpus(tmp / "vizimgs", n=1)
+    code, det = post(base, "/api/query/detect",
+                     {"image": img_b64(files[0]), "prompt": "person"})
+    assert code == 200
+    code, r = post(base, "/api/query/visualize",
+                   {"image": img_b64(files[0]), "region_index": 1})
+    assert code == 200 and r["visualization"]
