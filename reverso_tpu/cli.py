@@ -39,6 +39,14 @@ def _make_engine(args, *, need_detector: bool = False):
         cfg = dataclasses.replace(
             cfg, store=dataclasses.replace(cfg.store, root_dir=args.db_root))
     encoder = PerceptionEncoder(cfg.model)
+    text_embedder = None
+    import os as _os
+    tckpt = _os.environ.get("REVERSO_CLIP_TEXT_CKPT")
+    tvocab = _os.environ.get("REVERSO_CLIP_VOCAB")
+    tmerges = _os.environ.get("REVERSO_CLIP_MERGES")
+    if tckpt and tvocab and tmerges:
+        from .models.cliptext import TextEmbedder
+        text_embedder = TextEmbedder.from_pretrained(tckpt, tvocab, tmerges)
     detector = None
     if need_detector:
         import os
@@ -55,7 +63,8 @@ def _make_engine(args, *, need_detector: bool = False):
             # to local GroundingDINO + SAM checkpoints for real detection.
             from .detect import StubDetector
             detector = StubDetector(cfg.detector)
-    return Reverso(cfg, encoder=encoder, detector=detector)
+    return Reverso(cfg, encoder=encoder, detector=detector,
+                   text_embedder=text_embedder)
 
 
 def cmd_build(args) -> int:
@@ -77,6 +86,23 @@ def cmd_search(args) -> int:
         return 1
     engine.process_image_direct_pe(args.image)
     text, items = engine.search_similar(args.threshold, args.top_k)
+    if args.json:
+        print(json.dumps([
+            {"filename": it["filename"], "score": it["score"],
+             "bbox": it["bbox"], "source": it["payload"].get("image_source")}
+            for it in items], indent=2))
+    else:
+        print(text)
+    return 0 if items else 2
+
+
+def cmd_search_text(args) -> int:
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    text, items = engine.search_by_text(args.text, args.threshold, args.top_k)
     if args.json:
         print(json.dumps([
             {"filename": it["filename"], "score": it["score"],
@@ -210,6 +236,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--top-k", type=int, default=None)
     s.add_argument("--json", action="store_true")
     s.set_defaults(fn=cmd_search)
+
+    st = sub.add_parser("search-text",
+                        help="search a database with a text description")
+    st.add_argument("text")
+    st.add_argument("--name", required=True)
+    st.add_argument("--threshold", type=float, default=None)
+    st.add_argument("--top-k", type=int, default=None)
+    st.add_argument("--json", action="store_true")
+    st.set_defaults(fn=cmd_search_text)
 
     l = sub.add_parser("list", help="list databases")
     l.set_defaults(fn=cmd_list)

@@ -61,10 +61,11 @@ class Reverso:
 
     def __init__(self, config: Optional[EngineConfig] = None, *,
                  encoder: Optional[PerceptionEncoder] = None,
-                 detector=None, use_mesh: bool = False):
+                 detector=None, text_embedder=None, use_mesh: bool = False):
         self.config = config or default_config()
         self.encoder = encoder or PerceptionEncoder(self.config.model)
         self.detector = detector
+        self.text_embedder = text_embedder
         self.mesh = make_mesh(self.config.mesh) if use_mesh else None
         self.metrics = Metrics()
 
@@ -250,6 +251,24 @@ class Reverso:
                           "filename": filename, "bbox": bbox,
                           "payload": payload})
         return text, items
+
+    def search_by_text(self, text: str,
+                       similarity_threshold: Optional[float] = None,
+                       max_results: Optional[int] = None):
+        """Search the loaded database with a natural-language description
+        via the CLIP/PE text tower (capability the reference's models had
+        but its app never exposed). Returns (text, items) like
+        search_similar."""
+        if self.text_embedder is None:
+            return ("❌ No text encoder configured. Load CLIP/PE text "
+                    "weights to enable search-by-text.", [])
+        if not text or not text.strip():
+            return ("❌ Please provide a text description.", [])
+        emb = self.text_embedder.embed(text)
+        self.detected_regions = None
+        self.region_embeddings = np.asarray(emb)
+        self.region_metadata_list = [{"query_text": text}]
+        return self.search_similar(similarity_threshold, max_results)
 
     # -- index build ------------------------------------------------------
 

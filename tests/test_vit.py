@@ -181,3 +181,42 @@ def test_preprocess_range():
     x = preprocess_images(img)
     assert x.shape == (1, 8, 8, 3)
     assert np.isfinite(x).all() and x.max() < 3
+
+
+def test_neighbor_set_parity_vs_torch():
+    """BASELINE recall@10 metric: embeddings from the converted flax model
+    must produce the same top-10 neighbor sets as the torch reference
+    pipeline over a small corpus (SURVEY.md §4 item 3)."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+    from test_topk import numpy_topk64
+
+    cfg = clip_like(TINY)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=cfg.width, intermediate_size=int(cfg.width * cfg.mlp_ratio),
+        num_hidden_layers=cfg.depth, num_attention_heads=cfg.num_heads,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        projection_dim=cfg.embed_dim, hidden_act="quick_gelu",
+        attention_dropout=0.0)
+    torch.manual_seed(1)
+    model = CLIPVisionModelWithProjection(hf_cfg).eval()
+
+    rng = np.random.default_rng(7)
+    corpus = rng.standard_normal((40, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_emb = model(pixel_values=torch.from_numpy(
+            corpus.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    ref_emb = ref_emb / np.linalg.norm(ref_emb, axis=1, keepdims=True)
+
+    from reverso_tpu.models import convert_vision_tower
+    params = convert_vision_tower(model.state_dict(), cfg)
+    vit = VisionTransformer(cfg, act="quick_gelu", use_ln_pre=True,
+                            patch_bias=False, use_flash=False)
+    ours = np.asarray(vit.apply({"params": params}, jnp.asarray(corpus)))
+    ours = ours / np.linalg.norm(ours, axis=1, keepdims=True)
+
+    _, ref_nn = numpy_topk64(ref_emb, ref_emb[:8], 10)
+    _, our_nn = numpy_topk64(ours, ours[:8], 10)
+    # recall@10 parity: identical neighbor sets
+    for q in range(8):
+        assert set(ref_nn[q]) == set(our_nn[q]), (q, ref_nn[q], our_nn[q])
