@@ -6,3 +6,4 @@ from .topk import (
     apply_score_threshold,
 )
 from .norm import l2_normalize
+from .topk_int8 import cosine_topk_int8, quantize_rows
