@@ -19,6 +19,8 @@ from ..ops.norm import l2_normalize
 from .vit import VisionTransformer
 
 # Per-family architectural quirks not captured by ModelConfig's size fields.
+# pad_seq stays off by default: measured slower on v5e (the +11% padded
+# LN/MLP rows cost more than the saved per-layer pad/slice, PERF.md).
 _FAMILY_KW = {
     "pe": dict(act="gelu", use_ln_pre=False, patch_bias=True),
     "clip": dict(act="quick_gelu", use_ln_pre=True, patch_bias=False),

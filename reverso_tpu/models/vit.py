@@ -37,7 +37,7 @@ class MHA(nn.Module):
     use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x):  # [B, S, W]
+    def __call__(self, x, kv_valid: Optional[int] = None):  # [B, S, W]
         cfg = self.cfg
         w, h = cfg.width, cfg.num_heads
         hd = w // h
@@ -52,11 +52,16 @@ class MHA(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         if cfg.use_rope:
+            import numpy as np
             cos, sin = rope_2d_tables(cfg.grid_size, hd,
                                       cls_token=cfg.use_cls_token)
+            pad = x.shape[1] - cos.shape[0]
+            if pad > 0:     # padded-sequence mode: identity rotation rows
+                cos = np.concatenate([cos, np.ones((pad, hd), np.float32)])
+                sin = np.concatenate([sin, np.zeros((pad, hd), np.float32)])
             q = apply_rope_2d(q, cos, sin)
             k = apply_rope_2d(k, cos, sin)
-        o = attention(q, k, v, use_flash=self.use_flash)
+        o = attention(q, k, v, kv_valid=kv_valid, use_flash=self.use_flash)
         b, _, s, _ = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
         return dense("out_proj")(o)
@@ -93,12 +98,12 @@ class Block(nn.Module):
     use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, kv_valid: Optional[int] = None):
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                        param_dtype=jnp.float32, name=name)
         y = ln("ln1")(x).astype(x.dtype)
-        y = MHA(cfg, use_flash=self.use_flash, name="attn")(y)
+        y = MHA(cfg, use_flash=self.use_flash, name="attn")(y, kv_valid)
         if cfg.layer_scale_init is not None:
             y = LayerScale(cfg.width, cfg.layer_scale_init, name="ls1")(y)
         x = x + y
@@ -169,6 +174,10 @@ class VisionTransformer(nn.Module):
     use_ln_pre: bool = False
     patch_bias: bool = True
     use_flash: Optional[bool] = None
+    # pad the token sequence once to a 128-multiple and carry it through
+    # every block (masked attention): kills the per-layer pad/slice
+    # relayouts the flash kernel would otherwise do 24x (PERF.md)
+    pad_seq: bool = False
 
     @nn.compact
     def __call__(self, images, *, return_tokens: bool = False,
@@ -206,9 +215,17 @@ class VisionTransformer(nn.Module):
                              param_dtype=jnp.float32,
                              name="ln_pre")(x).astype(dtype)
 
+        s_valid = x.shape[1]
+        kv_valid = None
+        if self.pad_seq:
+            s_pad = -(-s_valid // 128) * 128
+            if s_pad != s_valid:
+                x = jnp.pad(x, ((0, 0), (0, s_pad - s_valid), (0, 0)))
+                kv_valid = s_valid
+
         for i in range(cfg.depth):
             x = Block(cfg, act=self.act, use_flash=self.use_flash,
-                      name=f"block{i}")(x)
+                      name=f"block{i}")(x, kv_valid)
 
         tokens = x
         region_emb = None
@@ -221,26 +238,40 @@ class VisionTransformer(nn.Module):
                 tokens_n = tokens
             pool = AttentionPool(cfg, use_flash=self.use_flash,
                                  name="attn_pool")
-            pooled = pool(tokens_n)
+            if kv_valid is None:
+                pooled = pool(tokens_n)
+            else:
+                pos = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, tokens_n.shape[1]), 2)
+                vbias = jnp.where(pos < kv_valid, 0.0, -1e9)
+                vbias = jnp.broadcast_to(
+                    vbias, (tokens_n.shape[0], 1, tokens_n.shape[1]))
+                pooled = pool(tokens_n, vbias)[:, 0, :]
             if region_masks is not None:
-                region_emb = pool(tokens_n,
-                                  self._region_bias(region_masks, cfg))
+                rbias = self._region_bias(region_masks, cfg)
+                pad = tokens_n.shape[1] - rbias.shape[-1]
+                if pad > 0:
+                    rbias = jnp.pad(rbias, ((0, 0), (0, 0), (0, pad)),
+                                    constant_values=-1e9)
+                region_emb = pool(tokens_n, rbias)
         elif cfg.pool_type == "cls":
-            pooled = tokens[:, 0, :]
+            pooled = tokens[:, 0, :]   # pad rows never reach position 0
             if cfg.use_ln_post:
                 pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                       param_dtype=jnp.float32,
                                       name="ln_post")(pooled).astype(dtype)
             if region_masks is not None:
-                region_emb = self._masked_mean(tokens, region_masks, cfg)
+                region_emb = self._masked_mean(tokens[:, :s_valid],
+                                               region_masks, cfg)
         elif cfg.pool_type == "mean":
-            pooled = tokens.mean(axis=1)
+            pooled = tokens[:, :s_valid].mean(axis=1)
             if cfg.use_ln_post:
                 pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                       param_dtype=jnp.float32,
                                       name="ln_post")(pooled).astype(dtype)
             if region_masks is not None:
-                region_emb = self._masked_mean(tokens, region_masks, cfg)
+                region_emb = self._masked_mean(tokens[:, :s_valid],
+                                               region_masks, cfg)
         else:
             raise ValueError(cfg.pool_type)
 
@@ -251,10 +282,10 @@ class VisionTransformer(nn.Module):
         if region_emb is not None:
             region_emb = proj(region_emb)
             if return_tokens:
-                return pooled, region_emb, tokens
+                return pooled, region_emb, tokens[:, :s_valid]
             return pooled, region_emb
         if return_tokens:
-            return pooled, tokens
+            return pooled, tokens[:, :s_valid]
         return pooled
 
     @staticmethod

@@ -125,6 +125,7 @@ def make_handler(state: UIState):
                     "/api/query/detect": self._detect,
                     "/api/query/visualize": self._visualize,
                     "/api/query/search": self._search,
+                    "/api/query/search_text": self._search_text,
                     "/api/video/local": self._video_local,
                     "/api/video/urls": self._video_urls,
                 }.get(path)
@@ -218,6 +219,20 @@ def make_handler(state: UIState):
                 text, items = engine.search_similar(
                     body.get("threshold"), body.get("max_results"),
                     query_index=int(body.get("region_index", 0)))
+            self._json({
+                "summary": text,
+                "results": [{
+                    "filename": it["filename"], "score": it["score"],
+                    "bbox": it["bbox"],
+                    "image": _img_to_b64(it["image"]),
+                } for it in items],
+            })
+
+        def _search_text(self, body: dict) -> None:
+            with state.lock:
+                text, items = engine.search_by_text(
+                    body.get("text", ""), body.get("threshold"),
+                    body.get("max_results"))
             self._json({
                 "summary": text,
                 "results": [{
@@ -359,6 +374,10 @@ img.viz{max-width:100%;border-radius:6px;margin-top:12px}
 <div><label>📊 Max Results</label><select id="s-max"><option>3</option><option selected>5</option><option>10</option><option>20</option><option>50</option></select></div>
 </div>
 <button class="primary" onclick="searchDb()">🎯 Search Database</button>
+<h3>…or search by description</h3>
+<label>📝 Text query (needs the CLIP/PE text tower configured)</label>
+<input type="text" id="s-text" placeholder="a red car at night">
+<button class="primary" onclick="searchByText()">🔤 Search by Text</button>
 <pre id="s-summary">No search yet.</pre>
 <div class="grid" id="s-results"></div>
 </div>
@@ -439,6 +458,19 @@ $('s-region').onchange=async()=>{
 async function searchDb(){
   if(!queryReady){alert('detect/process a query image first');return;}
   const r=await api('/api/query/search',{threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0});
+  if(r.error){$('s-summary').textContent=r.error;return;}
+  $('s-summary').textContent=r.summary;
+  const g=$('s-results');g.innerHTML='';
+  (r.results||[]).forEach(it=>{
+    const d=document.createElement('div');
+    if(it.image){const i=document.createElement('img');i.src='data:image/jpeg;base64,'+it.image;d.appendChild(i);}
+    const c=document.createElement('div');c.textContent=it.filename+' — '+it.score.toFixed(3);d.appendChild(c);
+    g.appendChild(d);});
+}
+async function searchByText(){
+  const txt=$('s-text').value;
+  if(!txt){alert('enter a description');return;}
+  const r=await api('/api/query/search_text',{text:txt,threshold:+$('s-thresh').value,max_results:+$('s-max').value});
   if(r.error){$('s-summary').textContent=r.error;return;}
   $('s-summary').textContent=r.summary;
   const g=$('s-results');g.innerHTML='';

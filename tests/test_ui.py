@@ -136,3 +136,12 @@ def test_visualize_selection(server, tmp_path):
     code, r = post(base, "/api/query/visualize",
                    {"image": img_b64(files[0]), "region_index": 1})
     assert code == 200 and r["visualization"]
+
+
+def test_search_text_endpoint(server):
+    base, _ = server
+    # engine has no text embedder -> graceful message, empty results
+    code, r = post(base, "/api/query/search_text", {"text": "a cat"})
+    assert code == 200
+    assert r["summary"].startswith("❌ No text encoder")
+    assert r["results"] == []

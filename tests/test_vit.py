@@ -220,3 +220,28 @@ def test_neighbor_set_parity_vs_torch():
     # recall@10 parity: identical neighbor sets
     for q in range(8):
         assert set(ref_nn[q]) == set(our_nn[q]), (q, ref_nn[q], our_nn[q])
+
+
+def test_pad_seq_equivalence():
+    """The padded-sequence fast path must produce the same embeddings as
+    the exact-length path (masked attention makes padding inert)."""
+    cfg = dataclasses.replace(TINY, dtype="float32", image_size=40,
+                              patch_size=8)   # 26 tokens -> pads to 128
+    rng = np.random.default_rng(3)
+    imgs = rng.standard_normal((2, 40, 40, 3)).astype(np.float32)
+    m_plain = VisionTransformer(cfg, pad_seq=False, use_flash=False)
+    params = m_plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 3)))["params"]
+    ref = np.asarray(m_plain.apply({"params": params}, jnp.asarray(imgs)))
+    m_pad = VisionTransformer(cfg, pad_seq=True, use_flash=False)
+    out = np.asarray(m_pad.apply({"params": params}, jnp.asarray(imgs)))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+    # region path too
+    masks = np.zeros((2, 2, 25), np.float32)
+    masks[:, 0, :10] = 1
+    masks[:, 1, 10:] = 1
+    _, r_ref = m_plain.apply({"params": params}, jnp.asarray(imgs),
+                             region_masks=jnp.asarray(masks))
+    _, r_out = m_pad.apply({"params": params}, jnp.asarray(imgs),
+                           region_masks=jnp.asarray(masks))
+    np.testing.assert_allclose(np.asarray(r_out), np.asarray(r_ref),
+                               atol=2e-5, rtol=1e-4)
