@@ -106,13 +106,8 @@ def _topk_int8_kernel(n_valid_ref, q_hbm, qscale_hbm, db_hbm, scales_hbm,
             m0 = jnp.max(s, axis=1, keepdims=True)
             kth0 = s_scr[lo:lo + q_tile, k - 1:k]
 
-            def cond(carry):
-                _, m, kth = carry
-                return jnp.any(m > kth)
-
-            def extract(carry):
-                s_cur, m, kth = carry
-                imp = m > kth
+            def one_extract(s_cur, m):
+                imp = m > s_scr[lo:lo + q_tile, k - 1:k]
                 col = jax.lax.broadcasted_iota(
                     jnp.int32, (q_tile, db_tile), 1) + base
                 sel = jnp.min(jnp.where(s_cur == m, col, _INT_MAX),
@@ -124,12 +119,26 @@ def _topk_int8_kernel(n_valid_ref, q_hbm, qscale_hbm, db_hbm, scales_hbm,
                 s_scr[lo:lo + q_tile, :] = new_S
                 i_scr[lo:lo + q_tile, :] = new_I
                 s_cur = jnp.where((col == sel) & imp, -jnp.inf, s_cur)
-                m = jnp.max(s_cur, axis=1, keepdims=True)
-                return s_cur, m, new_S[:, k - 1:k]
+                return s_cur, jnp.max(s_cur, axis=1, keepdims=True)
 
             @pl.when(jnp.any(m0 > kth0))
             def _():
-                jax.lax.while_loop(cond, extract, (s, m0, kth0))
+                s1, m1 = one_extract(s, m0)
+
+                def cond(carry):
+                    _, m, kth = carry
+                    return jnp.any(m > kth)
+
+                def extract(carry):
+                    s_cur, m, _ = carry
+                    s_cur, m = one_extract(s_cur, m)
+                    return s_cur, m, s_scr[lo:lo + q_tile, k - 1:k]
+
+                @pl.when(jnp.any(m1 > s_scr[lo:lo + q_tile, k - 1:k]))
+                def _():
+                    jax.lax.while_loop(
+                        cond, extract,
+                        (s1, m1, s_scr[lo:lo + q_tile, k - 1:k]))
         return 0
 
     jax.lax.fori_loop(0, n_tiles, body, 0)
