@@ -213,22 +213,42 @@ class VectorStore:
         return np.memmap(path, dtype=np.float32, mode="r",
                          shape=(self.count, self.dim))
 
-    def payloads(self, indices: Iterable[int] | None = None) -> list[dict]:
-        """Load payloads; `indices` selects specific rows (host-side join
-        after a device-side top-k)."""
-        self.flush()
+    def _payload_offsets(self):
+        """Byte offset of each payload line (built once, cached; rebuilt
+        when the row count grows). Keeps the per-query join O(k) seeks
+        instead of re-reading the whole JSONL."""
+        cached = getattr(self, "_offsets_cache", None)
+        if cached is not None and len(cached) >= self.count:
+            return cached
+        offsets = []
+        pos = 0
         path = os.path.join(self.path, PAYLOAD_FILE)
         with open(path, "rb") as f:
-            lines = f.read().splitlines()
-        lines = lines[: self.count]
+            for line in f:
+                offsets.append(pos)
+                pos += len(line)
+        import numpy as _np
+        self._offsets_cache = _np.asarray(offsets, _np.int64)
+        return self._offsets_cache
+
+    def payloads(self, indices: Iterable[int] | None = None) -> list[dict]:
+        """Load payloads; `indices` selects specific rows (host-side join
+        after a device-side top-k) via seek — O(k), not O(N)."""
+        self.flush()
+        path = os.path.join(self.path, PAYLOAD_FILE)
         if indices is None:
-            return [json.loads(l) for l in lines]
+            with open(path, "rb") as f:
+                lines = f.read().splitlines()
+            return [json.loads(l) for l in lines[: self.count]]
+        offsets = self._payload_offsets()
         out = []
-        for i in indices:
-            if i < 0 or i >= len(lines):
-                out.append(None)
-            else:
-                out.append(json.loads(lines[i]))
+        with open(path, "rb") as f:
+            for i in indices:
+                if i < 0 or i >= min(self.count, len(offsets)):
+                    out.append(None)
+                    continue
+                f.seek(int(offsets[i]))
+                out.append(json.loads(f.readline()))
         return out
 
     def truncate(self, count: int) -> None:
@@ -247,6 +267,7 @@ class VectorStore:
         with open(pay_path, "wb") as f:
             f.writelines(lines[:count])
         self.count = count
+        self._offsets_cache = None
         self._write_meta()
 
     def close_files_for_truncate(self) -> None:

@@ -102,3 +102,16 @@ def test_device_index_empty():
     idx = DeviceIndex(np.zeros((0, 16), np.float32))
     s, i = jax.device_get(idx.search(np.zeros((2, 16), np.float32), 3))
     assert (i == -1).all()
+
+
+def test_payload_random_access_after_growth_and_truncate(tmp_path, rng):
+    root = str(tmp_path)
+    with VectorStore.create(root, "pidx", 8) as s:
+        s.append(random_unit(rng, 10, 8), make_payloads(10))
+        assert s.payloads([3])[0]["region_id"] == "r3"     # builds offsets
+        s.append(random_unit(rng, 5, 8), make_payloads(5, 10))
+        # cache must refresh to cover the new rows
+        assert s.payloads([12])[0]["region_id"] == "r12"
+        s.truncate(7)
+        got = s.payloads([6, 7])
+        assert got[0]["region_id"] == "r6" and got[1] is None
