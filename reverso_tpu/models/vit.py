@@ -67,18 +67,46 @@ class MHA(nn.Module):
         return dense("out_proj")(o)
 
 
+class _DenseParams(nn.Module):
+    """Kernel/bias params with nn.Dense-compatible naming and inits, so
+    the same parameter tree serves both the XLA path and the fused
+    kernel (checkpoint converters are unaffected)."""
+    in_dim: int
+    out_dim: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_dim, self.out_dim), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,),
+                       self.param_dtype)
+        return k, b
+
+
 class MLP(nn.Module):
     cfg: ModelConfig
     act: str = "gelu"
+    use_fused: Optional[bool] = None   # None -> fused kernel on TPU
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         hidden = int(cfg.width * cfg.mlp_ratio)
         pd = jnp.dtype(cfg.param_dtype)
-        x = nn.Dense(hidden, dtype=x.dtype, param_dtype=pd, name="fc1")(x)
-        x = _act(self.act)(x)
-        return nn.Dense(cfg.width, dtype=x.dtype, param_dtype=pd, name="fc2")(x)
+        w1, b1 = _DenseParams(cfg.width, hidden, pd, name="fc1")()
+        w2, b2 = _DenseParams(hidden, cfg.width, pd, name="fc2")()
+        use_fused = self.use_fused
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        if use_fused and self.act in ("gelu", "quick_gelu"):
+            from ..ops.fused_mlp import fused_mlp
+            return fused_mlp(x, w1.astype(x.dtype), b1.astype(x.dtype),
+                             w2.astype(x.dtype), b2.astype(x.dtype),
+                             act=self.act)
+        h = jnp.dot(x, w1.astype(x.dtype)) + b1.astype(x.dtype)
+        h = _act(self.act)(h)
+        return jnp.dot(h, w2.astype(x.dtype)) + b2.astype(x.dtype)
 
 
 class LayerScale(nn.Module):

@@ -245,3 +245,47 @@ def test_pad_seq_equivalence():
                            region_masks=jnp.asarray(masks))
     np.testing.assert_allclose(np.asarray(r_out), np.asarray(r_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("act", ["gelu", "quick_gelu"])
+def test_fused_mlp_parity(rng, act):
+    from reverso_tpu.ops.fused_mlp import fused_mlp, mlp_xla
+    t, w, hid = 100, 96, 384   # unaligned row count
+    x = jnp.asarray(rng.standard_normal((t, w)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((w, hid)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((hid,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hid, w)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((w,)) * 0.05, jnp.float32)
+    ref = np.asarray(mlp_xla(x, w1, b1, w2, b2, act=act))
+    out = np.asarray(fused_mlp(x, w1, b1, w2, b2, act=act,
+                               row_tile=64, hidden_tile=128))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+    # batched leading dims
+    xb = jnp.asarray(rng.standard_normal((2, 50, w)), jnp.float32)
+    ref = np.asarray(mlp_xla(xb.reshape(-1, w), w1, b1, w2, b2, act=act)).reshape(2, 50, w)
+    out = np.asarray(fused_mlp(xb, w1, b1, w2, b2, act=act,
+                               row_tile=64, hidden_tile=128))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mlp_in_model_equivalence(rng):
+    """Whole-model equivalence: fused-MLP path == plain path."""
+    cfg = dataclasses.replace(TINY, dtype="float32")
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    import flax.linen as nn
+    m_plain = VisionTransformer(cfg, use_flash=False)
+    params = m_plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    ref = np.asarray(m_plain.apply({"params": params}, jnp.asarray(imgs)))
+    # force the fused path (interpret-mode pallas on CPU)
+    import reverso_tpu.models.vit as vitmod
+    from functools import partial
+    FusedMLP = partial(vitmod.MLP, use_fused=True)
+    orig = vitmod.MLP
+    try:
+        vitmod.MLP = lambda cfg, act="gelu", use_fused=None, **kw: orig(
+            cfg, act=act, use_fused=True, **kw)
+        m_fused = VisionTransformer(cfg, use_flash=False)
+        out = np.asarray(m_fused.apply({"params": params}, jnp.asarray(imgs)))
+    finally:
+        vitmod.MLP = orig
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
