@@ -26,35 +26,44 @@ import jax.numpy as jnp
 
 
 def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Zero-padded bilinear sampling.
+    """Zero-padded bilinear sampling (torch grid_sample semantics).
 
     img: [N, H, W, D]; x, y: [N, S] pixel coordinates (already in pixel
     space, i.e. norm * size - 0.5). Returns [N, S, D].
+
+    TPU formulation: one batched `lax.gather` fetches the whole [2, 2, D]
+    bilinear patch per sample, with NO per-corner masks or selects —
+    coordinates are clamped to [-1, size] (any further out interpolates
+    to exactly 0 through the weights: the in-image corner gets weight 0)
+    and the image carries an explicit zero ring, so every patch read is
+    in bounds and out-of-bounds corners read zeros. Matches
+    grid_sample(padding_mode="zeros", align_corners=False) exactly.
     """
     n, h, w, d = img.shape
+    x = jnp.clip(x, -1.0, float(w))
+    y = jnp.clip(y, -1.0, float(h))
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    wx = (x - x0).astype(img.dtype)[..., None]
+    wy = (y - y0).astype(img.dtype)[..., None]
 
-    flat = img.reshape(n, h * w, d)
-
-    def gather(yi, xi):
-        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return vals * valid[..., None].astype(img.dtype)
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
-    wx = wx[..., None].astype(img.dtype)
-    wy = wy[..., None].astype(img.dtype)
-    return ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
-            + (v10 * (1 - wx) + v11 * wx) * wy)
+    # zero ring: 1 at top/left, 2 at bottom/right (patch start may be H+1)
+    img_p = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    sy = y0.astype(jnp.int32) + 1                          # in [0, H+1]
+    sx = x0.astype(jnp.int32) + 1
+    starts = jnp.stack([sy, sx], axis=-1)                  # [N, S, 2]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patch = jax.lax.gather(img_p, starts, dn, slice_sizes=(1, 2, 2, d),
+                           mode="promise_in_bounds")       # [N, S, 2, 2, D]
+    top = patch[:, :, 0, 0] * (1 - wx) + patch[:, :, 0, 1] * wx
+    bot = patch[:, :, 1, 0] * (1 - wx) + patch[:, :, 1, 1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 def ms_deform_attn(value: jnp.ndarray,
