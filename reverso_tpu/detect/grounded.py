@@ -144,10 +144,30 @@ class GroundedSamDetector:
         out[:nh, :nw] = x
         return out[None], (nh, nw), scale
 
+    def detect_batch(self, images: Sequence[np.ndarray],
+                     prompts: Sequence[str]) -> list[Regions]:
+        """Batched detection: one GroundingDINO forward for all images
+        (bf16 batch-4 measured 40% faster per image than batch-1 fp32,
+        PERF.md). SAM still runs per image (box counts vary)."""
+        if not len(images):
+            return []
+        ids, attn, pos, token_mask, spans = self._prep_text(prompts)
+        b = len(images)
+        dino_in = np.concatenate([self._prep_dino_image(im) for im in images])
+        logits, boxes = self._dino_fwd(
+            self.dino_params, jnp.asarray(dino_in),
+            jnp.asarray(np.repeat(ids, b, axis=0)),
+            jnp.asarray(np.repeat(attn, b, axis=0)),
+            jnp.asarray(np.repeat(pos, b, axis=0)),
+            jnp.asarray(np.repeat(token_mask, b, axis=0)))
+        scores_b = jax.device_get(jax.nn.sigmoid(logits))
+        boxes_b = jax.device_get(boxes)
+        return [self._postprocess(images[j], scores_b[j], boxes_b[j],
+                                  prompts, spans) for j in range(b)]
+
     def detect(self, image: np.ndarray, prompts: Sequence[str]) -> Regions:
         if cv2 is None:
             raise RuntimeError("OpenCV required for detector preprocessing")
-        h, w = image.shape[:2]
         ids, attn, pos, token_mask, spans = self._prep_text(prompts)
         dino_in = self._prep_dino_image(image)
 
@@ -156,6 +176,12 @@ class GroundedSamDetector:
             jnp.asarray(attn), jnp.asarray(pos), jnp.asarray(token_mask))
         scores = jax.device_get(jax.nn.sigmoid(logits))[0]   # [Q, T]
         boxes = jax.device_get(boxes)[0]                     # [Q, 4] cxcywh
+        return self._postprocess(image, scores, boxes, prompts, spans)
+
+    def _postprocess(self, image: np.ndarray, scores: np.ndarray,
+                     boxes: np.ndarray, prompts: Sequence[str],
+                     spans) -> Regions:
+        h, w = image.shape[:2]
 
         best = np.nanmax(np.where(np.isfinite(scores), scores, 0.0), axis=-1)
         keep = np.nonzero(best > self.cfg.box_threshold)[0]

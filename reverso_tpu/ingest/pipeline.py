@@ -240,9 +240,15 @@ def build_database(
                     emb = np.asarray(encoder.encode_image(batch.pixels))
                 vecs, metas = [], []
                 with timer.stage("detect", len(batch.paths)):
+                    imgs_u8 = [_denormalize(batch.pixels[j])
+                               for j in range(len(batch.paths))]
+                    if hasattr(detector, "detect_batch"):
+                        regions_list = detector.detect_batch(imgs_u8, prompts)
+                    else:
+                        regions_list = [detector.detect(im, prompts)
+                                        for im in imgs_u8]
                     for j, path in enumerate(batch.paths):
-                        img_u8 = _denormalize(batch.pixels[j])
-                        regions = detector.detect(img_u8, prompts)
+                        regions = regions_list[j]
                         n = min(len(regions), config.ingest.max_regions)
                         region_embs = None
                         if roi_mode and regions.masks is not None and n > 0:

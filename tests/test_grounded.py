@@ -98,3 +98,50 @@ def test_detect_high_threshold(detector):
         assert regions.masks.shape == (0, 32, 32)
     finally:
         detector.cfg = old
+
+
+def test_engine_pipeline_with_real_detector(detector, tmp_path):
+    """End-to-end create_database + query through the real (tiny random)
+    GroundedSAM detector class — catches interface drift between the
+    detector, pipeline, and engine."""
+    import dataclasses, sys
+    sys.path.insert(0, "tests")
+    from test_pipeline import make_corpus
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")),
+        detector=detector.cfg)
+    engine = Reverso(cfg, encoder=PerceptionEncoder(model), detector=detector)
+    make_corpus(tmp_path / "imgs", n=3, size=56)
+    transcript = engine.create_database(str(tmp_path / "imgs"), "real",
+                                        text_prompt="person . car")
+    assert "ready for searching" in transcript, transcript
+    n = engine.detect_regions(str(tmp_path / "imgs" / "img_000.jpg"),
+                              "person . car")
+    assert n > 0
+    embs, metas = engine.extract_embeddings(
+        str(tmp_path / "imgs" / "img_000.jpg"))
+    assert embs and metas[0]["mask_status"] in ("processed",
+                                                "missing_or_unavailable")
+    text, items = engine.search_similar(similarity_threshold=-1.0)
+    assert items, text
+
+
+def test_detect_batch_matches_single(detector):
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+            for _ in range(3)]
+    batched = detector.detect_batch(imgs, ["person", "car"])
+    assert len(batched) == 3
+    for im, rb in zip(imgs, batched):
+        rs = detector.detect(im, ["person", "car"])
+        np.testing.assert_allclose(rb.boxes, rs.boxes, atol=1e-4)
+        np.testing.assert_array_equal(rb.class_ids, rs.class_ids)
+        np.testing.assert_array_equal(rb.masks, rs.masks)
+    assert detector.detect_batch([], ["person"]) == []
