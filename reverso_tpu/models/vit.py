@@ -46,22 +46,35 @@ class MHA(nn.Module):
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
 
-        def split(t):  # [B, S, W] -> [B, H, S, hd]
-            b, s, _ = t.shape
-            return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
+        import numpy as np
+        cos = sin = None
         if cfg.use_rope:
-            import numpy as np
             cos, sin = rope_2d_tables(cfg.grid_size, hd,
                                       cls_token=cfg.use_cls_token)
             pad = x.shape[1] - cos.shape[0]
             if pad > 0:     # padded-sequence mode: identity rotation rows
                 cos = np.concatenate([cos, np.ones((pad, hd), np.float32)])
                 sin = np.concatenate([sin, np.zeros((pad, hd), np.float32)])
+
+        use_flash = self.use_flash
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu"
+        if use_flash and x.shape[1] <= 2048 and hd % 4 == 0:
+            # heads-in-lanes kernel: no head transposes, RoPE in-kernel
+            from ..ops.attention import flash_attention_heads
+            o = flash_attention_heads(q, k, v, heads=h, cos=cos, sin=sin,
+                                      kv_valid=kv_valid)
+            return dense("out_proj")(o)
+
+        def split(t):  # [B, S, W] -> [B, H, S, hd]
+            b, s, _ = t.shape
+            return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        if cfg.use_rope:
             q = apply_rope_2d(q, cos, sin)
             k = apply_rope_2d(k, cos, sin)
-        o = attention(q, k, v, kv_valid=kv_valid, use_flash=self.use_flash)
+        o = attention(q, k, v, kv_valid=kv_valid, use_flash=use_flash)
         b, _, s, _ = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
         return dense("out_proj")(o)

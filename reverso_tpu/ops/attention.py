@@ -252,3 +252,118 @@ def attention(q, k, v, *, kv_valid: Optional[int] = None,
     if use_flash:
         return flash_attention(q, k, v, kv_valid=kv_valid, scale=scale)
     return attention_xla(q, k, v, kv_valid=kv_valid, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# Heads-in-lanes flash attention: consumes [B, S, W] directly
+# ---------------------------------------------------------------------------
+#
+# The [B,S,W] -> [B,H,S,hd] head transposes around attention cost ~4 HBM
+# round trips of the activation per layer; this kernel slices heads out
+# of the lane dimension inside VMEM instead, and applies 2D RoPE in-kernel
+# (saving two more fp32 round trips). One program per batch element with
+# the full (short) ViT sequence resident.
+
+def _flash_heads_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
+                        heads: int, head_dim: int, scale: float,
+                        kv_valid: int, use_rope: bool):
+    s_len = q_ref.shape[1]
+    for h in range(heads):
+        lo = h * head_dim
+        q = q_ref[0, :, lo:lo + head_dim]
+        k = k_ref[0, :, lo:lo + head_dim]
+        v = v_ref[0, :, lo:lo + head_dim]
+        if use_rope:
+            cos = cos_ref[...]
+            sin = sin_ref[...]
+
+            def rot(x):
+                x32 = x.astype(jnp.float32)
+                qh = head_dim // 4
+                a = x32[:, :qh]
+                b = x32[:, qh:2 * qh]
+                c = x32[:, 2 * qh:3 * qh]
+                e = x32[:, 3 * qh:]
+                half = jnp.concatenate([-b, a, -e, c], axis=-1)
+                return (x32 * cos + half * sin).astype(x.dtype)
+
+            q = rot(q)
+            k = rot(k)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype)) * scale
+        if kv_valid < s_len:
+            kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kpos < kv_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype))
+        o_ref[0, :, lo:lo + head_dim] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "kv_valid",
+                                             "use_rope", "interpret"))
+def _flash_heads_jit(q, k, v, cos, sin, *, heads: int, scale: float,
+                     kv_valid: int, use_rope: bool, interpret: bool):
+    b, s, w = q.shape
+    hd = w // heads
+    s_p = _round_up(s, 128)
+    qp = _pad_dim(q, 1, s_p)
+    kp = _pad_dim(k, 1, s_p)
+    vp = _pad_dim(v, 1, s_p)
+    cos_p = _pad_dim(cos, 0, s_p) if use_rope else jnp.zeros((1, hd), jnp.float32)
+    sin_p = _pad_dim(sin, 0, s_p) if use_rope else jnp.zeros((1, hd), jnp.float32)
+
+    kernel = functools.partial(
+        _flash_heads_kernel, heads=heads, head_dim=hd, scale=scale,
+        kv_valid=min(kv_valid, s), use_rope=use_rope)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_p, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_p, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_p, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_p, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_p, w), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s_p * s_p * hd,
+            bytes_accessed=4 * b * s_p * w * q.dtype.itemsize,
+            transcendentals=b * heads * s_p * s_p,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, cos_p, sin_p)
+    return out[:, :s]
+
+
+def flash_attention_heads(q, k, v, *, heads: int, cos=None, sin=None,
+                          scale: Optional[float] = None,
+                          kv_valid: Optional[int] = None,
+                          interpret: Optional[bool] = None):
+    """Flash attention over [B, S, W] with heads sliced from lanes and
+    optional in-kernel 2D RoPE (cos/sin [S, head_dim] tables)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, s, w = q.shape
+    hd = w // heads
+    scale = float(scale) if scale is not None else hd ** -0.5
+    use_rope = cos is not None
+    cos_a = jnp.asarray(cos, jnp.float32) if use_rope else None
+    sin_a = jnp.asarray(sin, jnp.float32) if use_rope else None
+    return _flash_heads_jit(q, k, v, cos_a, sin_a, heads=heads, scale=scale,
+                            kv_valid=int(kv_valid) if kv_valid else s,
+                            use_rope=use_rope, interpret=interpret)

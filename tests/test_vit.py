@@ -289,3 +289,19 @@ def test_fused_mlp_in_model_equivalence(rng):
     finally:
         vitmod.MLP = orig
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_heads_matches_reference(rng):
+    """Heads-in-lanes kernel (with in-kernel rope) == split/transpose path."""
+    cfg = dataclasses.replace(TINY, dtype="float32")
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    m_ref = VisionTransformer(cfg, use_flash=False)
+    params = m_ref.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    ref = np.asarray(m_ref.apply({"params": params}, jnp.asarray(imgs)))
+    m_fh = VisionTransformer(cfg, use_flash=True)   # CPU -> interpret pallas
+    out = np.asarray(m_fh.apply({"params": params}, jnp.asarray(imgs)))
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+    # padded-seq + kv_valid path through the heads kernel
+    m_pad = VisionTransformer(cfg, use_flash=True, pad_seq=True)
+    out2 = np.asarray(m_pad.apply({"params": params}, jnp.asarray(imgs)))
+    np.testing.assert_allclose(out2, ref, atol=3e-5, rtol=1e-4)
