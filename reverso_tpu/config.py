@@ -128,6 +128,11 @@ class SearchConfig:
     query_tile: int = 256     # queries per kernel tile
     db_tile: int = 1024       # database rows per kernel tile
     exact_dtype: str = "float32"   # parity mode accumulates/storage in fp32
+    # approximate index for very large corpora (BASELINE config #5):
+    # "exact" = fused full scan; "ivf" = k-means coarse quantizer
+    index: str = "exact"
+    ivf_clusters: int = 1024
+    ivf_nprobe: int = 16
 
 
 @dataclass(frozen=True)

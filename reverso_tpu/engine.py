@@ -56,6 +56,18 @@ def _resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
     return mask[np.ix_(ys, xs)].astype(np.float32)
 
 
+class _IVFSearchAdapter:
+    """DeviceIndex-shaped facade over IVFIndex (approximate mode)."""
+
+    def __init__(self, ivf, nprobe: int):
+        self._ivf = ivf
+        self.nprobe = nprobe
+        self.n_valid = ivf.n
+
+    def search(self, queries, k: int, **_):
+        return self._ivf.search(queries, k, nprobe=self.nprobe)
+
+
 class Reverso:
     """Visual investigation engine: detect -> embed -> store -> search."""
 
@@ -131,15 +143,26 @@ class Reverso:
         self._index = None
         self.current_database = store.name if store else None
 
-    def _get_index(self) -> DeviceIndex:
+    def _get_index(self):
         if self._store is None:
             raise StoreError("no database loaded")
-        if self._index is None or self._index.n_valid != self._store.count:
-            self._index = DeviceIndex(
-                np.asarray(self._store.vectors()),
-                mesh=self.mesh,
-                dtype=self.config.store.dtype,
-                db_tile=self.config.search.db_tile)
+        scfg = self.config.search
+        count = self._store.count
+        current_n = getattr(self._index, "n_valid",
+                            getattr(self._index, "n", None))
+        if self._index is None or current_n != count:
+            vectors = np.asarray(self._store.vectors())
+            if scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
+                from .store import IVFIndex
+                ivf = IVFIndex(vectors,
+                               n_clusters=min(scfg.ivf_clusters, count),
+                               dtype=self.config.store.dtype)
+                self._index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe)
+            else:
+                self._index = DeviceIndex(
+                    vectors, mesh=self.mesh,
+                    dtype=self.config.store.dtype,
+                    db_tile=scfg.db_tile)
         return self._index
 
     # -- query path -----------------------------------------------------

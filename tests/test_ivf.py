@@ -55,3 +55,30 @@ def test_ivf_small_k_and_1d_query(corpus):
     assert i.shape == (1, 5)
     assert i[0, 0] == 3            # self-match survives the id mapping
     assert s[0, 0] > 0.999
+
+
+def test_engine_ivf_mode(tmp_path):
+    """search.index='ivf' routes engine queries through the IVF index."""
+    import dataclasses, sys
+    sys.path.insert(0, "tests")
+    from test_pipeline import make_corpus
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.detect import StubDetector
+    from reverso_tpu.engine import Reverso, _IVFSearchAdapter
+    from reverso_tpu.models.pe import PerceptionEncoder
+    import numpy as np
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")),
+        search=dataclasses.replace(cfg.search, index="ivf", ivf_clusters=4,
+                                   ivf_nprobe=4))
+    engine = Reverso(cfg, encoder=PerceptionEncoder(model))
+    files = make_corpus(tmp_path / "imgs", n=20)
+    engine.create_database(str(tmp_path / "imgs"), "ivfdb", use_direct_pe=True)
+    engine.process_image_direct_pe(files[5])
+    text, items = engine.search_similar(similarity_threshold=0.5)
+    assert items and items[0]["filename"] == "img_005.jpg", text
+    assert isinstance(engine._get_index(), _IVFSearchAdapter)
