@@ -137,6 +137,7 @@ def build_database(
     """Build (or resume) a searchable database from an image folder."""
     log = StatusLog(progress_callback)
     stop_event = stop_event or threading.Event()
+    stop_event.clear()   # a stale stop from a cancelled run must not abort
     timer = StageTimer(metrics or Metrics())
     root = config.store.root_dir
     os.makedirs(root, exist_ok=True)
