@@ -173,6 +173,12 @@ void reverso_f32_to_bf16(const float* src, uint16_t* dst, int64_t count,
     for (int64_t i = lo; i < hi; ++i) {
       uint32_t bits;
       std::memcpy(&bits, &src[i], 4);
+      // NaN first: the rounding carry would overflow a small mantissa
+      // payload into the exponent, turning NaN into +/-Inf.
+      if ((bits & 0x7f800000u) == 0x7f800000u && (bits & 0x7fffffu)) {
+        dst[i] = (uint16_t)((bits >> 16) | 0x0040u);  // quiet NaN
+        continue;
+      }
       uint32_t lsb = (bits >> 16) & 1;
       bits += 0x7fffu + lsb;  // round to nearest even
       dst[i] = (uint16_t)(bits >> 16);

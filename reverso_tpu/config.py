@@ -124,6 +124,10 @@ class StoreConfig:
 class SearchConfig:
     """Query defaults (reference core_system.py:650, ui.py:341-342)."""
     score_threshold: float = 0.7
+    # Text->image cosine scores peak around 0.2-0.35 for CLIP/PE towers,
+    # so text search gets its own default — the image-image 0.7 would
+    # filter out every hit and make the feature appear broken.
+    text_score_threshold: float = 0.18
     top_k: int = 5
     query_tile: int = 256     # queries per kernel tile
     db_tile: int = 1024       # database rows per kernel tile

@@ -141,16 +141,21 @@ class Reverso:
     def _set_store(self, store: Optional[VectorStore]) -> None:
         self._store = store
         self._index = None
+        self._index_key = None
         self.current_database = store.name if store else None
 
     def _get_index(self):
         if self._store is None:
             raise StoreError("no database loaded")
         scfg = self.config.search
-        count = self._store.count
-        current_n = getattr(self._index, "n_valid",
-                            getattr(self._index, "n", None))
-        if self._index is None or current_n != count:
+        # Key on (count, data_version), not count alone: a truncate-then-
+        # reappend to the same size (resume) or an overwrite-same-name
+        # must not serve stale device vectors. refresh() makes external
+        # mutations visible through this read-only handle.
+        self._store.refresh()
+        key = (self._store.count, self._store.data_version)
+        if self._index is None or getattr(self, "_index_key", None) != key:
+            count = self._store.count
             vectors = np.asarray(self._store.vectors())
             if scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
                 from .store import IVFIndex
@@ -163,6 +168,7 @@ class Reverso:
                     vectors, mesh=self.mesh,
                     dtype=self.config.store.dtype,
                     db_tile=scfg.db_tile)
+            self._index_key = key
         return self._index
 
     # -- query path -----------------------------------------------------
@@ -291,6 +297,10 @@ class Reverso:
         self.detected_regions = None
         self.region_embeddings = np.asarray(emb)
         self.region_metadata_list = [{"query_text": text}]
+        if similarity_threshold is None:
+            # text-image cosine scores live on a different scale than
+            # image-image ones; never fall through to the 0.7 default
+            similarity_threshold = self.config.search.text_score_threshold
         return self.search_similar(similarity_threshold, max_results)
 
     # -- index build ------------------------------------------------------

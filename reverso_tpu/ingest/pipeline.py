@@ -33,7 +33,8 @@ import numpy as np
 
 from ..config import EngineConfig
 from ..detect.regions import Regions, parse_prompts
-from ..store.persist import VectorStore
+from ..store.persist import (StoreError, StoreLockedError, VectorStore,
+                             lock_holder_alive, unlock_database)
 from ..utils.logging import StatusLog
 from ..utils.profiling import Metrics, StageTimer
 from .images import scan_images, iter_batches
@@ -143,6 +144,11 @@ def build_database(
     os.makedirs(root, exist_ok=True)
 
     # --- resume / create store ------------------------------------------
+    # Resume must NEVER fall through to the destructive create(overwrite=
+    # True): a crashed build leaves .lock behind, and wiping the store on
+    # the recovery path would discard exactly the work resume exists to
+    # save. A lock whose owning PID is dead is taken over; a live owner
+    # aborts with the reference's unlock message (core_system.py:137-154).
     processed_files: set[str] = set()
     store: Optional[VectorStore] = None
     if resume_from_checkpoint:
@@ -150,16 +156,43 @@ def build_database(
         if ck is not None:
             try:
                 store = VectorStore.open(root, database_name, writable=True)
-                store.truncate(min(int(ck.get("store_count", 0)), store.count))
-                processed_files = set(ck.get("processed_files", []))
-                log(f"📋 Resuming from checkpoint: {len(processed_files)} files already processed")
-            except Exception as e:
-                log(f"⚠️ Error loading checkpoint: {e}. Starting fresh.")
+            except StoreLockedError:
+                if lock_holder_alive(root, database_name) is False:
+                    unlock_database(root, database_name)
+                    log("🔓 Removed stale lock left by an interrupted build")
+                    store = VectorStore.open(root, database_name,
+                                             writable=True)
+                else:
+                    return BuildResult(
+                        log(f"❌ Database '{database_name}' is locked by a "
+                            "running process. Stop it or unlock the "
+                            "database first."), 0, 0, 0)
+            except StoreError as e:
+                # Store dir missing/corrupt: nothing recoverable remains.
+                log(f"⚠️ Checkpoint exists but store is unusable ({e}). "
+                    "Starting fresh.")
                 store = None
-                processed_files = set()
+            if store is not None:
+                try:
+                    store.truncate(min(int(ck.get("store_count", 0)),
+                                       store.count))
+                    processed_files = set(ck.get("processed_files", []))
+                except Exception as e:
+                    store.close()
+                    return BuildResult(
+                        log(f"❌ Error applying checkpoint: {e}. The store "
+                            "was left untouched; delete the checkpoint to "
+                            "start fresh."), 0, 0, 0)
+                log(f"📋 Resuming from checkpoint: {len(processed_files)} "
+                    "files already processed")
     if store is None:
-        store = VectorStore.create(root, database_name, encoder.embed_dim,
-                                   overwrite=True)
+        try:
+            store = VectorStore.create(root, database_name,
+                                       encoder.embed_dim, overwrite=True)
+        except StoreLockedError:
+            return BuildResult(
+                log(f"❌ Database '{database_name}' is locked (a build may "
+                    "be running). Unlock it first to overwrite."), 0, 0, 0)
 
     log(f"📁 Creating database '{database_name}' from {folder_path}")
 

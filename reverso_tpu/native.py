@@ -159,7 +159,12 @@ def f32_to_bf16_bits(x: np.ndarray, n_threads: int = 0) -> np.ndarray:
     if lib is None:
         bits = x.view(np.uint32)
         lsb = (bits >> 16) & 1
-        return ((bits + 0x7FFF + lsb) >> 16).astype(np.uint16)
+        rounded = ((bits + 0x7FFF + lsb) >> 16).astype(np.uint16)
+        # NaN: the rounding carry can overflow the mantissa into the
+        # exponent (NaN -> +/-Inf); emit a quiet-NaN pattern instead.
+        is_nan = ((bits & 0x7F800000) == 0x7F800000) & ((bits & 0x7FFFFF) != 0)
+        return np.where(is_nan,
+                        ((bits >> 16) | 0x0040).astype(np.uint16), rounded)
     lib.reverso_f32_to_bf16(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

@@ -21,8 +21,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
-from typing import Any, Iterable, Sequence
+from typing import Any, Iterable, Optional, Sequence
 
 import numpy as np
 
@@ -65,6 +66,31 @@ def delete_database(root: str, name: str) -> None:
     shutil.rmtree(path)
 
 
+def lock_holder_alive(root: str, name: str) -> Optional[bool]:
+    """Whether the process that wrote a store's lock file is still alive.
+
+    Returns None when there is no lock, True/False otherwise. A lock whose
+    PID is unparseable counts as alive (conservative: never steal it).
+    Crash-resume uses this to distinguish a stale lock left by a dead
+    build (safe to take over) from a live concurrent writer.
+    """
+    lock = os.path.join(root, name, LOCK_FILE)
+    if not os.path.exists(lock):
+        return None
+    try:
+        with open(lock) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return True
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def unlock_database(root: str, name: str) -> bool:
     """Remove a stale lock file; returns True if one was removed
     (reference core_system.py:137-154)."""
@@ -87,6 +113,12 @@ class VectorStore:
     dim: int
     collection: str
     count: int = 0
+    # Monotonic content-version: seeded from the wall clock at create()
+    # and bumped by every append/truncate, so two stores that happen to
+    # hold the same row count never alias (a device index keyed on
+    # (count, data_version) can detect truncate-then-reappend-same-size
+    # and overwrite-same-name mutations).
+    data_version: int = 0
     _vec_f: Any = field(default=None, repr=False)
     _pay_f: Any = field(default=None, repr=False)
     _locked: bool = field(default=False, repr=False)
@@ -97,13 +129,20 @@ class VectorStore:
     def create(root: str, name: str, dim: int, *, overwrite: bool = False) -> "VectorStore":
         path = os.path.join(root, name)
         if os.path.isdir(path) and overwrite:
+            # The lock must protect the one destructive operation too: a
+            # locked store is live in another process — refuse to rmtree
+            # it out from under the writer (explicit unlock required).
+            if os.path.exists(os.path.join(path, LOCK_FILE)):
+                raise StoreLockedError(
+                    f"Database '{name}' is locked; unlock it first")
             shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
         meta_path = os.path.join(path, META_FILE)
         if os.path.exists(meta_path) and not overwrite:
             raise StoreError(f"Database already exists: {name}")
         store = VectorStore(path=path, name=name, dim=dim,
-                            collection=collection_name(name), count=0)
+                            collection=collection_name(name), count=0,
+                            data_version=time.time_ns())
         store._acquire_lock()
         store._write_meta()
         # touch data files
@@ -124,7 +163,8 @@ class VectorStore:
         # legacy-name fallback (reference core_system.py:107)
         coll = meta.get("collection", collection_name(name))
         store = VectorStore(path=path, name=name, dim=int(meta["dim"]),
-                            collection=coll, count=int(meta["count"]))
+                            collection=coll, count=int(meta["count"]),
+                            data_version=int(meta.get("data_version", 0)))
         vec_path = os.path.join(path, VEC_FILE)
         actual_rows = os.path.getsize(vec_path) // (4 * store.dim) if os.path.exists(vec_path) else 0
         if actual_rows < store.count:
@@ -137,6 +177,26 @@ class VectorStore:
         if writable:
             store._acquire_lock()
         return store
+
+    def refresh(self) -> None:
+        """Re-sync a read-only handle with the on-disk meta (count and
+        data_version), so external mutations (a build in another process)
+        become visible without reopening. No-op for writable handles —
+        the writer's in-memory state is authoritative."""
+        if self._locked:
+            return
+        meta_path = os.path.join(self.path, META_FILE)
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return
+        count = int(meta.get("count", self.count))
+        version = int(meta.get("data_version", self.data_version))
+        if count != self.count or version != self.data_version:
+            self.count = count
+            self.data_version = version
+            self._offsets_cache = None
 
     def _acquire_lock(self) -> None:
         lock = os.path.join(self.path, LOCK_FILE)
@@ -174,6 +234,7 @@ class VectorStore:
         with open(tmp, "w") as f:
             json.dump({"name": self.name, "collection": self.collection,
                        "dim": self.dim, "count": self.count,
+                       "data_version": self.data_version,
                        "dtype": "float32", "version": 1}, f, indent=2)
         os.replace(tmp, os.path.join(self.path, META_FILE))
 
@@ -193,6 +254,7 @@ class VectorStore:
         for p in payloads:
             self._pay_f.write((json.dumps(p, separators=(",", ":")) + "\n").encode())
         self.count += vectors.shape[0]
+        self.data_version += 1
 
     def flush(self) -> None:
         if self._vec_f is not None:
@@ -267,6 +329,7 @@ class VectorStore:
         with open(pay_path, "wb") as f:
             f.writelines(lines[:count])
         self.count = count
+        self.data_version += 1
         self._offsets_cache = None
         self._write_meta()
 

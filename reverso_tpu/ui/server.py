@@ -18,6 +18,7 @@ import io
 import json
 import threading
 import uuid
+from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Optional
 from urllib.parse import urlparse
@@ -36,11 +37,35 @@ class BuildJob:
         self.thread: Optional[threading.Thread] = None
 
 
+class EngineBusyError(RuntimeError):
+    """Engine is occupied by a long-running build (HTTP 409)."""
+
+
 class UIState:
     def __init__(self, engine):
         self.engine = engine
         self.lock = threading.Lock()       # serializes engine access
         self.build: Optional[BuildJob] = None
+
+    def build_running(self) -> bool:
+        job = self.build
+        return job is not None and not job.done
+
+    @contextmanager
+    def engine_guard(self):
+        """Short-lived engine serialization for request handlers.
+
+        The build worker holds `lock` for the whole (possibly minutes-
+        long) build; request handlers must not block behind it — they
+        fail fast with 409 'build in progress' instead, keeping the UI
+        responsive (round-1 advisor finding: every endpoint used to hang
+        for the duration of a build)."""
+        if self.build_running() or not self.lock.acquire(timeout=5):
+            raise EngineBusyError("build in progress")
+        try:
+            yield
+        finally:
+            self.lock.release()
 
 
 def _img_to_b64(pil_img) -> Optional[str]:
@@ -86,9 +111,11 @@ def make_handler(state: UIState):
             if path in ("/", "/index.html"):
                 self._send(200, INDEX_HTML.encode(), "text/html; charset=utf-8")
             elif path == "/api/databases":
-                with state.lock:
-                    self._json({"databases": engine.list_databases(),
-                                "current": engine.current_database})
+                # lock-free: pure directory listing + attribute read, and
+                # the SPA fetches this on load — it must answer even while
+                # a build holds the engine lock for minutes.
+                self._json({"databases": engine.list_databases(),
+                            "current": engine.current_database})
             elif path == "/api/build/status":
                 job = state.build
                 if job is None:
@@ -133,6 +160,8 @@ def make_handler(state: UIState):
                     self._json({"error": "not found"}, 404)
                     return
                 handler(body)
+            except EngineBusyError as e:
+                self._json({"error": str(e)}, 409)
             except Exception as e:
                 log.exception("request failed")
                 self._json({"error": f"{type(e).__name__}: {e}"}, 500)
@@ -174,21 +203,21 @@ def make_handler(state: UIState):
 
         # -- db management ----------------------------------------------
         def _db_load(self, body: dict) -> None:
-            with state.lock:
+            with state.engine_guard():
                 self._json({"message": engine.load_database(body.get("name", ""))})
 
         def _db_delete(self, body: dict) -> None:
-            with state.lock:
+            with state.engine_guard():
                 self._json({"message": engine.delete_database(body.get("name", ""))})
 
         def _db_unlock(self, body: dict) -> None:
-            with state.lock:
+            with state.engine_guard():
                 self._json({"message": engine.unlock_database(body.get("name", ""))})
 
         # -- query -------------------------------------------------------
         def _detect(self, body: dict) -> None:
             img = _b64_to_pil(body["image"])
-            with state.lock:
+            with state.engine_guard():
                 if body.get("direct_pe", False):
                     _, metas = engine.process_image_direct_pe(img)
                     regions = []
@@ -209,13 +238,13 @@ def make_handler(state: UIState):
             (reference ui.py:216-232 update_region_visualization_ui)."""
             img = _b64_to_pil(body["image"])
             sel = body.get("region_index")
-            with state.lock:
+            with state.engine_guard():
                 viz = engine.visualize_detections(
                     img, None if sel is None else int(sel))
             self._json({"visualization": _img_to_b64(viz)})
 
         def _search(self, body: dict) -> None:
-            with state.lock:
+            with state.engine_guard():
                 text, items = engine.search_similar(
                     body.get("threshold"), body.get("max_results"),
                     query_index=int(body.get("region_index", 0)))
@@ -229,7 +258,7 @@ def make_handler(state: UIState):
             })
 
         def _search_text(self, body: dict) -> None:
-            with state.lock:
+            with state.engine_guard():
                 text, items = engine.search_by_text(
                     body.get("text", ""), body.get("threshold"),
                     body.get("max_results"))
@@ -377,6 +406,8 @@ img.viz{max-width:100%;border-radius:6px;margin-top:12px}
 <h3>…or search by description</h3>
 <label>📝 Text query (needs the CLIP/PE text tower configured)</label>
 <input type="text" id="s-text" placeholder="a red car at night">
+<div><label>🎚️ Text Threshold (text-image scores peak ~0.2-0.35)</label>
+<input type="text" id="s-text-thresh" value=""></div>
 <button class="primary" onclick="searchByText()">🔤 Search by Text</button>
 <pre id="s-summary">No search yet.</pre>
 <div class="grid" id="s-results"></div>
@@ -470,7 +501,8 @@ async function searchDb(){
 async function searchByText(){
   const txt=$('s-text').value;
   if(!txt){alert('enter a description');return;}
-  const r=await api('/api/query/search_text',{text:txt,threshold:+$('s-thresh').value,max_results:+$('s-max').value});
+  const tt=$('s-text-thresh').value.trim();
+  const r=await api('/api/query/search_text',{text:txt,threshold:tt?+tt:null,max_results:+$('s-max').value});
   if(r.error){$('s-summary').textContent=r.error;return;}
   $('s-summary').textContent=r.summary;
   const g=$('s-results');g.innerHTML='';

@@ -50,6 +50,38 @@ def test_bf16_conversion(rng):
     np.testing.assert_array_equal(bits, ref)
 
 
+def test_bf16_nan_stays_nan():
+    """NaNs with small mantissa payloads must not round into +/-Inf
+    (round-1 advisor: the rounding carry overflowed the mantissa)."""
+    special = np.array([0x7F800001, 0xFF800001,   # smallest-payload NaNs
+                        0x7FC00000, 0xFFC00000,   # canonical quiet NaNs
+                        0x7F800000, 0xFF800000],  # true infinities
+                       dtype=np.uint32).view(np.float32)
+    for convert in (f32_to_bf16_bits,
+                    lambda a: __import__(
+                        "reverso_tpu.native", fromlist=["f32_to_bf16_bits"]
+                    ).f32_to_bf16_bits(a)):
+        bits = convert(special).astype(np.uint16)
+        exp = (bits >> 7) & 0xFF
+        mant = bits & 0x7F
+        assert np.all(exp == 0xFF)
+        np.testing.assert_array_equal(mant != 0,
+                                      [True, True, True, True, False, False])
+
+
+def test_bf16_nan_numpy_fallback(monkeypatch):
+    """Same NaN rule for the pure-numpy path used when the C++ lib is
+    absent."""
+    import reverso_tpu.native as rn
+    monkeypatch.setattr(rn, "_load", lambda: None)
+    special = np.array([0x7F800001, 0x7F800000, 0x3F800000],
+                       dtype=np.uint32).view(np.float32)
+    bits = rn.f32_to_bf16_bits(special)
+    assert (bits[0] >> 7) & 0xFF == 0xFF and bits[0] & 0x7F != 0  # NaN
+    assert bits[1] == 0x7F80                                      # +Inf
+    assert bits[2] == 0x3F80                                      # 1.0
+
+
 def test_cpu_topk_throughput(rng):
     """The C++ scan replaces the reference's numpy-per-query loop; assert
     it is at least as fast as a single-threaded numpy full scan."""
