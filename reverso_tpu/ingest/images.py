@@ -75,36 +75,46 @@ class LoadedBatch:
     pixels: np.ndarray          # [B, size, size, 3] float32
     sizes: list[tuple[int, int]]  # original (width, height) per image
     failed: list[tuple[str, str]]  # (path, error) for unreadable files
+    # original-resolution uint8 RGB arrays, kept only when the consumer
+    # asked for them (region mode: the detector must see the ORIGINAL
+    # image and report bboxes in original pixels, matching the reference
+    # payload semantics — core_system.py:253-266,413-418)
+    originals: Optional[list[np.ndarray]] = None
 
 
 def iter_batches(paths: Sequence[str], size: int, batch_size: int, *,
                  mode: str = "resize_square", workers: int = 8,
-                 prefetch: int = 2) -> Iterator[LoadedBatch]:
+                 prefetch: int = 2,
+                 keep_originals: bool = False) -> Iterator[LoadedBatch]:
     """Yield preprocessed batches, loading ahead in a thread pool so the
     accelerator never waits on image decode."""
 
     def load_one(path: str):
         try:
             im = load_image_rgb(path)
-            return path, preprocess_pil(im, size, mode=mode), im.size, None
+            orig = np.asarray(im, np.uint8) if keep_originals else None
+            return (path, preprocess_pil(im, size, mode=mode), im.size,
+                    orig, None)
         except Exception as e:  # per-file fault tolerance
-            return path, None, None, f"{type(e).__name__}: {e}"
+            return path, None, None, None, f"{type(e).__name__}: {e}"
 
     chunks = [list(paths[i:i + batch_size])
               for i in range(0, len(paths), batch_size)]
 
     def load_chunk(chunk):
-        ok_paths, pixels, sizes, failed = [], [], [], []
-        for path, px, sz, err in ex.map(load_one, chunk):
+        ok_paths, pixels, sizes, originals, failed = [], [], [], [], []
+        for path, px, sz, orig, err in ex.map(load_one, chunk):
             if err is None:
                 ok_paths.append(path)
                 pixels.append(px)
                 sizes.append(sz)
+                originals.append(orig)
             else:
                 failed.append((path, err))
         arr = (np.stack(pixels) if pixels
                else np.zeros((0, size, size, 3), np.float32))
-        return LoadedBatch(ok_paths, arr, sizes, failed)
+        return LoadedBatch(ok_paths, arr, sizes, failed,
+                           originals if keep_originals else None)
 
     with cf.ThreadPoolExecutor(max_workers=workers) as ex:
         pending: list[cf.Future] = []

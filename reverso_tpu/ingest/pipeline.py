@@ -227,7 +227,8 @@ def build_database(
                          folder_path)
 
     try:
-        for batch in iter_batches(todo, size, batch_size):
+        for batch in iter_batches(todo, size, batch_size,
+                                  keep_originals=not use_direct_pe):
             if stop_event.is_set():
                 log("🛑 Stop requested. Saving progress...")
                 checkpoint()
@@ -274,8 +275,12 @@ def build_database(
                     emb = np.asarray(encoder.encode_image(batch.pixels))
                 vecs, metas = [], []
                 with timer.stage("detect", len(batch.paths)):
-                    imgs_u8 = [_denormalize(batch.pixels[j])
-                               for j in range(len(batch.paths))]
+                    # Detect on the ORIGINAL-resolution images: bboxes,
+                    # masks, and area_ratios land in original pixel space
+                    # (reference payload semantics, core_system.py:253-266,
+                    # 413-418) and ingest-time detection agrees with the
+                    # query path (engine.detect_regions).
+                    imgs_u8 = batch.originals
                     if hasattr(detector, "detect_batch"):
                         regions_list = detector.detect_batch(imgs_u8, prompts)
                     else:
@@ -359,10 +364,3 @@ def build_database(
     if stopped:
         transcript += "\n\n⏸️ Processing stopped. You can resume later."
     return BuildResult(transcript, processed, failed, total, stopped)
-
-
-def _denormalize(pixels: np.ndarray) -> np.ndarray:
-    """Normalized float back to uint8 RGB for the detector."""
-    from ..models.pe import IMAGE_MEAN, IMAGE_STD
-    x = pixels * IMAGE_STD + IMAGE_MEAN
-    return np.clip(x * 255.0, 0, 255).astype(np.uint8)

@@ -92,6 +92,38 @@ def test_build_region_mode(engine, tmp_path):
         assert key in payload, key
 
 
+def test_ingest_detects_at_original_resolution(engine, tmp_path):
+    """Ingest-time detection must run on the ORIGINAL image and store
+    bboxes in original pixel space, agreeing exactly with the query path
+    (round-1 verdict #3: it used to detect on the 336-px squashed PE
+    input, putting bboxes in 336-space)."""
+    # non-square, larger than the model input: squashing would show
+    rng = np.random.default_rng(7)
+    os.makedirs(tmp_path / "imgs")
+    arr = rng.integers(0, 256, (120, 200, 3), dtype=np.uint8)   # H=120, W=200
+    path = str(tmp_path / "imgs" / "wide.jpg")
+    Image.fromarray(arr).save(path, quality=95)
+
+    engine.create_database(str(tmp_path / "imgs"), "origres",
+                           text_prompt="person . car")
+    from reverso_tpu.store import VectorStore
+    store = VectorStore.open(engine.db_root, "origres")
+    ingest_payloads = store.payloads()
+    assert ingest_payloads
+
+    engine.detect_regions(path, "person . car")
+    _, query_metas = engine.extract_embeddings(path)
+    assert len(query_metas) == len(ingest_payloads)
+    for qm, ip in zip(query_metas, ingest_payloads):
+        assert ip["bbox"] == qm["bbox"], (ip["bbox"], qm["bbox"])
+        assert ip["area_ratio"] == pytest.approx(qm["area_ratio"])
+    # bboxes genuinely live in original pixel space, not 336-space
+    xs = [c for p in ingest_payloads for c in (p["bbox"][0], p["bbox"][2])]
+    ys = [c for p in ingest_payloads for c in (p["bbox"][1], p["bbox"][3])]
+    assert max(xs) > 120    # stub tiles boxes across the 200-px width
+    assert max(xs) <= 200 and max(ys) <= 120
+
+
 def test_search_without_query(engine):
     text, items = engine.search_similar()
     assert text.startswith("❌ No query embeddings")
