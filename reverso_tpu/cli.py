@@ -38,9 +38,18 @@ def _make_engine(args, *, need_detector: bool = False):
     if args.db_root:
         cfg = dataclasses.replace(
             cfg, store=dataclasses.replace(cfg.store, root_dir=args.db_root))
-    encoder = PerceptionEncoder(cfg.model)
-    text_embedder = None
     import os as _os
+    pe_ckpt = _os.environ.get("REVERSO_PE_CKPT")
+    if pe_ckpt and pe_ckpt.endswith(".msgpack"):
+        # converted real weights (scripts/fetch_weights.py); the sidecar
+        # meta carries the architecture, overriding the preset
+        encoder = PerceptionEncoder.from_checkpoint(pe_ckpt)
+        cfg = dataclasses.replace(cfg, model=encoder.cfg)
+    elif pe_ckpt:
+        encoder = PerceptionEncoder.from_torch(pe_ckpt, cfg.model)
+    else:
+        encoder = PerceptionEncoder(cfg.model)
+    text_embedder = None
     tckpt = _os.environ.get("REVERSO_CLIP_TEXT_CKPT")
     tvocab = _os.environ.get("REVERSO_CLIP_VOCAB")
     tmerges = _os.environ.get("REVERSO_CLIP_MERGES")

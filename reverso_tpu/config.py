@@ -211,6 +211,17 @@ MODEL_PRESETS: Mapping[str, ModelConfig] = {
     "PE-Core-G14-448": ModelConfig(
         name="PE-Core-G14-448", image_size=448, patch_size=14, width=1536,
         depth=50, num_heads=16, mlp_ratio=8960 / 1536, embed_dim=1280),
+    # HF-CLIP fallbacks for scripts/fetch_weights.py (the reference's PE
+    # checkpoints share the ViT-L/14-336 architecture; these presets let
+    # openly-downloadable OpenAI CLIP weights flow through the same stack).
+    "CLIP-L14-336": ModelConfig(
+        name="CLIP-L14-336", image_size=336, patch_size=14, width=1024,
+        depth=24, num_heads=16, embed_dim=768, use_rope=False,
+        pool_type="cls", layer_scale_init=None),
+    "CLIP-B16-224": ModelConfig(
+        name="CLIP-B16-224", image_size=224, patch_size=16, width=768,
+        depth=12, num_heads=12, embed_dim=512, use_rope=False,
+        pool_type="cls", layer_scale_init=None),
     # Tiny config for tests / CI (not a released PE model).
     "test-tiny": ModelConfig(
         name="test-tiny", image_size=32, patch_size=8, width=64,

@@ -130,8 +130,15 @@ class TextEmbedder:
                         merges_path: str, cfg: ClipTextConfig | None = None):
         from ..detect.grounded import load_torch_state_dict
         from ..detect.clipbpe import ClipBPETokenizer
-        cfg = cfg or ClipTextConfig()
-        params = convert_clip_text(load_torch_state_dict(ckpt_path), cfg)
+        if ckpt_path.endswith(".msgpack"):   # converted by fetch_weights.py
+            from .checkpoint import load_meta, load_params
+            meta = load_meta(ckpt_path) or {}
+            cfg = cfg or (ClipTextConfig(**meta["config"])
+                          if "config" in meta else ClipTextConfig())
+            params = load_params(ckpt_path)
+        else:
+            cfg = cfg or ClipTextConfig()
+            params = convert_clip_text(load_torch_state_dict(ckpt_path), cfg)
         tok = ClipBPETokenizer(vocab_path, merges_path,
                                context_length=cfg.context_length)
         return cls(cfg, params, tok)

@@ -98,6 +98,45 @@ class PerceptionEncoder:
     def from_preset(cls, name: str, **kw) -> "PerceptionEncoder":
         return cls(MODEL_PRESETS[name], **kw)
 
+    @classmethod
+    def from_torch(cls, path: str, cfg: ModelConfig, *,
+                   scheme: str = "auto", family: Optional[str] = None,
+                   **kw) -> "PerceptionEncoder":
+        """Convert a torch CLIP/PE vision checkpoint (HF dir, .safetensors
+        or .bin/.pt) and load it — the reference's pretrained=True path
+        (core_system.py:181) without torch at serving time afterwards."""
+        from ..detect.grounded import load_torch_state_dict
+        from .convert import convert_vision_tower
+
+        params = convert_vision_tower(load_torch_state_dict(path), cfg,
+                                      scheme=scheme)
+        if family is None:
+            # PE-Core towers use 2D RoPE + plain gelu; CLIP towers use
+            # abs-pos only + quick_gelu + pre-LN.
+            family = "pe" if cfg.use_rope else "clip"
+        return cls(cfg, family=family, params=params, **kw)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: Optional[ModelConfig] = None,
+                        **kw) -> "PerceptionEncoder":
+        """Load converted params saved by scripts/fetch_weights.py
+        (msgpack + sidecar meta json carrying the architecture)."""
+        from ..config import ModelConfig as _MC
+        from .checkpoint import load_meta, load_params
+
+        meta = load_meta(path) or {}
+        if cfg is None:
+            if "config" in meta:
+                cfg = _MC(**meta["config"])
+            elif meta.get("preset") in MODEL_PRESETS:
+                cfg = MODEL_PRESETS[meta["preset"]]
+            else:
+                raise ValueError(
+                    f"no sidecar meta next to {path}; pass cfg= explicitly")
+        kw.setdefault("family", meta.get(
+            "family", "pe" if cfg.use_rope else "clip"))
+        return cls(cfg, params=load_params(path), **kw)
+
     def encode_image(self, images, *, normalized: bool = True):
         """images: [B, H, W, 3] float (already mean/std preprocessed).
         Returns L2-normalized [B, embed_dim] fp32 embeddings
