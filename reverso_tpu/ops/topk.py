@@ -125,18 +125,23 @@ def _insert_sorted(S, I, m, sel):
 
 
 def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
-                        q_vmem, bufs, s_scr, i_scr, db_sems, q_sem,
+                        q_vmem, bufs, s_scr, i_scr, col_scr, sp_scr,
+                        db_sems, q_sem,
                         *, k: int, kpad: int, db_tile: int, q_tile: int,
-                        n_tiles: int, n_bufs: int):
+                        n_tiles: int, n_bufs: int, group: int):
     # Queries HBM -> VMEM once; they stay resident for the whole scan.
     cq = pltpu.make_async_copy(q_hbm, q_vmem, q_sem)
     cq.start()
     cq.wait()
     s_scr[:] = jnp.full_like(s_scr, -jnp.inf)
     i_scr[:] = jnp.full_like(i_scr, -1)
+    # Column iota over the whole extraction group, generated ONCE: every
+    # extraction event reuses it instead of paying an iota pass per event.
+    col_scr[:] = jax.lax.broadcasted_iota(jnp.int32, col_scr.shape, 1)
 
     qp = q_vmem.shape[0]
     n_qt = qp // q_tile
+    gw = group * db_tile          # extraction width
     n_valid = n_valid_ref[0]
 
     def db_dma(slot, i):
@@ -152,6 +157,7 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
 
     def body(i, _):
         slot = jax.lax.rem(i, n_bufs)
+        g = jax.lax.rem(i, group)
         prefetch = i + n_bufs - 1
 
         @pl.when(prefetch < n_tiles)
@@ -181,55 +187,94 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
 
             s = jax.lax.cond(base + db_tile > n_valid, mask_tail,
                              lambda s: s, s)
-            m0 = jnp.max(s, axis=1, keepdims=True)
+            # Stage this tile's scores into its slice of the group buffer;
+            # extraction runs once per GROUP of tiles (see below).
+            sp_scr[lo:lo + q_tile, pl.ds(g * db_tile, db_tile)] = s
 
-            # Candidate extraction. Each step pulls at most one new top-k
-            # row per query out of this tile (total insert events over a
-            # scan are ~Q*k*ln(n_tiles)). Strict > is exact: an equal
-            # score has a higher row index than the incumbent kth
-            # (candidates arrive in index order), so (-score, idx)
-            # ordering keeps the incumbent. Structure: one predicated
-            # extract (the common case — most gated tiles improve exactly
-            # one candidate per query) + a while_loop fallback for tiles
-            # holding several top-k rows of the same query. Entering the
-            # while less often keeps the DMA pipeline primed (measured
-            # 7.5 -> 6.8 ms at 1M x 1024, PERF.md).
-            kth0 = s_scr[lo:lo + q_tile, k - 1:k]
+        # Candidate extraction, once per group of `group` tiles. Each
+        # event pulls at most one new top-k row per query out of the
+        # group (total insert events over a scan are ~Q*k*ln(n_tiles)).
+        # Strict > is exact: an equal score has a higher row index than
+        # the incumbent kth (candidates arrive in index order), so
+        # (-score, idx) ordering keeps the incumbent.
+        #
+        # Structure (round-2 rework): the dominant k-select cost was NOT
+        # the wide VPU passes but the ~14 small [q_tile, kpad] ops of the
+        # sorted insert paid once per 1024-row tile (measured ~1.5 ms of
+        # the 1.9 ms extraction overhead at 1M x 1024). Grouping tiles
+        # halves/quarters the number of insert calls while keeping the
+        # same total wide-pass bytes. The FAST path inserts each query's
+        # group max with three wide passes (max, min-select over the
+        # resident column iota, candidate-count) and NO knockout/re-max;
+        # `count = #(scores > old kth)` proves whether any query holds a
+        # second candidate in the group, and only then does the knockout
+        # + while_loop fallback run (count <= 1 for ~99% of events).
+        @pl.when(g == group - 1)
+        def _():
+            gbase = (i - (group - 1)) * db_tile
 
-            def one_extract(s_cur, m):
-                imp = m > s_scr[lo:lo + q_tile, k - 1:k]
-                col = jax.lax.broadcasted_iota(
-                    jnp.int32, (q_tile, db_tile), 1) + base
-                # lowest column achieving the max (exact tie-break)
-                sel = jnp.min(jnp.where(s_cur == m, col, _INT_MAX),
-                              axis=1, keepdims=True)
-                cand_m = jnp.where(imp, m, -jnp.inf)
-                new_S, new_I = _insert_sorted(
-                    s_scr[lo:lo + q_tile, :], i_scr[lo:lo + q_tile, :],
-                    cand_m, sel)
-                s_scr[lo:lo + q_tile, :] = new_S
-                i_scr[lo:lo + q_tile, :] = new_I
-                s_cur = jnp.where((col == sel) & imp, -jnp.inf, s_cur)
-                return s_cur, jnp.max(s_cur, axis=1, keepdims=True)
+            for qt in range(n_qt):
+                lo = qt * q_tile
+                sp = sp_scr[lo:lo + q_tile, :]
+                m0 = jnp.max(sp, axis=1, keepdims=True)
+                kth0 = s_scr[lo:lo + q_tile, k - 1:k]
 
-            @pl.when(jnp.any(m0 > kth0))
-            def _():
-                s1, m1 = one_extract(s, m0)
-
-                def cond(carry):
-                    _, m, kth = carry
-                    return jnp.any(m > kth)
-
-                def extract(carry):
-                    s_cur, m, _ = carry
-                    s_cur, m = one_extract(s_cur, m)
-                    return s_cur, m, s_scr[lo:lo + q_tile, k - 1:k]
-
-                @pl.when(jnp.any(m1 > s_scr[lo:lo + q_tile, k - 1:k]))
+                @pl.when(jnp.any(m0 > kth0))
                 def _():
-                    jax.lax.while_loop(
-                        cond, extract,
-                        (s1, m1, s_scr[lo:lo + q_tile, k - 1:k]))
+                    imp = m0 > kth0
+                    # the compare stays inlined in the reduction (a
+                    # materialized eq mask costs a full write pass)
+                    sel = jnp.min(jnp.where(sp == m0, col_scr[:], _INT_MAX),
+                                  axis=1, keepdims=True)
+                    cand_m = jnp.where(imp, m0, -jnp.inf)
+                    new_S, new_I = _insert_sorted(
+                        s_scr[lo:lo + q_tile, :], i_scr[lo:lo + q_tile, :],
+                        cand_m, sel + gbase)
+                    s_scr[lo:lo + q_tile, :] = new_S
+                    i_scr[lo:lo + q_tile, :] = new_I
+                    count = jnp.sum((sp > kth0).astype(jnp.int32), axis=1,
+                                    keepdims=True)
+
+                    @pl.when(jnp.any(count > 1))
+                    def _():
+                        # Knock out every inserted max, then drain the
+                        # rest. The group scratch is clobbered in place
+                        # (it is consumed after extraction) so the while
+                        # carry stays [q_tile, 1] — carrying the scores
+                        # blows the VMEM stack at group width.
+                        sp_scr[lo:lo + q_tile, :] = jnp.where(
+                            (sp == m0) & (col_scr[:] == sel) & imp,
+                            -jnp.inf, sp)
+                        m1 = jnp.max(sp_scr[lo:lo + q_tile, :], axis=1,
+                                     keepdims=True)
+
+                        def cond(carry):
+                            m, kth = carry
+                            return jnp.any(m > kth)
+
+                        def extract(carry):
+                            m, _ = carry
+                            s_cur = sp_scr[lo:lo + q_tile, :]
+                            imp = m > s_scr[lo:lo + q_tile, k - 1:k]
+                            sel = jnp.min(
+                                jnp.where(s_cur == m, col_scr[:], _INT_MAX),
+                                axis=1, keepdims=True)
+                            cand_m = jnp.where(imp, m, -jnp.inf)
+                            new_S, new_I = _insert_sorted(
+                                s_scr[lo:lo + q_tile, :],
+                                i_scr[lo:lo + q_tile, :],
+                                cand_m, sel + gbase)
+                            s_scr[lo:lo + q_tile, :] = new_S
+                            i_scr[lo:lo + q_tile, :] = new_I
+                            s_next = jnp.where(
+                                (col_scr[:] == sel) & imp, -jnp.inf, s_cur)
+                            sp_scr[lo:lo + q_tile, :] = s_next
+                            return (jnp.max(s_next, axis=1, keepdims=True),
+                                    s_scr[lo:lo + q_tile, k - 1:k])
+
+                        jax.lax.while_loop(
+                            cond, extract,
+                            (m1, s_scr[lo:lo + q_tile, k - 1:k]))
         return 0
 
     jax.lax.fori_loop(0, n_tiles, body, 0)
@@ -243,16 +288,18 @@ _Q_RESIDENT = 1024
 
 
 @functools.partial(jax.jit, static_argnames=("k", "kpad", "q_tile", "db_tile",
-                                             "interpret", "q_out", "n_bufs"))
+                                             "interpret", "q_out", "n_bufs",
+                                             "group"))
 def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
                      k: int, kpad: int, q_tile: int, db_tile: int,
-                     interpret: bool, q_out: int, n_bufs: int):
+                     interpret: bool, q_out: int, n_bufs: int,
+                     group: int = 2):
     """Jit-cached core of cosine_topk_pallas (tracing a pallas_call per call
     would dominate runtime otherwise)."""
     n, d = db.shape
     q = queries.shape[0]
     d_p = _round_up(d, 128)
-    n_p = _round_up(n, db_tile)
+    n_p = _round_up(n, group * db_tile)   # whole extraction groups
     q_p = _round_up(q, q_tile)
 
     # NOTE: padding copies the whole database inside jit. Callers on the hot
@@ -264,7 +311,7 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
 
     kernel = functools.partial(
         _topk_stream_kernel, k=k, kpad=kpad, db_tile=db_tile, q_tile=q_tile,
-        n_tiles=n_tiles, n_bufs=n_bufs)
+        n_tiles=n_tiles, n_bufs=n_bufs, group=group)
 
     scores, idx = pl.pallas_call(
         kernel,
@@ -286,6 +333,8 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
             pltpu.VMEM((n_bufs, db_tile, d_p), db_p.dtype),
             pltpu.VMEM((q_p, kpad), jnp.float32),
             pltpu.VMEM((q_p, kpad), jnp.int32),
+            pltpu.VMEM((q_tile, group * db_tile), jnp.int32),  # col iota
+            pltpu.VMEM((q_p, group * db_tile), jnp.float32),    # group scores
             pltpu.SemaphoreType.DMA((n_bufs,)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -333,7 +382,14 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     itemsize = jnp.dtype(db.dtype).itemsize
     d_p = _round_up(d, 128)
     q_res = min(_round_up(q, q_tile), _Q_RESIDENT)
-    fixed = q_res * d_p * itemsize + q_res * kpad * 8 + q_tile * db_tile * 8
+    # Extraction groups: the sorted-insert call (NOT the wide passes) is
+    # the dominant k-select cost; grouping `group` DMA tiles per
+    # extraction halves the number of insert calls. 12 bytes per
+    # (q_tile, group*db_tile) element: fp32 group-score scratch + int32
+    # column iota + extraction temporaries.
+    group = 2
+    fixed = (q_res * d_p * itemsize + q_res * kpad * 8
+             + q_tile * group * db_tile * 12)
     n_bufs = 4 if itemsize <= 2 else 2
     while n_bufs > 2 and fixed + n_bufs * db_tile * d_p * itemsize > 11 * 2**20:
         n_bufs -= 1
@@ -341,13 +397,15 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     if q <= _Q_RESIDENT:
         return _topk_pallas_jit(db, queries, n_valid, k=k, kpad=kpad,
                                 q_tile=q_tile, db_tile=db_tile,
-                                interpret=interpret, q_out=q, n_bufs=n_bufs)
+                                interpret=interpret, q_out=q, n_bufs=n_bufs,
+                                group=group)
     # Chunk large query batches; each chunk streams the database once.
     outs = [
         _topk_pallas_jit(db, queries[lo:lo + _Q_RESIDENT], n_valid,
                          k=k, kpad=kpad, q_tile=q_tile, db_tile=db_tile,
                          interpret=interpret,
-                         q_out=min(_Q_RESIDENT, q - lo), n_bufs=n_bufs)
+                         q_out=min(_Q_RESIDENT, q - lo), n_bufs=n_bufs,
+                         group=group)
         for lo in range(0, q, _Q_RESIDENT)
     ]
     return (jnp.concatenate([s for s, _ in outs], axis=0),
