@@ -6,12 +6,47 @@ and normalized on-device (the host<->device tunnel in this environment is
 slow and irrelevant to steady-state serving). Query batch 256, bf16
 storage, fp32 accumulation, Pallas streaming kernel.
 
-Prints exactly one JSON line.
+Prints exactly one JSON line. `python bench.py --embed` instead prints
+the PE-Core-L14-336 embedding-throughput line (BASELINE.md ">= 50x the
+CPU baseline" target; the reference CPU path runs ~1-3 img/s).
 """
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def embed_main() -> None:
+    """PE-Core-L14-336 bf16 image embedding throughput, batch 32."""
+    import jax
+    import jax.numpy as jnp
+    from reverso_tpu.cli import _enable_compile_cache
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    _enable_compile_cache()
+    B = 32
+    pe = PerceptionEncoder.from_preset("PE-Core-L14-336")
+    images = jax.random.normal(
+        jax.random.PRNGKey(0), (B, 336, 336, 3), jnp.float32)
+
+    def run():
+        return pe._fwd(pe.params, images)
+
+    np.asarray(run())[:1]
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = run()
+    np.asarray(r[:1, :8])      # small transfer forces sync (axon tunnel)
+    dt = (time.perf_counter() - t0) / iters
+    ips = B / dt
+    print(json.dumps({
+        "metric": "pe_l14_336_embed_img_per_s",
+        "value": round(ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(ips / 2.0, 1),   # reference CPU ~1-3 img/s
+    }))
 
 
 def main() -> None:
@@ -56,4 +91,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--embed" in sys.argv:
+        embed_main()
+    else:
+        main()

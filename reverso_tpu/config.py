@@ -85,6 +85,10 @@ class ModelConfig:
     layer_scale_init: float | None = 0.1
     dtype: str = "bfloat16"        # activation dtype on TPU
     param_dtype: str = "float32"
+    # LayerNorm compute dtype. fp32 is the parity-exact default; bf16
+    # (stats still accumulate fp32 inside the VPU reduce) trades ~1e-3
+    # embedding drift for throughput on bf16 towers.
+    norm_dtype: str = "float32"
 
     @property
     def grid_size(self) -> int:

@@ -141,7 +141,8 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, kv_valid: Optional[int] = None):
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5,
+                                       dtype=jnp.dtype(cfg.norm_dtype),
                                        param_dtype=jnp.float32, name=name)
         y = ln("ln1")(x).astype(x.dtype)
         y = MHA(cfg, use_flash=self.use_flash, name="attn")(y, kv_valid)

@@ -266,18 +266,28 @@ def attention(q, k, v, *, kv_valid: Optional[int] = None,
 
 def _flash_heads_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
                         heads: int, head_dim: int, scale: float,
-                        kv_valid: int, use_rope: bool):
+                        kv_valid: int, s_real: int, use_rope: bool):
+    # Per-[S,S] VPU passes are the cost here (the matmuls are cheap at
+    # ViT sizes), so everything avoidable is folded off that matrix:
+    #   * the softmax scale multiplies q (or its RoPE tables) pre-matmul
+    #     — [S, hd] work instead of an [S, S] pass;
+    #   * the kernel's own seq padding is NOT masked: padded K/V rows are
+    #     exactly zero, so they contribute s=0 -> exp(-m) to the softmax
+    #     denominator and 0 to o; one scalar-column correction on l
+    #     replaces the iota+where passes. A caller-provided kv_valid <
+    #     s_real still takes the exact masking path (pre-padded inputs
+    #     may carry nonzero rows, e.g. LN bias over pad tokens).
     s_len = q_ref.shape[1]
-    for h in range(heads):
-        lo = h * head_dim
-        q = q_ref[0, :, lo:lo + head_dim]
-        k = k_ref[0, :, lo:lo + head_dim]
-        v = v_ref[0, :, lo:lo + head_dim]
+    n_zero_pad = s_len - s_real
+    lanes = 128
+    hp = max(1, lanes // head_dim)      # heads per 128-lane group
+
+    def one_head(q, k, v):
         if use_rope:
             cos = cos_ref[...]
             sin = sin_ref[...]
 
-            def rot(x):
+            def rot(x, scl):
                 x32 = x.astype(jnp.float32)
                 qh = head_dim // 4
                 a = x32[:, :qh]
@@ -285,25 +295,64 @@ def _flash_heads_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
                 c = x32[:, 2 * qh:3 * qh]
                 e = x32[:, 3 * qh:]
                 half = jnp.concatenate([-b, a, -e, c], axis=-1)
-                return (x32 * cos + half * sin).astype(x.dtype)
+                return ((x32 * cos + half * sin) * scl).astype(x.dtype)
 
-            q = rot(q)
-            k = rot(k)
+            q = rot(q, scale)
+            k = rot(k, 1.0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q.dtype)) * scale
-        if kv_valid < s_len:
+            precision=_dot_precision(q.dtype))
+        if not use_rope:
+            s = s * scale
+        if kv_valid < s_real:
             kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(kpos < kv_valid, s, -jnp.inf)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
+        if kv_valid >= s_real and n_zero_pad > 0:
+            l = l - n_zero_pad * jnp.exp(-m)
         o = jax.lax.dot_general(
             p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_dot_precision(q.dtype))
-        o_ref[0, :, lo:lo + head_dim] = (o / l).astype(o_ref.dtype)
+        return (o / l).astype(o_ref.dtype)
+
+    # Head scheduling: a fully unrolled python loop lets Mosaic
+    # interleave ALL heads' [S, S] fp32 score temporaries and blow the
+    # VMEM stack at ViT-L sizes (28 MB for the no-RoPE tower), while a
+    # strict per-head fori_loop serializes the MXU/VPU overlap away
+    # (276 -> 61 img/s measured). Chunks of 4 heads — fori across
+    # chunks (bounds liveness), unrolled within (keeps the overlap).
+    # RoPE's per-head dependency chains keep the stack bounded at 8;
+    # the no-RoPE tower needs 4 (8 OOMs the VMEM stack at ViT-L).
+    max_chunk = 8 if use_rope else 4
+    chunk_h = next((c for c in (max_chunk, 4, 2) if heads % c == 0), hp)
+    chunk = chunk_h * head_dim
+    if chunk % lanes == 0 and heads % chunk_h == 0:
+        def group(j, _):
+            lo = pl.multiple_of(j * chunk, lanes)
+            qg = q_ref[0, :, pl.ds(lo, chunk)]
+            kg = k_ref[0, :, pl.ds(lo, chunk)]
+            vg = v_ref[0, :, pl.ds(lo, chunk)]
+            outs = [one_head(qg[:, hh * head_dim:(hh + 1) * head_dim],
+                             kg[:, hh * head_dim:(hh + 1) * head_dim],
+                             vg[:, hh * head_dim:(hh + 1) * head_dim])
+                    for hh in range(chunk_h)]
+            o_ref[0, :, pl.ds(lo, chunk)] = (
+                outs[0] if chunk_h == 1 else jnp.concatenate(outs, axis=1))
+            return 0
+
+        jax.lax.fori_loop(0, heads // chunk_h, group, 0)
+    else:
+        # odd head layout: static per-head slices (small models only)
+        for h in range(heads):
+            lo = h * head_dim
+            o_ref[0, :, lo:lo + head_dim] = one_head(
+                q_ref[0, :, lo:lo + head_dim],
+                k_ref[0, :, lo:lo + head_dim],
+                v_ref[0, :, lo:lo + head_dim])
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "kv_valid",
@@ -321,7 +370,7 @@ def _flash_heads_jit(q, k, v, cos, sin, *, heads: int, scale: float,
 
     kernel = functools.partial(
         _flash_heads_kernel, heads=heads, head_dim=hd, scale=scale,
-        kv_valid=min(kv_valid, s), use_rope=use_rope)
+        kv_valid=min(kv_valid, s), s_real=s, use_rope=use_rope)
     out = pl.pallas_call(
         kernel,
         grid=(b,),
