@@ -161,7 +161,8 @@ class Reverso:
                 from .store import IVFIndex
                 ivf = IVFIndex(vectors,
                                n_clusters=min(scfg.ivf_clusters, count),
-                               dtype=self.config.store.dtype)
+                               dtype=self.config.store.dtype,
+                               mesh=self.mesh)
                 self._index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe)
             else:
                 self._index = DeviceIndex(

@@ -14,11 +14,14 @@ vectors on a multi-host slice) needs sublinear scan cost. Design:
   * exact within probed clusters: recall loss comes only from probe
     misses, so nprobe == n_clusters reproduces the exact scan.
 
-Multi-host scale-out (documented design, exercised on the virtual mesh):
-row-shard the cluster-sorted matrix per host over ICI exactly like the
-flat index, each shard returns its local IVF top-k, and the shard
-candidates tree-merge over DCN with the same (score, global-id) merge
-used by `sharded_cosine_topk`.
+Multi-host scale-out (BASELINE.md config #5, exercised on the virtual
+mesh by tests/test_ivf.py): pass `mesh=` — the cluster-sorted matrix is
+row-sharded over the mesh axis with per-shard cluster-intersection
+tables (each cluster's contiguous range clipped to the shard's rows),
+every shard runs the same probe scan on its intersections and returns a
+local top-k, and shard candidates merge with one all_gather + a
+(-score, probe-position) lexsort, reproducing the single-device IVF
+ordering exactly (the same merge family as `sharded_cosine_topk`).
 """
 from __future__ import annotations
 
@@ -66,7 +69,8 @@ class IVFIndex:
 
     def __init__(self, vectors: np.ndarray, *, n_clusters: int = 256,
                  train_iters: int = 10, train_sample: int = 131072,
-                 dtype: str = "bfloat16", seed: int = 0):
+                 dtype: str = "bfloat16", seed: int = 0,
+                 mesh=None, axis: str = "data"):
         n, d = vectors.shape
         if n == 0:
             raise ValueError("empty index")
@@ -112,7 +116,54 @@ class IVFIndex:
         # dynamic slices near the end never clamp into valid data
         sorted_m = np.zeros((n + cmax_pad, d), np.float32)
         sorted_m[:n] = vec32[order]
-        self.matrix = jnp.asarray(sorted_m, self._dtype)
+        self.mesh = mesh
+        self.axis = axis
+        if mesh is None:
+            self.matrix = jnp.asarray(sorted_m, self._dtype)
+        else:
+            self._build_shards(sorted_m[:n], offsets, counts, mesh, axis)
+
+    def _build_shards(self, sorted_m: np.ndarray, offsets, counts,
+                      mesh, axis: str) -> None:
+        """Row-shard the cluster-sorted matrix + per-shard cluster tables.
+
+        Shard p owns global sorted rows [p*local_n, (p+1)*local_n); each
+        cluster's contiguous range is clipped to that window, so a probe
+        on shard p scans exactly the probed cluster's rows that live
+        there (clusters spanning a boundary are scanned partly by each
+        neighbor — the merge reassembles them exactly).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        offsets = np.asarray(offsets)
+        counts = np.asarray(counts)
+        n, d = self.n, self.dim
+        n_shards = mesh.shape[axis]
+        local_n = -(-n // n_shards)          # ceil
+        pad = self._cmax_pad
+        mats = np.zeros((n_shards, local_n + pad, d), np.float32)
+        loc_off = np.zeros((n_shards, self.n_clusters), np.int32)
+        loc_cnt = np.zeros((n_shards, self.n_clusters), np.int32)
+        ends = offsets + counts
+        for p in range(n_shards):
+            r0 = p * local_n
+            r1 = max(r0, min((p + 1) * local_n, n))  # trailing shards may own 0 rows
+            if r1 > r0:
+                mats[p, :r1 - r0] = sorted_m[r0:r1]
+            lo = np.clip(offsets, r0, r1)
+            hi = np.clip(ends, r0, r1)
+            loc_off[p] = lo - r0
+            loc_cnt[p] = hi - lo
+        spec = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        self.shard_mats = jax.device_put(
+            jnp.asarray(mats, self._dtype), spec)
+        self.shard_off = jax.device_put(jnp.asarray(loc_off), spec)
+        self.shard_cnt = jax.device_put(jnp.asarray(loc_cnt), spec)
+        self.centroids = jax.device_put(self.centroids, rep)
+        self.offsets = jax.device_put(self.offsets, rep)
+        self.row_ids = jax.device_put(self.row_ids, rep)
+        self._local_n = local_n
 
     def search(self, queries, k: int, *, nprobe: int = 8):
         """Returns (scores [Q, k] f32, original row ids [Q, k] int32)."""
@@ -120,6 +171,14 @@ class IVFIndex:
         q = jnp.asarray(queries, self._dtype)
         if q.ndim == 1:
             q = q[None]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            q = jax.device_put(q, NamedSharding(self.mesh, P()))
+            return _ivf_search_sharded(
+                self.shard_mats, self.shard_off, self.shard_cnt,
+                self.centroids, self.offsets, self.row_ids, q,
+                k=k, nprobe=nprobe, cmax=self._cmax_pad, n=self.n,
+                local_n=self._local_n, mesh=self.mesh, axis=self.axis)
         return _ivf_search(self.matrix, self.centroids, self.offsets,
                            self.counts, self.row_ids, q, k=k, nprobe=nprobe,
                            cmax=self._cmax_pad, n=self.n)
@@ -168,6 +227,97 @@ def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries, *,
     row_ids_pad = jnp.concatenate([row_ids, jnp.full((1,), -1, jnp.int32)])
     top_ids = row_ids_pad[jnp.clip(top_sorted_idx, 0, n)]
     top_ids = jnp.where(jnp.isneginf(top_s), -1, top_ids)
+    if k_eff < k:
+        pad = k - k_eff
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
+    return top_s, top_ids
+
+
+def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
+                        g_offsets, row_ids, queries, *, k: int, nprobe: int,
+                        cmax: int, n: int, local_n: int, mesh, axis: str):
+    """Row-sharded IVF probe scan + exact (score, probe-position) merge.
+
+    Every shard probes the SAME nprobe clusters per query (the centroid
+    scoring is replicated), scans only the probed rows it owns, and
+    emits its local top-k with a composite tie key
+    `probe_rank * (n+1) + within_cluster_offset` — exactly the position
+    order the single-device `_ivf_search` resolves ties by, so the
+    all_gather lexsort merge reproduces it bit-for-bit.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    k_eff = min(k, nprobe * cmax)
+    stride = n + 1
+
+    def local(mats, soff, scnt, cent, g_off, rids, qs):
+        mat, soff, scnt = mats[0], soff[0], scnt[0]
+        qn = qs.shape[0]
+        r0 = jax.lax.axis_index(axis) * local_n
+        cs = jax.lax.dot_general(
+            qs, cent, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(qs.dtype))
+        _, top_c = jax.lax.top_k(cs, nprobe)                  # [Q, nprobe]
+        base = soff[top_c]
+        cnt = scnt[top_c]
+        goff = g_off[top_c]
+
+        def probe(p, carry):
+            s_all, pos_all, comp_all = carry
+
+            def one_query(qvec, b, c, go):
+                rows = jax.lax.dynamic_slice_in_dim(mat, b, cmax, axis=0)
+                s = rows @ qvec.astype(rows.dtype)
+                within = jnp.arange(cmax)
+                valid = within < c
+                s = jnp.where(valid, s.astype(jnp.float32), -jnp.inf)
+                gpos = jnp.where(valid, r0 + b + within, n)
+                comp = jnp.where(valid, p * stride + (r0 + b + within - go),
+                                 2**31 - 1)
+                return s, gpos, comp
+
+            s_p, g_p, c_p = jax.vmap(one_query)(
+                qs, base[:, p], cnt[:, p], goff[:, p])
+            upd = lambda a, v: jax.lax.dynamic_update_slice_in_dim(
+                a, v, p * cmax, axis=1)
+            return upd(s_all, s_p), upd(pos_all, g_p), upd(comp_all, c_p)
+
+        s_all = jnp.full((qn, nprobe * cmax), -jnp.inf, jnp.float32)
+        pos_all = jnp.full((qn, nprobe * cmax), n, jnp.int32)
+        comp_all = jnp.full((qn, nprobe * cmax), 2**31 - 1, jnp.int32)
+        s_all, pos_all, comp_all = jax.lax.fori_loop(
+            0, nprobe, probe, (s_all, pos_all, comp_all))
+
+        # local top-k (stable: position order == composite order here)
+        top_s, sel = jax.lax.top_k(s_all, k_eff)
+        top_g = jnp.take_along_axis(pos_all, sel, axis=1)
+        top_c_ = jnp.take_along_axis(comp_all, sel, axis=1)
+
+        def merge(x):  # [P, Q, k_eff] -> [Q, P*k_eff]
+            return jnp.transpose(x, (1, 0, 2)).reshape(qn, -1)
+
+        all_s = merge(jax.lax.all_gather(top_s, axis))
+        all_g = merge(jax.lax.all_gather(top_g, axis))
+        all_c = merge(jax.lax.all_gather(top_c_, axis))
+        order = jnp.lexsort((all_c, -all_s), axis=1)[:, :k_eff]
+        out_s = jnp.take_along_axis(all_s, order, axis=1)
+        out_g = jnp.take_along_axis(all_g, order, axis=1)
+        rids_pad = jnp.concatenate([rids, jnp.full((1,), -1, jnp.int32)])
+        out_i = rids_pad[jnp.clip(out_g, 0, n)]
+        out_i = jnp.where(jnp.isneginf(out_s), -1, out_i)
+        return out_s, out_i
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    top_s, top_ids = fn(shard_mats, shard_off, shard_cnt, centroids,
+                        g_offsets, row_ids, queries)
     if k_eff < k:
         pad = k - k_eff
         top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)

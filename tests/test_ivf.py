@@ -82,3 +82,52 @@ def test_engine_ivf_mode(tmp_path):
     text, items = engine.search_similar(similarity_threshold=0.5)
     assert items and items[0]["filename"] == "img_005.jpg", text
     assert isinstance(engine._get_index(), _IVFSearchAdapter)
+
+    # with a mesh, the engine builds the row-SHARDED IVF, same results
+    engine_m = Reverso(cfg, encoder=engine.encoder, use_mesh=True)
+    engine_m.load_database("ivfdb")
+    engine_m.region_embeddings = engine.region_embeddings
+    engine_m.region_metadata_list = engine.region_metadata_list
+    text_m, items_m = engine_m.search_similar(similarity_threshold=0.5)
+    assert engine_m._get_index()._ivf.mesh is not None
+    assert [it["filename"] for it in items_m] == [
+        it["filename"] for it in items]
+
+
+def test_sharded_ivf_matches_single_device(corpus):
+    """8-way virtual-mesh IVF == single-device IVF, exactly (BASELINE
+    config #5's multi-host story, round-1 verdict #6)."""
+    from reverso_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    queries = corpus[rng.choice(len(corpus), 16, replace=False)]
+    single = IVFIndex(corpus, n_clusters=32, dtype="float32", seed=0)
+    sharded = IVFIndex(corpus, n_clusters=32, dtype="float32", seed=0,
+                       mesh=mesh)
+    for nprobe in (4, 8, 32):
+        s1, i1 = jax.device_get(single.search(queries, 10, nprobe=nprobe))
+        s2, i2 = jax.device_get(sharded.search(queries, 10, nprobe=nprobe))
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_sharded_ivf_uneven_rows_and_big_k():
+    """Row count not divisible by the shard count; k larger than any
+    single cluster; 1-row clusters at shard boundaries."""
+    from reverso_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(4)
+    db = random_unit(rng, 8 * 37 + 5, 32)     # 301 rows over 8 shards
+    qs = random_unit(rng, 4, 32)
+    single = IVFIndex(db, n_clusters=12, dtype="float32", seed=1)
+    sharded = IVFIndex(db, n_clusters=12, dtype="float32", seed=1,
+                       mesh=mesh)
+    s1, i1 = jax.device_get(single.search(qs, 40, nprobe=12))
+    s2, i2 = jax.device_get(sharded.search(qs, 40, nprobe=12))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    # full probe on every shard == exact scan
+    _, true_i = numpy_topk64(db, qs, 40)
+    assert recall_at_k(i2, true_i) == 1.0
