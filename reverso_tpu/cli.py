@@ -77,24 +77,28 @@ def _make_engine(args, *, need_detector: bool = False):
 
 
 def cmd_build(args) -> int:
+    from .utils.profiling import trace
     engine = _make_engine(args, need_detector=not args.direct_pe)
-    transcript = engine.create_database(
-        args.folder, args.name, text_prompt=args.prompt,
-        use_direct_pe=args.direct_pe,
-        resume_from_checkpoint=args.resume,
-        include_subfolders=args.subfolders)  # StatusLog already echoes to stderr
+    with trace(args.trace_dir):
+        transcript = engine.create_database(
+            args.folder, args.name, text_prompt=args.prompt,
+            use_direct_pe=args.direct_pe,
+            resume_from_checkpoint=args.resume,
+            include_subfolders=args.subfolders)  # StatusLog echoes to stderr
     print(transcript.splitlines()[-1] if transcript else "")
     return 0 if "ready for searching" in transcript or "complete" in transcript else 1
 
 
 def cmd_search(args) -> int:
+    from .utils.profiling import trace
     engine = _make_engine(args)
     msg = engine.load_database(args.name)
     if msg.startswith("❌"):
         print(msg, file=sys.stderr)
         return 1
-    engine.process_image_direct_pe(args.image)
-    text, items = engine.search_similar(args.threshold, args.top_k)
+    with trace(args.trace_dir):
+        engine.process_image_direct_pe(args.image)
+        text, items = engine.search_similar(args.threshold, args.top_k)
     if args.json:
         print(json.dumps([
             {"filename": it["filename"], "score": it["score"],
@@ -226,6 +230,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", choices=sorted(MODEL_PRESETS), default=None,
                    help="model preset (default PE-Core-L14-336)")
     p.add_argument("--db-root", default=None, help="database root directory")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler trace of the command into "
+                        "this directory (open with TensorBoard/Perfetto)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build a searchable database from a folder")

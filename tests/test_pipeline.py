@@ -262,3 +262,23 @@ def test_cli_train(tmp_path):
                    "--steps", "2", "--batch-size", "4",
                    "--checkpoint", ckpt, "--resume"])
     assert rc == 0
+
+
+def test_cli_trace_dir(tmp_path, monkeypatch):
+    """--trace-dir captures a loadable jax.profiler trace of the command
+    (SURVEY §5.1; round-1 verdict #8)."""
+    import glob
+
+    from reverso_tpu import cli
+
+    make_corpus(tmp_path / "imgs", n=3)
+    trace_dir = str(tmp_path / "trace")
+    rc = cli.main(["--db-root", str(tmp_path / "db"), "--model", "test-tiny",
+                   "--trace-dir", trace_dir,
+                   "build", str(tmp_path / "imgs"), "--name", "t",
+                   "--direct-pe"])
+    assert rc == 0
+    traces = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                       recursive=True) + glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    assert traces, os.listdir(trace_dir)
