@@ -23,6 +23,8 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -66,11 +68,224 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     return top * (1 - wy) + bot * wy
 
 
+def _patch_table(v: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the 2x2 bilinear patch of every position as ONE row.
+
+    v: [N, H, W, D] -> [N, H+2, W+2, 4*D] where row (y, x) holds the
+    corners (y,x), (y,x+1), (y+1,x), (y+1,x+1) of the zero-ringed map
+    (ring: 1 top/left, 2 bottom/right, as in `bilinear_sample`). Costs
+    4x the memory of the level but turns every bilinear sample into a
+    SINGLE aligned row gather (4*32=128 lanes at GroundingDINO head
+    dim) instead of a strided [2,2,D] patch gather -- the TPU gather
+    unit pays per slice, not per byte, so fewer/wider slices win.
+    """
+    vp = jnp.pad(v, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    return jnp.concatenate(
+        [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
+        axis=-1)
+
+
+def _sample_patchrow(table: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                     w: int, h: int) -> jnp.ndarray:
+    """Bilinear sampling from a `_patch_table`.
+
+    table: [N, H+2, W+2, 4D]; x, y: [N, S] pixel coords. Returns [N, S, D].
+    """
+    n, hp, wp, d4 = table.shape
+    d = d4 // 4
+    x = jnp.clip(x, -1.0, float(w))
+    y = jnp.clip(y, -1.0, float(h))
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(table.dtype)[..., None]
+    wy = (y - y0).astype(table.dtype)[..., None]
+    starts = jnp.stack([y0.astype(jnp.int32) + 1,
+                        x0.astype(jnp.int32) + 1], axis=-1)       # [N, S, 2]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,),
+        collapsed_slice_dims=(1, 2),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    rows = jax.lax.gather(table, starts, dn, slice_sizes=(1, 1, 1, d4),
+                          mode="promise_in_bounds")               # [N, S, 4D]
+    p = rows.reshape(n, x.shape[1], 4, d)
+    top = p[:, :, 0] * (1 - wx) + p[:, :, 1] * wx
+    bot = p[:, :, 2] * (1 - wx) + p[:, :, 3] * wx
+    return top * (1 - wy) + bot * wy
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: gather-free deformable attention as hat-matrix matmuls
+# ---------------------------------------------------------------------------
+#
+# TPU v5e has no large-table vector gather (Mosaic's tpu.dynamic_gather
+# is limited to one source vreg along the gather dim), and XLA's gather
+# unit pays ~25-50 ns per sampled patch -- it is the detector's
+# end-to-end bottleneck (PERF.md). This kernel removes gathers entirely:
+# bilinear sampling of point p by query q is a sparse row A[q, :] with 4
+# nonzeros, so the per-(head, query-tile) output is
+#
+#   out[q, c] = sum_n A[n, q] * V[n, c],      A[n=(y,x), q] =
+#       sum_p w_pq * relu(1-|py_pq - y|) * relu(1-|px_pq - x|)
+#
+# The "hat" functions evaluate the exact grid_sample(zeros) bilinear
+# weights (zero outside the map, partial corners at the border), the
+# attention weight w folds into the y-hat, and the P-point sum folds
+# into A. A is built densely on the VPU (a [16, W_pad, Q] outer-product
+# slab per 16-row chunk) and immediately contracted on the MXU against
+# the level's value rows -- dense FLOPs instead of random access, which
+# is the right trade on this hardware (queries x total-positions x
+# channels at GroundingDINO-tiny encoder shapes is ~0.5 GFLOP per
+# query-tile program, a few microseconds of MXU time).
+
+
+def _deform_level_meta(spatial_shapes):
+    """Static per-level geometry: (h, w, h_pad16, w_pad8, lane_offset)."""
+    meta, off = [], 0
+    for hl, wl in spatial_shapes:
+        hp = -(-hl // 16) * 16
+        wp = -(-wl // 8) * 8
+        meta.append((hl, wl, hp, wp, off))
+        off += hp * wp
+    return meta, off
+
+
+def _deform_kernel(meta, q_tile, px_ref, py_ref, w_ref, vt_ref, out_ref):
+    f32 = jnp.float32
+    adt = vt_ref.dtype
+    # [Q, L*P] -> [L*P, Q]: point coordinates along lanes
+    pxT = jnp.transpose(px_ref[0], (1, 0))
+    pyT = jnp.transpose(py_ref[0], (1, 0))
+    wT = jnp.transpose(w_ref[0], (1, 0)).astype(f32)
+    n_points = pxT.shape[0] // len(meta)
+
+    out = jnp.zeros((vt_ref.shape[1], q_tile), f32)
+    for lvl, (hl, wl, hp, wp, off) in enumerate(meta):
+        xi = jax.lax.broadcasted_iota(jnp.int32, (wp, q_tile), 0).astype(f32)
+        hxs = []
+        for p in range(n_points):
+            lp = lvl * n_points + p
+            px = jnp.clip(pxT[lp:lp + 1, :], -1.0, float(wl))
+            hx = jnp.maximum(1.0 - jnp.abs(px - xi), 0.0)
+            # x >= wl hat tails are harmless (the padded value rows are
+            # zero) but cheap to mask here, once per level.
+            hxs.append(jnp.where(xi < wl, hx, 0.0).astype(adt)[None])
+
+        def chunk(i, acc, lvl=lvl, hl=hl, hp=hp, wp=wp, off=off, hxs=hxs):
+            y0 = i * 16
+            yi = (jax.lax.broadcasted_iota(jnp.int32, (16, q_tile), 0)
+                  .astype(f32) + y0)
+            # The [16, wp, Q] outer-product passes dominate the kernel
+            # (VPU-bound); run them in the value dtype (bf16 packs 2x)
+            # and tree-sum the point terms with no zero-init pass. The
+            # hats themselves are evaluated in f32.
+            terms = []
+            for p in range(n_points):
+                lp = lvl * n_points + p
+                py = jnp.clip(pyT[lp:lp + 1, :], -1.0, float(hl))
+                hy = jnp.maximum(1.0 - jnp.abs(py - yi), 0.0)
+                hy = jnp.where(yi < hl, hy, 0.0) * wT[lp:lp + 1, :]
+                terms.append(hy.astype(adt)[:, None, :] * hxs[p])
+            while len(terms) > 1:
+                terms = [a + b for a, b in zip(terms[::2], terms[1::2])] + (
+                    [terms[-1]] if len(terms) % 2 else [])
+            a = terms[0].reshape(16 * wp, q_tile)              # [rows, Q]
+            vc = vt_ref[0, :, pl.ds(off + y0 * wp, 16 * wp)]   # [D, rows]
+            # HIGHEST: a default-precision f32 dot is a single bf16 MXU
+            # pass on TPU (~3e-3 rel error vs the gather path); the
+            # matmul is a minor cost next to the A-build, so full f32
+            # precision is nearly free. For bf16 inputs it is one pass
+            # either way.
+            return acc + jax.lax.dot_general(
+                vc, a, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        out = jax.lax.fori_loop(0, hp // 16, chunk, out)
+    out_ref[0] = out
+
+
+def ms_deform_attn_pallas(value: jnp.ndarray,
+                          spatial_shapes: Sequence[tuple[int, int]],
+                          sampling_locations: jnp.ndarray,
+                          attention_weights: jnp.ndarray,
+                          q_tile: int = 256,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Gather-free Pallas deformable attention (see kernel comment).
+
+    Same contract as `ms_deform_attn`. Value dtype selects the matmul
+    precision (bf16 values -> bf16 hat matrix, fp32 accumulation).
+    """
+    b, lv, h, d = value.shape
+    _, lq, _, n_levels, n_points, _ = sampling_locations.shape
+    meta, n_pad = _deform_level_meta(spatial_shapes)
+    lq_pad = -(-lq // q_tile) * q_tile
+
+    # Value rows in padded row-major level layout: [B*H, D, n_pad]
+    chunks, start = [], 0
+    for (hl, wl), (_, _, hp, wp, _) in zip(spatial_shapes, meta):
+        v = value[:, start:start + hl * wl].reshape(b, hl, wl, h, d)
+        v = jnp.pad(v, ((0, 0), (0, hp - hl), (0, wp - wl), (0, 0), (0, 0)))
+        chunks.append(v.transpose(0, 3, 4, 1, 2).reshape(b, h, d, hp * wp))
+        start += hl * wl
+    vt = jnp.concatenate(chunks, axis=-1).reshape(b * h, d, n_pad)
+
+    # Pixel-space coordinates and weights: [B*H, Lq_pad, L*P]
+    sizes = jnp.asarray([[wl, hl] for hl, wl in spatial_shapes],
+                        sampling_locations.dtype)
+    pix = (sampling_locations * sizes[None, None, None, :, None, :] - 0.5)
+    pix = pix.transpose(0, 2, 1, 3, 4, 5).reshape(
+        b * h, lq, n_levels * n_points, 2)
+    pad = ((0, 0), (0, lq_pad - lq), (0, 0))
+    px = jnp.pad(pix[..., 0].astype(jnp.float32), pad)
+    py = jnp.pad(pix[..., 1].astype(jnp.float32), pad)
+    w = jnp.pad(attention_weights.transpose(0, 2, 1, 3, 4).reshape(
+        b * h, lq, n_levels * n_points).astype(jnp.float32), pad)
+
+    grid = (b * h, lq_pad // q_tile)
+    out = pl.pallas_call(
+        functools.partial(_deform_kernel, meta, q_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_tile, n_levels * n_points),
+                         lambda bh, qt: (bh, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, n_levels * n_points),
+                         lambda bh, qt: (bh, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, n_levels * n_points),
+                         lambda bh, qt: (bh, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, n_pad), lambda bh, qt: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, q_tile), lambda bh, qt: (bh, 0, qt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, lq_pad), jnp.float32),
+        interpret=interpret,
+    )(px, py, w, vt)
+
+    out = out.reshape(b, h, d, lq_pad)[:, :, :, :lq]
+    return out.transpose(0, 3, 1, 2).reshape(b, lq, h * d).astype(value.dtype)
+
+
 def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Sequence[tuple[int, int]],
                    sampling_locations: jnp.ndarray,
-                   attention_weights: jnp.ndarray) -> jnp.ndarray:
-    """Core multi-scale deformable attention (shapes in module docstring)."""
+                   attention_weights: jnp.ndarray,
+                   impl: str = "patch") -> jnp.ndarray:
+    """Core multi-scale deformable attention (shapes in module docstring).
+
+    impl: "patch" gathers a [2,2,D] patch per sample; "patchrow"
+    precomputes per-position patch rows (`_patch_table`) and gathers one
+    [4*D] row per sample (fewer, wider, aligned slices); "pallas" uses
+    the gather-free hat-matmul kernel (`ms_deform_attn_pallas`).
+    """
+    if impl == "pallas":
+        return ms_deform_attn_pallas(value, spatial_shapes,
+                                     sampling_locations, attention_weights)
     b, lv, h, d = value.shape
     _, lq, _, n_levels, n_points, _ = sampling_locations.shape
     assert n_levels == len(spatial_shapes)
@@ -86,7 +301,10 @@ def ms_deform_attn(value: jnp.ndarray,
         loc = loc.transpose(0, 2, 1, 3, 4).reshape(b * h, lq * n_points, 2)
         px = loc[..., 0] * wl - 0.5
         py = loc[..., 1] * hl - 0.5
-        sampled = bilinear_sample(v, px, py)                    # [B*H, Lq*P, D]
+        if impl == "patchrow":
+            sampled = _sample_patchrow(_patch_table(v), px, py, wl, hl)
+        else:
+            sampled = bilinear_sample(v, px, py)                # [B*H, Lq*P, D]
         sampled = sampled.reshape(b, h, lq, n_points, d)
         wgt = attention_weights[:, :, :, lvl]                   # [B, Lq, H, P]
         wgt = wgt.transpose(0, 2, 1, 3)[..., None]              # [B, H, Lq, P, 1]

@@ -57,3 +57,76 @@ def test_bilinear_matches_grid_sample():
     out = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(px),
                                      jnp.asarray(py)))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Alternate implementations: patchrow gather and the Pallas hat-matmul
+# kernel (run in interpret mode on the CPU test mesh)
+# ---------------------------------------------------------------------------
+
+def _random_case(seed, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    b, h, d = 2, 4, 8
+    shapes = ((8, 12), (4, 6), (2, 3))
+    lv = sum(hl * wl for hl, wl in shapes)
+    lq, n_points = 10, 4
+    value = rng.standard_normal((b, lv, h, d)).astype(dtype)
+    locs = rng.uniform(-0.2, 1.2,
+                       (b, lq, h, len(shapes), n_points, 2)).astype(dtype)
+    w = rng.uniform(0, 1, (b, lq, h, len(shapes), n_points)).astype(dtype)
+    w /= w.sum(axis=(-2, -1), keepdims=True)
+    return shapes, value, locs, w
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_patchrow_matches_patch(seed):
+    shapes, value, locs, w = _random_case(seed)
+    a = np.asarray(ms_deform_attn(jnp.asarray(value), shapes,
+                                  jnp.asarray(locs), jnp.asarray(w)))
+    b = np.asarray(ms_deform_attn(jnp.asarray(value), shapes,
+                                  jnp.asarray(locs), jnp.asarray(w),
+                                  impl="patchrow"))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pallas_matches_patch_fp32(seed):
+    from reverso_tpu.ops.deformable import ms_deform_attn_pallas
+    shapes, value, locs, w = _random_case(seed)
+    a = np.asarray(ms_deform_attn(jnp.asarray(value), shapes,
+                                  jnp.asarray(locs), jnp.asarray(w)))
+    b = np.asarray(ms_deform_attn_pallas(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w),
+        q_tile=8, interpret=True))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_bf16_close_to_fp32():
+    from reverso_tpu.ops.deformable import ms_deform_attn_pallas
+    shapes, value, locs, w = _random_case(1)
+    ref = np.asarray(ms_deform_attn(jnp.asarray(value), shapes,
+                                    jnp.asarray(locs), jnp.asarray(w)))
+    out = np.asarray(ms_deform_attn_pallas(
+        jnp.asarray(value, jnp.bfloat16), shapes,
+        jnp.asarray(locs, jnp.bfloat16), jnp.asarray(w, jnp.bfloat16),
+        q_tile=8, interpret=True).astype(jnp.float32))
+    # bf16 hats + values: ~2^-8 relative
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
+
+
+def test_pallas_decoder_style_reference_points():
+    """Lq != Lv and locations from 4-d reference points (decoder path)."""
+    from reverso_tpu.ops.deformable import ms_deform_attn_pallas
+    rng = np.random.default_rng(7)
+    shapes = ((8, 12), (4, 6))
+    lv = sum(hl * wl for hl, wl in shapes)
+    b, lq, h, d, p = 1, 9, 2, 8, 4
+    value = rng.standard_normal((b, lv, h, d)).astype(np.float32)
+    locs = rng.uniform(0, 1, (b, lq, h, len(shapes), p, 2)).astype(np.float32)
+    w = rng.uniform(0, 1, (b, lq, h, len(shapes), p)).astype(np.float32)
+    a = np.asarray(ms_deform_attn(jnp.asarray(value), shapes,
+                                  jnp.asarray(locs), jnp.asarray(w)))
+    out = np.asarray(ms_deform_attn_pallas(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w),
+        q_tile=8, interpret=True))
+    np.testing.assert_allclose(out, a, atol=2e-5, rtol=1e-5)
