@@ -112,6 +112,12 @@ class DetectorConfig:
     mask_threshold: float = 0.5
     image_size: int = 1024         # SAM-style input resolution
     default_prompt: str = "object"  # fallback when prompt empty, core_system.py:213
+    # Activation dtype for GroundingDINO + SAM. fp32 is the parity-exact
+    # default (box/text thresholds are compared against fp32 logits like
+    # the reference CPU path); "bfloat16" roughly doubles detector
+    # throughput on TPU (PERF.md detection table) at the cost of
+    # near-threshold detections possibly flipping.
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)

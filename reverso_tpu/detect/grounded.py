@@ -74,8 +74,8 @@ class GroundedSamDetector:
                  sam_cfg: Optional[SamConfig] = None,
                  dino_size: int = 800, text_len: int = 64):
         self.cfg = cfg or DetectorConfig()
-        self.dino_cfg = dino_cfg or GroundingDinoConfig()
-        self.sam_cfg = sam_cfg or SamConfig()
+        self.dino_cfg = dino_cfg or GroundingDinoConfig(dtype=self.cfg.dtype)
+        self.sam_cfg = sam_cfg or SamConfig(dtype=self.cfg.dtype)
         self.dino = GroundingDino(self.dino_cfg)
         self.sam = Sam(self.sam_cfg)
         self.dino_params = dino_params
@@ -102,8 +102,10 @@ class GroundedSamDetector:
                         **kw) -> "GroundedSamDetector":
         """Load converted torch checkpoints from local directories
         (HF layout: model.safetensors / pytorch_model.bin + vocab.txt)."""
-        dino_cfg = kw.pop("dino_cfg", None) or GroundingDinoConfig()
-        sam_cfg = kw.pop("sam_cfg", None) or SamConfig()
+        cfg = kw.get("cfg") or DetectorConfig()
+        dino_cfg = kw.pop("dino_cfg", None) or GroundingDinoConfig(
+            dtype=cfg.dtype)
+        sam_cfg = kw.pop("sam_cfg", None) or SamConfig(dtype=cfg.dtype)
         dino_params = convert_grounding_dino(
             load_torch_state_dict(dino_path), dino_cfg)
         sam_params = convert_sam(load_torch_state_dict(sam_path), sam_cfg)

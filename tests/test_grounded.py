@@ -145,3 +145,17 @@ def test_detect_batch_matches_single(detector):
         np.testing.assert_array_equal(rb.class_ids, rs.class_ids)
         np.testing.assert_array_equal(rb.masks, rs.masks)
     assert detector.detect_batch([], ["person"]) == []
+
+
+def test_detector_dtype_threads_into_model_configs():
+    """DetectorConfig.dtype reaches both towers unless cfgs are explicit."""
+    from reverso_tpu.config import DetectorConfig
+    from reverso_tpu.detect.grounded import GroundedSamDetector
+
+    det = GroundedSamDetector(None, None, None,
+                              cfg=DetectorConfig(dtype="bfloat16"))
+    assert det.dino_cfg.dtype == "bfloat16"
+    assert det.sam_cfg.dtype == "bfloat16"
+    det32 = GroundedSamDetector(None, None, None)
+    assert det32.dino_cfg.dtype == "float32"
+    assert det32.sam_cfg.dtype == "float32"
