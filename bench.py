@@ -17,25 +17,35 @@ import time
 import numpy as np
 
 
-def _best_time(run, sync, iters, budget_s=75.0):
-    """Min of individually-synced iterations, with a time budget.
+def _best_time(run, sync, iters=None, budget_s=60.0, k=8):
+    """Per-call kernel time as a difference of block minima.
 
-    The tunnel TPU is time-shared: another tenant can inflate a mean
-    2-8x for minutes at a stretch. The min over a budget window tracks
-    the chip's actual duty cycle — keep sampling until `budget_s`
-    elapses (at least `iters` samples, whichever is longer) so a short
-    quiet slice is caught even inside a bad window."""
-    best = float("inf")
-    t_start = time.perf_counter()
-    n = 0
-    while n < iters or time.perf_counter() - t_start < budget_s:
-        t0 = time.perf_counter()
-        sync(run())
-        best = min(best, time.perf_counter() - t0)
-        n += 1
-        if n >= 2000:
-            break
-    return best
+    The tunnel to the TPU adds a per-SYNC round-trip that has been
+    observed anywhere from ~1.6 ms to ~29 ms depending on load, while
+    dispatch stays async and the chip itself runs at full speed. Timing
+    single synced calls conflates that latency with kernel time, so:
+    time a block of k dispatches + one sync, and a block of k/2, take
+    the min of each over a time budget, and use the difference — an
+    estimator immune to any additive sync latency, with min() handling
+    multiplicative contention. (iters is accepted for compatibility.)"""
+    del iters
+
+    def block(n, budget):
+        best = float("inf")
+        t_start = time.perf_counter()
+        while time.perf_counter() - t_start < budget:
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(n):
+                r = run()
+            sync(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    half = max(1, k // 2)
+    t_k = block(k, budget_s / 2)
+    t_h = block(half, budget_s / 2)
+    return max((t_k - t_h) / (k - half), 1e-9)
 
 
 def embed_main() -> None:
@@ -58,8 +68,8 @@ def embed_main() -> None:
             return pe._fwd(pe.params, images)
 
         np.asarray(run())[:1]
-        dt = _best_time(run, lambda r: np.asarray(r[:1, :8]), iters=12,
-                        budget_s=40.0)
+        dt = _best_time(run, lambda r: np.asarray(r[:1, :8]),
+                        budget_s=30.0, k=4)
         ips = max(ips, B / dt)
     print(json.dumps({
         "metric": "pe_l14_336_embed_img_per_s",
@@ -94,7 +104,7 @@ def main() -> None:
     # warm + honest timing (block_until_ready does not sync through the
     # axon tunnel; a host transfer does)
     np.asarray(run()[0])
-    dt = _best_time(run, lambda r: np.asarray(r[0][:1]), iters=30)
+    dt = _best_time(run, lambda r: np.asarray(r[0][:1]), k=8)
     qps = Q / dt
 
     print(json.dumps({

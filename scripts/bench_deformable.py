@@ -36,20 +36,32 @@ B, H, D, P = 1, 8, 32, 4
 LQ = LV
 
 
-def timed(fn, *args, iters=12, warmup=2):
-    """Min of individually-synced runs: the tunnel TPU is time-shared,
-    so means drift +-50% between sessions; the min tracks the chip."""
+def timed(fn, *args, reps=8, k=4, warmup=2):
+    """Difference of block minima: the tunnel adds 1.6-29 ms PER SYNC
+    depending on load (dispatch is async; the chip runs full speed), so
+    time k dispatches + one sync vs k/2 and take the min-difference —
+    immune to additive sync latency, min() handles real contention."""
     import jax
+
+    def sync(r):
+        np.asarray(jax.tree.leaves(r)[0]).ravel()[:8]
+
     for _ in range(warmup):
-        r = fn(*args)
-        np.asarray(jax.tree.leaves(r)[0]).ravel()[:8]
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        r = fn(*args)
-        np.asarray(jax.tree.leaves(r)[0]).ravel()[:8]
-        best = min(best, time.perf_counter() - t0)
-    return best
+        sync(fn(*args))
+
+    def block(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(n):
+                r = fn(*args)
+            sync(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    half = max(1, k // 2)
+    return max((block(k) - block(half)) / (k - half), 1e-9)
 
 
 def bench_xla(dtype, impl):
