@@ -155,24 +155,36 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
     for i in range(min(n_bufs - 1, n_tiles)):
         db_dma(i, i).start()
 
-    def body(i, _):
-        slot = jax.lax.rem(i, n_bufs)
-        g = jax.lax.rem(i, group)
+    # The tile loop is unrolled by the ring depth so every buffer-slot
+    # index is STATIC: with a traced `slot`, Mosaic cannot prove the
+    # matmul's read of bufs[slot] is disjoint from the in-flight DMA
+    # write of bufs[(i+n_bufs-1) % n_bufs] and serializes them --
+    # measured 4.7 ms vs 2.6 ms for the bare scan at 1M x 1024
+    # (scripts/bench_scan_overlap.py). Static slots restore full
+    # DMA/MXU overlap. Extraction-group membership (j % group) also
+    # becomes static, removing the per-tile scalar branch.
+    def body(iu, _):
+        for j in range(n_bufs):
+            _tile_step(iu * n_bufs + j, j)
+        return 0
+
+    def _tile_step(i, j):
         prefetch = i + n_bufs - 1
 
         @pl.when(prefetch < n_tiles)
         def _():
-            db_dma(jax.lax.rem(prefetch, n_bufs), prefetch).start()
+            db_dma((j + n_bufs - 1) % n_bufs, prefetch).start()
 
-        db_dma(slot, i).wait()
+        db_dma(j, i).wait()
         base = i * db_tile
+        g = j % group
 
         for qt in range(n_qt):
             lo = qt * q_tile
             q_blk = q_vmem[lo:lo + q_tile, :]
             # [q_tile, db_tile] fp32 scores on the MXU.
             s = jax.lax.dot_general(
-                q_blk, bufs[slot],
+                q_blk, bufs[j],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_dot_precision(q_vmem.dtype),
@@ -189,7 +201,7 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
                              lambda s: s, s)
             # Stage this tile's scores into its slice of the group buffer;
             # extraction runs once per GROUP of tiles (see below).
-            sp_scr[lo:lo + q_tile, pl.ds(g * db_tile, db_tile)] = s
+            sp_scr[lo:lo + q_tile, g * db_tile:(g + 1) * db_tile] = s
 
         # Candidate extraction, once per group of `group` tiles. Each
         # event pulls at most one new top-k row per query out of the
@@ -209,8 +221,7 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
         # `count = #(scores > old kth)` proves whether any query holds a
         # second candidate in the group, and only then does the knockout
         # + while_loop fallback run (count <= 1 for ~99% of events).
-        @pl.when(g == group - 1)
-        def _():
+        if g == group - 1:
             gbase = (i - (group - 1)) * db_tile
 
             for qt in range(n_qt):
@@ -275,9 +286,8 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
                         jax.lax.while_loop(
                             cond, extract,
                             (m1, s_scr[lo:lo + q_tile, k - 1:k]))
-        return 0
 
-    jax.lax.fori_loop(0, n_tiles, body, 0)
+    jax.lax.fori_loop(0, n_tiles // n_bufs, body, 0)
     scores_out[:] = s_scr[:]
     idx_out[:] = i_scr[:]
 
@@ -299,7 +309,10 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
     n, d = db.shape
     q = queries.shape[0]
     d_p = _round_up(d, 128)
-    n_p = _round_up(n, group * db_tile)   # whole extraction groups
+    assert n_bufs % group == 0, (n_bufs, group)
+    # whole ring-depth units (the kernel unrolls by n_bufs for static
+    # buffer slots; group extraction boundaries align since group|n_bufs)
+    n_p = _round_up(n, n_bufs * db_tile)
     q_p = _round_up(q, q_tile)
 
     # NOTE: padding copies the whole database inside jit. Callers on the hot

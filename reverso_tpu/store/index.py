@@ -56,7 +56,10 @@ class DeviceIndex:
         self._dtype = jnp.dtype(dtype)
 
         n_shards = mesh.shape[axis] if mesh is not None else 1
-        padded = _round_up(max(n, 1), db_tile * n_shards)
+        # x4: the streaming kernel unrolls by its DMA ring depth (4) and
+        # pads rows to whole ring units; pre-aligning here keeps the
+        # in-jit pad a no-op (no database copy per search).
+        padded = _round_up(max(n, 1), 4 * db_tile * n_shards)
         host = np.zeros((padded, d), np.float32)
         host[:n] = np.asarray(vectors, np.float32)
         arr = jnp.asarray(host, self._dtype)
