@@ -100,8 +100,10 @@ def cmd_search(args) -> int:
     if msg.startswith("❌"):
         print(msg, file=sys.stderr)
         return 1
+    if len(args.image) > 1:
+        return _search_bulk(engine, args)
     with trace(args.trace_dir):
-        engine.process_image_direct_pe(args.image)
+        engine.process_image_direct_pe(args.image[0])
         text, items = engine.search_similar(args.threshold, args.top_k)
     if args.json:
         print(json.dumps([
@@ -111,6 +113,43 @@ def cmd_search(args) -> int:
     else:
         print(text)
     return 0 if items else 2
+
+
+def _search_bulk(engine, args) -> int:
+    """Many query images -> ONE batched embed + ONE search launch
+    (`Reverso.search_batch`); prints one result block per query."""
+    import numpy as np
+
+    px = np.concatenate([engine._preprocess(p)[0] for p in args.image])
+    embs = np.asarray(engine.encoder.encode_image(px))
+    k = args.top_k or engine.config.search.top_k
+    scores, ids = engine.search_batch(embs, k)
+    thr = (engine.config.search.score_threshold
+           if args.threshold is None else args.threshold)
+    blocks = []
+    for qi, path in enumerate(args.image):
+        hits = [(float(s), int(i)) for s, i in zip(scores[qi], ids[qi])
+                if i >= 0 and s >= thr]
+        payloads = engine._store.payloads([i for _, i in hits])
+        blocks.append({
+            "query": path,
+            "results": [{"filename": (p or {}).get("filename", "?"),
+                         "score": s,
+                         "bbox": (p or {}).get("bbox"),
+                         "source": (p or {}).get("image_source")}
+                        for (s, _), p in zip(hits, payloads)],
+        })
+    if args.json:
+        print(json.dumps(blocks, indent=2))
+    else:
+        for b in blocks:
+            print(f"🔎 {b['query']}")
+            for r, it in enumerate(b["results"]):
+                print(f"  {r + 1}. {it['filename']} "
+                      f"(Similarity: {it['score']:.3f})")
+            if not b["results"]:
+                print(f"  ❌ no hits above threshold {thr}")
+    return 0 if any(b["results"] for b in blocks) else 2
 
 
 def cmd_search_text(args) -> int:
@@ -255,8 +294,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--subfolders", action="store_true")
     b.set_defaults(fn=cmd_build)
 
-    s = sub.add_parser("search", help="search a database with a query image")
-    s.add_argument("image")
+    s = sub.add_parser("search",
+                       help="search a database with query image(s); several "
+                            "images batch into one embed + one search launch")
+    s.add_argument("image", nargs="+")
     s.add_argument("--name", required=True)
     s.add_argument("--threshold", type=float, default=None)
     s.add_argument("--top-k", type=int, default=None)

@@ -92,6 +92,8 @@ class Reverso:
         self.region_metadata_list: list[dict] = []
 
         self._stop_event = threading.Event()
+        self._searcher = None
+        self._searcher_lock = threading.Lock()
 
     # -- database management (reference core_system.py:74-154) ----------
 
@@ -171,6 +173,41 @@ class Reverso:
                     db_tile=scfg.db_tile)
             self._index_key = key
         return self._index
+
+    # -- serving ----------------------------------------------------------
+
+    @property
+    def searcher(self):
+        """Micro-batching search front-end (`serve.BatchingSearcher`).
+
+        Coalesces concurrent callers' queries into single device
+        launches; created lazily, bound to `_get_index` so store
+        rebuilds are picked up per launch. Callers must not run
+        concurrently with a build on the same engine (the UI's build
+        guard enforces that)."""
+        if self._searcher is None:
+            # Creation must be locked: concurrent first callers would each
+            # build a private searcher and nothing would ever coalesce
+            # (caught live on the TPU: 8 threads -> 8 searchers, served=1).
+            with self._searcher_lock:
+                if self._searcher is None:
+                    from .serve import BatchingSearcher
+                    self._searcher = BatchingSearcher(self._get_index)
+        return self._searcher
+
+    def search_batch(self, embeddings, k: Optional[int] = None):
+        """Bulk search: [B, d] query embeddings in ONE kernel launch.
+
+        Returns (scores [B, k], ids [B, k]) with the usual
+        (-score, idx) order and -1 padding. The per-query cost of the
+        streaming kernel is tiny next to the database scan, so always
+        prefer this over a loop of single searches."""
+        import jax
+        k = self.config.search.top_k if k is None else int(k)
+        q = np.asarray(embeddings, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        return jax.device_get(self._get_index().search(q, k))
 
     # -- query path -----------------------------------------------------
 

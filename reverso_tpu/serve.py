@@ -1,0 +1,141 @@
+"""Serving-side query batching: coalesce concurrent searches into one
+kernel launch.
+
+The reference serves one request at a time off a single global engine
+lock (reference ui.py:19-20 global singleton; SURVEY.md §5.2). On TPU
+the exact-scan kernel's cost is dominated by streaming the database
+through VMEM — a launch with 64 stacked queries costs roughly the same
+as one query — so the production pattern is micro-batching: concurrent
+callers enqueue, a collector thread drains the queue into a single
+`DeviceIndex.search` launch, and each caller gets its slice back.
+Per-request state stays immutable; only the device launch is shared.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+
+class SearchError(RuntimeError):
+    pass
+
+
+class _Pending:
+    __slots__ = ("query", "k", "event", "scores", "ids", "error")
+
+    def __init__(self, query: np.ndarray, k: int):
+        self.query = query
+        self.k = k
+        self.event = threading.Event()
+        self.scores = None
+        self.ids = None
+        self.error: Optional[BaseException] = None
+
+
+class BatchingSearcher:
+    """Blocking `search()` front-end that batches concurrent callers.
+
+    index_fn: zero-arg callable returning the current index object
+        (anything with `.search(queries[B, d], k) -> (scores, ids)`);
+        called once per launch so store rebuilds are picked up.
+    max_delay_s: how long the first request in a batch may wait for
+        co-travellers. Zero still batches whatever is already queued.
+    max_batch: cap on queries per launch (memory of the score staging
+        scales with the batch).
+    """
+
+    def __init__(self, index_fn: Callable[[], object], *,
+                 max_delay_s: float = 0.003, max_batch: int = 256,
+                 k_cap: int = 128):
+        self._index_fn = index_fn
+        self._max_delay_s = max_delay_s
+        self._max_batch = max_batch
+        self._k_cap = k_cap
+        self._queue: list[_Pending] = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self.launches = 0          # telemetry: device launches issued
+        self.served = 0            # telemetry: requests served
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="reverso-search-batcher")
+        self._worker.start()
+
+    # -- client side -------------------------------------------------------
+
+    def search(self, query: np.ndarray, k: int,
+               timeout: Optional[float] = 60.0):
+        """Search for one query vector [d]; returns (scores[k], ids[k]).
+
+        Thread-safe; blocks until the coalesced launch completes.
+        """
+        if self._closed:
+            raise SearchError("searcher is closed")
+        k = min(int(k), self._k_cap)
+        q = np.asarray(query, np.float32).reshape(-1)
+        p = _Pending(q, k)
+        with self._cv:
+            self._queue.append(p)
+            self._cv.notify()
+        if not p.event.wait(timeout):
+            raise SearchError("search timed out")
+        if p.error is not None:
+            raise SearchError(str(p.error)) from p.error
+        return p.scores, p.ids
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    # -- collector ----------------------------------------------------------
+
+    def _drain(self) -> list[_Pending]:
+        """Wait for the first request, then linger max_delay_s for
+        co-travellers (or until max_batch)."""
+        with self._cv:
+            while not self._queue and not self._closed:
+                self._cv.wait()
+            if self._closed and not self._queue:
+                return []
+            deadline = time.monotonic() + self._max_delay_s
+            while (len(self._queue) < self._max_batch
+                   and not self._closed):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+            batch = self._queue[:self._max_batch]
+            del self._queue[:len(batch)]
+            return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._drain()
+            if not batch:
+                if self._closed:
+                    return
+                continue
+            try:
+                dims = {p.query.shape[0] for p in batch}
+                if len(dims) != 1:
+                    raise SearchError(f"mixed query dims in batch: {dims}")
+                k_max = max(p.k for p in batch)
+                queries = np.stack([p.query for p in batch])
+                index = self._index_fn()
+                import jax
+                scores, ids = jax.device_get(index.search(queries, k_max))
+                for row, p in enumerate(batch):
+                    p.scores = np.asarray(scores)[row, :p.k]
+                    p.ids = np.asarray(ids)[row, :p.k]
+                self.launches += 1
+                self.served += len(batch)
+            except BaseException as e:   # propagate to every waiter
+                for p in batch:
+                    p.error = e
+            finally:
+                for p in batch:
+                    p.event.set()

@@ -65,11 +65,19 @@ def bench(n_rows, tile, n_bufs, streams, iters=8):
         ],
     )(x))
     np.asarray(fn(db))
-    best = 9e9
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(fn(db))
-        best = min(best, time.perf_counter() - t0)
+
+    def block(k):
+        best = 9e9
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                r = fn(db)
+            np.asarray(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # difference of block minima: cancels the tunnel's per-sync latency
+    best = max((block(4) - block(2)) / 2, 1e-9)
     gb = n_rows * d * 2 / 1e9
     print(f"tile={tile:5d} bufs={n_bufs} streams={streams}: "
           f"{best*1e3:7.2f} ms  {gb/best:6.0f} GB/s")

@@ -13,20 +13,27 @@ import time
 import numpy as np
 
 
-def bench(m, k, n, dtype, acc, iters=64, reps=12):
+def bench(m, k, n, dtype, acc, iters=1024, reps=10):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(a_ref, b_ref, o_ref):
-        acc_v = jnp.zeros((m, n), acc)
-        a = a_ref[:]
         b = b_ref[:]
-        for _ in range(iters):
+
+        def body(_, carry):
+            a, acc_v = carry
             acc_v = acc_v + jax.lax.dot_general(
                 a, b, (((1,), (0,)), ((), ())), preferred_element_type=acc)
-            a = (a + a_ref[:]).astype(a_ref.dtype) if dtype != "int8" else a
+            if dtype == "int8":
+                a = jnp.bitwise_xor(a, jnp.ones((), jnp.int8))
+            else:
+                a = (a + jnp.ones((), a_ref.dtype)).astype(a_ref.dtype)
+            return a, acc_v
+
+        _, acc_v = jax.lax.fori_loop(
+            0, iters, body, (a_ref[:], jnp.zeros((m, n), acc)))
         o_ref[:] = acc_v[:8]
 
     rng = np.random.default_rng(0)
@@ -48,11 +55,17 @@ def bench(m, k, n, dtype, acc, iters=64, reps=12):
         name = dtype if isinstance(dtype, str) else np.dtype(dtype).name
         print(f"{name:9s}: FAILED {type(e).__name__} {str(e)[:90]}")
         return
-    best = 9e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(fn(a, b))
-        best = min(best, time.perf_counter() - t0)
+    def block(c):
+        best = 9e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(c):
+                r = fn(a, b)
+            np.asarray(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    best = max((block(8) - block(4)) / 4, 1e-9)
     fl = 2 * m * k * n * iters
     name = dtype if isinstance(dtype, str) else np.dtype(dtype).name
     print(f"{name:9s} acc={np.dtype(acc).name:7s}: {best*1e3:7.2f} ms  "

