@@ -280,23 +280,36 @@ class Reverso:
 
     def search_similar(self, similarity_threshold: Optional[float] = None,
                        max_results: Optional[int] = None,
-                       query_index: int = 0):
+                       query_index: int = 0, *,
+                       embeddings=None, use_batcher: bool = False):
         """Search the loaded database with a previously extracted embedding
-        (reference core_system.py:650-717). Returns (text, items)."""
+        (reference core_system.py:650-717). Returns (text, items).
+
+        `embeddings` overrides the engine's last-query state with an
+        explicit [R, d] array, making the call stateless — concurrent
+        callers (the UI's per-session query state) pass their own.
+        `use_batcher` routes the device launch through the micro-batching
+        searcher so concurrent searches coalesce instead of serializing.
+        """
         cfg = self.config.search
         threshold = cfg.score_threshold if similarity_threshold is None else similarity_threshold
         k = cfg.top_k if max_results is None else max_results
-        if self.region_embeddings is None or len(self.region_embeddings) == 0:
+        embs = (self.region_embeddings if embeddings is None
+                else np.asarray(embeddings))
+        if embs is None or len(embs) == 0:
             return ("❌ No query embeddings available. Please detect/process an image first.", [])
         if self._store is None:
             return ("❌ No database loaded. Please create or load a database first.", [])
-        query_index = min(query_index, len(self.region_embeddings) - 1)
-        query = self.region_embeddings[query_index]
+        query_index = min(query_index, len(embs) - 1)
+        query = embs[query_index]
 
-        index = self._get_index()
-        import jax
-        scores, ids = jax.device_get(index.search(query, k))
-        scores, ids = scores[0], ids[0]
+        if use_batcher:
+            scores, ids = self.searcher.search(query, k)
+        else:
+            index = self._get_index()
+            import jax
+            scores, ids = jax.device_get(index.search(query, k))
+            scores, ids = scores[0], ids[0]
         hits = [(float(s), int(i)) for s, i in zip(scores, ids)
                 if i >= 0 and s >= threshold]
         if not hits:
@@ -373,5 +386,15 @@ class Reverso:
 
     # -- visualization ----------------------------------------------------
 
-    def visualize_detections(self, image, selected_region_index=None):
-        return _viz(image, self.detected_regions, selected_region_index)
+    _USE_ENGINE_STATE = object()
+
+    def visualize_detections(self, image, selected_region_index=None,
+                             regions=_USE_ENGINE_STATE):
+        """Draw region contours (reference core_system.py:719-757).
+
+        Pass `regions` (may be None for a direct-PE query) to render a
+        specific detection set statelessly; default draws the engine's
+        last-query state."""
+        if regions is Reverso._USE_ENGINE_STATE:
+            regions = self.detected_regions
+        return _viz(image, regions, selected_region_index)

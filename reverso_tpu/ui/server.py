@@ -7,9 +7,18 @@ stop/resume, detect+search, database management, about) as a dependency-
 free JSON API + embedded single-page app.
 
 Concurrency model: the reference mutates a global engine from every
-callback and races across sessions (SURVEY.md §5.2). Here every engine
-call runs under one lock; long-running builds execute on a worker thread
-with polled progress; query state lives server-side per session token.
+callback and races across sessions (SURVEY.md §5.2: search_database_ui
+temporarily swaps the singleton's region_embeddings). Here:
+
+  * detect/process responses carry a session token; the captured query
+    state (regions, embeddings, metadata) is stored server-side keyed
+    by that token, so two browser tabs can never search with each
+    other's regions;
+  * searches with a token are stateless engine calls routed through the
+    micro-batching searcher (`serve.BatchingSearcher`) — concurrent
+    searches COALESCE into one device launch instead of serializing;
+  * mutating calls (build, db load/delete) still serialize on one lock,
+    with fast 409s while a build runs.
 """
 from __future__ import annotations
 
@@ -18,6 +27,7 @@ import io
 import json
 import threading
 import uuid
+from collections import OrderedDict
 from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Optional
@@ -41,11 +51,43 @@ class EngineBusyError(RuntimeError):
     """Engine is occupied by a long-running build (HTTP 409)."""
 
 
+class QuerySession:
+    """Immutable-after-capture query state for one detect/search flow."""
+    __slots__ = ("regions", "embeddings", "metadata")
+
+    def __init__(self, regions, embeddings, metadata):
+        self.regions = regions
+        self.embeddings = embeddings
+        self.metadata = metadata
+
+
+_MAX_SESSIONS = 64
+
+
 class UIState:
     def __init__(self, engine):
         self.engine = engine
         self.lock = threading.Lock()       # serializes engine access
         self.build: Optional[BuildJob] = None
+        self.sessions: "OrderedDict[str, QuerySession]" = OrderedDict()
+        self._sessions_lock = threading.Lock()
+
+    def put_session(self, sess: QuerySession) -> str:
+        token = uuid.uuid4().hex
+        with self._sessions_lock:
+            self.sessions[token] = sess
+            while len(self.sessions) > _MAX_SESSIONS:   # LRU eviction
+                self.sessions.popitem(last=False)
+        return token
+
+    def get_session(self, token) -> Optional[QuerySession]:
+        if not token:
+            return None
+        with self._sessions_lock:
+            sess = self.sessions.get(token)
+            if sess is not None:
+                self.sessions.move_to_end(token)
+            return sess
 
     def build_running(self) -> bool:
         job = self.build
@@ -230,7 +272,13 @@ def make_handler(state: UIState):
                                   f"({m['confidence']:.2f})"}
                         for i, m in enumerate(metas)]
                 viz = engine.visualize_detections(img)
+                # capture this request's query state; searches present the
+                # token instead of relying on the shared engine singleton
+                token = state.put_session(QuerySession(
+                    engine.detected_regions, engine.region_embeddings,
+                    engine.region_metadata_list))
             self._json({"num_regions": len(metas), "regions": regions,
+                        "token": token,
                         "visualization": _img_to_b64(viz)})
 
         def _visualize(self, body: dict) -> None:
@@ -238,16 +286,33 @@ def make_handler(state: UIState):
             (reference ui.py:216-232 update_region_visualization_ui)."""
             img = _b64_to_pil(body["image"])
             sel = body.get("region_index")
-            with state.engine_guard():
-                viz = engine.visualize_detections(
-                    img, None if sel is None else int(sel))
+            sel = None if sel is None else int(sel)
+            sess = state.get_session(body.get("token"))
+            if sess is not None:
+                # pure host-side drawing on session state; no engine lock
+                viz = engine.visualize_detections(img, sel,
+                                                  regions=sess.regions)
+            else:
+                with state.engine_guard():
+                    viz = engine.visualize_detections(img, sel)
             self._json({"visualization": _img_to_b64(viz)})
 
         def _search(self, body: dict) -> None:
-            with state.engine_guard():
+            sess = state.get_session(body.get("token"))
+            if sess is not None:
+                # stateless + coalescing: concurrent searches share device
+                # launches via the batching searcher; builds still 409
+                if state.build_running():
+                    raise EngineBusyError("build in progress")
                 text, items = engine.search_similar(
                     body.get("threshold"), body.get("max_results"),
-                    query_index=int(body.get("region_index", 0)))
+                    query_index=int(body.get("region_index", 0)),
+                    embeddings=sess.embeddings, use_batcher=True)
+            else:
+                with state.engine_guard():
+                    text, items = engine.search_similar(
+                        body.get("threshold"), body.get("max_results"),
+                        query_index=int(body.get("region_index", 0)))
             self._json({
                 "summary": text,
                 "results": [{
@@ -468,6 +533,7 @@ async function stopBuild(){await api('/api/build/stop',{});}
 let queryReady=false;
 function fileToB64(f){return new Promise(res=>{const r=new FileReader();r.onload=()=>res(r.result.split(',')[1]);r.readAsDataURL(f);});}
 let lastQueryB64=null;
+let queryToken=null;
 async function detectQuery(){
   const f=$('s-file').files[0]; if(!f){alert('choose an image');return;}
   const img=await fileToB64(f);
@@ -475,6 +541,7 @@ async function detectQuery(){
   const r=await api('/api/query/detect',{image:img,prompt:$('s-prompt').value,direct_pe:$('s-direct').checked});
   if(r.error){$('s-summary').textContent=r.error;return;}
   queryReady=true;
+  queryToken=r.token||null;
   if(r.visualization){$('s-viz').src='data:image/jpeg;base64,'+r.visualization;$('s-viz').style.display='block';}
   const sel=$('s-region');sel.innerHTML='';
   (r.regions.length?r.regions:[{index:0,label:'Full image'}]).forEach(o=>{
@@ -483,12 +550,12 @@ async function detectQuery(){
 }
 $('s-region').onchange=async()=>{
   if(!lastQueryB64)return;
-  const r=await api('/api/query/visualize',{image:lastQueryB64,region_index:+$('s-region').value||0});
+  const r=await api('/api/query/visualize',{image:lastQueryB64,token:queryToken,region_index:+$('s-region').value||0});
   if(r.visualization){$('s-viz').src='data:image/jpeg;base64,'+r.visualization;$('s-viz').style.display='block';}
 };
 async function searchDb(){
   if(!queryReady){alert('detect/process a query image first');return;}
-  const r=await api('/api/query/search',{threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0});
+  const r=await api('/api/query/search',{token:queryToken,threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0});
   if(r.error){$('s-summary').textContent=r.error;return;}
   $('s-summary').textContent=r.summary;
   const g=$('s-results');g.innerHTML='';

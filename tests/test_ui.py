@@ -145,3 +145,42 @@ def test_search_text_endpoint(server):
     assert code == 200
     assert r["summary"].startswith("❌ No text encoder")
     assert r["results"] == []
+
+
+def test_session_isolation(server, tmp_path):
+    """Two interleaved query sessions must not see each other's state:
+    the reference's singleton swap race (SURVEY.md §5.2), fixed with
+    per-token server-side query sessions."""
+    base, tmp = server
+    files = make_corpus(tmp / "sessimgs", n=4)
+
+    # session A detects on img 0; session B then detects on img 1,
+    # clobbering the engine singleton; A's token must still search
+    # with A's embeddings.
+    code, det_a = post(base, "/api/query/detect",
+                       {"image": img_b64(files[0]), "direct_pe": True})
+    assert code == 200 and det_a["token"]
+    code, det_b = post(base, "/api/query/detect",
+                       {"image": img_b64(files[1]), "direct_pe": True})
+    assert code == 200 and det_b["token"] != det_a["token"]
+
+    code, res_a = post(base, "/api/query/search",
+                       {"token": det_a["token"], "threshold": 0.5,
+                        "max_results": 3})
+    code_b, res_b = post(base, "/api/query/search",
+                         {"token": det_b["token"], "threshold": 0.5,
+                          "max_results": 3})
+    assert code == 200 and code_b == 200
+    assert res_a["results"][0]["filename"] == "img_000.jpg", res_a
+    assert res_b["results"][0]["filename"] == "img_001.jpg", res_b
+
+    # tokenless search still works off the engine singleton (B's state)
+    code, res = post(base, "/api/query/search",
+                     {"threshold": 0.5, "max_results": 3})
+    assert code == 200 and res["results"][0]["filename"] == "img_001.jpg"
+
+    # visualize with a stale/unknown token falls back gracefully
+    code, r = post(base, "/api/query/visualize",
+                   {"image": img_b64(files[0]), "token": "nosuch",
+                    "region_index": 0})
+    assert code == 200 and r["visualization"]
