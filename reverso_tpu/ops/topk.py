@@ -34,6 +34,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 _INT_MAX = 2**31 - 1  # python literal: pallas kernels may not capture traced constants
 
 
+def _lcm(a: int, b: int) -> int:
+    import math
+    return a * b // math.gcd(a, b)
+
+
 def _dot_precision(dtype) -> jax.lax.Precision:
     """bf16 inputs run native MXU passes (fp32 accumulate via
     preferred_element_type); fp32 inputs (exact-parity mode) need HIGHEST or
@@ -128,7 +133,8 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
                         q_vmem, bufs, s_scr, i_scr, col_scr, sp_scr,
                         db_sems, q_sem,
                         *, k: int, kpad: int, db_tile: int, q_tile: int,
-                        n_tiles: int, n_bufs: int, group: int):
+                        n_tiles: int, n_bufs: int, group: int,
+                        defer: bool = False):
     # Queries HBM -> VMEM once; they stay resident for the whole scan.
     cq = pltpu.make_async_copy(q_hbm, q_vmem, q_sem)
     cq.start()
@@ -143,6 +149,11 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
     n_qt = qp // q_tile
     gw = group * db_tile          # extraction width
     n_valid = n_valid_ref[0]
+    # Deferred mode ping-pongs between two staging buffers; the parity
+    # must be STATIC in the unrolled body (a traced buffer index would
+    # re-serialize DMA against compute, see the ring-slot note below), so
+    # the body unrolls by a whole number of parity periods.
+    unroll = _lcm(n_bufs, 2 * group) if defer else n_bufs
 
     def db_dma(slot, i):
         return pltpu.make_async_copy(
@@ -164,11 +175,100 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
     # DMA/MXU overlap. Extraction-group membership (j % group) also
     # becomes static, removing the per-tile scalar branch.
     def body(iu, _):
-        for j in range(n_bufs):
-            _tile_step(iu * n_bufs + j, j)
+        for t in range(unroll):
+            _tile_step(iu * unroll + t, t % n_bufs, t % group,
+                       (t // group) % 2)
         return 0
 
-    def _tile_step(i, j):
+    # Candidate extraction, once per group of `group` tiles. Each
+    # event pulls at most one new top-k row per query out of the
+    # group (total insert events over a scan are ~Q*k*ln(n_tiles)).
+    # Strict > is exact: an equal score has a higher row index than
+    # the incumbent kth (candidates arrive in index order), so
+    # (-score, idx) ordering keeps the incumbent.
+    #
+    # Structure (round-2 rework): the dominant k-select cost was NOT
+    # the wide VPU passes but the ~14 small [q_tile, kpad] ops of the
+    # sorted insert paid once per 1024-row tile (measured ~1.5 ms of
+    # the 1.9 ms extraction overhead at 1M x 1024). Grouping tiles
+    # halves/quarters the number of insert calls while keeping the
+    # same total wide-pass bytes. The FAST path inserts each query's
+    # group max with three wide passes (max, min-select over the
+    # resident column iota, candidate-count) and NO knockout/re-max;
+    # `count = #(scores > old kth)` proves whether any query holds a
+    # second candidate in the group, and only then does the knockout
+    # + while_loop fallback run (count <= 1 for ~99% of events).
+    def _extract_group(sp_ref, i_last):
+        """Drain staged scores of the group whose LAST tile is i_last."""
+        gbase = (i_last - (group - 1)) * db_tile
+
+        for qt in range(n_qt):
+            lo = qt * q_tile
+            sp = sp_ref[lo:lo + q_tile, :]
+            m0 = jnp.max(sp, axis=1, keepdims=True)
+            kth0 = s_scr[lo:lo + q_tile, k - 1:k]
+
+            @pl.when(jnp.any(m0 > kth0))
+            def _():
+                imp = m0 > kth0
+                # the compare stays inlined in the reduction (a
+                # materialized eq mask costs a full write pass)
+                sel = jnp.min(jnp.where(sp == m0, col_scr[:], _INT_MAX),
+                              axis=1, keepdims=True)
+                cand_m = jnp.where(imp, m0, -jnp.inf)
+                new_S, new_I = _insert_sorted(
+                    s_scr[lo:lo + q_tile, :], i_scr[lo:lo + q_tile, :],
+                    cand_m, sel + gbase)
+                s_scr[lo:lo + q_tile, :] = new_S
+                i_scr[lo:lo + q_tile, :] = new_I
+                count = jnp.sum((sp > kth0).astype(jnp.int32), axis=1,
+                                keepdims=True)
+
+                @pl.when(jnp.any(count > 1))
+                def _():
+                    # Knock out every inserted max, then drain the
+                    # rest. The group scratch is clobbered in place
+                    # (it is consumed after extraction) so the while
+                    # carry stays [q_tile, 1] — carrying the scores
+                    # blows the VMEM stack at group width.
+                    sp_ref[lo:lo + q_tile, :] = jnp.where(
+                        (sp == m0) & (col_scr[:] == sel) & imp,
+                        -jnp.inf, sp)
+                    m1 = jnp.max(sp_ref[lo:lo + q_tile, :], axis=1,
+                                 keepdims=True)
+
+                    def cond(carry):
+                        m, kth = carry
+                        return jnp.any(m > kth)
+
+                    def extract(carry):
+                        m, _ = carry
+                        s_cur = sp_ref[lo:lo + q_tile, :]
+                        imp = m > s_scr[lo:lo + q_tile, k - 1:k]
+                        sel = jnp.min(
+                            jnp.where(s_cur == m, col_scr[:], _INT_MAX),
+                            axis=1, keepdims=True)
+                        cand_m = jnp.where(imp, m, -jnp.inf)
+                        new_S, new_I = _insert_sorted(
+                            s_scr[lo:lo + q_tile, :],
+                            i_scr[lo:lo + q_tile, :],
+                            cand_m, sel + gbase)
+                        s_scr[lo:lo + q_tile, :] = new_S
+                        i_scr[lo:lo + q_tile, :] = new_I
+                        s_next = jnp.where(
+                            (col_scr[:] == sel) & imp, -jnp.inf, s_cur)
+                        sp_ref[lo:lo + q_tile, :] = s_next
+                        return (jnp.max(s_next, axis=1, keepdims=True),
+                                s_scr[lo:lo + q_tile, k - 1:k])
+
+                    jax.lax.while_loop(
+                        cond, extract,
+                        (m1, s_scr[lo:lo + q_tile, k - 1:k]))
+
+    def _tile_step(i, j, g, par):
+        """One DMA tile: i = tile index (traced offset + static phase),
+        j = ring slot (static), g = phase within the extraction group
+        (static), par = staging-buffer parity (static, defer mode)."""
         prefetch = i + n_bufs - 1
 
         @pl.when(prefetch < n_tiles)
@@ -177,7 +277,7 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
 
         db_dma(j, i).wait()
         base = i * db_tile
-        g = j % group
+        sp_ref = sp_scr if not defer else sp_scr.at[par]
 
         for qt in range(n_qt):
             lo = qt * q_tile
@@ -200,94 +300,26 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out, idx_out,
             s = jax.lax.cond(base + db_tile > n_valid, mask_tail,
                              lambda s: s, s)
             # Stage this tile's scores into its slice of the group buffer;
-            # extraction runs once per GROUP of tiles (see below).
-            sp_scr[lo:lo + q_tile, g * db_tile:(g + 1) * db_tile] = s
+            # extraction runs once per GROUP of tiles.
+            sp_ref[lo:lo + q_tile, g * db_tile:(g + 1) * db_tile] = s
 
-        # Candidate extraction, once per group of `group` tiles. Each
-        # event pulls at most one new top-k row per query out of the
-        # group (total insert events over a scan are ~Q*k*ln(n_tiles)).
-        # Strict > is exact: an equal score has a higher row index than
-        # the incumbent kth (candidates arrive in index order), so
-        # (-score, idx) ordering keeps the incumbent.
-        #
-        # Structure (round-2 rework): the dominant k-select cost was NOT
-        # the wide VPU passes but the ~14 small [q_tile, kpad] ops of the
-        # sorted insert paid once per 1024-row tile (measured ~1.5 ms of
-        # the 1.9 ms extraction overhead at 1M x 1024). Grouping tiles
-        # halves/quarters the number of insert calls while keeping the
-        # same total wide-pass bytes. The FAST path inserts each query's
-        # group max with three wide passes (max, min-select over the
-        # resident column iota, candidate-count) and NO knockout/re-max;
-        # `count = #(scores > old kth)` proves whether any query holds a
-        # second candidate in the group, and only then does the knockout
-        # + while_loop fallback run (count <= 1 for ~99% of events).
         if g == group - 1:
-            gbase = (i - (group - 1)) * db_tile
-
-            for qt in range(n_qt):
-                lo = qt * q_tile
-                sp = sp_scr[lo:lo + q_tile, :]
-                m0 = jnp.max(sp, axis=1, keepdims=True)
-                kth0 = s_scr[lo:lo + q_tile, k - 1:k]
-
-                @pl.when(jnp.any(m0 > kth0))
+            if not defer:
+                _extract_group(sp_scr, i)
+            else:
+                # Software pipeline: extract the PREVIOUS group (staged
+                # in the other buffer) so its VPU passes are independent
+                # of this group's just-issued matmuls — Mosaic can keep
+                # the MXU busy under the extraction.
+                @pl.when(i >= 2 * group - 1)
                 def _():
-                    imp = m0 > kth0
-                    # the compare stays inlined in the reduction (a
-                    # materialized eq mask costs a full write pass)
-                    sel = jnp.min(jnp.where(sp == m0, col_scr[:], _INT_MAX),
-                                  axis=1, keepdims=True)
-                    cand_m = jnp.where(imp, m0, -jnp.inf)
-                    new_S, new_I = _insert_sorted(
-                        s_scr[lo:lo + q_tile, :], i_scr[lo:lo + q_tile, :],
-                        cand_m, sel + gbase)
-                    s_scr[lo:lo + q_tile, :] = new_S
-                    i_scr[lo:lo + q_tile, :] = new_I
-                    count = jnp.sum((sp > kth0).astype(jnp.int32), axis=1,
-                                    keepdims=True)
+                    _extract_group(sp_scr.at[1 - par], i - group)
 
-                    @pl.when(jnp.any(count > 1))
-                    def _():
-                        # Knock out every inserted max, then drain the
-                        # rest. The group scratch is clobbered in place
-                        # (it is consumed after extraction) so the while
-                        # carry stays [q_tile, 1] — carrying the scores
-                        # blows the VMEM stack at group width.
-                        sp_scr[lo:lo + q_tile, :] = jnp.where(
-                            (sp == m0) & (col_scr[:] == sel) & imp,
-                            -jnp.inf, sp)
-                        m1 = jnp.max(sp_scr[lo:lo + q_tile, :], axis=1,
-                                     keepdims=True)
-
-                        def cond(carry):
-                            m, kth = carry
-                            return jnp.any(m > kth)
-
-                        def extract(carry):
-                            m, _ = carry
-                            s_cur = sp_scr[lo:lo + q_tile, :]
-                            imp = m > s_scr[lo:lo + q_tile, k - 1:k]
-                            sel = jnp.min(
-                                jnp.where(s_cur == m, col_scr[:], _INT_MAX),
-                                axis=1, keepdims=True)
-                            cand_m = jnp.where(imp, m, -jnp.inf)
-                            new_S, new_I = _insert_sorted(
-                                s_scr[lo:lo + q_tile, :],
-                                i_scr[lo:lo + q_tile, :],
-                                cand_m, sel + gbase)
-                            s_scr[lo:lo + q_tile, :] = new_S
-                            i_scr[lo:lo + q_tile, :] = new_I
-                            s_next = jnp.where(
-                                (col_scr[:] == sel) & imp, -jnp.inf, s_cur)
-                            sp_scr[lo:lo + q_tile, :] = s_next
-                            return (jnp.max(s_next, axis=1, keepdims=True),
-                                    s_scr[lo:lo + q_tile, k - 1:k])
-
-                        jax.lax.while_loop(
-                            cond, extract,
-                            (m1, s_scr[lo:lo + q_tile, k - 1:k]))
-
-    jax.lax.fori_loop(0, n_tiles // n_bufs, body, 0)
+    jax.lax.fori_loop(0, n_tiles // unroll, body, 0)
+    if defer:
+        # drain the final group (its extraction was deferred past the loop)
+        _extract_group(sp_scr.at[((n_tiles - 1) // group) % 2],
+                       n_tiles - 1)
     scores_out[:] = s_scr[:]
     idx_out[:] = i_scr[:]
 
@@ -299,20 +331,22 @@ _Q_RESIDENT = 1024
 
 @functools.partial(jax.jit, static_argnames=("k", "kpad", "q_tile", "db_tile",
                                              "interpret", "q_out", "n_bufs",
-                                             "group"))
+                                             "group", "defer"))
 def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
                      k: int, kpad: int, q_tile: int, db_tile: int,
                      interpret: bool, q_out: int, n_bufs: int,
-                     group: int = 2):
+                     group: int = 2, defer: bool = False):
     """Jit-cached core of cosine_topk_pallas (tracing a pallas_call per call
     would dominate runtime otherwise)."""
     n, d = db.shape
     q = queries.shape[0]
     d_p = _round_up(d, 128)
     assert n_bufs % group == 0, (n_bufs, group)
-    # whole ring-depth units (the kernel unrolls by n_bufs for static
-    # buffer slots; group extraction boundaries align since group|n_bufs)
-    n_p = _round_up(n, n_bufs * db_tile)
+    # whole unroll units (the kernel unrolls by the ring depth — or a
+    # whole number of staging-parity periods in defer mode — for static
+    # buffer slots; group extraction boundaries align since group|unroll)
+    unroll = _lcm(n_bufs, 2 * group) if defer else n_bufs
+    n_p = _round_up(n, unroll * db_tile)
     q_p = _round_up(q, q_tile)
 
     # NOTE: padding copies the whole database inside jit. Callers on the hot
@@ -324,7 +358,7 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
 
     kernel = functools.partial(
         _topk_stream_kernel, k=k, kpad=kpad, db_tile=db_tile, q_tile=q_tile,
-        n_tiles=n_tiles, n_bufs=n_bufs, group=group)
+        n_tiles=n_tiles, n_bufs=n_bufs, group=group, defer=defer)
 
     scores, idx = pl.pallas_call(
         kernel,
@@ -347,7 +381,9 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
             pltpu.VMEM((q_p, kpad), jnp.float32),
             pltpu.VMEM((q_p, kpad), jnp.int32),
             pltpu.VMEM((q_tile, group * db_tile), jnp.int32),  # col iota
-            pltpu.VMEM((q_p, group * db_tile), jnp.float32),    # group scores
+            pltpu.VMEM(((2, q_p, group * db_tile) if defer
+                        else (q_p, group * db_tile)),
+                       jnp.float32),                            # group scores
             pltpu.SemaphoreType.DMA((n_bufs,)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -368,7 +404,8 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
 def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
                        q_tile: int = 256, db_tile: int = 1024,
                        n_valid=None,
-                       interpret: Optional[bool] = None):
+                       interpret: Optional[bool] = None,
+                       defer: Optional[bool] = None):
     """Fused exact cosine top-k. Same contract as `cosine_topk_xla`.
 
     k must be <= 128 (use impl="xla" in `sharded_cosine_topk` for more).
@@ -401,8 +438,13 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     # (q_tile, group*db_tile) element: fp32 group-score scratch + int32
     # column iota + extraction temporaries.
     group = 2
+    if defer is None:
+        defer = False
+    # staging bytes per (q_tile, group*db_tile) element: fp32 group-score
+    # scratch (x2 ping-pong buffers in defer mode) + int32 column iota +
+    # extraction temporaries
     fixed = (q_res * d_p * itemsize + q_res * kpad * 8
-             + q_tile * group * db_tile * 12)
+             + q_tile * group * db_tile * (16 if defer else 12))
     n_bufs = 4 if itemsize <= 2 else 2
     while n_bufs > 2 and fixed + n_bufs * db_tile * d_p * itemsize > 11 * 2**20:
         n_bufs -= 1
@@ -411,14 +453,14 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
         return _topk_pallas_jit(db, queries, n_valid, k=k, kpad=kpad,
                                 q_tile=q_tile, db_tile=db_tile,
                                 interpret=interpret, q_out=q, n_bufs=n_bufs,
-                                group=group)
+                                group=group, defer=defer)
     # Chunk large query batches; each chunk streams the database once.
     outs = [
         _topk_pallas_jit(db, queries[lo:lo + _Q_RESIDENT], n_valid,
                          k=k, kpad=kpad, q_tile=q_tile, db_tile=db_tile,
                          interpret=interpret,
                          q_out=min(_Q_RESIDENT, q - lo), n_bufs=n_bufs,
-                         group=group)
+                         group=group, defer=defer)
         for lo in range(0, q, _Q_RESIDENT)
     ]
     return (jnp.concatenate([s for s, _ in outs], axis=0),
