@@ -2,6 +2,8 @@ from .topk import (
     cosine_topk_xla,
     cosine_topk_pallas,
     cosine_topk,
+    cosine_topk_int8_exact,
+    quantize_db_int8,
     sharded_cosine_topk,
     apply_score_threshold,
 )

@@ -46,3 +46,83 @@ def test_int8_k_greater_than_n(rng):
         jnp.asarray(db[:2]), 20, db_tile=128))
     assert i.shape == (2, 20)
     assert (i[:, 12:] == -1).all()
+
+
+# ---------------------------------------------------------------------------
+# Exact int8-stored path (ops.topk.cosine_topk_int8_exact): single-stage
+# streaming kernel, deterministic order vs an integer-exact reference.
+# ---------------------------------------------------------------------------
+
+def _int8_reference(v8, scale, qs, k):
+    """Replicates the kernel's arithmetic with exact int64 dots + the
+    same f32 combine, ordered by (-score, idx)."""
+    c1 = max(np.abs(qs).max(), 1e-30) / 127.0
+    c2 = np.float32(c1 / 254.0)
+    q_hi = np.clip(np.round(qs / c1), -127, 127).astype(np.int8)
+    resid = qs - q_hi.astype(np.float32) * np.float32(c1)
+    q_lo = np.clip(np.round(resid / c2), -127, 127).astype(np.int8)
+    s_hi = q_hi.astype(np.int64) @ v8.astype(np.int64).T
+    s_lo = q_lo.astype(np.int64) @ v8.astype(np.int64).T
+    S = (s_hi.astype(np.float32) * np.float32(254.0)
+         + s_lo.astype(np.float32)) * np.float32(c2 * scale)
+    n = v8.shape[0]
+    cols = np.broadcast_to(np.arange(n), S.shape)
+    order = np.lexsort((cols, -S), axis=1)[:, :k]
+    return np.take_along_axis(S, order, axis=1), order
+
+
+def test_int8_exact_matches_integer_reference():
+    from reverso_tpu.ops.topk import cosine_topk_int8_exact, quantize_db_int8
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n, d, q, k = 4096, 384, 48, 10
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    qs = db[:q] + 0.05 * rng.standard_normal((q, d)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    v8, scale = map(np.asarray, quantize_db_int8(jnp.asarray(db)))
+    s, i = map(np.asarray, cosine_topk_int8_exact(
+        jnp.asarray(v8), scale, jnp.asarray(qs), k, interpret=True))
+    rs, ri = _int8_reference(v8, float(scale), qs, k)
+    np.testing.assert_array_equal(i, ri)
+    np.testing.assert_allclose(s, rs, atol=1e-6)
+    assert (i[:, 0] == np.arange(q)).all()
+
+
+def test_int8_exact_query_precision_beats_bf16():
+    """The two-digit int8 query decomposition must reconstruct queries
+    more accurately than bf16 rounding (the bf16 path's query error)."""
+    rng = np.random.default_rng(5)
+    qs = rng.standard_normal((32, 512)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    c1 = np.abs(qs).max() / 127.0
+    c2 = c1 / 254.0
+    q_hi = np.clip(np.round(qs / c1), -127, 127)
+    q_lo = np.clip(np.round((qs - q_hi * c1) / c2), -127, 127)
+    q_hat = (q_hi * c1 + q_lo * c2).astype(np.float32)
+    import jax.numpy as jnp
+    q_bf16 = np.asarray(jnp.asarray(qs, jnp.bfloat16).astype(jnp.float32))
+    err_int8 = np.abs(q_hat - qs).max()
+    err_bf16 = np.abs(q_bf16 - qs).max()
+    assert err_int8 < err_bf16 / 4, (err_int8, err_bf16)
+
+
+def test_int8_exact_nvalid_and_small_n():
+    from reverso_tpu.ops.topk import cosine_topk_int8_exact, quantize_db_int8
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    db = rng.standard_normal((300, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    v8, scale = map(np.asarray, quantize_db_int8(jnp.asarray(db)))
+    qs = db[:5]
+    # n_valid masks the tail: hits beyond 200 must never appear
+    s, i = map(np.asarray, cosine_topk_int8_exact(
+        jnp.asarray(v8), scale, jnp.asarray(qs), 8, n_valid=200,
+        interpret=True))
+    assert (i < 200).all() and (i >= -1).all()
+    rs, ri = _int8_reference(v8[:200], float(scale), qs, 8)
+    # reference over the first 200 rows only (same query scale: global
+    # max|q| is unchanged)
+    np.testing.assert_array_equal(i, ri)
