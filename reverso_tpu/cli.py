@@ -42,6 +42,10 @@ def _make_engine(args, *, need_detector: bool = False):
         cfg = dataclasses.replace(
             cfg, detector=dataclasses.replace(cfg.detector,
                                               dtype=args.detector_dtype))
+    if getattr(args, "index_dtype", None):
+        cfg = dataclasses.replace(
+            cfg, store=dataclasses.replace(cfg.store,
+                                           dtype=args.index_dtype))
     import os as _os
     pe_ckpt = _os.environ.get("REVERSO_PE_CKPT")
     if pe_ckpt and pe_ckpt.endswith(".msgpack"):
@@ -282,6 +286,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "roughly doubles detector throughput on TPU, "
                         "float32 (default) matches reference thresholds "
                         "exactly")
+    p.add_argument("--index-dtype",
+                   choices=["float32", "bfloat16", "int8"], default=None,
+                   help="on-device search-index dtype (disk stays fp32): "
+                        "bfloat16 (default) / int8 (2x capacity, same scan "
+                        "speed, exact w.r.t. the int8 copy) / float32 "
+                        "(strict parity mode)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build a searchable database from a folder")

@@ -124,7 +124,10 @@ class DetectorConfig:
 class StoreConfig:
     """On-device sharded embedding store + host persistence."""
     root_dir: str = "./simple_reverso_db"   # reference DB root, core_system.py:76,471
-    dtype: str = "bfloat16"                 # on-device matrix dtype
+    # on-device matrix dtype: "bfloat16" | "float32" (strict parity) |
+    # "int8" (2x capacity at the same scan speed; exact w.r.t. the int8
+    # device copy, disk persistence stays fp32 — ops.topk int8-exact)
+    dtype: str = "bfloat16"
     capacity_step: int = 65536              # device matrix grows in multiples of this
     shard_axis: str = "data"                # mesh axis rows are sharded over
     upsert_batch: int = 100                 # reference upsert batch, core_system.py:612

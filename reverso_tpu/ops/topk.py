@@ -597,13 +597,15 @@ def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
 
 def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
                         mesh: Mesh, axis: str = "data",
-                        impl: str = "auto", n_valid=None):
+                        impl: str = "auto", n_valid=None, db_scale=None):
     """Top-k over a database row-sharded across `axis` of `mesh`.
 
     Each device scans its local shard with the fused kernel, then per-shard
     (score, global-id) candidates are merged with one all_gather + final
     k-select. Result is replicated. db rows must divide the axis size;
     `n_valid` (global count) masks trailing padding rows of the last shards.
+    An int8-stored db passes its (global) dequantization scale via
+    `db_scale` and is scanned with the int8-exact kernel per shard.
 
     Returns (scores [Q, k] f32, idx [Q, k] int32) identical to the
     single-device scan (deterministic tie-breaking by global row id).
@@ -613,13 +615,21 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
     assert n % n_shards == 0, (n, n_shards)
     local_n = n // n_shards
     use_pallas = impl == "pallas" or (impl == "auto" and k <= 128)
+    int8 = jnp.dtype(db.dtype) == jnp.int8
+    assert not int8 or db_scale is not None
     if n_valid is None:
         n_valid = n
 
     def local_scan(db_shard, qs):
         shard_id = jax.lax.axis_index(axis)
         local_valid = jnp.clip(jnp.asarray(n_valid) - shard_id * local_n, 0, local_n)
-        if use_pallas:
+        if int8 and use_pallas:
+            s, i = cosine_topk_int8_exact(db_shard, db_scale, qs, k,
+                                          n_valid=local_valid)
+        elif int8:
+            s, i = cosine_topk_xla(db_shard.astype(jnp.float32) * db_scale,
+                                   qs, k, n_valid=local_valid)
+        elif use_pallas:
             s, i = cosine_topk_pallas(db_shard, qs, k, n_valid=local_valid)
         else:
             s, i = cosine_topk_xla(db_shard, qs, k, n_valid=local_valid)

@@ -126,3 +126,34 @@ def test_int8_exact_nvalid_and_small_n():
     # reference over the first 200 rows only (same query scale: global
     # max|q| is unchanged)
     np.testing.assert_array_equal(i, ri)
+
+
+def test_device_index_int8_single_vs_sharded():
+    """StoreConfig.dtype='int8' flows through DeviceIndex: the sharded
+    int8 scan must equal the single-device int8 scan exactly, and both
+    must rank the self-query first."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from reverso_tpu.store.index import DeviceIndex
+
+    rng = np.random.default_rng(11)
+    n, d, k = 3000, 256, 10
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    qs = db[:24]
+
+    single = DeviceIndex(db, dtype="int8")
+    assert single.scale is not None and single.matrix.dtype == jnp.int8
+    s1, i1 = map(np.asarray, single.search(qs, k))
+    assert (i1[:, 0] == np.arange(24)).all()
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded = DeviceIndex(db, mesh=mesh, dtype="int8")
+    s2, i2 = map(np.asarray, sharded.search(qs, k))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    # k > 128 falls back to the dequantized XLA path and stays ordered
+    s3, i3 = map(np.asarray, single.search(qs[:2], 200))
+    assert i3.shape == (2, 200) and (i3[:, 0] == np.arange(2)).all()
