@@ -334,25 +334,32 @@ class Reverso:
 
     def search_by_text(self, text: str,
                        similarity_threshold: Optional[float] = None,
-                       max_results: Optional[int] = None):
+                       max_results: Optional[int] = None, *,
+                       stateless: bool = False, use_batcher: bool = False):
         """Search the loaded database with a natural-language description
         via the CLIP/PE text tower (capability the reference's models had
         but its app never exposed). Returns (text, items) like
-        search_similar."""
+        search_similar.
+
+        `stateless=True` leaves the engine's last-query state untouched
+        (concurrent UI sessions); `use_batcher` coalesces the device
+        launch with other in-flight searches."""
         if self.text_embedder is None:
             return ("❌ No text encoder configured. Load CLIP/PE text "
                     "weights to enable search-by-text.", [])
         if not text or not text.strip():
             return ("❌ Please provide a text description.", [])
-        emb = self.text_embedder.embed(text)
-        self.detected_regions = None
-        self.region_embeddings = np.asarray(emb)
-        self.region_metadata_list = [{"query_text": text}]
+        emb = np.asarray(self.text_embedder.embed(text))
+        if not stateless:
+            self.detected_regions = None
+            self.region_embeddings = emb
+            self.region_metadata_list = [{"query_text": text}]
         if similarity_threshold is None:
             # text-image cosine scores live on a different scale than
             # image-image ones; never fall through to the 0.7 default
             similarity_threshold = self.config.search.text_score_threshold
-        return self.search_similar(similarity_threshold, max_results)
+        return self.search_similar(similarity_threshold, max_results,
+                                   embeddings=emb, use_batcher=use_batcher)
 
     # -- index build ------------------------------------------------------
 

@@ -658,7 +658,7 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
 def tree_merge_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
                     mesh: Mesh, *, ici_axis: str = "chip",
                     dcn_axis: str = "host", impl: str = "auto",
-                    n_valid=None):
+                    n_valid=None, db_scale=None):
     """Two-level top-k over a database row-sharded across BOTH mesh axes.
 
     The multi-host layout (BASELINE.md config #5): rows shard over
@@ -676,6 +676,8 @@ def tree_merge_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
     assert n % shards == 0, (n, shards)
     local_n = n // shards
     use_pallas = impl == "pallas" or (impl == "auto" and k <= 128)
+    int8 = jnp.dtype(db.dtype) == jnp.int8
+    assert not int8 or db_scale is not None
     if n_valid is None:
         n_valid = n
 
@@ -685,7 +687,13 @@ def tree_merge_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
         shard_id = host * n_chip + chip
         local_valid = jnp.clip(jnp.asarray(n_valid) - shard_id * local_n,
                                0, local_n)
-        if use_pallas:
+        if int8 and use_pallas:
+            s, i = cosine_topk_int8_exact(db_shard, db_scale, qs, k,
+                                          n_valid=local_valid)
+        elif int8:
+            s, i = cosine_topk_xla(db_shard.astype(jnp.float32) * db_scale,
+                                   qs, k, n_valid=local_valid)
+        elif use_pallas:
             s, i = cosine_topk_pallas(db_shard, qs, k, n_valid=local_valid)
         else:
             s, i = cosine_topk_xla(db_shard, qs, k, n_valid=local_valid)

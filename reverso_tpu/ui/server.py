@@ -323,10 +323,13 @@ def make_handler(state: UIState):
             })
 
         def _search_text(self, body: dict) -> None:
-            with state.engine_guard():
-                text, items = engine.search_by_text(
-                    body.get("text", ""), body.get("threshold"),
-                    body.get("max_results"))
+            # stateless: never clobbers another session's query state;
+            # the device launch coalesces with concurrent searches
+            if state.build_running():
+                raise EngineBusyError("build in progress")
+            text, items = engine.search_by_text(
+                body.get("text", ""), body.get("threshold"),
+                body.get("max_results"), stateless=True, use_batcher=True)
             self._json({
                 "summary": text,
                 "results": [{

@@ -112,6 +112,16 @@ def test_engine_search_by_text(tmp_path, bpe):
                                         max_results=3)
     assert len(items) == 3, text
     assert all(np.isfinite(it["score"]) for it in items)
+    # stateless + batched variant (UI concurrency path): same results,
+    # engine query state untouched
+    engine.region_embeddings = None
+    text_s, items_s = engine.search_by_text(
+        "a cat", similarity_threshold=-1.0, max_results=3,
+        stateless=True, use_batcher=True)
+    assert [it["filename"] for it in items_s] == \
+           [it["filename"] for it in items]
+    assert engine.region_embeddings is None
+    engine.searcher.close()
     # no text encoder -> graceful message
     engine2 = Reverso(cfg, encoder=engine.encoder)
     msg, items2 = engine2.search_by_text("a cat")

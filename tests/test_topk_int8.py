@@ -157,3 +157,28 @@ def test_device_index_int8_single_vs_sharded():
     # k > 128 falls back to the dequantized XLA path and stays ordered
     s3, i3 = map(np.asarray, single.search(qs[:2], 200))
     assert i3.shape == (2, 200) and (i3[:, 0] == np.arange(2)).all()
+
+
+def test_tree_merge_int8_matches_single():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from reverso_tpu.ops.topk import (cosine_topk_int8_exact,
+                                      quantize_db_int8, tree_merge_topk)
+
+    rng = np.random.default_rng(13)
+    n, d, q, k = 8 * 512, 128, 16, 10
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    qs = db[:q]
+    v8, scale = map(np.asarray, quantize_db_int8(jnp.asarray(db)))
+    ref_s, ref_i = map(np.asarray, cosine_topk_int8_exact(
+        jnp.asarray(v8), scale, jnp.asarray(qs), k))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("host", "chip"))
+    db_sh = jax.device_put(jnp.asarray(v8),
+                           NamedSharding(mesh, P(("host", "chip"))))
+    qs_r = jax.device_put(jnp.asarray(qs), NamedSharding(mesh, P()))
+    s, i = map(np.asarray, tree_merge_topk(db_sh, qs_r, k, mesh,
+                                           db_scale=float(scale)))
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, ref_s, atol=1e-6)
