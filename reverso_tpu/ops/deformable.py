@@ -173,35 +173,55 @@ def _deform_kernel(meta, q_tile, px_ref, py_ref, w_ref, vt_ref, out_ref):
             # zero) but cheap to mask here, once per level.
             hxs.append(jnp.where(xi < wl, hx, 0.0).astype(adt)[None])
 
-        def chunk(i, acc, lvl=lvl, hl=hl, hp=hp, wp=wp, off=off, hxs=hxs):
+        # Per-tile y-bounds: a 16-row chunk [y0, y0+16) receives weight
+        # only from points with py in (y0-1, y0+16). Deformable sampling
+        # clusters around each query's reference point, and a query tile
+        # is a contiguous raster run, so most chunks of most levels have
+        # NO overlap with this tile — the whole [16, wp, Q] slab build
+        # and its matmul are skipped on a scalar branch.
+        lvl_py = pyT[lvl * n_points:(lvl + 1) * n_points, :]
+        min_py = jnp.min(jnp.clip(lvl_py, -1.0, float(hl)))
+        max_py = jnp.max(jnp.clip(lvl_py, -1.0, float(hl)))
+
+        def chunk(i, acc, lvl=lvl, hl=hl, hp=hp, wp=wp, off=off, hxs=hxs,
+                  min_py=min_py, max_py=max_py):
             y0 = i * 16
-            yi = (jax.lax.broadcasted_iota(jnp.int32, (16, q_tile), 0)
-                  .astype(f32) + y0)
-            # The [16, wp, Q] outer-product passes dominate the kernel
-            # (VPU-bound); run them in the value dtype (bf16 packs 2x)
-            # and tree-sum the point terms with no zero-init pass. The
-            # hats themselves are evaluated in f32.
-            terms = []
-            for p in range(n_points):
-                lp = lvl * n_points + p
-                py = jnp.clip(pyT[lp:lp + 1, :], -1.0, float(hl))
-                hy = jnp.maximum(1.0 - jnp.abs(py - yi), 0.0)
-                hy = jnp.where(yi < hl, hy, 0.0) * wT[lp:lp + 1, :]
-                terms.append(hy.astype(adt)[:, None, :] * hxs[p])
-            while len(terms) > 1:
-                terms = [a + b for a, b in zip(terms[::2], terms[1::2])] + (
-                    [terms[-1]] if len(terms) % 2 else [])
-            a = terms[0].reshape(16 * wp, q_tile)              # [rows, Q]
-            vc = vt_ref[0, :, pl.ds(off + y0 * wp, 16 * wp)]   # [D, rows]
-            # HIGHEST: a default-precision f32 dot is a single bf16 MXU
-            # pass on TPU (~3e-3 rel error vs the gather path); the
-            # matmul is a minor cost next to the A-build, so full f32
-            # precision is nearly free. For bf16 inputs it is one pass
-            # either way.
-            return acc + jax.lax.dot_general(
-                vc, a, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)
+            y0f = y0.astype(f32) if hasattr(y0, "astype") else float(y0)
+
+            def live(acc):
+                yi = (jax.lax.broadcasted_iota(jnp.int32, (16, q_tile), 0)
+                      .astype(f32) + y0)
+                # The [16, wp, Q] outer-product passes dominate the kernel
+                # (VPU-bound); run them in the value dtype (bf16 packs 2x)
+                # and tree-sum the point terms with no zero-init pass. The
+                # hats themselves are evaluated in f32.
+                terms = []
+                for p in range(n_points):
+                    lp = lvl * n_points + p
+                    py = jnp.clip(pyT[lp:lp + 1, :], -1.0, float(hl))
+                    hy = jnp.maximum(1.0 - jnp.abs(py - yi), 0.0)
+                    hy = jnp.where(yi < hl, hy, 0.0) * wT[lp:lp + 1, :]
+                    terms.append(hy.astype(adt)[:, None, :] * hxs[p])
+                while len(terms) > 1:
+                    terms = ([a + b for a, b in zip(terms[::2], terms[1::2])]
+                             + ([terms[-1]] if len(terms) % 2 else []))
+                a = terms[0].reshape(16 * wp, q_tile)              # [rows, Q]
+                vc = vt_ref[0, :, pl.ds(off + y0 * wp, 16 * wp)]   # [D, rows]
+                # HIGHEST for f32 inputs: a default-precision f32 dot is
+                # a single bf16 MXU pass on TPU (~3e-3 rel error vs the
+                # gather path); the matmul is a minor cost next to the
+                # A-build, so full f32 precision is nearly free. bf16
+                # inputs are one pass either way, and Mosaic rejects
+                # HIGHEST on them inside a cond branch.
+                prec = (jax.lax.Precision.DEFAULT if adt == jnp.bfloat16
+                        else jax.lax.Precision.HIGHEST)
+                return acc + jax.lax.dot_general(
+                    vc, a, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=prec)
+
+            overlap = (max_py > y0f - 1.0) & (min_py < y0f + 16.0)
+            return jax.lax.cond(overlap, live, lambda acc: acc, acc)
 
         out = jax.lax.fori_loop(0, hp // 16, chunk, out)
     out_ref[0] = out
