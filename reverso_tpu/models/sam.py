@@ -83,11 +83,12 @@ def tiny_sam_config() -> SamConfig:
 # Vision encoder
 # ---------------------------------------------------------------------------
 
-def _decomposed_rel_pos(q, rel_h, rel_w, hw):
-    """MViTv2 decomposed relative position bias.
+def _decomposed_rel_pos_parts(q, rel_h, rel_w, hw):
+    """MViTv2 decomposed relative position bias, factored parts.
 
     q: [B*heads, H*W, d]; rel_h: [2H-1, d]; rel_w: [2W-1, d].
-    Returns [B*heads, H*W, H*W] bias (q and k sizes equal, static)."""
+    Returns (bias_h [B, H*W, H], bias_w [B, H*W, W]); the full bias is
+    bias_h[:, q, ky] + bias_w[:, q, kx]."""
     h, w = hw
     assert rel_h.shape[0] == 2 * h - 1 and rel_w.shape[0] == 2 * w - 1
     idx_h = (np.arange(h)[:, None] - np.arange(h)[None, :]) + (h - 1)
@@ -98,7 +99,16 @@ def _decomposed_rel_pos(q, rel_h, rel_w, hw):
     qr = q.reshape(n, h, w, -1)
     bias_h = jnp.einsum("bhwc,hkc->bhwk", qr, rh)        # [B, H, W, H]
     bias_w = jnp.einsum("bhwc,wkc->bhwk", qr, rw)        # [B, H, W, W]
-    bias = bias_h[:, :, :, :, None] + bias_w[:, :, :, None, :]
+    return (bias_h.reshape(n, h * w, h), bias_w.reshape(n, h * w, w))
+
+
+def _decomposed_rel_pos(q, rel_h, rel_w, hw):
+    """Combined [B*heads, H*W, H*W] bias (q and k sizes equal, static)."""
+    h, w = hw
+    bias_h, bias_w = _decomposed_rel_pos_parts(q, rel_h, rel_w, hw)
+    n = q.shape[0]
+    bias = (bias_h.reshape(n, h * w, h, 1)
+            + bias_w.reshape(n, h * w, 1, w))
     return bias.reshape(n, h * w, h * w)
 
 
@@ -115,15 +125,35 @@ class SamVisionAttention(nn.Module):
         qkv = qkv.reshape(n, h * w, 3, c.num_heads, hd).transpose(2, 0, 3, 1, 4)
         qkv = qkv.reshape(3, n * c.num_heads, h * w, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        s = jnp.einsum("nqd,nkd->nqk", q * (hd ** -0.5), k)
         rel_h = self.param("rel_pos_h", nn.initializers.zeros,
                            (2 * self.input_size - 1, hd), jnp.float32)
         rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                            (2 * self.input_size - 1, hd), jnp.float32)
-        s = s + _decomposed_rel_pos(q, rel_h.astype(x.dtype),
-                                    rel_w.astype(x.dtype), (h, w))
-        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(x.dtype)
-        o = jnp.einsum("nqk,nkd->nqd", p, v)
+        use_flash = (jax.default_backend() == "tpu" and h == w
+                     and h * w > 2048 and (h * w) % 256 == 0)
+        if use_flash:
+            # Global layers (64x64 grid = 4096 tokens): the XLA path
+            # materializes the [heads, 4096, 4096] score tensor, which
+            # IS the cost of these layers. The flash kernel folds the
+            # decomposed rel-pos bias in per kv-tile (one selector
+            # matmul), so nothing [S, S] ever reaches HBM.
+            from ..ops.attention import flash_attention
+            bh, bw = _decomposed_rel_pos_parts(
+                q, rel_h.astype(x.dtype), rel_w.astype(x.dtype), (h, w))
+            q4 = q.reshape(n, c.num_heads, h * w, hd)
+            k4 = k.reshape(n, c.num_heads, h * w, hd)
+            v4 = v.reshape(n, c.num_heads, h * w, hd)
+            bh4 = bh.reshape(n, c.num_heads, h * w, h)
+            bw4 = bw.reshape(n, c.num_heads, h * w, w)
+            o = flash_attention(q4, k4, v4, scale=hd ** -0.5,
+                                rel_bias=(bh4, bw4, h))
+            o = o.reshape(n * c.num_heads, h * w, hd)
+        else:
+            s = jnp.einsum("nqd,nkd->nqk", q * (hd ** -0.5), k)
+            s = s + _decomposed_rel_pos(q, rel_h.astype(x.dtype),
+                                        rel_w.astype(x.dtype), (h, w))
+            p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(x.dtype)
+            o = jnp.einsum("nqk,nkd->nqd", p, v)
         o = o.reshape(n, c.num_heads, h, w, hd).transpose(0, 2, 3, 1, 4)
         o = o.reshape(n, h, w, c.hidden_size)
         return nn.Dense(c.hidden_size, name="proj", dtype=x.dtype)(o)

@@ -128,17 +128,40 @@ def _flash_fullseq_jit(q, k, v, *, scale: float, kv_valid: int,
 _FULLSEQ_MAX_S = 2048
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
                   scale: float, kv_blocks: int, kv_tile: int,
-                  kv_valid: int, kv_len: int):
-    """One (batch*head, q_tile) program: online-softmax over kv tiles."""
+                  kv_valid: int, kv_len: int, rel_grid: int):
+    """One (batch*head, q_tile) program: online-softmax over kv tiles.
+
+    rel_grid > 0 enables SAM-style decomposed relative-position bias:
+    key position k on a G x G grid decomposes as (ky, kx) = (k//G, k%G)
+    and bias[q, k] = bh[q, ky] + bw[q, kx]. The [TQ, TK] bias tile is
+    built as two tiny matmuls against static 0/1 selection masks — the
+    full [S, S] bias never exists anywhere (the XLA path materializes
+    [heads, 4096, 4096] at SAM global shapes, the whole cost of those
+    layers)."""
     q = q_ref[0]                       # [TQ, D]
     tq, d = q.shape
     m = jnp.full((tq, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((tq, 1), jnp.float32)
     acc = jnp.zeros((tq, d), jnp.float32)
 
+    # rel-bias (SAM) path: DEFAULT precision on the big dots — one bf16
+    # MXU pass for f32 inputs, which is exactly what the XLA einsum
+    # baseline silently does on TPU (PERF.md precision trap); HIGHEST
+    # would cost 6 passes for accuracy the baseline never had. The
+    # non-bias path keeps the per-dtype HIGHEST contract (PE parity).
+    dot_prec = (jax.lax.Precision.DEFAULT if rel_grid
+                else _dot_precision(q.dtype))
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    if rel_grid:
+        g = rel_grid
+        assert kv_tile % g == 0, (kv_tile, g)
+        # [TQ, 2G]: ky-bias columns then kx-bias columns (loop-invariant)
+        b2 = jnp.concatenate([bh_ref[0], bw_ref[0]],
+                             axis=1).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (2 * g, kv_tile), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (2 * g, kv_tile), 0)
 
     for i in range(kv_blocks):
         lo = i * kv_tile
@@ -147,7 +170,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
         s = jax.lax.dot_general(
             qs, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q.dtype))      # [TQ, TK]
+            precision=dot_prec)                     # [TQ, TK]
+        if rel_grid:
+            # one [2G, TK] 0/1 selector: rows < G pick ky == r
+            # ((lo+t)//G), rows >= G pick kx == r-G (t % G); the bias
+            # tile lands in ONE 128-contraction MXU pass. (Casts go
+            # bool->f32 per compare: Mosaic rejects an i1 select
+            # followed by truncation.)
+            sel_h = ((col + lo) // g == row).astype(jnp.float32)
+            sel_w = (col % g == row - g).astype(jnp.float32)
+            sel = jnp.where(row < g, sel_h, sel_w)
+            s = s + jax.lax.dot_general(
+                b2, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         if lo + kv_tile > kv_valid:                 # static: mask pad keys
             kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + lo
             s = jnp.where(kpos < kv_valid, s, -jnp.inf)
@@ -158,16 +194,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(q.dtype), vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q.dtype))
+            precision=dot_prec)
         m = m_new
 
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "scale", "q_tile", "kv_tile", "kv_valid", "interpret"))
-def _flash_jit(q, k, v, *, scale: float, q_tile: int, kv_tile: int,
-               kv_valid: int, interpret: bool):
+    "scale", "q_tile", "kv_tile", "kv_valid", "interpret", "rel_grid"))
+def _flash_jit(q, k, v, bias_h, bias_w, *, scale: float, q_tile: int,
+               kv_tile: int, kv_valid: int, interpret: bool,
+               rel_grid: int = 0):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     d_p = _round_up(d, 128)
@@ -177,10 +214,17 @@ def _flash_jit(q, k, v, *, scale: float, q_tile: int, kv_tile: int,
     qp = _pad_dim(_pad_dim(q, 3, d_p), 2, sq_p).reshape(b * h, sq_p, d_p)
     kp = _pad_dim(_pad_dim(k, 3, d_p), 2, skv_p).reshape(b * h, skv_p, d_p)
     vp = _pad_dim(_pad_dim(v, 3, d_p), 2, skv_p).reshape(b * h, skv_p, d_p)
+    if rel_grid:
+        bh_p = _pad_dim(bias_h, 2, sq_p).reshape(b * h, sq_p, rel_grid)
+        bw_p = _pad_dim(bias_w, 2, sq_p).reshape(b * h, sq_p, rel_grid)
+    else:
+        bh_p = bw_p = jnp.zeros((b * h, sq_p, 8), q.dtype)
+    gdim = bh_p.shape[2]
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, kv_blocks=skv_p // kv_tile,
-        kv_tile=kv_tile, kv_valid=kv_valid, kv_len=skv_p)
+        kv_tile=kv_tile, kv_valid=kv_valid, kv_len=skv_p,
+        rel_grid=rel_grid)
 
     out = pl.pallas_call(
         kernel,
@@ -191,6 +235,10 @@ def _flash_jit(q, k, v, *, scale: float, q_tile: int, kv_tile: int,
             pl.BlockSpec((1, skv_p, d_p), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, skv_p, d_p), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, gdim), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, gdim), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, q_tile, d_p), lambda bh, qi: (bh, qi, 0),
@@ -206,7 +254,7 @@ def _flash_jit(q, k, v, *, scale: float, q_tile: int, kv_tile: int,
             transcendentals=b * h * sq_p * skv_p,
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(qp, kp, vp, bh_p, bw_p)
     return out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
 
 
@@ -217,15 +265,30 @@ def out_size(b, h, s, d):
 def flash_attention(q, k, v, *, kv_valid: Optional[int] = None,
                     scale: Optional[float] = None,
                     q_tile: int = 256, kv_tile: int = 256,
+                    rel_bias=None,
                     interpret: Optional[bool] = None):
     """Flash attention over [B, H, S, D]. `kv_valid` masks trailing pad keys
-    (static int — ViT sequences have fixed length)."""
+    (static int — ViT sequences have fixed length).
+
+    rel_bias=(bias_h [B, H, Sq, G], bias_w [B, H, Sq, G], G) adds
+    SAM-style decomposed relative-position bias
+    bias[q, (ky, kx)] = bias_h[q, ky] + bias_w[q, kx] for keys on a
+    G x G grid (Skv == G*G), without ever materializing [Sq, Skv]."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     d = q.shape[-1]
     skv = k.shape[2]
     scale = float(scale) if scale is not None else d ** -0.5
     kv_valid = int(kv_valid) if kv_valid is not None else skv
+    if rel_bias is not None:
+        bias_h, bias_w, grid = rel_bias
+        assert skv == grid * grid, (skv, grid)
+        kv_tile = min(kv_tile, _round_up(skv, 128))
+        assert kv_tile % grid == 0, (kv_tile, grid)
+        return _flash_jit(q, k, v, bias_h, bias_w, scale=scale,
+                          q_tile=min(q_tile, _round_up(q.shape[2], 128)),
+                          kv_tile=kv_tile, kv_valid=kv_valid,
+                          interpret=interpret, rel_grid=grid)
     s_max = max(q.shape[2], skv)
     if s_max <= _FULLSEQ_MAX_S:
         s_p = _round_up(s_max, 128)
@@ -240,8 +303,9 @@ def flash_attention(q, k, v, *, kv_valid: Optional[int] = None,
                                   interpret=interpret, heads_per_prog=int(hp))
     q_tile = min(q_tile, _round_up(q.shape[2], 128))
     kv_tile = min(kv_tile, _round_up(skv, 128))
-    return _flash_jit(q, k, v, scale=scale, q_tile=q_tile, kv_tile=kv_tile,
-                      kv_valid=kv_valid, interpret=interpret)
+    return _flash_jit(q, k, v, None, None, scale=scale, q_tile=q_tile,
+                      kv_tile=kv_tile, kv_valid=kv_valid,
+                      interpret=interpret)
 
 
 def attention(q, k, v, *, kv_valid: Optional[int] = None,

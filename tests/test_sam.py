@@ -1,11 +1,13 @@
 """SAM end-to-end parity vs transformers SamModel (random init, fp32)."""
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
-from reverso_tpu.models.sam import Sam, tiny_sam_config, convert_sam
+from reverso_tpu.models.sam import (Sam, SamVisionCfg, tiny_sam_config,
+                                    convert_sam)
 
 
 def make_hf_model(cfg):
@@ -71,3 +73,44 @@ def test_sam_parity(multimask):
     assert masks.shape == ref_masks.shape, (masks.shape, ref_masks.shape)
     np.testing.assert_allclose(iou, ref_iou, atol=5e-3, rtol=1e-2)
     np.testing.assert_allclose(masks, ref_masks, atol=5e-3, rtol=1e-2)
+
+
+def test_flash_rel_bias_matches_xla_reference():
+    """Decomposed rel-pos flash path == explicit [S, S]-bias attention."""
+    import jax.numpy as jnp
+    from reverso_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(21)
+    b, h, g, d = 2, 3, 16, 32
+    s = g * g
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((b, h, s, g)), jnp.float32) * 0.3
+    bw = jnp.asarray(rng.standard_normal((b, h, s, g)), jnp.float32) * 0.3
+
+    out = np.asarray(flash_attention(q, k, v, rel_bias=(bh, bw, g),
+                                     interpret=True))
+    scale = d ** -0.5
+    sc = np.einsum("bhqd,bhkd->bhqk", np.asarray(q) * scale, np.asarray(k))
+    ky, kx = np.arange(s) // g, np.arange(s) % g
+    bias = (np.asarray(bh)[:, :, :, ky] + np.asarray(bw)[:, :, :, kx])
+    p = jax.nn.softmax(jnp.asarray(sc + bias), axis=-1)
+    ref = np.einsum("bhqk,bhkd->bhqd", np.asarray(p), np.asarray(v))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_sam_vision_attention_flash_gate_cpu():
+    """On CPU the XLA path runs (flash gate requires TPU); parity tests
+    against transformers cover it. This asserts the module still works
+    at a global-layer-like shape with the refactored bias helpers."""
+    cfg = SamVisionCfg(hidden_size=32, num_heads=2, num_layers=1,
+                       global_attn_indexes=(0,), image_size=64,
+                       patch_size=16)
+    from reverso_tpu.models.sam import SamVisionEncoder
+    enc = SamVisionEncoder(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 64, 64, 3)), jnp.float32)
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(enc.apply)(params, x)
+    assert np.isfinite(np.asarray(out)).all()
