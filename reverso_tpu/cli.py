@@ -197,6 +197,16 @@ def cmd_unlock(args) -> int:
 def cmd_serve(args) -> int:
     from .ui.server import serve
     engine = _make_engine(args, need_detector=True)
+    if args.name:
+        msg = engine.load_database(args.name)
+        print(msg, file=sys.stderr)
+        if msg.startswith("❌"):
+            return 1
+    if args.warmup:
+        print("🔥 Warming serving jits (first compile can take minutes "
+              "over a remote TPU host)...", file=sys.stderr)
+        print(engine.warmup(include_detector=engine.detector is not None),
+              file=sys.stderr)
     serve(engine, host=args.host, port=args.port)
     return 0
 
@@ -337,6 +347,11 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("serve", help="start the web UI")
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=7860)
+    v.add_argument("--name", default=None,
+                   help="database to load before serving")
+    v.add_argument("--warmup", action="store_true",
+                   help="pre-compile the embed/search/detector jits so "
+                        "the first request is fast")
     v.set_defaults(fn=cmd_serve)
 
     be = sub.add_parser("bench", help="run the headline benchmark")

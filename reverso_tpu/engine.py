@@ -195,6 +195,27 @@ class Reverso:
                     self._searcher = BatchingSearcher(self._get_index)
         return self._searcher
 
+    def warmup(self, *, include_detector: bool = False) -> str:
+        """Pre-compile the serving-path jits (embed + search kernel, and
+        optionally the detector) so the first real request doesn't pay
+        the cold jit compile (30-180 s per shape over a remote-compile
+        TPU host). Call after load_database; idempotent."""
+        size = self.config.model.image_size
+        warmed = []
+        np.asarray(self.encoder.encode_image(
+            np.zeros((1, size, size, 3), np.float32)))
+        warmed.append("encoder")
+        if self._store is not None and self._store.count > 0:
+            self.search_batch(
+                np.zeros((1, self.encoder.embed_dim), np.float32),
+                k=self.config.search.top_k)
+            warmed.append("search")
+        if include_detector and self.detector is not None:
+            self.detector.detect(np.zeros((64, 64, 3), np.uint8),
+                                 ["object"])
+            warmed.append("detector")
+        return "warmed: " + ", ".join(warmed)
+
     def search_batch(self, embeddings, k: Optional[int] = None):
         """Bulk search: [B, d] query embeddings in ONE kernel launch.
 

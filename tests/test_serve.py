@@ -202,3 +202,32 @@ def test_cli_bulk_search(tmp_path):
     rc = cli.main(base + ["search", paths[0], paths[2], paths[4],
                           "--name", "bulk", "--json", "--threshold", "0.3"])
     assert rc == 0
+
+
+def test_engine_warmup(tmp_path):
+    """warmup() compiles the serving jits and reports what it warmed."""
+    from PIL import Image
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.detect import StubDetector
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    cfg = default_config()
+    enc = PerceptionEncoder(
+        dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32"))
+    cfg = dataclasses.replace(
+        cfg, model=enc.cfg,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")))
+    eng = Reverso(cfg, encoder=enc, detector=StubDetector())
+    # without a store: encoder only (+ detector when asked)
+    assert eng.warmup() == "warmed: encoder"
+    assert eng.warmup(include_detector=True) == "warmed: encoder, detector"
+
+    imgs = tmp_path / "imgs"
+    os.makedirs(imgs)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+                        ).save(imgs / f"{i}.jpg")
+    eng.create_database(str(imgs), "w", use_direct_pe=True)
+    assert eng.warmup() == "warmed: encoder, search"
