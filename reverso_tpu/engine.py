@@ -147,18 +147,24 @@ class Reverso:
         self.current_database = store.name if store else None
 
     def _get_index(self):
-        if self._store is None:
+        # Read the handle ONCE: token/batcher searches run without the
+        # UI engine lock, so a concurrent load/delete may swap
+        # self._store mid-call — using a local keeps this consistent
+        # (worst case the search answers against the previous snapshot
+        # or raises a clear StoreError, never AttributeError).
+        store = self._store
+        if store is None:
             raise StoreError("no database loaded")
         scfg = self.config.search
         # Key on (count, data_version), not count alone: a truncate-then-
         # reappend to the same size (resume) or an overwrite-same-name
         # must not serve stale device vectors. refresh() makes external
         # mutations visible through this read-only handle.
-        self._store.refresh()
-        key = (self._store.count, self._store.data_version)
+        store.refresh()
+        key = (store.count, store.data_version)
         if self._index is None or getattr(self, "_index_key", None) != key:
-            count = self._store.count
-            vectors = np.asarray(self._store.vectors())
+            count = store.count
+            vectors = np.asarray(store.vectors())
             if scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
                 from .store import IVFIndex
                 ivf = IVFIndex(vectors,
@@ -319,12 +325,16 @@ class Reverso:
                 else np.asarray(embeddings))
         if embs is None or len(embs) == 0:
             return ("❌ No query embeddings available. Please detect/process an image first.", [])
-        if self._store is None:
+        store = self._store    # single read: see _get_index TOCTOU note
+        if store is None:
             return ("❌ No database loaded. Please create or load a database first.", [])
         query_index = min(query_index, len(embs) - 1)
         query = embs[query_index]
 
-        if use_batcher:
+        if use_batcher and k <= 128:
+            # k > 128 exceeds the batcher's fused-kernel cap; fall
+            # through to a direct (XLA-path) index search instead of
+            # silently truncating results
             scores, ids = self.searcher.search(query, k)
         else:
             index = self._get_index()
@@ -336,7 +346,7 @@ class Reverso:
         if not hits:
             return (f"❌ No similar regions found above threshold {threshold}", [])
 
-        payloads = self._store.payloads([i for _, i in hits])
+        payloads = store.payloads([i for _, i in hits])
         text = f"🎯 Found {len(hits)} similar regions:\n\n"
         items = []
         for rank, ((score, _), payload) in enumerate(zip(hits, payloads)):

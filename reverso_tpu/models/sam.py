@@ -129,8 +129,12 @@ class SamVisionAttention(nn.Module):
                            (2 * self.input_size - 1, hd), jnp.float32)
         rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                            (2 * self.input_size - 1, hd), jnp.float32)
+        # 256 % h == 0: the flash path's kv_tile (256) must be a whole
+        # number of grid rows or its rel-bias selector assert fires
+        # (e.g. a 48x48 grid at image_size 768 falls back to XLA here)
         use_flash = (jax.default_backend() == "tpu" and h == w
-                     and h * w > 2048 and (h * w) % 256 == 0)
+                     and h * w > 2048 and (h * w) % 256 == 0
+                     and 256 % h == 0)
         if use_flash:
             # Global layers (64x64 grid = 4096 tokens): the XLA path
             # materializes the [heads, 4096, 4096] score tensor, which

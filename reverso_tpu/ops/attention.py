@@ -374,9 +374,16 @@ def _flash_heads_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
             s = jnp.where(kpos < kv_valid, s, -jnp.inf)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
         if kv_valid >= s_real and n_zero_pad > 0:
-            l = l - n_zero_pad * jnp.exp(-m)
+            # Sum the REAL column range only (static slice — the same
+            # single reduction pass, just narrower). The previous
+            # l_total - n_pad*exp(-m) correction was mathematically
+            # exact but cancelled catastrophically in f32 when every
+            # real score was << 0 (pad columns pin m at 0), producing
+            # Inf/NaN embeddings in that degenerate regime.
+            l = jnp.sum(p[:, :s_real], axis=1, keepdims=True)
+        else:
+            l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

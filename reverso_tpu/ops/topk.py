@@ -300,8 +300,11 @@ def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
                     q_vmem[1, lo:lo + q_tile, :], bufs[j],
                     dimension_numbers=dims,
                     preferred_element_type=jnp.int32)
+                # unscaled combined dots: per-query ordering is invariant
+                # to the (positive, per-query) scale, which is applied
+                # to the returned scores outside the kernel
                 s = (s_hi.astype(jnp.float32) * 254.0
-                     + s_lo.astype(jnp.float32)) * scale_ref[0]
+                     + s_lo.astype(jnp.float32))
             else:
                 # [q_tile, db_tile] fp32 scores on the MXU.
                 s = jax.lax.dot_general(
@@ -384,8 +387,15 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
     db_p = _pad_dim(_pad_dim(db, 1, d_p), 0, n_p)
     if int8_mode:
         assert db_scale is not None
+        # PER-QUERY digit scales: a query's returned scores must not
+        # depend on which other queries were coalesced into the same
+        # launch (batch-global max|q| broke that). Per-query positive
+        # scaling leaves each row's (-score, idx) order untouched, so
+        # the kernel ranks UNscaled combined dots (scale_ref = 1) and
+        # the true scores are restored outside by a per-row multiply.
         qs32 = queries.astype(jnp.float32)
-        c1 = jnp.maximum(jnp.max(jnp.abs(qs32)), 1e-30) / 127.0
+        c1 = jnp.maximum(jnp.max(jnp.abs(qs32), axis=1, keepdims=True),
+                         1e-30) / 127.0
         c2 = c1 / 254.0
         q_hi = jnp.clip(jnp.round(qs32 / c1), -127, 127).astype(jnp.int8)
         resid = qs32 - q_hi.astype(jnp.float32) * c1
@@ -393,7 +403,8 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
         qs_p = jnp.stack([
             _pad_dim(_pad_dim(q_hi, 1, d_p), 0, q_p),
             _pad_dim(_pad_dim(q_lo, 1, d_p), 0, q_p)])
-        scale = (c2 * jnp.asarray(db_scale, jnp.float32)).reshape(1)
+        scale = jnp.ones((1,), jnp.float32)
+        row_scale = c2 * jnp.asarray(db_scale, jnp.float32)   # [Q, 1]
     else:
         qs_p = _pad_dim(_pad_dim(queries, 1, d_p), 0, q_p)
         scale = jnp.ones((1,), jnp.float32)
@@ -443,6 +454,9 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
         interpret=interpret,
     )(n_valid, scale, qs_p, db_p)
     scores, idx = scores[:q_out, :k], idx[:q_out, :k]
+    if int8_mode:
+        # restore true cosine scale per query (-inf stays -inf)
+        scores = scores * row_scale[:q_out]
     # fewer than k valid rows: masked -inf slots must not leak pad row ids
     idx = jnp.where(jnp.isneginf(scores), -1, idx)
     return scores, idx
@@ -495,6 +509,7 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     n_bufs = 4 if itemsize <= 2 else 2
     while n_bufs > 2 and fixed + n_bufs * db_tile * d_p * itemsize > 11 * 2**20:
         n_bufs -= 1
+    n_bufs -= n_bufs % group   # ring depth must stay a group multiple
 
     if q <= _Q_RESIDENT:
         return _topk_pallas_jit(db, queries, n_valid, k=k, kpad=kpad,
@@ -540,6 +555,58 @@ def quantize_db_int8(db):
     return v8, scale
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def cosine_topk_int8_xla(db_i8: jnp.ndarray, db_scale,
+                         queries: jnp.ndarray, k: int,
+                         n_valid=None, *, chunk: int = 65536):
+    """Exact top-k over an int8 database via XLA, any k.
+
+    Scans row chunks with `lax.scan`, dequantizing each chunk on the
+    fly and carrying a running (scores, ids) top-k — the full f32
+    matrix never exists (a whole-database dequant would quadruple the
+    int8 footprint and OOM exactly at the capacity int8 exists for).
+    Tie order matches the stable single-shot scan: earlier (lower-id)
+    candidates precede the chunk in the concat, and lax.top_k is
+    stable."""
+    n, d = db_i8.shape
+    q = queries.shape[0]
+    if n_valid is None:
+        n_valid = n
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    chunk = min(chunk, _round_up(n, 128))
+    n_p = _round_up(n, chunk)
+    db_p = _pad_dim(db_i8, 0, n_p).reshape(n_p // chunk, chunk, d)
+    q32 = queries.astype(jnp.float32)
+    scale = jnp.asarray(db_scale, jnp.float32)
+    k_eff = min(k, n)
+
+    def body(carry, xs):
+        s_c, i_c = carry
+        block, base = xs
+        s = jax.lax.dot_general(
+            q32, block.astype(jnp.float32) * scale,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+        all_s = jnp.concatenate([s_c, s], axis=1)
+        all_i = jnp.concatenate([i_c, col], axis=1)
+        top_s, pos = jax.lax.top_k(all_s, k_eff)
+        return (top_s, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    init = (jnp.full((q, k_eff), -jnp.inf, jnp.float32),
+            jnp.full((q, k_eff), -1, jnp.int32))
+    bases = jnp.arange(n_p // chunk, dtype=jnp.int32) * chunk
+    (top_s, top_i), _ = jax.lax.scan(body, init, (db_p, bases))
+    if k_eff < k:
+        top_s = _pad_dim(top_s, 1, k)
+        top_s = top_s.at[:, k_eff:].set(-jnp.inf)
+        top_i = _pad_dim(top_i, 1, k)
+    top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
+    return top_s, top_i
+
+
 def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
                            queries: jnp.ndarray,
                            k: int, *, q_tile: int = 256, db_tile: int = 1024,
@@ -575,6 +642,7 @@ def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
     n_bufs = 4
     while n_bufs > 2 and fixed + n_bufs * db_tile * d_p > 11 * 2**20:
         n_bufs -= 1
+    n_bufs -= n_bufs % group   # ring depth must stay a group multiple
 
     def launch(qs, q_out):
         return _topk_pallas_jit(db_i8, qs, n_valid, k=k, kpad=kpad,
@@ -627,8 +695,9 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
             s, i = cosine_topk_int8_exact(db_shard, db_scale, qs, k,
                                           n_valid=local_valid)
         elif int8:
-            s, i = cosine_topk_xla(db_shard.astype(jnp.float32) * db_scale,
-                                   qs, k, n_valid=local_valid)
+            # chunked: never dequantizes the whole shard at once
+            s, i = cosine_topk_int8_xla(db_shard, db_scale, qs, k,
+                                        n_valid=local_valid)
         elif use_pallas:
             s, i = cosine_topk_pallas(db_shard, qs, k, n_valid=local_valid)
         else:
@@ -691,8 +760,9 @@ def tree_merge_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
             s, i = cosine_topk_int8_exact(db_shard, db_scale, qs, k,
                                           n_valid=local_valid)
         elif int8:
-            s, i = cosine_topk_xla(db_shard.astype(jnp.float32) * db_scale,
-                                   qs, k, n_valid=local_valid)
+            # chunked: never dequantizes the whole shard at once
+            s, i = cosine_topk_int8_xla(db_shard, db_scale, qs, k,
+                                        n_valid=local_valid)
         elif use_pallas:
             s, i = cosine_topk_pallas(db_shard, qs, k, n_valid=local_valid)
         else:

@@ -23,6 +23,10 @@ class SearchError(RuntimeError):
     pass
 
 
+def _round_up_8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
 class _Pending:
     __slots__ = ("query", "k", "event", "scores", "ids", "error")
 
@@ -70,10 +74,17 @@ class BatchingSearcher:
         """Search for one query vector [d]; returns (scores[k], ids[k]).
 
         Thread-safe; blocks until the coalesced launch completes.
+        k > k_cap raises (silent truncation would return fewer results
+        than asked with no error); route large-k requests directly to
+        the index instead.
         """
         if self._closed:
             raise SearchError("searcher is closed")
-        k = min(int(k), self._k_cap)
+        k = int(k)
+        if k > self._k_cap:
+            raise SearchError(
+                f"k={k} exceeds the batcher's k_cap={self._k_cap}; "
+                "use a direct index search for large k")
         q = np.asarray(query, np.float32).reshape(-1)
         p = _Pending(q, k)
         with self._cv:
@@ -112,6 +123,35 @@ class BatchingSearcher:
             del self._queue[:len(batch)]
             return batch
 
+    @staticmethod
+    def _bucket(n: int, cap: int) -> int:
+        """Next power-of-two batch size (capped): the kernel jit is
+        shape-specialized and a fresh (batch, k) pair costs a 30-180 s
+        remote compile, so launches snap to a small set of shapes."""
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
+    def _launch(self, group: list[_Pending]) -> None:
+        """One device launch for same-dimension requests, with padded
+        shapes so repeat traffic reuses compiled kernels."""
+        k_max = max(p.k for p in group)
+        k_pad = min(self._k_cap, _round_up_8(k_max))
+        bucket = self._bucket(len(group), self._max_batch)
+        d = group[0].query.shape[0]
+        queries = np.zeros((bucket, d), np.float32)
+        for row, p in enumerate(group):
+            queries[row] = p.query
+        index = self._index_fn()
+        import jax
+        scores, ids = jax.device_get(index.search(queries, k_pad))
+        for row, p in enumerate(group):
+            p.scores = np.asarray(scores)[row, :p.k]
+            p.ids = np.asarray(ids)[row, :p.k]
+        self.launches += 1
+        self.served += len(group)
+
     def _run(self) -> None:
         while True:
             batch = self._drain()
@@ -119,23 +159,17 @@ class BatchingSearcher:
                 if self._closed:
                     return
                 continue
-            try:
-                dims = {p.query.shape[0] for p in batch}
-                if len(dims) != 1:
-                    raise SearchError(f"mixed query dims in batch: {dims}")
-                k_max = max(p.k for p in batch)
-                queries = np.stack([p.query for p in batch])
-                index = self._index_fn()
-                import jax
-                scores, ids = jax.device_get(index.search(queries, k_max))
-                for row, p in enumerate(batch):
-                    p.scores = np.asarray(scores)[row, :p.k]
-                    p.ids = np.asarray(ids)[row, :p.k]
-                self.launches += 1
-                self.served += len(batch)
-            except BaseException as e:   # propagate to every waiter
-                for p in batch:
-                    p.error = e
-            finally:
-                for p in batch:
-                    p.event.set()
+            # group by query dimension: one malformed request must not
+            # poison its co-travellers' batch
+            by_dim: dict[int, list[_Pending]] = {}
+            for p in batch:
+                by_dim.setdefault(p.query.shape[0], []).append(p)
+            for group in by_dim.values():
+                try:
+                    self._launch(group)
+                except BaseException as e:   # propagate to this group only
+                    for p in group:
+                        p.error = e
+                finally:
+                    for p in group:
+                        p.event.set()

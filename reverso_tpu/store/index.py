@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 from ..config import SearchConfig, StoreConfig
 from ..ops.topk import (
     cosine_topk_int8_exact,
+    cosine_topk_int8_xla,
     cosine_topk_pallas,
     cosine_topk_xla,
     sharded_cosine_topk,
@@ -101,9 +102,13 @@ class DeviceIndex:
                                        n_valid=self.n_valid,
                                        db_scale=self.scale)
         if impl == "xla" or (impl == "auto" and k > 128):
-            mat = (self.matrix.astype(jnp.float32) * self.scale if int8
-                   else self.matrix)
-            return cosine_topk_xla(mat, q, k, n_valid=self.n_valid)
+            if int8:
+                # chunked scan: never dequantizes the whole matrix (a
+                # full f32 copy is 4x the int8 footprint — OOM at the
+                # capacity int8 exists for)
+                return cosine_topk_int8_xla(self.matrix, self.scale, q, k,
+                                            n_valid=self.n_valid)
+            return cosine_topk_xla(self.matrix, q, k, n_valid=self.n_valid)
         if int8:
             return cosine_topk_int8_exact(self.matrix, self.scale, q, k,
                                           db_tile=self.db_tile,

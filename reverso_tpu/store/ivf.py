@@ -76,6 +76,14 @@ class IVFIndex:
             raise ValueError("empty index")
         n_clusters = min(n_clusters, n)
         rng = np.random.default_rng(seed)
+        if jnp.dtype(dtype) == jnp.int8:
+            # A raw cast would truncate normalized embeddings (|x| < 1)
+            # to all-zeros and silently return garbage; the IVF path has
+            # no quantized-scan kernel, so fall back to bf16 storage.
+            import warnings
+            warnings.warn("IVFIndex does not support int8 storage; "
+                          "falling back to bfloat16", stacklevel=2)
+            dtype = "bfloat16"
         self._dtype = jnp.dtype(dtype)
 
         vec32 = np.ascontiguousarray(vectors, np.float32)

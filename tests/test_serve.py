@@ -231,3 +231,63 @@ def test_engine_warmup(tmp_path):
                         ).save(imgs / f"{i}.jpg")
     eng.create_database(str(imgs), "w", use_direct_pe=True)
     assert eng.warmup() == "warmed: encoder, search"
+
+
+def test_mixed_dims_do_not_poison_the_batch():
+    """One malformed (wrong-dim) request errors alone; same-window
+    co-travellers with the right dim still get results."""
+    db = _db()
+    idx = FakeIndex(db, delay=0.005)
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.05)
+    out, errs = {}, {}
+
+    def good(i):
+        out[i] = b.search(db[i], k=3)
+
+    def bad():
+        try:
+            b.search(np.zeros(7, np.float32), k=3)   # wrong dim
+        except SearchError as e:
+            errs["bad"] = str(e)
+
+    ts = ([threading.Thread(target=good, args=(i,)) for i in range(4)]
+          + [threading.Thread(target=bad)])
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    b.close()
+    for i in range(4):
+        assert out[i][1][0] == i
+    # the wrong-dim group failed by itself (FakeIndex matmul mismatch)
+    assert "bad" in errs
+
+
+def test_k_above_cap_raises_not_truncates():
+    b = BatchingSearcher(lambda: FakeIndex(_db()), k_cap=16)
+    with pytest.raises(SearchError, match="k_cap"):
+        b.search(np.zeros(16, np.float32), k=64)
+    b.close()
+
+
+def test_launch_shapes_are_bucketed():
+    """Coalesced launches snap to power-of-two batch sizes and k padded
+    to 8 so repeat traffic reuses compiled kernels."""
+    db = _db()
+    idx = FakeIndex(db, delay=0.01)
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.05)
+    out = {}
+
+    def worker(i):
+        out[i] = b.search(db[i], k=3)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    b.close()
+    for i in range(3):
+        assert out[i][1][0] == i and len(out[i][1]) == 3
+    assert all(bs in (1, 2, 4, 8, 16) for bs in idx.batch_sizes), \
+        idx.batch_sizes

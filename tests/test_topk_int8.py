@@ -55,20 +55,23 @@ def test_int8_k_greater_than_n(rng):
 
 def _int8_reference(v8, scale, qs, k):
     """Replicates the kernel's arithmetic with exact int64 dots + the
-    same f32 combine, ordered by (-score, idx)."""
-    c1 = max(np.abs(qs).max(), 1e-30) / 127.0
-    c2 = np.float32(c1 / 254.0)
+    same f32 combine, ordered by (-score, idx). Digit scales are
+    PER-QUERY (a query's results must not depend on batch co-travellers);
+    ranking happens on unscaled dots, true scores restored per row."""
+    c1 = np.maximum(np.abs(qs).max(axis=1, keepdims=True), 1e-30) / 127.0
+    c2 = (c1 / 254.0).astype(np.float32)
     q_hi = np.clip(np.round(qs / c1), -127, 127).astype(np.int8)
-    resid = qs - q_hi.astype(np.float32) * np.float32(c1)
+    resid = qs - q_hi.astype(np.float32) * c1.astype(np.float32)
     q_lo = np.clip(np.round(resid / c2), -127, 127).astype(np.int8)
     s_hi = q_hi.astype(np.int64) @ v8.astype(np.int64).T
     s_lo = q_lo.astype(np.int64) @ v8.astype(np.int64).T
     S = (s_hi.astype(np.float32) * np.float32(254.0)
-         + s_lo.astype(np.float32)) * np.float32(c2 * scale)
+         + s_lo.astype(np.float32))
     n = v8.shape[0]
     cols = np.broadcast_to(np.arange(n), S.shape)
     order = np.lexsort((cols, -S), axis=1)[:, :k]
-    return np.take_along_axis(S, order, axis=1), order
+    return (np.take_along_axis(S, order, axis=1)
+            * (c2 * np.float32(scale)), order)
 
 
 def test_int8_exact_matches_integer_reference():
@@ -182,3 +185,62 @@ def test_tree_merge_int8_matches_single():
                                            db_scale=float(scale)))
     np.testing.assert_array_equal(i, ref_i)
     np.testing.assert_allclose(s, ref_s, atol=1e-6)
+
+
+def test_int8_scores_independent_of_batch_cotravellers():
+    """A query's scores/ids must be identical whether it is searched
+    alone or coalesced with other (wildly scaled) queries — the digit
+    scales are per-query."""
+    from reverso_tpu.ops.topk import cosine_topk_int8_exact, quantize_db_int8
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    db = rng.standard_normal((2048, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    v8, scale = map(np.asarray, quantize_db_int8(jnp.asarray(db)))
+    q = db[5:6]
+    s_alone, i_alone = map(np.asarray, cosine_topk_int8_exact(
+        jnp.asarray(v8), scale, jnp.asarray(q), 10, interpret=True))
+    big = np.concatenate([q, 50.0 * db[100:101], 1e-3 * db[200:201]])
+    s_b, i_b = map(np.asarray, cosine_topk_int8_exact(
+        jnp.asarray(v8), scale, jnp.asarray(big), 10, interpret=True))
+    np.testing.assert_array_equal(i_alone[0], i_b[0])
+    np.testing.assert_allclose(s_alone[0], s_b[0], rtol=0, atol=0)
+
+
+def test_int8_chunked_xla_matches_dequant():
+    """k > 128 path: chunked scan == full dequantized scan, exactly."""
+    from reverso_tpu.ops.topk import (cosine_topk_int8_xla,
+                                      cosine_topk_xla, quantize_db_int8)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(19)
+    n, d, k = 1000, 96, 200
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    v8, scale = map(np.asarray, quantize_db_int8(jnp.asarray(db)))
+    qs = db[:8]
+    s, i = map(np.asarray, cosine_topk_int8_xla(
+        jnp.asarray(v8), scale, jnp.asarray(qs), k, n_valid=900,
+        chunk=256))
+    deq = jnp.asarray(v8, jnp.float32) * scale
+    rs, ri = map(np.asarray, cosine_topk_xla(deq, jnp.asarray(qs), k,
+                                             n_valid=900))
+    np.testing.assert_array_equal(i, ri)
+    np.testing.assert_allclose(s, rs, atol=1e-5)
+
+
+def test_vmem_budget_never_breaks_group_alignment():
+    """d=512 with a full 1024-query resident block used to pick
+    n_bufs=3 and trip the kernel's n_bufs % group assertion."""
+    from reverso_tpu.ops.topk import cosine_topk_pallas, cosine_topk_xla
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    db = rng.standard_normal((4096, 512)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    qs = np.ascontiguousarray(db[:1024])
+    s, i = map(np.asarray, cosine_topk_pallas(
+        jnp.asarray(db, jnp.bfloat16), jnp.asarray(qs, jnp.bfloat16),
+        10, interpret=True))
+    assert (i[:, 0] == np.arange(1024)).all()

@@ -305,3 +305,22 @@ def test_flash_heads_matches_reference(rng):
     m_pad = VisionTransformer(cfg, use_flash=True, pad_seq=True)
     out2 = np.asarray(m_pad.apply({"params": params}, jnp.asarray(imgs)))
     np.testing.assert_allclose(out2, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_flash_heads_degenerate_scores_stay_finite():
+    """All-real-scores-very-negative regime: the zero-pad softmax
+    correction must not cancel to zero (old l - n_pad*exp(-m) produced
+    Inf/NaN embeddings when pad columns pinned m at 0)."""
+    from reverso_tpu.ops.attention import flash_attention_heads
+
+    b, s, w, heads = 1, 5, 64, 2
+    q = np.full((b, s, w), 1.0, np.float32)
+    k = np.full((b, s, w), -8.0, np.float32)   # q.k scaled ~= -90
+    v = np.tile(np.arange(s, dtype=np.float32)[None, :, None], (b, 1, w))
+    out = np.asarray(flash_attention_heads(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads=heads,
+        interpret=True))
+    assert np.isfinite(out).all(), out
+    # all keys tie -> uniform softmax over REAL keys -> mean of v
+    np.testing.assert_allclose(out[0, 0], np.full(w, v[0, :, 0].mean()),
+                               rtol=1e-4)
