@@ -3,6 +3,7 @@ from .topk import (
     cosine_topk_pallas,
     cosine_topk,
     cosine_topk_int8_exact,
+    cosine_topk_int8_xla,
     quantize_db_int8,
     sharded_cosine_topk,
     apply_score_threshold,
