@@ -282,3 +282,50 @@ def test_cli_trace_dir(tmp_path, monkeypatch):
                        recursive=True) + glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     assert traces, os.listdir(trace_dir)
+
+
+def test_region_build_int8_index_batched_search(tmp_path):
+    """Cross-feature: region-mode build -> int8 device index -> searches
+    through the micro-batching front-end, all consistent with the
+    direct index path."""
+    import dataclasses
+    import threading
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.detect import StubDetector
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+    from reverso_tpu.store import VectorStore
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db"),
+                                  dtype="int8"))
+    eng = Reverso(cfg, encoder=PerceptionEncoder(model),
+                  detector=StubDetector())
+    files = make_corpus(tmp_path / "imgs", n=5)
+    eng.create_database(str(tmp_path / "imgs"), "xint8",
+                        text_prompt="person . car")
+    store = VectorStore.open(str(tmp_path / "db"), "xint8")
+    assert store.count >= 5   # stub yields >= 1 region per image
+
+    vecs = np.asarray(store.vectors())
+    import jax.numpy as jnp
+    idx = eng._get_index()
+    assert idx.matrix.dtype == jnp.int8     # config flowed through
+    direct_s, direct_i = eng.search_batch(vecs[:3], k=4)
+    out = {}
+
+    def worker(i):
+        out[i] = eng.searcher.search(vecs[i], k=4)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    eng.searcher.close()
+    for i in range(3):
+        np.testing.assert_array_equal(out[i][1], direct_i[i])
+        np.testing.assert_allclose(out[i][0], direct_s[i], atol=1e-6)
