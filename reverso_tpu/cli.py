@@ -292,10 +292,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "this directory (open with TensorBoard/Perfetto)")
     p.add_argument("--detector-dtype", choices=["float32", "bfloat16"],
                    default=None,
-                   help="GroundingDINO+SAM activation dtype; bfloat16 "
-                        "roughly doubles detector throughput on TPU, "
-                        "float32 (default) matches reference thresholds "
-                        "exactly")
+                   help="GroundingDINO+SAM activation dtype. float32 "
+                        "(default) matches reference thresholds exactly "
+                        "and is now also the fastest path — the bf16 "
+                        "speed edge belonged to the old gather-based "
+                        "deformable attention and is gone with the "
+                        "Pallas kernel (PERF.md)")
     p.add_argument("--index-dtype",
                    choices=["float32", "bfloat16", "int8"], default=None,
                    help="on-device search-index dtype (disk stays fp32): "
