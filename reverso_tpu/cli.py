@@ -293,9 +293,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--detector-dtype", choices=["float32", "bfloat16"],
                    default=None,
                    help="GroundingDINO+SAM activation dtype. float32 "
-                        "(default) matches reference thresholds exactly "
-                        "and is now also the fastest path — the bf16 "
-                        "speed edge belonged to the old gather-based "
+                        "(default) keeps reference numerics except that "
+                        "big attention contractions run TPU default "
+                        "precision (one bf16 MXU pass, same as the XLA "
+                        "baseline; ~3e-3 rel — PERF.md precision trap). "
+                        "It is also the fastest path — the bf16 speed "
+                        "edge belonged to the old gather-based "
                         "deformable attention and is gone with the "
                         "Pallas kernel (PERF.md)")
     p.add_argument("--index-dtype",

@@ -112,11 +112,17 @@ class DetectorConfig:
     mask_threshold: float = 0.5
     image_size: int = 1024         # SAM-style input resolution
     default_prompt: str = "object"  # fallback when prompt empty, core_system.py:213
-    # Activation dtype for GroundingDINO + SAM. fp32 is the parity-exact
-    # default (box/text thresholds are compared against fp32 logits like
-    # the reference CPU path); "bfloat16" roughly doubles detector
-    # throughput on TPU (PERF.md detection table) at the cost of
-    # near-threshold detections possibly flipping.
+    # Activation dtype for GroundingDINO + SAM. fp32 is the default and
+    # the closest to reference numerics — but not bit-exact on TPU: the
+    # big attention contractions (SAM global layers' flash rel-bias
+    # path, and any XLA einsum at default precision) run one bf16 MXU
+    # pass (~3e-3 rel, PERF.md precision trap), so near-threshold
+    # detections CAN differ from a CPU fp32 run; thresholds are still
+    # compared against f32-accumulated logits. "bfloat16" runs the
+    # whole stack in bf16 — since the Pallas deformable kernel it is no
+    # faster end-to-end (PERF.md round-2 A/B) and quantizes near-
+    # threshold results harder; sampling COORDINATES stay fp32 either
+    # way (round-3: the ~0.5 px bf16 sampling quantization is gone).
     dtype: str = "float32"
 
 

@@ -94,6 +94,11 @@ class Reverso:
         self._stop_event = threading.Event()
         self._searcher = None
         self._searcher_lock = threading.Lock()
+        # guards (_index, _index_key) rebuild/assignment: the batcher's
+        # worker thread calls _get_index concurrently with UI-locked
+        # callers, and two simultaneous rebuilds would transiently hold
+        # 2x the index's HBM footprint
+        self._index_lock = threading.Lock()
 
     # -- database management (reference core_system.py:74-154) ----------
 
@@ -141,9 +146,10 @@ class Reverso:
         return f"ℹ️ No lock file found for database: {database_name}"
 
     def _set_store(self, store: Optional[VectorStore]) -> None:
-        self._store = store
-        self._index = None
-        self._index_key = None
+        with self._index_lock:
+            self._store = store
+            self._index = None
+            self._index_key = None
         self.current_database = store.name if store else None
 
     def _get_index(self):
@@ -162,7 +168,15 @@ class Reverso:
         # mutations visible through this read-only handle.
         store.refresh()
         key = (store.count, store.data_version)
-        if self._index is None or getattr(self, "_index_key", None) != key:
+        if self._index is not None and getattr(self, "_index_key", None) == key:
+            return self._index
+        with self._index_lock:
+            # re-check under the lock: a concurrent caller may have just
+            # rebuilt; without this, two threads would each stage the
+            # (possibly multi-GB) matrix to HBM and one copy leaks until
+            # the next rebuild
+            if self._index is not None and getattr(self, "_index_key", None) == key:
+                return self._index
             count = store.count
             vectors = np.asarray(store.vectors())
             if scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
@@ -171,14 +185,15 @@ class Reverso:
                                n_clusters=min(scfg.ivf_clusters, count),
                                dtype=self.config.store.dtype,
                                mesh=self.mesh)
-                self._index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe)
+                index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe)
             else:
-                self._index = DeviceIndex(
+                index = DeviceIndex(
                     vectors, mesh=self.mesh,
                     dtype=self.config.store.dtype,
                     db_tile=scfg.db_tile)
+            self._index = index
             self._index_key = key
-        return self._index
+            return index
 
     # -- serving ----------------------------------------------------------
 
@@ -212,9 +227,17 @@ class Reverso:
             np.zeros((1, size, size, 3), np.float32)))
         warmed.append("encoder")
         if self._store is not None and self._store.count > 0:
-            self.search_batch(
-                np.zeros((1, self.encoder.embed_dim), np.float32),
-                k=self.config.search.top_k)
+            # Warm THROUGH the batcher: its launches pad k to a multiple
+            # of 8 and bucket the batch to a power of two, and k/batch
+            # are static jit args — warming the raw top_k shape would
+            # compile a kernel the serving path never reuses, leaving
+            # the first real request to pay the 30-180 s remote compile
+            # (and blow the batcher's default timeout). A single queued
+            # request launches as (bucket=1, k_pad), exactly the
+            # steady-state low-traffic shape.
+            self.searcher.search(
+                np.zeros(self.encoder.embed_dim, np.float32),
+                k=self.config.search.top_k, timeout=900.0)
             warmed.append("search")
         if include_detector and self.detector is not None:
             self.detector.detect(np.zeros((64, 64, 3), np.uint8),

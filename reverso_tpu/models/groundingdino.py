@@ -493,6 +493,12 @@ class GroundingDino(nn.Module):
 
         topk_scores = jnp.max(enc_logits, axis=-1)          # [B, Lv]
         _, topk_idx = jax.lax.top_k(topk_scores, c.num_queries)
+        # expose the two-stage selection for parity tooling (no-op unless
+        # applied with mutable=["intermediates"]): at random init final
+        # boxes diverge chaotically through this top-Q cut for any two
+        # numerically distinct impls, so selection OVERLAP is the
+        # meaningful full-size e2e parity surface (PERF.md, parity gate)
+        self.sow("intermediates", "topk_proposal_idx", topk_idx)
         topk_coords = jnp.take_along_axis(
             enc_coord_logits, topk_idx[..., None], axis=1)
         reference = jax.nn.sigmoid(topk_coords)             # [B, Q, 4]

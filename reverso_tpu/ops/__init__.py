@@ -9,4 +9,8 @@ from .topk import (
     apply_score_threshold,
 )
 from .norm import l2_normalize
-from .topk_int8 import cosine_topk_int8, quantize_rows
+# NOTE: `ops.topk_int8` (two-stage overfetch+rescore int8) is a retained
+# experiment superseded by `cosine_topk_int8_exact` — same capacity win,
+# exact scores, no recall parameter. Import it by module path if needed;
+# it is deliberately NOT part of the package's advertised search surface
+# (one int8 contract: the exact kernel).

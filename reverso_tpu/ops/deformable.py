@@ -252,15 +252,22 @@ def ms_deform_attn_pallas(value: jnp.ndarray,
         start += hl * wl
     vt = jnp.concatenate(chunks, axis=-1).reshape(b * h, d, n_pad)
 
-    # Pixel-space coordinates and weights: [B*H, Lq_pad, L*P]
+    # Pixel-space coordinates and weights: [B*H, Lq_pad, L*P].
+    # Coordinate math is ALWAYS f32, whatever dtype the caller passes:
+    # bf16 normalized coordinates quantize sampling points by ~0.5 px at
+    # a 100-wide level (8-bit mantissa), which is a sampling-geometry
+    # error, not a feature-precision one — the model path supplies f32
+    # locations already (DeformAttn promotes), this guards op-level
+    # callers. Matches the CUDA MSDeformAttn's fp32 coordinate semantics.
     sizes = jnp.asarray([[wl, hl] for hl, wl in spatial_shapes],
-                        sampling_locations.dtype)
-    pix = (sampling_locations * sizes[None, None, None, :, None, :] - 0.5)
+                        jnp.float32)
+    pix = (sampling_locations.astype(jnp.float32)
+           * sizes[None, None, None, :, None, :] - 0.5)
     pix = pix.transpose(0, 2, 1, 3, 4, 5).reshape(
         b * h, lq, n_levels * n_points, 2)
     pad = ((0, 0), (0, lq_pad - lq), (0, 0))
-    px = jnp.pad(pix[..., 0].astype(jnp.float32), pad)
-    py = jnp.pad(pix[..., 1].astype(jnp.float32), pad)
+    px = jnp.pad(pix[..., 0], pad)
+    py = jnp.pad(pix[..., 1], pad)
     w = jnp.pad(attention_weights.transpose(0, 2, 1, 3, 4).reshape(
         b * h, lq, n_levels * n_points).astype(jnp.float32), pad)
 
@@ -316,8 +323,10 @@ def ms_deform_attn(value: jnp.ndarray,
         # [B, Hl*Wl, H, D] -> [B*H, Hl, Wl, D]
         v = value[:, start:start + hl * wl]
         v = v.transpose(0, 2, 1, 3).reshape(b * h, hl, wl, d)
-        # locations for this level: [B, Lq, H, P, 2] -> [B*H, Lq*P]
-        loc = sampling_locations[:, :, :, lvl]                  # [B, Lq, H, P, 2]
+        # locations for this level: [B, Lq, H, P, 2] -> [B*H, Lq*P];
+        # f32 coordinate math regardless of caller dtype (see the pallas
+        # path's comment — bf16 coords shift samples by ~0.5 px)
+        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)
         loc = loc.transpose(0, 2, 1, 3, 4).reshape(b * h, lq * n_points, 2)
         px = loc[..., 0] * wl - 0.5
         py = loc[..., 1] * hl - 0.5

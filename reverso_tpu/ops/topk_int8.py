@@ -1,5 +1,14 @@
 """int8-quantized exact-rescored cosine top-k (ScaNN-style two stage).
 
+STATUS: retained experiment, SUPERSEDED by `ops.topk.cosine_topk_int8_exact`
+(round 2). The two-digit exact kernel delivers the same 2x capacity with
+exact scores and no overfetch/recall parameter, at the same scan speed —
+so no engine/index path routes here anymore and the symbol is no longer
+re-exported from `reverso_tpu.ops`. Kept (with its tests) as the
+reference implementation of the rescore pattern in case per-ROW scales
+ever become necessary (e.g. unnormalized corpora, where a single global
+scale clips).
+
 The bf16 streaming scan (`ops.topk`) is HBM-bound: 2 GB of database per
 query batch at 1M x 1024. Storing the scan copy in int8 with per-row
 scales halves the traffic and doubles the MXU rate; a final exact-fp32

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 from typing import Callable, Optional
 
 import numpy as np
@@ -21,6 +22,15 @@ import numpy as np
 
 class SearchError(RuntimeError):
     pass
+
+
+class OverloadedError(SearchError):
+    """Queue full: the request was shed immediately (HTTP 429 analog).
+
+    Shedding beats queueing here: the batcher drains max_batch requests
+    per launch, so a queue deeper than a few launches means every new
+    caller would wait multiple device launches anyway — failing fast
+    keeps tail latency bounded and lets the client back off/retry."""
 
 
 def _round_up_8(x: int) -> int:
@@ -49,20 +59,30 @@ class BatchingSearcher:
         co-travellers. Zero still batches whatever is already queued.
     max_batch: cap on queries per launch (memory of the score staging
         scales with the batch).
+    max_queue: bound on requests waiting for a launch; arrivals beyond
+        it are shed with `OverloadedError` instead of queueing (the
+        collector is single-worker, so an unbounded queue would turn
+        overload into unbounded latency rather than fast errors).
     """
 
     def __init__(self, index_fn: Callable[[], object], *,
                  max_delay_s: float = 0.003, max_batch: int = 256,
-                 k_cap: int = 128):
+                 k_cap: int = 128, max_queue: int = 1024,
+                 latency_window: int = 512):
         self._index_fn = index_fn
         self._max_delay_s = max_delay_s
         self._max_batch = max_batch
         self._k_cap = k_cap
+        self._max_queue = max_queue
         self._queue: list[_Pending] = []
         self._cv = threading.Condition()
         self._closed = False
         self.launches = 0          # telemetry: device launches issued
         self.served = 0            # telemetry: requests served
+        self.shed = 0              # telemetry: requests rejected (queue full)
+        # end-to-end request latencies (seconds), newest-last ring
+        self._latencies: deque[float] = deque(maxlen=latency_window)
+        self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="reverso-search-batcher")
         self._worker.start()
@@ -87,14 +107,48 @@ class BatchingSearcher:
                 "use a direct index search for large k")
         q = np.asarray(query, np.float32).reshape(-1)
         p = _Pending(q, k)
+        t0 = time.monotonic()
         with self._cv:
+            if len(self._queue) >= self._max_queue:
+                with self._stats_lock:
+                    self.shed += 1
+                raise OverloadedError(
+                    f"overloaded: {len(self._queue)} requests queued "
+                    f"(max_queue={self._max_queue}); retry later")
             self._queue.append(p)
             self._cv.notify()
         if not p.event.wait(timeout):
+            # withdraw the request if it is still queued, so an
+            # abandoned caller doesn't consume a launch slot
+            with self._cv:
+                try:
+                    self._queue.remove(p)
+                except ValueError:
+                    pass   # already draining; its result will be dropped
             raise SearchError("search timed out")
         if p.error is not None:
             raise SearchError(str(p.error)) from p.error
+        with self._stats_lock:
+            self._latencies.append(time.monotonic() - t0)
         return p.scores, p.ids
+
+    def stats(self) -> dict:
+        """Telemetry snapshot: launches/served/shed counters, current
+        queue depth, and p50/p95 end-to-end latency (ms) over the last
+        `latency_window` served requests."""
+        with self._cv:
+            depth = len(self._queue)
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            shed = self.shed
+        out = {"launches": self.launches, "served": self.served,
+               "shed": shed, "queue_depth": depth,
+               "latency_count": len(lat)}
+        if lat:
+            out["latency_p50_ms"] = 1e3 * lat[len(lat) // 2]
+            out["latency_p95_ms"] = 1e3 * lat[min(len(lat) - 1,
+                                                  int(len(lat) * 0.95))]
+        return out
 
     def close(self) -> None:
         with self._cv:

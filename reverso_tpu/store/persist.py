@@ -30,6 +30,13 @@ import numpy as np
 META_FILE = "meta.json"
 VEC_FILE = "vectors.bin"
 PAYLOAD_FILE = "payloads.jsonl"
+# Sidecar of int64-LE byte offsets, entry i = start of payload line i in
+# payloads.jsonl, appended in lockstep with it. Makes the first-query
+# payload join O(k) seeks with a COLD cache (the offset table is a
+# memmap read, not an O(N) scan of the whole JSONL — which at 100M rows
+# costs tens of seconds per process). Legacy stores without one are
+# scanned once and upgraded in place.
+PAYLOAD_IDX_FILE = "payloads.idx"
 LOCK_FILE = ".lock"
 COLLECTION_PREFIX = "simple_reverso_"   # reference core_system.py:101,597
 
@@ -121,6 +128,8 @@ class VectorStore:
     data_version: int = 0
     _vec_f: Any = field(default=None, repr=False)
     _pay_f: Any = field(default=None, repr=False)
+    _idx_f: Any = field(default=None, repr=False)
+    _pay_pos: int = field(default=0, repr=False)
     _locked: bool = field(default=False, repr=False)
 
     # -- lifecycle -----------------------------------------------------
@@ -148,6 +157,7 @@ class VectorStore:
         # touch data files
         open(os.path.join(path, VEC_FILE), "ab").close()
         open(os.path.join(path, PAYLOAD_FILE), "ab").close()
+        open(os.path.join(path, PAYLOAD_IDX_FILE), "ab").close()
         return store
 
     @staticmethod
@@ -215,6 +225,9 @@ class VectorStore:
         if self._pay_f is not None:
             self._pay_f.close()
             self._pay_f = None
+        if self._idx_f is not None:
+            self._idx_f.close()
+            self._idx_f = None
         if self._locked:
             lock = os.path.join(self.path, LOCK_FILE)
             if os.path.exists(lock):
@@ -250,11 +263,60 @@ class VectorStore:
         if self._vec_f is None:
             self._vec_f = open(os.path.join(self.path, VEC_FILE), "ab")
             self._pay_f = open(os.path.join(self.path, PAYLOAD_FILE), "ab")
+            self._pay_pos = os.path.getsize(
+                os.path.join(self.path, PAYLOAD_FILE))
+            self._repair_sidecar()
+            self._idx_f = open(os.path.join(self.path, PAYLOAD_IDX_FILE), "ab")
         self._vec_f.write(vectors.tobytes())
-        for p in payloads:
-            self._pay_f.write((json.dumps(p, separators=(",", ":")) + "\n").encode())
+        offsets = np.empty(len(payloads), "<i8")
+        for row, p in enumerate(payloads):
+            line = (json.dumps(p, separators=(",", ":")) + "\n").encode()
+            offsets[row] = self._pay_pos
+            self._pay_f.write(line)
+            self._pay_pos += len(line)
+        self._idx_f.write(offsets.tobytes())
         self.count += vectors.shape[0]
         self.data_version += 1
+        self._offsets_cache = None
+
+    def _repair_sidecar(self) -> None:
+        """Bring payloads.idx into lockstep with payloads.jsonl.
+
+        A crash between the JSONL write and the sidecar write (or a
+        legacy store with no sidecar at all) leaves the sidecar short;
+        resume by scanning the JSONL only from the last indexed line —
+        O(new lines), not O(N). A sidecar pointing past EOF (truncate
+        torn mid-way) is rebuilt from scratch."""
+        jsonl = os.path.join(self.path, PAYLOAD_FILE)
+        idx = os.path.join(self.path, PAYLOAD_IDX_FILE)
+        jsonl_size = os.path.getsize(jsonl) if os.path.exists(jsonl) else 0
+        idx_rows = os.path.getsize(idx) // 8 if os.path.exists(idx) else 0
+        scan_from = 0
+        if idx_rows > 0:
+            with open(idx, "rb") as f:
+                f.seek((idx_rows - 1) * 8)
+                last = int(np.frombuffer(f.read(8), "<i8")[0])
+            if 0 <= last < jsonl_size:
+                with open(jsonl, "rb") as f:
+                    f.seek(last)
+                    scan_from = last + len(f.readline())
+            else:            # sidecar points past EOF: rebuild fully
+                idx_rows = 0
+        tail = []
+        with open(jsonl, "rb") as f:
+            f.seek(scan_from)
+            pos = scan_from
+            for line in f:
+                tail.append(pos)
+                pos += len(line)
+        if idx_rows == 0:
+            tmp = idx + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(np.asarray(tail, "<i8").tobytes())
+            os.replace(tmp, idx)
+        elif tail:
+            with open(idx, "ab") as f:
+                f.write(np.asarray(tail, "<i8").tobytes())
 
     def flush(self) -> None:
         if self._vec_f is not None:
@@ -263,6 +325,9 @@ class VectorStore:
         if self._pay_f is not None:
             self._pay_f.flush()
             os.fsync(self._pay_f.fileno())
+        if self._idx_f is not None:
+            self._idx_f.flush()
+            os.fsync(self._idx_f.fileno())
         if self._locked:
             self._write_meta()
 
@@ -276,22 +341,44 @@ class VectorStore:
                          shape=(self.count, self.dim))
 
     def _payload_offsets(self):
-        """Byte offset of each payload line (built once, cached; rebuilt
-        when the row count grows). Keeps the per-query join O(k) seeks
-        instead of re-reading the whole JSONL."""
+        """Byte offset of each payload line.
+
+        Prefers the `payloads.idx` sidecar (a memmap read — O(1) to
+        open, O(k) per query join even with a cold cache); falls back
+        to a one-time O(N) scan of the JSONL for legacy/torn stores,
+        writing the sidecar back so the scan never repeats."""
         cached = getattr(self, "_offsets_cache", None)
         if cached is not None and len(cached) >= self.count:
             return cached
+        jsonl = os.path.join(self.path, PAYLOAD_FILE)
+        idx = os.path.join(self.path, PAYLOAD_IDX_FILE)
+        idx_rows = os.path.getsize(idx) // 8 if os.path.exists(idx) else 0
+        if idx_rows >= self.count:
+            offsets = np.memmap(idx, dtype="<i8", mode="r",
+                                shape=(idx_rows,)) if idx_rows else \
+                np.zeros((0,), np.int64)
+            # torn-truncate guard: an offset past EOF means the sidecar
+            # is stale relative to the JSONL — rebuild below instead
+            if self.count == 0 or int(offsets[self.count - 1]) < \
+                    os.path.getsize(jsonl):
+                self._offsets_cache = offsets
+                return offsets
         offsets = []
         pos = 0
-        path = os.path.join(self.path, PAYLOAD_FILE)
-        with open(path, "rb") as f:
+        with open(jsonl, "rb") as f:
             for line in f:
                 offsets.append(pos)
                 pos += len(line)
-        import numpy as _np
-        self._offsets_cache = _np.asarray(offsets, _np.int64)
-        return self._offsets_cache
+        arr = np.asarray(offsets, np.int64)
+        try:               # upgrade in place (atomic; readers may race)
+            tmp = idx + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(arr.astype("<i8").tobytes())
+            os.replace(tmp, idx)
+        except OSError:
+            pass           # read-only filesystem: scan-per-process only
+        self._offsets_cache = arr
+        return arr
 
     def payloads(self, indices: Iterable[int] | None = None) -> list[dict]:
         """Load payloads; `indices` selects specific rows (host-side join
@@ -328,6 +415,10 @@ class VectorStore:
             lines = f.read().splitlines(keepends=True)
         with open(pay_path, "wb") as f:
             f.writelines(lines[:count])
+        idx_path = os.path.join(self.path, PAYLOAD_IDX_FILE)
+        if os.path.exists(idx_path):
+            with open(idx_path, "r+b") as f:
+                f.truncate(count * 8)
         self.count = count
         self.data_version += 1
         self._offsets_cache = None
@@ -340,3 +431,6 @@ class VectorStore:
         if self._pay_f is not None:
             self._pay_f.close()
             self._pay_f = None
+        if self._idx_f is not None:
+            self._idx_f.close()
+            self._idx_f = None

@@ -93,6 +93,26 @@ class UIState:
         job = self.build
         return job is not None and not job.done
 
+    def check_no_build_overlap(self, fn):
+        """Run `fn` with the build-overlap TOCTOU closed.
+
+        Lock-free search paths replace the engine lock with a
+        build_running() check; a build STARTING just after that check
+        could mutate the store mid-search, silently answering from a
+        partially built index. `state.build` is published before the
+        build thread starts (so build_running() is True before any
+        store mutation), hence checking again AFTER the search proves
+        no build overlapped it — builds run for seconds-to-minutes
+        while a search is milliseconds, so a build cannot start and
+        finish inside the window."""
+        if self.build_running():
+            raise EngineBusyError("build in progress")
+        out = fn()
+        if self.build_running():
+            raise EngineBusyError(
+                "build started during the search; retry")
+        return out
+
     @contextmanager
     def engine_guard(self):
         """Short-lived engine serialization for request handlers.
@@ -170,6 +190,15 @@ def make_handler(state: UIState):
                         "transcript": job.transcript,
                         "error": job.error,
                     })
+            elif path == "/api/stats":
+                # serving telemetry; never instantiates a searcher just
+                # to report on one (None until the first batched search)
+                searcher = engine._searcher
+                self._json({
+                    "search": searcher.stats() if searcher else None,
+                    "build_running": state.build_running(),
+                    "database": engine.current_database,
+                })
             elif path == "/api/about":
                 self._json({"name": "Reverso-TPU",
                             "model": engine.config.model.name,
@@ -302,12 +331,12 @@ def make_handler(state: UIState):
             if sess is not None:
                 # stateless + coalescing: concurrent searches share device
                 # launches via the batching searcher; builds still 409
-                if state.build_running():
-                    raise EngineBusyError("build in progress")
-                text, items = engine.search_similar(
-                    body.get("threshold"), body.get("max_results"),
-                    query_index=int(body.get("region_index", 0)),
-                    embeddings=sess.embeddings, use_batcher=True)
+                # (checked before AND after — see check_no_build_overlap)
+                text, items = state.check_no_build_overlap(
+                    lambda: engine.search_similar(
+                        body.get("threshold"), body.get("max_results"),
+                        query_index=int(body.get("region_index", 0)),
+                        embeddings=sess.embeddings, use_batcher=True))
             else:
                 with state.engine_guard():
                     text, items = engine.search_similar(
@@ -325,11 +354,11 @@ def make_handler(state: UIState):
         def _search_text(self, body: dict) -> None:
             # stateless: never clobbers another session's query state;
             # the device launch coalesces with concurrent searches
-            if state.build_running():
-                raise EngineBusyError("build in progress")
-            text, items = engine.search_by_text(
-                body.get("text", ""), body.get("threshold"),
-                body.get("max_results"), stateless=True, use_batcher=True)
+            text, items = state.check_no_build_overlap(
+                lambda: engine.search_by_text(
+                    body.get("text", ""), body.get("threshold"),
+                    body.get("max_results"), stateless=True,
+                    use_batcher=True))
             self._json({
                 "summary": text,
                 "results": [{

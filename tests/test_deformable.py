@@ -130,3 +130,60 @@ def test_pallas_decoder_style_reference_points():
         jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w),
         q_tile=8, interpret=True))
     np.testing.assert_allclose(out, a, atol=2e-5, rtol=1e-5)
+
+
+def test_bf16_features_with_f32_coords_close_to_fp32():
+    """Round-3 fix: coordinate math is f32 at the op boundary even when
+    features run bf16 — the sampling GEOMETRY must not quantize (bf16
+    normalized coords shift samples ~0.5 px at a 100-wide level).
+    bf16-features/f32-coords must land much nearer fp32 than the old
+    all-bf16 path did."""
+    from reverso_tpu.ops.deformable import ms_deform_attn_pallas
+    shapes, value, locs, w = _random_case(2)
+    ref = np.asarray(ms_deform_attn(jnp.asarray(value), shapes,
+                                    jnp.asarray(locs), jnp.asarray(w)))
+    for impl_out in (
+        ms_deform_attn_pallas(jnp.asarray(value, jnp.bfloat16), shapes,
+                              jnp.asarray(locs), jnp.asarray(w),
+                              q_tile=8, interpret=True),
+        ms_deform_attn(jnp.asarray(value, jnp.bfloat16), shapes,
+                       jnp.asarray(locs), jnp.asarray(w)),
+    ):
+        out = np.asarray(impl_out.astype(jnp.float32))
+        err = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert err < 0.01, err       # feature rounding only, not ~0.1
+
+
+def test_model_supplies_f32_sampling_locations_under_bf16(monkeypatch):
+    """The detector must hand the deformable op f32 coordinates in bf16
+    mode (regression: sampling geometry quantization is a silent
+    accuracy loss the dtype knob must not carry)."""
+    import dataclasses
+    import jax
+    import reverso_tpu.models.groundingdino as G
+
+    seen = []
+    orig = G.ms_deform_attn
+
+    def spy(value, shapes, loc, weights, impl="patch"):
+        seen.append((str(value.dtype), str(loc.dtype)))
+        return orig(value, shapes, loc, weights, impl=impl)
+
+    monkeypatch.setattr(G, "ms_deform_attn", spy)
+    cfg = G.tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, dtype="bfloat16",
+        swin=dataclasses.replace(cfg.swin, dtype="bfloat16"),
+        text=dataclasses.replace(cfg.text, dtype="bfloat16"))
+    model = G.GroundingDino(cfg)
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    ids = np.array([[101, 10, 11, 1012, 102]])
+    attn, pos = G.generate_text_masks(ids)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                        jnp.asarray(ids), jnp.asarray(attn),
+                        jnp.asarray(pos))
+    model.apply(params, jnp.asarray(imgs), jnp.asarray(ids),
+                jnp.asarray(attn), jnp.asarray(pos))
+    assert seen and all(ld == "float32" for _, ld in seen), set(seen)
+    assert any(vd == "bfloat16" for vd, _ in seen)

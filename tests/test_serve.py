@@ -291,3 +291,109 @@ def test_launch_shapes_are_bucketed():
         assert out[i][1][0] == i and len(out[i][1]) == 3
     assert all(bs in (1, 2, 4, 8, 16) for bs in idx.batch_sizes), \
         idx.batch_sizes
+
+
+def test_overload_sheds_fast_instead_of_hanging():
+    """Saturation: with a slow index and a tiny queue bound, excess
+    arrivals get an immediate OverloadedError (fast 429 analog) while
+    accepted requests still complete correctly."""
+    from reverso_tpu.serve import OverloadedError
+    db = _db()
+    idx = FakeIndex(db, delay=0.15)
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.01, max_batch=2,
+                         max_queue=3)
+    ok, shed, slow_shed = [], [], []
+
+    def worker(i):
+        t0 = time.monotonic()
+        try:
+            ok.append((i, b.search(db[i % len(db)], k=3)))
+        except OverloadedError:
+            dt = time.monotonic() - t0
+            shed.append(i)
+            if dt > 0.05:            # shedding must not wait on a launch
+                slow_shed.append((i, dt))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(24)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in ts), "workers hung under overload"
+    stats = b.stats()
+    b.close()
+    assert shed, "expected some requests to be shed at saturation"
+    assert not slow_shed, f"shed requests were slow: {slow_shed}"
+    assert stats["shed"] == len(shed)
+    assert stats["served"] == len(ok)
+    for i, (scores, ids) in ok:
+        assert ids[0] == i % len(db)
+
+
+def test_stats_telemetry_counters_and_latency():
+    db = _db()
+    idx = FakeIndex(db, delay=0.005)
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.02)
+    for i in range(5):
+        b.search(db[i], k=3)
+    stats = b.stats()
+    b.close()
+    assert stats["served"] == 5 and stats["launches"] >= 1
+    assert stats["shed"] == 0 and stats["queue_depth"] == 0
+    assert stats["latency_count"] == 5
+    assert 0 < stats["latency_p50_ms"] <= stats["latency_p95_ms"] < 10_000
+
+
+def test_timed_out_request_is_withdrawn_from_queue():
+    """A caller that times out while queued must not consume a launch
+    slot later (ghost work)."""
+    db = _db()
+    gate = threading.Event()
+
+    class Blocking(FakeIndex):
+        def search(self, queries, k):
+            gate.wait(timeout=10)
+            return super().search(queries, k)
+
+    idx = Blocking(db)
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.0, max_batch=1)
+    # first request occupies the worker inside the blocked launch
+    t1 = threading.Thread(target=lambda: b.search(db[0], k=3))
+    t1.start()
+    time.sleep(0.05)
+    with pytest.raises(SearchError, match="timed out"):
+        b.search(db[1], k=3, timeout=0.05)   # queued behind the block
+    with b._cv:
+        assert len(b._queue) == 0            # withdrawn
+    gate.set()
+    t1.join(timeout=10)
+    b.close()
+
+
+def test_warmup_routes_through_batcher_shapes(tmp_path):
+    """warmup() must compile the SAME (bucket, k_pad) shape the batcher
+    launches with — warming a shape the serving path never uses leaves
+    the first real request to pay the cold compile (advisor r2)."""
+    from PIL import Image
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    cfg = default_config()
+    enc = PerceptionEncoder(
+        dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32"))
+    cfg = dataclasses.replace(
+        cfg, model=enc.cfg,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")))
+    eng = Reverso(cfg, encoder=enc)
+    imgs = tmp_path / "imgs"
+    os.makedirs(imgs)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+                        ).save(imgs / f"{i}.jpg")
+    eng.create_database(str(imgs), "w", use_direct_pe=True)
+    assert eng.warmup() == "warmed: encoder, search"
+    stats = eng.searcher.stats()
+    assert stats["served"] == 1 and stats["launches"] == 1
+    eng.searcher.close()

@@ -115,3 +115,90 @@ def test_payload_random_access_after_growth_and_truncate(tmp_path, rng):
         s.truncate(7)
         got = s.payloads([6, 7])
         assert got[0]["region_id"] == "r6" and got[1] is None
+
+
+# -- payload-offset sidecar (payloads.idx) ------------------------------
+
+def _idx_rows(root, name):
+    p = os.path.join(root, name, "payloads.idx")
+    return os.path.getsize(p) // 8 if os.path.exists(p) else None
+
+
+def test_payload_sidecar_written_in_lockstep(tmp_path, rng):
+    root = str(tmp_path)
+    with VectorStore.create(root, "sc", 8) as s:
+        s.append(random_unit(rng, 6, 8), make_payloads(6))
+        s.append(random_unit(rng, 3, 8), make_payloads(3, 6))
+    assert _idx_rows(root, "sc") == 9
+    s2 = VectorStore.open(root, "sc")
+    offs = s2._payload_offsets()
+    # offsets must be exactly the JSONL line starts
+    with open(os.path.join(root, "sc", "payloads.jsonl"), "rb") as f:
+        expect, pos = [], 0
+        for line in f:
+            expect.append(pos)
+            pos += len(line)
+    np.testing.assert_array_equal(np.asarray(offs), expect)
+    assert s2.payloads([8])[0]["region_id"] == "r8"
+
+
+def test_legacy_store_scan_fallback_and_upgrade(tmp_path, rng):
+    """A store with no sidecar (legacy layout) still answers O(k) reads
+    via the one-time scan, and writes the sidecar back for next time."""
+    root = str(tmp_path)
+    with VectorStore.create(root, "lg", 8) as s:
+        s.append(random_unit(rng, 12, 8), make_payloads(12))
+    os.remove(os.path.join(root, "lg", "payloads.idx"))
+    s2 = VectorStore.open(root, "lg")
+    assert s2.payloads([7])[0]["region_id"] == "r7"
+    assert _idx_rows(root, "lg") == 12       # upgraded in place
+    s3 = VectorStore.open(root, "lg")        # fresh process: memmap path
+    assert isinstance(s3._payload_offsets(), np.memmap)
+    assert s3.payloads([11])[0]["region_id"] == "r11"
+
+
+def test_torn_sidecar_short_repaired_on_append(tmp_path, rng):
+    """Crash between the JSONL write and the sidecar write leaves the
+    sidecar short; the next writer repairs the tail before appending."""
+    root = str(tmp_path)
+    with VectorStore.create(root, "tr", 8) as s:
+        s.append(random_unit(rng, 10, 8), make_payloads(10))
+    idx = os.path.join(root, "tr", "payloads.idx")
+    with open(idx, "r+b") as f:
+        f.truncate(4 * 8)                    # lose the last 6 entries
+    with VectorStore.open(root, "tr", writable=True) as s2:
+        s2.append(random_unit(rng, 2, 8), make_payloads(2, 10))
+    assert _idx_rows(root, "tr") == 12
+    s3 = VectorStore.open(root, "tr")
+    got = s3.payloads([3, 9, 11])
+    assert [p["region_id"] for p in got] == ["r3", "r9", "r11"]
+
+
+def test_corrupt_sidecar_past_eof_rebuilt(tmp_path, rng):
+    """A sidecar entry pointing past the JSONL's EOF (torn truncate)
+    must not be trusted: readers rebuild, writers rebuild-then-append."""
+    root = str(tmp_path)
+    with VectorStore.create(root, "cx", 8) as s:
+        s.append(random_unit(rng, 5, 8), make_payloads(5))
+    idx = os.path.join(root, "cx", "payloads.idx")
+    with open(idx, "r+b") as f:
+        f.seek(4 * 8)
+        f.write(np.asarray([2 ** 40], "<i8").tobytes())
+    s2 = VectorStore.open(root, "cx")
+    assert s2.payloads([4])[0]["region_id"] == "r4"   # rebuilt, not trusted
+    with VectorStore.open(root, "cx", writable=True) as s3:
+        s3.append(random_unit(rng, 1, 8), make_payloads(1, 5))
+    s4 = VectorStore.open(root, "cx")
+    assert [p["region_id"] for p in s4.payloads([4, 5])] == ["r4", "r5"]
+
+
+def test_truncate_keeps_sidecar_in_lockstep(tmp_path, rng):
+    root = str(tmp_path)
+    with VectorStore.create(root, "tc", 8) as s:
+        s.append(random_unit(rng, 9, 8), make_payloads(9))
+        s.truncate(4)
+        s.append(random_unit(rng, 2, 8), make_payloads(2, 4))
+    assert _idx_rows(root, "tc") == 6
+    s2 = VectorStore.open(root, "tc")
+    got = s2.payloads([0, 3, 4, 5])
+    assert [p["region_id"] for p in got] == ["r0", "r3", "r4", "r5"]

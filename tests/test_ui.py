@@ -184,3 +184,32 @@ def test_session_isolation(server, tmp_path):
                    {"image": img_b64(files[0]), "token": "nosuch",
                     "region_index": 0})
     assert code == 200 and r["visualization"]
+
+
+def test_stats_endpoint(server, tmp_path):
+    base, tmp = server
+    # before any batched search the searcher may be absent: still 200
+    stats = get(base, "/api/stats")
+    assert "build_running" in stats and "search" in stats
+    # drive one token search so the batcher exists and has telemetry
+    files = make_corpus(tmp / "stats_imgs", n=4)
+    code, r = post(base, "/api/build",
+                   {"folder": str(tmp / "stats_imgs"), "name": "statsdb",
+                    "direct_pe": True})
+    assert code == 200
+    for _ in range(100):
+        s = get(base, "/api/build/status")
+        if s["state"] in ("done", "error"):
+            break
+        time.sleep(0.2)
+    assert s["state"] == "done", s
+    code, r = post(base, "/api/query/detect",
+                   {"image": img_b64(files[0]), "direct_pe": True})
+    assert code == 200
+    code, r = post(base, "/api/query/search",
+                   {"token": r["token"], "threshold": 0.1, "max_results": 3})
+    assert code == 200, r
+    stats = get(base, "/api/stats")
+    assert stats["search"]["served"] >= 1
+    assert stats["search"]["launches"] >= 1
+    assert "latency_p50_ms" in stats["search"]
