@@ -558,11 +558,19 @@ def convert_sam(sd: Mapping[str, Any], cfg: SamConfig) -> dict:
         "mask_tokens": _np(sd["mask_decoder.mask_tokens.weight"]),
         "final_attn": sam_attn("mask_decoder.transformer.final_attn_token_to_image"),
         "final_ln": _ln(sd, "mask_decoder.transformer.layer_norm_final_attn"),
+        # torch ConvTranspose2d places weight[:, :, di, dj] at output
+        # offset (di, dj); flax ConvTranspose (transpose_kernel=False)
+        # runs a fractionally-strided conv with UNflipped HWIO kernel,
+        # which mirrors the taps — so the spatial axes must be reversed
+        # here. (Caught by the full-size parity gate: the tiny config's
+        # 5e-3 mask tolerance hid the flip, round 3.)
         "upscale_conv1": {
-            "kernel": _np(sd["mask_decoder.upscale_conv1.weight"]).transpose(2, 3, 0, 1),
+            "kernel": _np(sd["mask_decoder.upscale_conv1.weight"]
+                          ).transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
             "bias": _np(sd["mask_decoder.upscale_conv1.bias"])},
         "upscale_conv2": {
-            "kernel": _np(sd["mask_decoder.upscale_conv2.weight"]).transpose(2, 3, 0, 1),
+            "kernel": _np(sd["mask_decoder.upscale_conv2.weight"]
+                          ).transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
             "bias": _np(sd["mask_decoder.upscale_conv2.bias"])},
         "upscale_ln": chan_ln("mask_decoder.upscale_layer_norm"),
         "iou_proj_in": _linear(sd, "mask_decoder.iou_prediction_head.proj_in"),

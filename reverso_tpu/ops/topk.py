@@ -129,13 +129,58 @@ def _insert_sorted(S, I, m, sel):
     return new_S, new_I
 
 
+def _insert_replace_min(S, I, m, sel):
+    """Replace-min insertion: evict the worst entry by (-score, idx) —
+    the (min score, max idx) one — and overwrite it with the candidate.
+
+    The state is UNSORTED (a final k-extraction pass sorts it once per
+    scan, `_sort_state_desc`). MEASURED SLOWER than the sorted insert on
+    v5e (5.8 vs 5.3 ms at 1M x 1024 x 256q, interleaved A/B round 3):
+    the op COUNTS are nearly equal once the per-event kth-min (a slice
+    read in sorted mode) is charged, and per-small-op overhead (~1 us)
+    dominates either way. Kept as a knob (`state_mode="replace_min"`,
+    bitwise-identical results) because the event-count levers may
+    change the balance later. Requires entries to be
+    unique by I (true: db row ids are unique and the state initializes
+    I to distinct negatives). Non-improving queries pass m = -inf:
+    m > minv is then false everywhere, a no-op. Lanes >= k hold
+    S = +inf sentinels so min(S) over the full KP lanes equals the true
+    kth-best — they are never evicted (+inf never equals minv) and are
+    cleared after the scan."""
+    minv = jnp.min(S, axis=1, keepdims=True)
+    evict = (S == minv) & (m > minv)
+    max_i = jnp.max(jnp.where(evict, I, -_INT_MAX), axis=1, keepdims=True)
+    hit = evict & (I == max_i)
+    return jnp.where(hit, m, S), jnp.where(hit, sel, I)
+
+
+def _sort_state_desc(S, I, k: int):
+    """Sort the replace-min state by (-score, idx) into the first k
+    lanes (what the kernel contract returns); runs ONCE per scan per
+    q_tile, so ~5k small ops total — negligible next to the per-event
+    insert savings. +inf sentinel lanes were cleared to -inf before."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
+    out_S = jnp.full_like(S, -jnp.inf)
+    out_I = jnp.full_like(I, -1)
+    for j in range(k):
+        m = jnp.max(S, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where((S == m) & jnp.isfinite(m), I, _INT_MAX),
+                      axis=1, keepdims=True)
+        take = jnp.isfinite(m)
+        out_S = jnp.where((lane == j) & take, m, out_S)
+        out_I = jnp.where((lane == j) & take, sel, out_I)
+        S = jnp.where((S == m) & (I == sel), -jnp.inf, S)
+    return out_S, out_I
+
+
 def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
                         idx_out,
                         q_vmem, bufs, s_scr, i_scr, col_scr, sp_scr,
                         db_sems, q_sem,
                         *, k: int, kpad: int, db_tile: int, q_tile: int,
                         n_tiles: int, n_bufs: int, group: int,
-                        defer: bool = False, int8_mode: bool = False):
+                        defer: bool = False, int8_mode: bool = False,
+                        state_mode: str = "sorted"):
     # Queries HBM -> VMEM once; they stay resident for the whole scan.
     # int8 mode: q_vmem is [2, qp, d] — the query's two int8 digits
     # (q ~= c1*hi + c2*lo with c1 = 254*c2), giving ~15-bit effective
@@ -143,8 +188,17 @@ def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
     cq = pltpu.make_async_copy(q_hbm, q_vmem, q_sem)
     cq.start()
     cq.wait()
-    s_scr[:] = jnp.full_like(s_scr, -jnp.inf)
-    i_scr[:] = jnp.full_like(i_scr, -1)
+    replace_min = state_mode == "replace_min"
+    if replace_min:
+        # lanes >= k hold +inf sentinels so min(S) over ALL kpad lanes
+        # equals the true kth-best (gate threshold); distinct negative
+        # ids keep entries unique by I (eviction tie-break invariant)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, s_scr.shape, 1)
+        s_scr[:] = jnp.where(lane0 < k, -jnp.inf, jnp.inf)
+        i_scr[:] = -1 - lane0
+    else:
+        s_scr[:] = jnp.full_like(s_scr, -jnp.inf)
+        i_scr[:] = jnp.full_like(i_scr, -1)
     # Column iota over the whole extraction group, generated ONCE: every
     # extraction event reuses it instead of paying an iota pass per event.
     col_scr[:] = jax.lax.broadcasted_iota(jnp.int32, col_scr.shape, 1)
@@ -156,8 +210,11 @@ def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
     # Deferred mode ping-pongs between two staging buffers; the parity
     # must be STATIC in the unrolled body (a traced buffer index would
     # re-serialize DMA against compute, see the ring-slot note below), so
-    # the body unrolls by a whole number of parity periods.
-    unroll = _lcm(n_bufs, 2 * group) if defer else n_bufs
+    # the body unrolls by a whole number of parity periods. Non-defer
+    # unrolls by lcm(ring depth, group) so the extraction group may be
+    # WIDER than the ring (fewer extraction events, same wide-pass
+    # bytes — round-3 event-count lever).
+    unroll = _lcm(n_bufs, 2 * group) if defer else _lcm(n_bufs, group)
 
     def db_dma(slot, i):
         return pltpu.make_async_copy(
@@ -202,6 +259,16 @@ def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
     # `count = #(scores > old kth)` proves whether any query holds a
     # second candidate in the group, and only then does the knockout
     # + while_loop fallback run (count <= 1 for ~99% of events).
+    # kth-best per query: sorted state keeps it at lane k-1; replace-min
+    # state is unsorted, min over the lanes (+inf sentinels beyond k make
+    # the full-width min correct) — one extra small op per use
+    def _kth(lo):
+        if replace_min:
+            return jnp.min(s_scr[lo:lo + q_tile, :], axis=1, keepdims=True)
+        return s_scr[lo:lo + q_tile, k - 1:k]
+
+    _insert = _insert_replace_min if replace_min else _insert_sorted
+
     def _extract_group(sp_ref, i_last):
         """Drain staged scores of the group whose LAST tile is i_last."""
         gbase = (i_last - (group - 1)) * db_tile
@@ -210,7 +277,7 @@ def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
             lo = qt * q_tile
             sp = sp_ref[lo:lo + q_tile, :]
             m0 = jnp.max(sp, axis=1, keepdims=True)
-            kth0 = s_scr[lo:lo + q_tile, k - 1:k]
+            kth0 = _kth(lo)
 
             @pl.when(jnp.any(m0 > kth0))
             def _():
@@ -220,7 +287,7 @@ def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
                 sel = jnp.min(jnp.where(sp == m0, col_scr[:], _INT_MAX),
                               axis=1, keepdims=True)
                 cand_m = jnp.where(imp, m0, -jnp.inf)
-                new_S, new_I = _insert_sorted(
+                new_S, new_I = _insert(
                     s_scr[lo:lo + q_tile, :], i_scr[lo:lo + q_tile, :],
                     cand_m, sel + gbase)
                 s_scr[lo:lo + q_tile, :] = new_S
@@ -248,12 +315,12 @@ def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
                     def extract(carry):
                         m, _ = carry
                         s_cur = sp_ref[lo:lo + q_tile, :]
-                        imp = m > s_scr[lo:lo + q_tile, k - 1:k]
+                        imp = m > _kth(lo)
                         sel = jnp.min(
                             jnp.where(s_cur == m, col_scr[:], _INT_MAX),
                             axis=1, keepdims=True)
                         cand_m = jnp.where(imp, m, -jnp.inf)
-                        new_S, new_I = _insert_sorted(
+                        new_S, new_I = _insert(
                             s_scr[lo:lo + q_tile, :],
                             i_scr[lo:lo + q_tile, :],
                             cand_m, sel + gbase)
@@ -263,11 +330,11 @@ def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
                             (col_scr[:] == sel) & imp, -jnp.inf, s_cur)
                         sp_ref[lo:lo + q_tile, :] = s_next
                         return (jnp.max(s_next, axis=1, keepdims=True),
-                                s_scr[lo:lo + q_tile, k - 1:k])
+                                _kth(lo))
 
                     jax.lax.while_loop(
                         cond, extract,
-                        (m1, s_scr[lo:lo + q_tile, k - 1:k]))
+                        (m1, _kth(lo)))
 
     def _tile_step(i, j, g, par):
         """One DMA tile: i = tile index (traced offset + static phase),
@@ -344,8 +411,17 @@ def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
         # drain the final group (its extraction was deferred past the loop)
         _extract_group(sp_scr.at[((n_tiles - 1) // group) % 2],
                        n_tiles - 1)
-    scores_out[:] = s_scr[:]
-    idx_out[:] = i_scr[:]
+    if replace_min:
+        # one-time finish: clear the +inf sentinels, then sort the
+        # unsorted state by (-score, idx) into the first k lanes
+        S = s_scr[:]
+        S = jnp.where(jnp.isposinf(S), -jnp.inf, S)
+        out_S, out_I = _sort_state_desc(S, i_scr[:], k)
+        scores_out[:] = out_S
+        idx_out[:] = out_I
+    else:
+        scores_out[:] = s_scr[:]
+        idx_out[:] = i_scr[:]
 
 
 # Max queries resident in VMEM per kernel launch; larger batches stream the
@@ -355,12 +431,12 @@ _Q_RESIDENT = 1024
 
 @functools.partial(jax.jit, static_argnames=("k", "kpad", "q_tile", "db_tile",
                                              "interpret", "q_out", "n_bufs",
-                                             "group", "defer"))
+                                             "group", "defer", "state_mode"))
 def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
                      k: int, kpad: int, q_tile: int, db_tile: int,
                      interpret: bool, q_out: int, n_bufs: int,
                      group: int = 2, defer: bool = False,
-                     db_scale=None):
+                     db_scale=None, state_mode: str = "sorted"):
     """Jit-cached core of cosine_topk_pallas (tracing a pallas_call per call
     would dominate runtime otherwise).
 
@@ -373,12 +449,11 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
     n, d = db.shape
     q = queries.shape[0]
     d_p = _round_up(d, 128)
-    assert n_bufs % group == 0, (n_bufs, group)
     int8_mode = jnp.dtype(db.dtype) == jnp.int8
-    # whole unroll units (the kernel unrolls by the ring depth — or a
+    # whole unroll units (the kernel unrolls by lcm(ring, group) — or a
     # whole number of staging-parity periods in defer mode — for static
-    # buffer slots; group extraction boundaries align since group|unroll)
-    unroll = _lcm(n_bufs, 2 * group) if defer else n_bufs
+    # buffer slots AND static extraction-group phases)
+    unroll = _lcm(n_bufs, 2 * group) if defer else _lcm(n_bufs, group)
     n_p = _round_up(n, unroll * db_tile)
     q_p = _round_up(q, q_tile)
 
@@ -414,7 +489,7 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
     kernel = functools.partial(
         _topk_stream_kernel, k=k, kpad=kpad, db_tile=db_tile, q_tile=q_tile,
         n_tiles=n_tiles, n_bufs=n_bufs, group=group, defer=defer,
-        int8_mode=int8_mode)
+        int8_mode=int8_mode, state_mode=state_mode)
 
     scores, idx = pl.pallas_call(
         kernel,
@@ -466,7 +541,9 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
                        q_tile: int = 256, db_tile: int = 1024,
                        n_valid=None,
                        interpret: Optional[bool] = None,
-                       defer: Optional[bool] = None):
+                       defer: Optional[bool] = None,
+                       state_mode: str = "sorted",
+                       group: Optional[int] = None):
     """Fused exact cosine top-k. Same contract as `cosine_topk_xla`.
 
     k must be <= 128 (use impl="xla" in `sharded_cosine_topk` for more).
@@ -497,8 +574,11 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     # the dominant k-select cost; grouping `group` DMA tiles per
     # extraction halves the number of insert calls. 12 bytes per
     # (q_tile, group*db_tile) element: fp32 group-score scratch + int32
-    # column iota + extraction temporaries.
-    group = 2
+    # column iota + extraction temporaries. The group may exceed the
+    # ring depth (body unrolls by lcm) — wider groups at smaller
+    # db_tile trade matmul granularity for fewer extraction events.
+    if group is None:
+        group = 2
     if defer is None:
         defer = False
     # staging bytes per (q_tile, group*db_tile) element: fp32 group-score
@@ -509,20 +589,20 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     n_bufs = 4 if itemsize <= 2 else 2
     while n_bufs > 2 and fixed + n_bufs * db_tile * d_p * itemsize > 11 * 2**20:
         n_bufs -= 1
-    n_bufs -= n_bufs % group   # ring depth must stay a group multiple
 
     if q <= _Q_RESIDENT:
         return _topk_pallas_jit(db, queries, n_valid, k=k, kpad=kpad,
                                 q_tile=q_tile, db_tile=db_tile,
                                 interpret=interpret, q_out=q, n_bufs=n_bufs,
-                                group=group, defer=defer)
+                                group=group, defer=defer,
+                                state_mode=state_mode)
     # Chunk large query batches; each chunk streams the database once.
     outs = [
         _topk_pallas_jit(db, queries[lo:lo + _Q_RESIDENT], n_valid,
                          k=k, kpad=kpad, q_tile=q_tile, db_tile=db_tile,
                          interpret=interpret,
                          q_out=min(_Q_RESIDENT, q - lo), n_bufs=n_bufs,
-                         group=group, defer=defer)
+                         group=group, defer=defer, state_mode=state_mode)
         for lo in range(0, q, _Q_RESIDENT)
     ]
     return (jnp.concatenate([s for s, _ in outs], axis=0),
@@ -610,7 +690,8 @@ def cosine_topk_int8_xla(db_i8: jnp.ndarray, db_scale,
 def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
                            queries: jnp.ndarray,
                            k: int, *, q_tile: int = 256, db_tile: int = 1024,
-                           n_valid=None, interpret: Optional[bool] = None):
+                           n_valid=None, interpret: Optional[bool] = None,
+                           state_mode: str = "sorted"):
     """Exact cosine top-k over an int8-stored database.
 
     Same contract as `cosine_topk_pallas`, with the database held as
@@ -629,6 +710,15 @@ def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
     assert jnp.dtype(db_i8.dtype) == jnp.int8, db_i8.dtype
     if k > 128:
         raise ValueError("fused kernel supports k <= 128")
+    # Exactness contract: each digit's dot must be exactly representable
+    # in f32, i.e. |dot| <= d * 127^2 < 2^24, which bounds d <= 1040.
+    # Beyond that the combine is still deterministic but can round;
+    # refuse rather than silently overclaim (use cosine_topk_int8_xla,
+    # whose f32-HIGHEST dots carry no such bound).
+    if d * 127 * 127 >= 2 ** 24:
+        raise ValueError(
+            f"int8-exact kernel requires d <= 1040 for exact f32 partials "
+            f"(got d={d}); use cosine_topk_int8_xla for larger dims")
     if n_valid is None:
         n_valid = n
     kpad = _round_up(max(k, 8), 8)
@@ -642,14 +732,14 @@ def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
     n_bufs = 4
     while n_bufs > 2 and fixed + n_bufs * db_tile * d_p > 11 * 2**20:
         n_bufs -= 1
-    n_bufs -= n_bufs % group   # ring depth must stay a group multiple
 
     def launch(qs, q_out):
         return _topk_pallas_jit(db_i8, qs, n_valid, k=k, kpad=kpad,
                                 q_tile=q_tile, db_tile=db_tile,
                                 interpret=interpret, q_out=q_out,
                                 n_bufs=n_bufs, group=group,
-                                db_scale=jnp.asarray(db_scale, jnp.float32))
+                                db_scale=jnp.asarray(db_scale, jnp.float32),
+                                state_mode=state_mode)
 
     if q <= _Q_RESIDENT:
         return launch(queries, q)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.topk import _round_up, _dot_precision
+from ..ops.topk import _round_up, _dot_precision, quantize_db_int8
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
@@ -76,15 +76,20 @@ class IVFIndex:
             raise ValueError("empty index")
         n_clusters = min(n_clusters, n)
         rng = np.random.default_rng(seed)
-        if jnp.dtype(dtype) == jnp.int8:
-            # A raw cast would truncate normalized embeddings (|x| < 1)
-            # to all-zeros and silently return garbage; the IVF path has
-            # no quantized-scan kernel, so fall back to bf16 storage.
-            import warnings
-            warnings.warn("IVFIndex does not support int8 storage; "
-                          "falling back to bfloat16", stacklevel=2)
-            dtype = "bfloat16"
-        self._dtype = jnp.dtype(dtype)
+        # int8 storage (2x capacity — the 100M stretch config stacks
+        # IVF x int8): the cluster-sorted matrix is globally-symmetric
+        # quantized (`quantize_db_int8`) and probed clusters are scanned
+        # with the same two-digit int8 query decomposition as
+        # `cosine_topk_int8_exact` — exact f32 scores w.r.t. the stored
+        # int8 rows, ~15-bit query precision. k-means training and
+        # centroid scoring stay bf16 (they only pick probe targets).
+        self._int8 = jnp.dtype(dtype) == jnp.int8
+        self._dtype = jnp.bfloat16 if self._int8 else jnp.dtype(dtype)
+        self.db_scale = None
+        if self._int8 and d * 127 * 127 >= 2 ** 24:
+            raise ValueError(
+                f"int8 IVF requires d <= 1040 for exact f32 partials "
+                f"(got d={d})")
 
         vec32 = np.ascontiguousarray(vectors, np.float32)
         sample_idx = (rng.choice(n, min(train_sample, n), replace=False)
@@ -126,8 +131,16 @@ class IVFIndex:
         sorted_m[:n] = vec32[order]
         self.mesh = mesh
         self.axis = axis
+        if self._int8:
+            # quantize ONCE on the full sorted matrix (a single global
+            # scale keeps shard merges and the exactness contract
+            # consistent); zero pad rows quantize to zero
+            q8, scale = quantize_db_int8(jnp.asarray(sorted_m))
+            self.db_scale = float(scale)
+            sorted_m = np.asarray(q8)
         if mesh is None:
-            self.matrix = jnp.asarray(sorted_m, self._dtype)
+            self.matrix = (jnp.asarray(sorted_m) if self._int8
+                           else jnp.asarray(sorted_m, self._dtype))
         else:
             self._build_shards(sorted_m[:n], offsets, counts, mesh, axis)
 
@@ -149,7 +162,7 @@ class IVFIndex:
         n_shards = mesh.shape[axis]
         local_n = -(-n // n_shards)          # ceil
         pad = self._cmax_pad
-        mats = np.zeros((n_shards, local_n + pad, d), np.float32)
+        mats = np.zeros((n_shards, local_n + pad, d), sorted_m.dtype)
         loc_off = np.zeros((n_shards, self.n_clusters), np.int32)
         loc_cnt = np.zeros((n_shards, self.n_clusters), np.int32)
         ends = offsets + counts
@@ -165,7 +178,8 @@ class IVFIndex:
         spec = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
         self.shard_mats = jax.device_put(
-            jnp.asarray(mats, self._dtype), spec)
+            jnp.asarray(mats) if self._int8
+            else jnp.asarray(mats, self._dtype), spec)
         self.shard_off = jax.device_put(jnp.asarray(loc_off), spec)
         self.shard_cnt = jax.device_put(jnp.asarray(loc_cnt), spec)
         self.centroids = jax.device_put(self.centroids, rep)
@@ -176,25 +190,64 @@ class IVFIndex:
     def search(self, queries, k: int, *, nprobe: int = 8):
         """Returns (scores [Q, k] f32, original row ids [Q, k] int32)."""
         nprobe = min(nprobe, self.n_clusters)
-        q = jnp.asarray(queries, self._dtype)
-        if q.ndim == 1:
-            q = q[None]
+        q32 = jnp.asarray(queries, jnp.float32)
+        if q32.ndim == 1:
+            q32 = q32[None]
+        q = q32.astype(self._dtype)          # centroid-probe copy (bf16)
+        if self._int8:
+            # PER-QUERY two-digit decomposition (q ~= c1*hi + c2*lo,
+            # c1 = 254*c2) — same contract as cosine_topk_int8_exact:
+            # per-query positive scaling leaves each row's order intact
+            c1 = jnp.maximum(jnp.max(jnp.abs(q32), axis=1, keepdims=True),
+                             1e-30) / 127.0
+            c2 = c1 / 254.0
+            q_hi = jnp.clip(jnp.round(q32 / c1), -127, 127).astype(jnp.int8)
+            resid = q32 - q_hi.astype(jnp.float32) * c1
+            q_lo = jnp.clip(jnp.round(resid / c2), -127, 127).astype(jnp.int8)
+            qdig = jnp.stack([q_hi, q_lo])
+            row_scale = c2 * self.db_scale
+        else:
+            qdig = jnp.zeros((2,) + q32.shape, jnp.int8)
+            row_scale = jnp.ones((q32.shape[0], 1), jnp.float32)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            q = jax.device_put(q, NamedSharding(self.mesh, P()))
+            rep = NamedSharding(self.mesh, P())
+            q = jax.device_put(q, rep)
+            qdig = jax.device_put(qdig, rep)
+            row_scale = jax.device_put(row_scale, rep)
             return _ivf_search_sharded(
                 self.shard_mats, self.shard_off, self.shard_cnt,
-                self.centroids, self.offsets, self.row_ids, q,
-                k=k, nprobe=nprobe, cmax=self._cmax_pad, n=self.n,
-                local_n=self._local_n, mesh=self.mesh, axis=self.axis)
+                self.centroids, self.offsets, self.row_ids, q, qdig,
+                row_scale, k=k, nprobe=nprobe, cmax=self._cmax_pad,
+                n=self.n, local_n=self._local_n, mesh=self.mesh,
+                axis=self.axis, int8=self._int8)
         return _ivf_search(self.matrix, self.centroids, self.offsets,
-                           self.counts, self.row_ids, q, k=k, nprobe=nprobe,
-                           cmax=self._cmax_pad, n=self.n)
+                           self.counts, self.row_ids, q, qdig, row_scale,
+                           k=k, nprobe=nprobe, cmax=self._cmax_pad,
+                           n=self.n, int8=self._int8)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "cmax", "n"))
-def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries, *,
-                k: int, nprobe: int, cmax: int, n: int):
+def _probe_scores(matrix, qvec, qhi, qlo, rs, b, cmax: int, int8: bool):
+    """Scores of one probed cluster slice for one query: bf16 MXU dot,
+    or two exact s8 passes + f32 combine in int8 mode (the in-cluster
+    analog of `cosine_topk_int8_exact`)."""
+    rows = jax.lax.dynamic_slice_in_dim(matrix, b, cmax, axis=0)
+    if int8:
+        dims = (((1,), (0,)), ((), ()))
+        s_hi = jax.lax.dot_general(rows, qhi, dims,
+                                   preferred_element_type=jnp.int32)
+        s_lo = jax.lax.dot_general(rows, qlo, dims,
+                                   preferred_element_type=jnp.int32)
+        return (s_hi.astype(jnp.float32) * 254.0
+                + s_lo.astype(jnp.float32)) * rs
+    return (rows @ qvec.astype(rows.dtype)).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "cmax", "n",
+                                             "int8"))
+def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries,
+                qdig, row_scale, *, k: int, nprobe: int, cmax: int, n: int,
+                int8: bool = False):
     qn, d = queries.shape
     cs = jax.lax.dot_general(
         queries, centroids, (((1,), (1,)), ((), ())),
@@ -208,15 +261,16 @@ def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries, *,
     def probe(p, carry):
         scores_all, idx_all = carry
 
-        def one_query(qvec, b, c):
-            rows = jax.lax.dynamic_slice_in_dim(matrix, b, cmax, axis=0)
-            s = rows @ qvec.astype(rows.dtype)
+        def one_query(qvec, qhi, qlo, rs, b, c):
+            s = _probe_scores(matrix, qvec, qhi, qlo, rs, b, cmax, int8)
             within = jnp.arange(cmax)
-            s = jnp.where(within < c, s.astype(jnp.float32), -jnp.inf)
+            s = jnp.where(within < c, s, -jnp.inf)
             sorted_idx = jnp.where(within < c, b + within, n)  # n -> pad row
             return s, sorted_idx
 
-        s_p, i_p = jax.vmap(one_query)(queries, base[:, p], cnt[:, p])
+        s_p, i_p = jax.vmap(one_query)(queries, qdig[0], qdig[1],
+                                       row_scale[:, 0], base[:, p],
+                                       cnt[:, p])
         scores_all = jax.lax.dynamic_update_slice_in_dim(
             scores_all, s_p, p * cmax, axis=1)
         idx_all = jax.lax.dynamic_update_slice_in_dim(
@@ -243,8 +297,9 @@ def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries, *,
 
 
 def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
-                        g_offsets, row_ids, queries, *, k: int, nprobe: int,
-                        cmax: int, n: int, local_n: int, mesh, axis: str):
+                        g_offsets, row_ids, queries, qdig, row_scale, *,
+                        k: int, nprobe: int, cmax: int, n: int,
+                        local_n: int, mesh, axis: str, int8: bool = False):
     """Row-sharded IVF probe scan + exact (score, probe-position) merge.
 
     Every shard probes the SAME nprobe clusters per query (the centroid
@@ -260,7 +315,7 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
     k_eff = min(k, nprobe * cmax)
     stride = n + 1
 
-    def local(mats, soff, scnt, cent, g_off, rids, qs):
+    def local(mats, soff, scnt, cent, g_off, rids, qs, qdg, rsc):
         mat, soff, scnt = mats[0], soff[0], scnt[0]
         qn = qs.shape[0]
         r0 = jax.lax.axis_index(axis) * local_n
@@ -276,19 +331,19 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
         def probe(p, carry):
             s_all, pos_all, comp_all = carry
 
-            def one_query(qvec, b, c, go):
-                rows = jax.lax.dynamic_slice_in_dim(mat, b, cmax, axis=0)
-                s = rows @ qvec.astype(rows.dtype)
+            def one_query(qvec, qhi, qlo, rs, b, c, go):
+                s = _probe_scores(mat, qvec, qhi, qlo, rs, b, cmax, int8)
                 within = jnp.arange(cmax)
                 valid = within < c
-                s = jnp.where(valid, s.astype(jnp.float32), -jnp.inf)
+                s = jnp.where(valid, s, -jnp.inf)
                 gpos = jnp.where(valid, r0 + b + within, n)
                 comp = jnp.where(valid, p * stride + (r0 + b + within - go),
                                  2**31 - 1)
                 return s, gpos, comp
 
             s_p, g_p, c_p = jax.vmap(one_query)(
-                qs, base[:, p], cnt[:, p], goff[:, p])
+                qs, qdg[0], qdg[1], rsc[:, 0], base[:, p], cnt[:, p],
+                goff[:, p])
             upd = lambda a, v: jax.lax.dynamic_update_slice_in_dim(
                 a, v, p * cmax, axis=1)
             return upd(s_all, s_p), upd(pos_all, g_p), upd(comp_all, c_p)
@@ -320,12 +375,12 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
     top_s, top_ids = fn(shard_mats, shard_off, shard_cnt, centroids,
-                        g_offsets, row_ids, queries)
+                        g_offsets, row_ids, queries, qdig, row_scale)
     if k_eff < k:
         pad = k - k_eff
         top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)

@@ -304,6 +304,12 @@ def do_dino(args, dest: str) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--parity-only", action="store_true",
+                    help="no downloads/weights: run the FULL-SIZE "
+                         "architecture parity gate at deterministic "
+                         "random init (scripts/parity_fullsize.py) — "
+                         "the strongest evidence obtainable without "
+                         "network egress")
     ap.add_argument("--dest", default="weights")
     ap.add_argument("--models", default="pe,text,dino,sam")
     ap.add_argument("--pe-id", default=PE_ID)
@@ -322,6 +328,12 @@ def main() -> int:
                     help="write the parity report here "
                          "(default <dest>/WEIGHTS_PARITY.md)")
     args = ap.parse_args()
+
+    if args.parity_only:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import parity_fullsize
+        sys.argv = [sys.argv[0]]
+        return parity_fullsize.main()
 
     os.makedirs(args.dest, exist_ok=True)
     REPORT.append(f"# Weights parity report — {time.strftime('%Y-%m-%d %H:%M')}\n")

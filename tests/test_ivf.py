@@ -131,3 +131,61 @@ def test_sharded_ivf_uneven_rows_and_big_k():
     # full probe on every shard == exact scan
     _, true_i = numpy_topk64(db, qs, 40)
     assert recall_at_k(i2, true_i) == 1.0
+
+
+# -- int8 storage (round 3: IVF x 2x capacity for the 100M config) ------
+
+def test_ivf_int8_recall_and_exact_scores(corpus):
+    """int8 IVF probes clusters with the two-digit exact scan: recall
+    matches the bf16 index (probe misses dominate, not quantization)
+    and returned scores are exact w.r.t. the stored int8 rows."""
+    rng = np.random.default_rng(3)
+    queries = corpus[rng.choice(len(corpus), 16, replace=False)]
+    _, true_i = numpy_topk64(corpus, queries, 10)
+    idx = IVFIndex(corpus, n_clusters=32, dtype="int8", seed=0)
+    s, i = jax.device_get(idx.search(queries, 10, nprobe=8))
+    assert recall_at_k(i, true_i) > 0.9
+    # scores must equal f64 cosine vs the DEQUANTIZED stored rows
+    deq = np.zeros_like(corpus)
+    order = np.asarray(idx.row_ids)
+    mat = np.asarray(idx.matrix[: len(corpus)]).astype(np.float64)
+    deq[order] = mat * idx.db_scale
+    got = np.take_along_axis(
+        queries.astype(np.float64) @ deq.T, i, axis=1)
+    np.testing.assert_allclose(s, got, rtol=2e-5, atol=2e-5)
+
+
+def test_ivf_int8_full_probe_matches_int8_exact_kernel(corpus):
+    """nprobe == n_clusters must reproduce the flat int8-exact scan's
+    neighbor ids (same stored quantization, same query decomposition)."""
+    import jax.numpy as jnp
+    from reverso_tpu.ops.topk import cosine_topk_int8_exact, quantize_db_int8
+
+    db = corpus[:2000]
+    rng = np.random.default_rng(4)
+    queries = random_unit(rng, 8, 64)
+    idx = IVFIndex(db, n_clusters=8, dtype="int8", seed=0)
+    s_ivf, i_ivf = jax.device_get(idx.search(queries, 10, nprobe=8))
+    # flat scan over the SAME int8 representation (global scale is
+    # computed on the cluster-sorted matrix => identical values)
+    deq = np.zeros_like(db)
+    order = np.asarray(idx.row_ids)
+    deq[order] = np.asarray(idx.matrix[: len(db)]).astype(np.float32) \
+        * idx.db_scale
+    true_s, true_i = numpy_topk64(deq, queries, 10)
+    assert recall_at_k(i_ivf, true_i) == 1.0
+    np.testing.assert_allclose(s_ivf, true_s, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_ivf_int8_matches_single_device(corpus):
+    from reverso_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    rng = np.random.default_rng(5)
+    queries = corpus[rng.choice(len(corpus), 8, replace=False)]
+    single = IVFIndex(corpus, n_clusters=32, dtype="int8", seed=0)
+    sharded = IVFIndex(corpus, n_clusters=32, dtype="int8", seed=0,
+                       mesh=mesh)
+    s1, i1 = jax.device_get(single.search(queries, 10, nprobe=8))
+    s2, i2 = jax.device_get(sharded.search(queries, 10, nprobe=8))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-6)

@@ -159,3 +159,27 @@ def test_tree_merge_matches_single_device(rng):
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(("host", "chip"))))
     s, i = jax.device_get(tree_merge_topk(db_sh, jnp.asarray(qs), k, mesh))
     assert_topk_equiv(db, qs, s, i, k)
+
+
+def test_replace_min_state_bitwise_matches_sorted_state(rng):
+    """The replace-min top-k state (round 3: ~6 small ops/insert vs 11)
+    must return BIT-IDENTICAL (score, idx) results to the sorted-insert
+    state, including exact-tie cases (duplicate db rows)."""
+    from reverso_tpu.ops.topk import _topk_pallas_jit
+
+    db = random_unit(rng, 3072, 64)
+    db[100] = db[7]          # exact duplicates -> exact score ties
+    db[2500] = db[7]
+    db[1024] = db[1023]
+    qs = np.concatenate([random_unit(rng, 13, 64), db[7:8], db[1023:1024]])
+    for k in (1, 5, 10):
+        kpad = ((max(k, 8) + 7) // 8) * 8
+        outs = {}
+        for mode in ("sorted", "replace_min"):
+            outs[mode] = [np.asarray(x) for x in _topk_pallas_jit(
+                jnp.asarray(db), jnp.asarray(qs), 3072, k=k, kpad=kpad,
+                q_tile=16, db_tile=256, interpret=True, q_out=len(qs),
+                n_bufs=4, group=2, state_mode=mode)]
+        np.testing.assert_array_equal(outs["sorted"][1], outs["replace_min"][1])
+        np.testing.assert_array_equal(outs["sorted"][0], outs["replace_min"][0])
+        assert_topk_equiv(db, qs, *outs["replace_min"], k)
