@@ -279,12 +279,89 @@ def config5_ivf(n_rows, d):
     return ok
 
 
+def tpu_runs(out_path):
+    """Hardware artifact (VERDICT r2 item 7): configs #1 and #4 on the
+    REAL chip — the end-to-end engine path (build -> device index ->
+    search, PE-Core-B16-224), not just bench.py's synthetic kernel.
+    Config #4's sharded-equivalence part needs 8 devices (CPU sweep /
+    driver dryrun); here the same scan runs single-chip with timing.
+    Appends a 'TPU hardware runs' section to EVAL.md."""
+    import jax
+    import jax.numpy as jnp
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from reverso_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
+
+    lines = ["", "## TPU hardware runs "
+             + time.strftime("(%Y-%m-%d, one v5e chip)"), ""]
+
+    # -- config 1 end-to-end --------------------------------------------
+    with tempfile.TemporaryDirectory() as work:
+        folder = os.path.join(work, "photos")
+        synth_images(folder, 24)
+        eng = make_engine(os.path.join(work, "db1"), "PE-Core-B16-224")
+        t0 = time.time()
+        eng.create_database(folder, "cfg1", use_direct_pe=True)
+        build_s = time.time() - t0
+        from reverso_tpu.store import VectorStore
+        store = VectorStore.open(os.path.join(work, "db1"), "cfg1")
+        vecs = np.asarray(store.vectors(), np.float64)
+        idx = eng._get_index()
+        t0 = time.time()
+        scores, ids = jax.device_get(
+            idx.search(vecs[:16].astype(np.float32), 10))
+        search_s = time.time() - t0
+        ref = np.argsort(-(vecs[:16] @ vecs.T)
+                         - np.arange(vecs.shape[0]) * 1e-12, axis=1)[:, :10]
+        agree = float((ids == ref).mean())
+        lines.append(
+            f"- config 1 (24 images, PE-Core-B16-224, direct-PE, fp32 "
+            f"store): build {build_s:.1f}s (incl. any cold jit), first "
+            f"search {search_s * 1e3:.0f} ms, top-10 ids == fp64 numpy: "
+            f"{agree:.3f}")
+        print(lines[-1], flush=True)
+
+    # -- config 4 scan, single chip --------------------------------------
+    from bench import _best_time
+    from reverso_tpu.ops.topk import cosine_topk_pallas, cosine_topk_xla
+    n_rows, d, q = 262144, 1024, 256
+    key = jax.random.PRNGKey(0)
+    db = jax.random.normal(key, (n_rows, d), jnp.float32)
+    db = (db / jnp.linalg.norm(db, axis=1, keepdims=True)).astype(jnp.bfloat16)
+    db = jax.device_put(db)
+    qs = db[:q]
+    s, i = cosine_topk_pallas(db, qs, 10)
+    i_h = np.asarray(i)
+    assert (i_h[:, 0] == np.arange(q)).all()
+    s_ref, i_ref = map(np.asarray, cosine_topk_xla(db, qs[:16], 10))
+    ids_eq = bool(np.array_equal(i_h[:16], i_ref))
+    dt = _best_time(lambda: cosine_topk_pallas(db, qs, 10),
+                    lambda r: np.asarray(r[0][:1]), budget_s=20.0, k=8)
+    lines.append(
+        f"- config 4 single-chip scan ({n_rows}x{d} bf16, 256-query "
+        f"batch): {dt * 1e3:.2f} ms/batch = {q / dt:,.0f} QPS; "
+        f"top-10 ids == XLA reference: {ids_eq} (sharded equivalence is "
+        f"the CPU-mesh sweep + driver dryrun)")
+    print(lines[-1], flush=True)
+
+    with open(out_path, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended TPU section -> {out_path}")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small sizes (~2 min, CI-friendly)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run configs #1/#4 on the real TPU and append "
+                         "a hardware section to EVAL.md")
     ap.add_argument("--out", default="EVAL.md")
     a = ap.parse_args()
+
+    if a.tpu:
+        return tpu_runs(a.out)
 
     import jax
     # The env var alone is ignored in this image (platform pinned to
