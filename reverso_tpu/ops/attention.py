@@ -426,13 +426,23 @@ def _flash_heads_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
                 v_ref[0, :, lo:lo + head_dim])
 
 
+# Sequence pad multiple for the heads-in-lanes kernel. Sublane (row)
+# dims only need 8-alignment on TPU; padding S to 128 inflates the
+# [S, S] softmax area by (640/584)^2 - 1 = 20% at ViT-L/14-336 shapes
+# (S=577). Lane dims of intermediates still round to 128 vregs inside
+# Mosaic either way. Module-level so A/B scripts can flip it.
+_SEQ_PAD = 8
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "kv_valid",
-                                             "use_rope", "interpret"))
+                                             "use_rope", "interpret",
+                                             "seq_pad"))
 def _flash_heads_jit(q, k, v, cos, sin, *, heads: int, scale: float,
-                     kv_valid: int, use_rope: bool, interpret: bool):
+                     kv_valid: int, use_rope: bool, interpret: bool,
+                     seq_pad: int = 8):
     b, s, w = q.shape
     hd = w // heads
-    s_p = _round_up(s, 128)
+    s_p = _round_up(s, seq_pad)
     qp = _pad_dim(q, 1, s_p)
     kp = _pad_dim(k, 1, s_p)
     vp = _pad_dim(v, 1, s_p)
@@ -486,4 +496,5 @@ def flash_attention_heads(q, k, v, *, heads: int, cos=None, sin=None,
     sin_a = jnp.asarray(sin, jnp.float32) if use_rope else None
     return _flash_heads_jit(q, k, v, cos_a, sin_a, heads=heads, scale=scale,
                             kv_valid=int(kv_valid) if kv_valid else s,
-                            use_rope=use_rope, interpret=interpret)
+                            use_rope=use_rope, interpret=interpret,
+                            seq_pad=_SEQ_PAD)

@@ -523,6 +523,9 @@ img.viz{max-width:100%;border-radius:6px;margin-top:12px}
 <div class="tab" id="tab-about">
 <h2>About</h2>
 <pre id="a-info">loading…</pre>
+<h3>Serving stats</h3>
+<button class="primary" onclick="loadStats()">🔄 Refresh stats</button>
+<pre id="a-stats">-</pre>
 <p>TPU-native rebuild of the Revers-o visual investigation tool:
 prompt-conditioned region detection, Perception-Encoder embeddings, and a
 sharded on-device exact cosine search engine (JAX / XLA / Pallas).</p>
@@ -620,6 +623,10 @@ async function dbOp(op){
   const r=await api('/api/db/'+op,{name:$('m-db').value});
   $('m-status').textContent=r.message||JSON.stringify(r);
   reloadDbs();
+}
+async function loadStats(){
+  const r=await api('/api/stats');
+  $('a-stats').textContent=JSON.stringify(r,null,2);
 }
 api('/api/about').then(r=>$('a-info').textContent=JSON.stringify(r,null,2));
 reloadDbs();
