@@ -181,10 +181,31 @@ class Reverso:
             vectors = np.asarray(store.vectors())
             if scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
                 from .store import IVFIndex
-                ivf = IVFIndex(vectors,
-                               n_clusters=min(scfg.ivf_clusters, count),
-                               dtype=self.config.store.dtype,
-                               mesh=self.mesh)
+                # persist the k-means result next to the store, keyed by
+                # (clusters, count, data_version): a process restart
+                # reloads in one fancy-index pass instead of retraining
+                cache_dir = os.path.join(store.path, "index")
+                cache = os.path.join(
+                    cache_dir, f"ivf_c{scfg.ivf_clusters}_{count}_"
+                               f"{store.data_version}.npz")
+                ivf = None
+                if os.path.exists(cache):
+                    ivf = IVFIndex.load_cache(
+                        vectors, cache, dtype=self.config.store.dtype,
+                        mesh=self.mesh)
+                if ivf is None:
+                    ivf = IVFIndex(vectors,
+                                   n_clusters=min(scfg.ivf_clusters, count),
+                                   dtype=self.config.store.dtype,
+                                   mesh=self.mesh)
+                    try:
+                        if os.path.isdir(cache_dir):
+                            for old in os.listdir(cache_dir):
+                                if old.startswith("ivf_"):
+                                    os.remove(os.path.join(cache_dir, old))
+                        ivf.save_cache(cache)
+                    except OSError:
+                        pass      # read-only store: rebuild per process
                 index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe)
             else:
                 index = DeviceIndex(

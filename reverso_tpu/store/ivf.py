@@ -26,6 +26,7 @@ ordering exactly (the same merge family as `sharded_cosine_topk`).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -70,7 +71,7 @@ class IVFIndex:
     def __init__(self, vectors: np.ndarray, *, n_clusters: int = 256,
                  train_iters: int = 10, train_sample: int = 131072,
                  dtype: str = "bfloat16", seed: int = 0,
-                 mesh=None, axis: str = "data"):
+                 mesh=None, axis: str = "data", _precomputed=None):
         n, d = vectors.shape
         if n == 0:
             raise ValueError("empty index")
@@ -92,27 +93,35 @@ class IVFIndex:
                 f"(got d={d})")
 
         vec32 = np.ascontiguousarray(vectors, np.float32)
-        sample_idx = (rng.choice(n, min(train_sample, n), replace=False)
-                      if n > train_sample else np.arange(n))
-        sample = jnp.asarray(vec32[sample_idx], self._dtype)
-        init = jnp.asarray(rng.choice(len(sample_idx), n_clusters,
-                                      replace=False))
-        cent, _ = _kmeans_fit(sample, init, n_clusters=n_clusters,
-                              iters=train_iters)
+        if _precomputed is not None:
+            # cache hit (`load_cache`): skip k-means + full assignment —
+            # the expensive, nondeterministic-duration part of a build
+            cent_np, order, counts = _precomputed
+            cent_d = jnp.asarray(cent_np, self._dtype)
+            order = np.asarray(order, np.int64)
+            counts = np.asarray(counts)
+        else:
+            sample_idx = (rng.choice(n, min(train_sample, n), replace=False)
+                          if n > train_sample else np.arange(n))
+            sample = jnp.asarray(vec32[sample_idx], self._dtype)
+            init = jnp.asarray(rng.choice(len(sample_idx), n_clusters,
+                                          replace=False))
+            cent, _ = _kmeans_fit(sample, init, n_clusters=n_clusters,
+                                  iters=train_iters)
 
-        # assign all rows (chunked), sort rows by cluster
-        assign = np.empty(n, np.int32)
-        cent_d = cent
-        chunk = 262144
-        for lo in range(0, n, chunk):
-            blk = jnp.asarray(vec32[lo:lo + chunk], self._dtype)
-            s = jax.lax.dot_general(
-                blk, cent_d, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            assign[lo:lo + chunk] = np.asarray(jnp.argmax(s, axis=1))
+            # assign all rows (chunked), sort rows by cluster
+            assign = np.empty(n, np.int32)
+            cent_d = cent
+            chunk = 262144
+            for lo in range(0, n, chunk):
+                blk = jnp.asarray(vec32[lo:lo + chunk], self._dtype)
+                s = jax.lax.dot_general(
+                    blk, cent_d, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                assign[lo:lo + chunk] = np.asarray(jnp.argmax(s, axis=1))
 
-        order = np.argsort(assign, kind="stable")
-        counts = np.bincount(assign, minlength=n_clusters)
+            order = np.argsort(assign, kind="stable")
+            counts = np.bincount(assign, minlength=n_clusters)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         self.cmax = int(counts.max())
         cmax_pad = _round_up(max(self.cmax, 8), 8)
@@ -143,6 +152,45 @@ class IVFIndex:
                            else jnp.asarray(sorted_m, self._dtype))
         else:
             self._build_shards(sorted_m[:n], offsets, counts, mesh, axis)
+
+    # -- persistence (skip k-means on reload) ---------------------------
+
+    def save_cache(self, path: str) -> None:
+        """Persist the training result (centroids + cluster order +
+        counts) so a process restart rebuilds this index WITHOUT
+        retraining k-means or re-assigning N rows — at 100M rows that
+        is the difference between seconds (one fancy-index copy of the
+        memmapped vectors) and minutes. The vectors themselves are NOT
+        duplicated; the cache is O(N) int32 + O(C*d)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp.npz"         # savez appends .npz if absent
+        np.savez_compressed(
+            tmp,
+            centroids=np.asarray(self.centroids, np.float32),
+            order=np.asarray(self.row_ids, np.int32),
+            counts=np.asarray(self.counts, np.int32),
+            meta=np.asarray([self.n, self.dim, self.n_clusters]))
+        os.replace(tmp, path)
+
+    @classmethod
+    def load_cache(cls, vectors: np.ndarray, path: str, *,
+                   dtype: str = "bfloat16", mesh=None, axis: str = "data"):
+        """Rebuild an IVFIndex from `save_cache` output + the original
+        vectors. Returns None on any mismatch (row count/dim changed:
+        the store mutated since the cache was written) so callers fall
+        back to a fresh build."""
+        try:
+            with np.load(path) as z:
+                meta = z["meta"]
+                if int(meta[0]) != vectors.shape[0] or \
+                        int(meta[1]) != vectors.shape[1]:
+                    return None
+                pre = (z["centroids"], z["order"], z["counts"])
+                n_clusters = int(meta[2])
+        except (OSError, KeyError, ValueError):
+            return None
+        return cls(vectors, n_clusters=n_clusters, dtype=dtype, mesh=mesh,
+                   axis=axis, _precomputed=pre)
 
     def _build_shards(self, sorted_m: np.ndarray, offsets, counts,
                       mesh, axis: str) -> None:

@@ -189,3 +189,69 @@ def test_sharded_ivf_int8_matches_single_device(corpus):
     s2, i2 = jax.device_get(sharded.search(queries, 10, nprobe=8))
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-6)
+
+
+def test_ivf_cache_roundtrip_bitwise(tmp_path, corpus):
+    """save_cache/load_cache must reproduce the index exactly (same
+    centroids/order/counts -> bitwise-identical search results)."""
+    rng = np.random.default_rng(6)
+    queries = corpus[rng.choice(len(corpus), 8, replace=False)]
+    for dtype in ("bfloat16", "int8"):
+        idx = IVFIndex(corpus, n_clusters=32, dtype=dtype, seed=0)
+        path = str(tmp_path / f"ivf_{dtype}.npz")
+        idx.save_cache(path)
+        idx2 = IVFIndex.load_cache(corpus, path, dtype=dtype)
+        assert idx2 is not None
+        s1, i1 = jax.device_get(idx.search(queries, 10, nprobe=8))
+        s2, i2 = jax.device_get(idx2.search(queries, 10, nprobe=8))
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(s1, s2)
+    # mismatched vectors (different count) -> None, not garbage
+    assert IVFIndex.load_cache(corpus[:100], path) is None
+
+
+def test_engine_ivf_cache_skips_retraining(tmp_path, monkeypatch):
+    """Second process (fresh engine) must reload the persisted k-means
+    result instead of retraining."""
+    import dataclasses
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+    from reverso_tpu.store import VectorStore
+    import reverso_tpu.store.ivf as ivf_mod
+
+    root = str(tmp_path / "db")
+    rng = np.random.default_rng(0)
+    vecs = random_unit(rng, 600, 16)
+    import os as _os
+    _os.makedirs(root, exist_ok=True)
+    with VectorStore.create(root, "ivfdb", 16) as s:
+        s.append(vecs, [{"region_id": f"r{i}", "filename": f"{i}.jpg"}
+                        for i in range(len(vecs))])
+
+    def make(monkey_fail):
+        cfg = default_config()
+        enc = PerceptionEncoder(dataclasses.replace(
+            MODEL_PRESETS["test-tiny"], dtype="float32"))
+        cfg = dataclasses.replace(
+            cfg, model=enc.cfg,
+            store=dataclasses.replace(cfg.store, root_dir=root),
+            search=dataclasses.replace(cfg.search, index="ivf",
+                                       ivf_clusters=16, ivf_nprobe=16))
+        eng = Reverso(cfg, encoder=enc)
+        eng.load_database("ivfdb")
+        if monkey_fail:
+            def boom(*a, **k):
+                raise AssertionError("k-means retrained despite cache")
+            monkeypatch.setattr(ivf_mod, "_kmeans_fit", boom)
+        return eng
+
+    eng1 = make(False)
+    s1, i1 = eng1.search_batch(vecs[:4], k=5)
+    cache_dir = _os.path.join(root, "ivfdb", "index")
+    assert any(f.startswith("ivf_") for f in _os.listdir(cache_dir))
+
+    eng2 = make(True)       # _kmeans_fit now raises if called
+    s2, i2 = eng2.search_batch(vecs[:4], k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)
