@@ -397,3 +397,52 @@ def test_warmup_routes_through_batcher_shapes(tmp_path):
     stats = eng.searcher.stats()
     assert stats["served"] == 1 and stats["launches"] == 1
     eng.searcher.close()
+
+
+def test_batcher_over_ivf_index(tmp_path):
+    """The serving batcher must work when the engine's index is the IVF
+    adapter (engine._get_index returns it once count > clusters*4):
+    coalesced concurrent searches through BatchingSearcher must equal
+    direct IVFIndex.search — including the k_pad round-up + trim."""
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+    from reverso_tpu.store import VectorStore
+
+    cfg = default_config()
+    enc = PerceptionEncoder(
+        dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32"))
+    cfg = dataclasses.replace(
+        cfg, model=enc.cfg,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")),
+        search=dataclasses.replace(cfg.search, index="ivf",
+                                   ivf_clusters=8, ivf_nprobe=8))
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(400, enc.embed_dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    with VectorStore.create(str(tmp_path / "db"), "ivf", enc.embed_dim) as s:
+        s.append(emb, [{"region_id": f"r{i}"} for i in range(400)])
+
+    eng = Reverso(cfg, encoder=enc)
+    eng.load_database("ivf")
+    # direct engine path (same adapter, no batcher)
+    want_s, want_i = eng.search_batch(emb[:8], k=5)
+    assert (want_i[:, 0] == np.arange(8)).all()
+
+    # concurrent callers through the batcher
+    got = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def one(i):
+        barrier.wait()
+        got[i] = eng.searcher.search(emb[i], k=5)
+
+    ts = [threading.Thread(target=one, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for i in range(8):
+        np.testing.assert_array_equal(got[i][1], want_i[i])
+        np.testing.assert_allclose(got[i][0], want_s[i], rtol=1e-6)
+    eng.searcher.close()
