@@ -46,6 +46,15 @@ def _make_engine(args, *, need_detector: bool = False):
         cfg = dataclasses.replace(
             cfg, store=dataclasses.replace(cfg.store,
                                            dtype=args.index_dtype))
+    scfg = cfg.search
+    if getattr(args, "index", None):
+        scfg = dataclasses.replace(scfg, index=args.index)
+    if getattr(args, "ivf_nprobe", None) is not None:
+        scfg = dataclasses.replace(scfg, ivf_nprobe=args.ivf_nprobe)
+    if getattr(args, "ivf_spill", None) is not None:
+        scfg = dataclasses.replace(scfg, ivf_spill=args.ivf_spill)
+    if scfg is not cfg.search:
+        cfg = dataclasses.replace(cfg, search=scfg)
     import os as _os
     pe_ckpt = _os.environ.get("REVERSO_PE_CKPT")
     if pe_ckpt and pe_ckpt.endswith(".msgpack"):
@@ -307,6 +316,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "bfloat16 (default) / int8 (2x capacity, same scan "
                         "speed, exact w.r.t. the int8 copy) / float32 "
                         "(strict parity mode)")
+    p.add_argument("--index", choices=["exact", "ivf"], default=None,
+                   help="search index: exact fused scan (default) or IVF "
+                        "k-means coarse quantizer for very large corpora")
+    p.add_argument("--ivf-nprobe", type=int, default=None,
+                   help="IVF clusters probed per query (recall knob)")
+    p.add_argument("--ivf-spill", type=float, default=None,
+                   help="IVF: fraction of rows duplicated into their "
+                        "runner-up cluster (SOAR-lite; raises recall at "
+                        "fixed nprobe for ~spill x storage overhead)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build a searchable database from a folder")

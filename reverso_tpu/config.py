@@ -156,6 +156,11 @@ class SearchConfig:
     index: str = "exact"
     ivf_clusters: int = 1024
     ivf_nprobe: int = 16
+    # fraction of rows duplicated into their runner-up cluster
+    # (SOAR/replication-lite): boundary rows survive probe misses, so
+    # recall at fixed nprobe rises for ~spill x storage overhead.
+    # Results stay dedup'd and exactly ordered.
+    ivf_spill: float = 0.0
 
 
 @dataclass(frozen=True)

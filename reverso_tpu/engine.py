@@ -185,9 +185,11 @@ class Reverso:
                 # (clusters, count, data_version): a process restart
                 # reloads in one fancy-index pass instead of retraining
                 cache_dir = os.path.join(store.path, "index")
+                sp = f"_sp{round(scfg.ivf_spill * 1000)}" \
+                    if scfg.ivf_spill else ""
                 cache = os.path.join(
                     cache_dir, f"ivf_c{scfg.ivf_clusters}_{count}_"
-                               f"{store.data_version}.npz")
+                               f"{store.data_version}{sp}.npz")
                 ivf = None
                 if os.path.exists(cache):
                     ivf = IVFIndex.load_cache(
@@ -197,6 +199,7 @@ class Reverso:
                     ivf = IVFIndex(vectors,
                                    n_clusters=min(scfg.ivf_clusters, count),
                                    dtype=self.config.store.dtype,
+                                   spill=scfg.ivf_spill,
                                    mesh=self.mesh)
                     try:
                         if os.path.isdir(cache_dir):

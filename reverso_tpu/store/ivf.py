@@ -12,7 +12,14 @@ vectors on a multi-host slice) needs sublinear scan cost. Design:
   * a query batch scores `nprobe` clusters each: [Q, nprobe * Cmax]
     candidate scores -> lax.top_k -> map back to original row ids;
   * exact within probed clusters: recall loss comes only from probe
-    misses, so nprobe == n_clusters reproduces the exact scan.
+    misses, so nprobe == n_clusters reproduces the exact scan;
+  * optional spilled assignments (`spill=f`, SOAR/replication-lite):
+    the f fraction of rows with the smallest top-1/top-2 centroid
+    margin get a second copy in their runner-up cluster, so boundary
+    rows — the dominant probe-miss victims — are found from either
+    side. Search fetches top-2k candidates and dedups by original id
+    (keep-first, preserving the exact (-score, position) tie order),
+    at ~f extra storage and the same probe shape.
 
 Multi-host scale-out (BASELINE.md config #5, exercised on the virtual
 mesh by tests/test_ivf.py): pass `mesh=` — the cluster-sorted matrix is
@@ -70,11 +77,13 @@ class IVFIndex:
 
     def __init__(self, vectors: np.ndarray, *, n_clusters: int = 256,
                  train_iters: int = 10, train_sample: int = 131072,
-                 dtype: str = "bfloat16", seed: int = 0,
+                 dtype: str = "bfloat16", seed: int = 0, spill: float = 0.0,
                  mesh=None, axis: str = "data", _precomputed=None):
         n, d = vectors.shape
         if n == 0:
             raise ValueError("empty index")
+        if not 0.0 <= spill <= 1.0:
+            raise ValueError(f"spill must be in [0, 1], got {spill}")
         n_clusters = min(n_clusters, n)
         rng = np.random.default_rng(seed)
         # int8 storage (2x capacity — the 100M stretch config stacks
@@ -96,7 +105,7 @@ class IVFIndex:
         if _precomputed is not None:
             # cache hit (`load_cache`): skip k-means + full assignment —
             # the expensive, nondeterministic-duration part of a build
-            cent_np, order, counts = _precomputed
+            cent_np, order, counts, n_spill = _precomputed
             cent_d = jnp.asarray(cent_np, self._dtype)
             order = np.asarray(order, np.int64)
             counts = np.asarray(counts)
@@ -109,35 +118,62 @@ class IVFIndex:
             cent, _ = _kmeans_fit(sample, init, n_clusters=n_clusters,
                                   iters=train_iters)
 
-            # assign all rows (chunked), sort rows by cluster
+            # assign all rows (chunked); with spill also record each
+            # row's runner-up cluster + assignment margin
             assign = np.empty(n, np.int32)
             cent_d = cent
+            want_spill = spill > 0.0 and n_clusters > 1
+            second = np.empty(n, np.int32) if want_spill else None
+            margin = np.empty(n, np.float32) if want_spill else None
             chunk = 262144
             for lo in range(0, n, chunk):
                 blk = jnp.asarray(vec32[lo:lo + chunk], self._dtype)
                 s = jax.lax.dot_general(
                     blk, cent_d, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                assign[lo:lo + chunk] = np.asarray(jnp.argmax(s, axis=1))
+                if want_spill:
+                    top2_s, top2_i = jax.lax.top_k(s, 2)
+                    top2_s, top2_i = np.asarray(top2_s), np.asarray(top2_i)
+                    assign[lo:lo + chunk] = top2_i[:, 0]
+                    second[lo:lo + chunk] = top2_i[:, 1]
+                    margin[lo:lo + chunk] = top2_s[:, 0] - top2_s[:, 1]
+                else:
+                    assign[lo:lo + chunk] = np.asarray(jnp.argmax(s, axis=1))
 
-            order = np.argsort(assign, kind="stable")
-            counts = np.bincount(assign, minlength=n_clusters)
+            # spilled assignments (SOAR/replication-lite): the `spill`
+            # fraction of rows CLOSEST to their runner-up centroid get a
+            # second copy there, so boundary rows survive probe misses.
+            # Search dedups by original id (top-2k fetch, keep-first).
+            entry_id = np.arange(n, dtype=np.int64)
+            entry_cl = assign
+            n_spill = 0
+            if want_spill:
+                extra = np.nonzero(
+                    margin <= np.quantile(margin, spill))[0]
+                n_spill = len(extra)
+                entry_id = np.concatenate([entry_id, extra])
+                entry_cl = np.concatenate([assign, second[extra]])
+            order = entry_id[np.argsort(entry_cl, kind="stable")]
+            counts = np.bincount(entry_cl, minlength=n_clusters)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         self.cmax = int(counts.max())
         cmax_pad = _round_up(max(self.cmax, 8), 8)
 
+        m = len(order)                 # matrix entries (n + spilled copies)
         self.n = n
+        self.m = m
+        self.n_spill = int(n_spill)
         self.dim = d
         self.n_clusters = n_clusters
         self.centroids = cent_d
-        self.row_ids = jnp.asarray(order.astype(np.int32))   # sorted -> orig
+        self.row_ids = jnp.asarray(order.astype(np.int32))   # entry -> orig
         self.offsets = jnp.asarray(offsets.astype(np.int32))
         self.counts = jnp.asarray(counts.astype(np.int32))
         self._cmax_pad = cmax_pad
         # sorted matrix, padded with an extra cmax_pad zero rows so
         # dynamic slices near the end never clamp into valid data
-        sorted_m = np.zeros((n + cmax_pad, d), np.float32)
-        sorted_m[:n] = vec32[order]
+        sorted_m = np.zeros((m + cmax_pad, d), np.float32)
+        sorted_m[:m] = vec32[order]
         self.mesh = mesh
         self.axis = axis
         if self._int8:
@@ -151,7 +187,7 @@ class IVFIndex:
             self.matrix = (jnp.asarray(sorted_m) if self._int8
                            else jnp.asarray(sorted_m, self._dtype))
         else:
-            self._build_shards(sorted_m[:n], offsets, counts, mesh, axis)
+            self._build_shards(sorted_m[:m], offsets, counts, mesh, axis)
 
     # -- persistence (skip k-means on reload) ---------------------------
 
@@ -169,7 +205,8 @@ class IVFIndex:
             centroids=np.asarray(self.centroids, np.float32),
             order=np.asarray(self.row_ids, np.int32),
             counts=np.asarray(self.counts, np.int32),
-            meta=np.asarray([self.n, self.dim, self.n_clusters]))
+            meta=np.asarray([self.n, self.dim, self.n_clusters,
+                             self.n_spill]))
         os.replace(tmp, path)
 
     @classmethod
@@ -185,7 +222,8 @@ class IVFIndex:
                 if int(meta[0]) != vectors.shape[0] or \
                         int(meta[1]) != vectors.shape[1]:
                     return None
-                pre = (z["centroids"], z["order"], z["counts"])
+                n_spill = int(meta[3]) if len(meta) > 3 else 0
+                pre = (z["centroids"], z["order"], z["counts"], n_spill)
                 n_clusters = int(meta[2])
         except (OSError, KeyError, ValueError):
             return None
@@ -206,7 +244,7 @@ class IVFIndex:
 
         offsets = np.asarray(offsets)
         counts = np.asarray(counts)
-        n, d = self.n, self.dim
+        n, d = self.m, self.dim              # shard ENTRIES incl. spills
         n_shards = mesh.shape[axis]
         local_n = -(-n // n_shards)          # ceil
         pad = self._cmax_pad
@@ -267,12 +305,14 @@ class IVFIndex:
                 self.shard_mats, self.shard_off, self.shard_cnt,
                 self.centroids, self.offsets, self.row_ids, q, qdig,
                 row_scale, k=k, nprobe=nprobe, cmax=self._cmax_pad,
-                n=self.n, local_n=self._local_n, mesh=self.mesh,
-                axis=self.axis, int8=self._int8)
+                m=self.m, local_n=self._local_n, mesh=self.mesh,
+                axis=self.axis, int8=self._int8,
+                dedup=self.n_spill > 0)
         return _ivf_search(self.matrix, self.centroids, self.offsets,
                            self.counts, self.row_ids, q, qdig, row_scale,
                            k=k, nprobe=nprobe, cmax=self._cmax_pad,
-                           n=self.n, int8=self._int8)
+                           m=self.m, int8=self._int8,
+                           dedup=self.n_spill > 0)
 
 
 def _probe_scores(matrix, qvec, qhi, qlo, rs, b, cmax: int, int8: bool):
@@ -291,11 +331,24 @@ def _probe_scores(matrix, qvec, qhi, qlo, rs, b, cmax: int, int8: bool):
     return (rows @ qvec.astype(rows.dtype)).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "cmax", "n",
-                                             "int8"))
+def _dedup_keep_first(scores, ids):
+    """Mask later duplicates of an id (spilled rows can surface twice
+    from two probed clusters). Candidates arrive sorted by
+    (-score, position); keep-first therefore preserves the exact tie
+    order. [Q, c] with c <= 2k, so the pairwise compare is tiny."""
+    c = ids.shape[1]
+    eq = ids[:, None, :] == ids[:, :, None]              # [Q, c, c]
+    earlier = jnp.tril(jnp.ones((c, c), jnp.bool_), -1)  # j earlier than i
+    dup = jnp.any(eq & earlier[None], axis=2)
+    return (jnp.where(dup, -jnp.inf, scores),
+            jnp.where(dup, -1, ids))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "cmax", "m",
+                                             "int8", "dedup"))
 def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries,
-                qdig, row_scale, *, k: int, nprobe: int, cmax: int, n: int,
-                int8: bool = False):
+                qdig, row_scale, *, k: int, nprobe: int, cmax: int, m: int,
+                int8: bool = False, dedup: bool = False):
     qn, d = queries.shape
     cs = jax.lax.dot_general(
         queries, centroids, (((1,), (1,)), ((), ())),
@@ -313,7 +366,7 @@ def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries,
             s = _probe_scores(matrix, qvec, qhi, qlo, rs, b, cmax, int8)
             within = jnp.arange(cmax)
             s = jnp.where(within < c, s, -jnp.inf)
-            sorted_idx = jnp.where(within < c, b + within, n)  # n -> pad row
+            sorted_idx = jnp.where(within < c, b + within, m)  # m -> pad row
             return s, sorted_idx
 
         s_p, i_p = jax.vmap(one_query)(queries, qdig[0], qdig[1],
@@ -326,17 +379,26 @@ def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries,
         return scores_all, idx_all
 
     scores_all = jnp.full((qn, nprobe * cmax), -jnp.inf, jnp.float32)
-    idx_all = jnp.full((qn, nprobe * cmax), n, jnp.int32)
+    idx_all = jnp.full((qn, nprobe * cmax), m, jnp.int32)
     scores_all, idx_all = jax.lax.fori_loop(0, nprobe, probe,
                                             (scores_all, idx_all))
 
     k_eff = min(k, nprobe * cmax)
-    top_s, pos = jax.lax.top_k(scores_all, k_eff)
+    # with spilled entries a row can appear in two probed clusters, so
+    # fetch 2k candidates (<=2 copies/row -> >=k unique), dedup by id
+    # keep-first, and re-select k (top_k picks leftmost on ties, so the
+    # (-score, position) order is preserved through both passes)
+    k_fetch = min(2 * k, nprobe * cmax) if dedup else k_eff
+    top_s, pos = jax.lax.top_k(scores_all, k_fetch)
     top_sorted_idx = jnp.take_along_axis(idx_all, pos, axis=1)
     # map sorted positions back to original row ids (pad row -> -1)
     row_ids_pad = jnp.concatenate([row_ids, jnp.full((1,), -1, jnp.int32)])
-    top_ids = row_ids_pad[jnp.clip(top_sorted_idx, 0, n)]
+    top_ids = row_ids_pad[jnp.clip(top_sorted_idx, 0, m)]
     top_ids = jnp.where(jnp.isneginf(top_s), -1, top_ids)
+    if dedup:
+        top_s, top_ids = _dedup_keep_first(top_s, top_ids)
+        top_s, sel = jax.lax.top_k(top_s, k_eff)
+        top_ids = jnp.take_along_axis(top_ids, sel, axis=1)
     if k_eff < k:
         pad = k - k_eff
         top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
@@ -346,22 +408,27 @@ def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries,
 
 def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
                         g_offsets, row_ids, queries, qdig, row_scale, *,
-                        k: int, nprobe: int, cmax: int, n: int,
-                        local_n: int, mesh, axis: str, int8: bool = False):
+                        k: int, nprobe: int, cmax: int, m: int,
+                        local_n: int, mesh, axis: str, int8: bool = False,
+                        dedup: bool = False):
     """Row-sharded IVF probe scan + exact (score, probe-position) merge.
 
     Every shard probes the SAME nprobe clusters per query (the centroid
     scoring is replicated), scans only the probed rows it owns, and
     emits its local top-k with a composite tie key
-    `probe_rank * (n+1) + within_cluster_offset` — exactly the position
+    `probe_rank * (m+1) + within_cluster_offset` — exactly the position
     order the single-device `_ivf_search` resolves ties by, so the
-    all_gather lexsort merge reproduces it bit-for-bit.
+    all_gather lexsort merge reproduces it bit-for-bit. With spilled
+    entries (dedup=True) every shard emits its top-2k so the global
+    top-2k multiset is complete, and the dedup-by-id keep-first runs
+    after the merge — the same order the single-device path dedups in.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     k_eff = min(k, nprobe * cmax)
-    stride = n + 1
+    k_fetch = min(2 * k, nprobe * cmax) if dedup else k_eff
+    stride = m + 1
 
     def local(mats, soff, scnt, cent, g_off, rids, qs, qdg, rsc):
         mat, soff, scnt = mats[0], soff[0], scnt[0]
@@ -384,7 +451,7 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
                 within = jnp.arange(cmax)
                 valid = within < c
                 s = jnp.where(valid, s, -jnp.inf)
-                gpos = jnp.where(valid, r0 + b + within, n)
+                gpos = jnp.where(valid, r0 + b + within, m)
                 comp = jnp.where(valid, p * stride + (r0 + b + within - go),
                                  2**31 - 1)
                 return s, gpos, comp
@@ -397,28 +464,34 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
             return upd(s_all, s_p), upd(pos_all, g_p), upd(comp_all, c_p)
 
         s_all = jnp.full((qn, nprobe * cmax), -jnp.inf, jnp.float32)
-        pos_all = jnp.full((qn, nprobe * cmax), n, jnp.int32)
+        pos_all = jnp.full((qn, nprobe * cmax), m, jnp.int32)
         comp_all = jnp.full((qn, nprobe * cmax), 2**31 - 1, jnp.int32)
         s_all, pos_all, comp_all = jax.lax.fori_loop(
             0, nprobe, probe, (s_all, pos_all, comp_all))
 
         # local top-k (stable: position order == composite order here)
-        top_s, sel = jax.lax.top_k(s_all, k_eff)
+        top_s, sel = jax.lax.top_k(s_all, k_fetch)
         top_g = jnp.take_along_axis(pos_all, sel, axis=1)
         top_c_ = jnp.take_along_axis(comp_all, sel, axis=1)
 
-        def merge(x):  # [P, Q, k_eff] -> [Q, P*k_eff]
+        def merge(x):  # [P, Q, k_fetch] -> [Q, P*k_fetch]
             return jnp.transpose(x, (1, 0, 2)).reshape(qn, -1)
 
         all_s = merge(jax.lax.all_gather(top_s, axis))
         all_g = merge(jax.lax.all_gather(top_g, axis))
         all_c = merge(jax.lax.all_gather(top_c_, axis))
-        order = jnp.lexsort((all_c, -all_s), axis=1)[:, :k_eff]
+        order = jnp.lexsort((all_c, -all_s), axis=1)[:, :k_fetch]
         out_s = jnp.take_along_axis(all_s, order, axis=1)
         out_g = jnp.take_along_axis(all_g, order, axis=1)
         rids_pad = jnp.concatenate([rids, jnp.full((1,), -1, jnp.int32)])
-        out_i = rids_pad[jnp.clip(out_g, 0, n)]
+        out_i = rids_pad[jnp.clip(out_g, 0, m)]
         out_i = jnp.where(jnp.isneginf(out_s), -1, out_i)
+        if dedup:
+            out_s, out_i = _dedup_keep_first(out_s, out_i)
+            out_s, sel2 = jax.lax.top_k(out_s, k_eff)
+            out_i = jnp.take_along_axis(out_i, sel2, axis=1)
+        else:
+            out_s, out_i = out_s[:, :k_eff], out_i[:, :k_eff]
         return out_s, out_i
 
     fn = shard_map(

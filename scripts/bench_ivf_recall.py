@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--nprobes", default="1,2,4,8,16,32,64")
+    ap.add_argument("--spill", type=float, default=0.0,
+                    help="also sweep an index with spilled assignments")
     args = ap.parse_args()
 
     import jax
@@ -78,10 +80,15 @@ def main():
     true_i = np.argsort(-s64, axis=1)[:, : args.k]
 
     nprobes = [int(x) for x in args.nprobes.split(",")]
+    variants = [("bfloat16", 0.0), ("int8", 0.0)]
+    if args.spill > 0:
+        variants += [("bfloat16", args.spill), ("int8", args.spill)]
     table = {}
-    for dtype in ("bfloat16", "int8"):
+    for dtype, spill in variants:
+        name = dtype + (f"+sp{spill}" if spill else "")
         t0 = time.time()
-        idx = IVFIndex(db, n_clusters=args.clusters, dtype=dtype, seed=0)
+        idx = IVFIndex(db, n_clusters=args.clusters, dtype=dtype, seed=0,
+                       spill=spill)
         build = time.time() - t0
         row = []
         for np_ in nprobes:
@@ -91,16 +98,17 @@ def main():
             rec = np.mean([len(set(p) & set(t)) / args.k
                            for p, t in zip(ids, true_i)])
             row.append((np_, rec, dt))
-            print(f"  {dtype} nprobe={np_}: recall@{args.k}="
+            print(f"  {name} nprobe={np_}: recall@{args.k}="
                   f"{rec:.4f} ({dt * 1e3:.0f} ms incl. host)", flush=True)
-        table[dtype] = (build, row)
+        table[name] = (build, row)
 
-    print("\n| nprobe | recall@10 bf16 | recall@10 int8 |")
-    print("|---|---|---|")
+    names = [d + (f"+sp{s}" if s else "") for d, s in variants]
+    print("\n| nprobe | " + " | ".join(f"recall@10 {n}" for n in names)
+          + " |")
+    print("|---|" + "---|" * len(names))
     for j, np_ in enumerate(nprobes):
-        print(f"| {np_} | {table['bfloat16'][1][j][1]:.4f} "
-              f"| {table['int8'][1][j][1]:.4f} |")
-    frac = nprobes[3] / args.clusters if len(nprobes) > 3 else 0
+        cells = " | ".join(f"{table[n][1][j][1]:.4f}" for n in names)
+        print(f"| {np_} | {cells} |")
     print(f"\n(build: bf16 {table['bfloat16'][0]:.1f}s, "
           f"int8 {table['int8'][0]:.1f}s; scan fraction at nprobe=8 "
           f"~= {8 / args.clusters:.3f} of the corpus)")

@@ -255,3 +255,110 @@ def test_engine_ivf_cache_skips_retraining(tmp_path, monkeypatch):
     s2, i2 = eng2.search_batch(vecs[:4], k=5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(s1, s2)
+
+
+# -- spilled assignments (round 3: SOAR-lite recall boost) ---------------
+
+def test_spill_unique_ids_and_recall_gain(corpus):
+    """spill=0.25 must (a) never return a duplicate id, (b) return
+    exact cosine scores for the ids it returns, and (c) beat the
+    no-spill recall at small nprobe on clustered data (boundary rows
+    are recoverable from the runner-up cluster)."""
+    rng = np.random.default_rng(7)
+    # queries near db points, where probe misses actually happen
+    qi = rng.choice(len(corpus), 64, replace=False)
+    queries = corpus[qi] + 0.05 * rng.standard_normal(
+        (64, corpus.shape[1])).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    _, true_i = numpy_topk64(corpus, queries, 10)
+
+    plain = IVFIndex(corpus, n_clusters=32, dtype="float32", seed=0)
+    spill = IVFIndex(corpus, n_clusters=32, dtype="float32", seed=0,
+                     spill=0.25)
+    assert plain.n_spill == 0 and plain.m == plain.n
+    assert spill.n_spill == pytest.approx(0.25 * len(corpus), rel=0.05)
+    assert spill.m == spill.n + spill.n_spill
+
+    rec = {}
+    for name, idx in (("plain", plain), ("spill", spill)):
+        s, i = jax.device_get(idx.search(queries, 10, nprobe=2))
+        valid = i >= 0
+        for row_ids, row_valid in zip(i, valid):
+            ids = row_ids[row_valid]
+            assert len(set(ids.tolist())) == len(ids), row_ids
+        got = np.take_along_axis(
+            queries.astype(np.float64) @ corpus.astype(np.float64).T,
+            np.where(valid, i, 0), axis=1)
+        np.testing.assert_allclose(s[valid], got[valid], atol=1e-4)
+        rec[name] = recall_at_k(i, true_i)
+    assert rec["spill"] > rec["plain"], rec
+
+
+def test_spill_full_probe_is_exact(corpus):
+    """With every cluster probed, every spilled row appears TWICE in
+    the candidates — dedup must still reproduce the exact scan."""
+    rng = np.random.default_rng(8)
+    queries = random_unit(rng, 8, 64)
+    true_s, true_i = numpy_topk64(corpus, queries, 10)
+    idx = IVFIndex(corpus, n_clusters=16, dtype="float32", seed=0,
+                   spill=0.5)
+    s, i = jax.device_get(idx.search(queries, 10, nprobe=16))
+    assert recall_at_k(i, true_i) == 1.0
+    np.testing.assert_allclose(s, true_s, atol=1e-4)
+
+
+def test_sharded_spill_matches_single_device(corpus):
+    """Row-sharded spill == single-device spill, exactly: shards emit
+    top-2k so the merged multiset is complete, dedup runs post-merge
+    in the same (-score, composite-position) order."""
+    from reverso_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(9)
+    queries = corpus[rng.choice(len(corpus), 16, replace=False)]
+    for dtype in ("float32", "int8"):
+        single = IVFIndex(corpus, n_clusters=32, dtype=dtype, seed=0,
+                          spill=0.3)
+        sharded = IVFIndex(corpus, n_clusters=32, dtype=dtype, seed=0,
+                           spill=0.3, mesh=mesh)
+        for nprobe in (2, 8, 32):
+            s1, i1 = jax.device_get(single.search(queries, 10,
+                                                  nprobe=nprobe))
+            s2, i2 = jax.device_get(sharded.search(queries, 10,
+                                                   nprobe=nprobe))
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_spill_int8_full_probe_matches_exact(corpus):
+    """int8 x spill: full probe reproduces the flat scan over the same
+    stored int8 rows (dedup + two-digit decomposition compose)."""
+    db = corpus[:2000]
+    rng = np.random.default_rng(10)
+    queries = random_unit(rng, 8, 64)
+    idx = IVFIndex(db, n_clusters=8, dtype="int8", seed=0, spill=0.4)
+    s_ivf, i_ivf = jax.device_get(idx.search(queries, 10, nprobe=8))
+    deq = np.zeros_like(db)
+    order = np.asarray(idx.row_ids)
+    deq[order] = np.asarray(idx.matrix[: idx.m]).astype(np.float32) \
+        * idx.db_scale
+    true_s, true_i = numpy_topk64(deq, queries, 10)
+    assert recall_at_k(i_ivf, true_i) == 1.0
+    np.testing.assert_allclose(s_ivf, true_s, rtol=2e-5, atol=2e-5)
+
+
+def test_spill_cache_roundtrip(tmp_path, corpus):
+    """save_cache/load_cache must preserve the spilled entry table
+    (n_spill, duplicated order) -> bitwise-identical search."""
+    rng = np.random.default_rng(11)
+    queries = corpus[rng.choice(len(corpus), 8, replace=False)]
+    idx = IVFIndex(corpus, n_clusters=32, dtype="int8", seed=0, spill=0.2)
+    path = str(tmp_path / "ivf_spill.npz")
+    idx.save_cache(path)
+    idx2 = IVFIndex.load_cache(corpus, path, dtype="int8")
+    assert idx2 is not None
+    assert idx2.n_spill == idx.n_spill and idx2.m == idx.m
+    s1, i1 = jax.device_get(idx.search(queries, 10, nprobe=4))
+    s2, i2 = jax.device_get(idx2.search(queries, 10, nprobe=4))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)
