@@ -181,26 +181,42 @@ class Reverso:
             vectors = np.asarray(store.vectors())
             if scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
                 from .store import IVFIndex
-                # persist the k-means result next to the store, keyed by
-                # (clusters, count, data_version): a process restart
-                # reloads in one fancy-index pass instead of retraining
+                # persist the k-means result next to the store, keyed on
+                # (clusters, count, mutation_epoch, spill): a process
+                # restart reloads in one fancy-index pass instead of
+                # retraining. The epoch only moves when existing rows
+                # are rewritten (truncate), so a cache whose epoch
+                # matches but whose count is SMALLER covers an intact
+                # prefix — new rows are assigned to the cached
+                # centroids (extend) instead of retraining k-means.
                 cache_dir = os.path.join(store.path, "index")
                 sp = f"_sp{round(scfg.ivf_spill * 1000)}" \
                     if scfg.ivf_spill else ""
-                cache = os.path.join(
-                    cache_dir, f"ivf_c{scfg.ivf_clusters}_{count}_"
-                               f"{store.data_version}{sp}.npz")
+                stem = f"ivf_c{scfg.ivf_clusters}"
+                tail = f"_{store.mutation_epoch}{sp}.npz"
+                cache = os.path.join(cache_dir, f"{stem}_{count}{tail}")
                 ivf = None
                 if os.path.exists(cache):
                     ivf = IVFIndex.load_cache(
                         vectors, cache, dtype=self.config.store.dtype,
                         mesh=self.mesh)
+                dirty = ivf is None
+                if ivf is None and os.path.isdir(cache_dir):
+                    for f in sorted(os.listdir(cache_dir), reverse=True):
+                        if f.startswith(stem + "_") and f.endswith(tail):
+                            ivf = IVFIndex.extend_cache(
+                                vectors, os.path.join(cache_dir, f),
+                                dtype=self.config.store.dtype,
+                                mesh=self.mesh)
+                            if ivf is not None:
+                                break
                 if ivf is None:
                     ivf = IVFIndex(vectors,
                                    n_clusters=min(scfg.ivf_clusters, count),
                                    dtype=self.config.store.dtype,
                                    spill=scfg.ivf_spill,
                                    mesh=self.mesh)
+                if dirty:
                     try:
                         if os.path.isdir(cache_dir):
                             for old in os.listdir(cache_dir):

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.topk import _round_up, _dot_precision, quantize_db_int8
+from ..ops.topk import _round_up, _dot_precision
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
@@ -179,10 +179,15 @@ class IVFIndex:
         if self._int8:
             # quantize ONCE on the full sorted matrix (a single global
             # scale keeps shard merges and the exactness contract
-            # consistent); zero pad rows quantize to zero
-            q8, scale = quantize_db_int8(jnp.asarray(sorted_m))
+            # consistent); zero pad rows quantize to zero. Host-side
+            # numpy mirror of `quantize_db_int8` (same f32 math): at
+            # 100M rows the device round-trip would move 3x the full
+            # matrix through host<->HBM just to round it.
+            scale = np.float32(max(np.abs(sorted_m).max(),
+                                   np.float32(1e-30))) / np.float32(127.0)
             self.db_scale = float(scale)
-            sorted_m = np.asarray(q8)
+            sorted_m = np.clip(np.round(sorted_m / scale), -127,
+                               127).astype(np.int8)
         if mesh is None:
             self.matrix = (jnp.asarray(sorted_m) if self._int8
                            else jnp.asarray(sorted_m, self._dtype))
@@ -227,6 +232,86 @@ class IVFIndex:
                 n_clusters = int(meta[2])
         except (OSError, KeyError, ValueError):
             return None
+        return cls(vectors, n_clusters=n_clusters, dtype=dtype, mesh=mesh,
+                   axis=axis, _precomputed=pre)
+
+    @classmethod
+    def extend_cache(cls, vectors: np.ndarray, path: str, *,
+                     dtype: str = "bfloat16", mesh=None,
+                     axis: str = "data", max_grow: float = 0.5):
+        """Extend a cached index with newly-APPENDED rows: assign rows
+        [n_old:] to the cached centroids (one chunked matmul pass, no
+        k-means retrain) and merge them into the entry table. Only
+        valid when the first n_old rows are unchanged — the engine
+        guards that with the store's `mutation_epoch` (bumped by
+        truncate, the one prefix-rewriting mutation). Returns None if
+        the cache is not a strict prefix (n_old >= n), dims mismatch,
+        or growth exceeds `max_grow` of the trained corpus — past that
+        the frozen centroids drift from the data distribution and a
+        full retrain is the right call. Spill (if the cache used it)
+        is applied to the new rows at the same fraction, thresholded
+        on the new rows' own margin quantile."""
+        n, d = vectors.shape
+        try:
+            with np.load(path) as z:
+                meta = z["meta"]
+                n_old = int(meta[0])
+                if int(meta[1]) != d or not 0 < n_old < n:
+                    return None
+                if (n - n_old) / n_old > max_grow:
+                    return None
+                cent = np.asarray(z["centroids"], np.float32)
+                order = np.asarray(z["order"], np.int64)
+                counts_old = np.asarray(z["counts"], np.int64)
+                n_clusters = int(meta[2])
+                n_spill_old = int(meta[3]) if len(meta) > 3 else 0
+        except (OSError, KeyError, ValueError):
+            return None
+
+        dt = jnp.bfloat16 if jnp.dtype(dtype) == jnp.int8 \
+            else jnp.dtype(dtype)
+        cent_d = jnp.asarray(cent, dt)
+        new32 = np.ascontiguousarray(vectors[n_old:], np.float32)
+        n_new = n - n_old
+        spill_frac = n_spill_old / n_old
+        want_spill = spill_frac > 0 and n_clusters > 1
+        assign = np.empty(n_new, np.int32)
+        second = np.empty(n_new, np.int32) if want_spill else None
+        margin = np.empty(n_new, np.float32) if want_spill else None
+        chunk = 262144
+        for lo in range(0, n_new, chunk):
+            blk = jnp.asarray(new32[lo:lo + chunk], dt)
+            s = jax.lax.dot_general(
+                blk, cent_d, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if want_spill:
+                t2s, t2i = jax.lax.top_k(s, 2)
+                t2s, t2i = np.asarray(t2s), np.asarray(t2i)
+                assign[lo:lo + chunk] = t2i[:, 0]
+                second[lo:lo + chunk] = t2i[:, 1]
+                margin[lo:lo + chunk] = t2s[:, 0] - t2s[:, 1]
+            else:
+                assign[lo:lo + chunk] = np.asarray(jnp.argmax(s, axis=1))
+
+        new_ids = np.arange(n_old, n, dtype=np.int64)
+        new_cl = assign
+        n_spill_new = 0
+        if want_spill:
+            extra = np.nonzero(margin <= np.quantile(margin,
+                                                     spill_frac))[0]
+            n_spill_new = len(extra)
+            new_cl = np.concatenate([assign, second[extra]])
+            new_ids = np.concatenate([new_ids,
+                                      np.arange(n_old, n)[extra]])
+
+        # merge: old entries keep their within-cluster order, new
+        # entries append behind them (stable sort over concatenation)
+        old_cl = np.repeat(np.arange(n_clusters), counts_old)
+        ids_all = np.concatenate([order, new_ids])
+        cl_all = np.concatenate([old_cl, new_cl])
+        order_all = ids_all[np.argsort(cl_all, kind="stable")]
+        counts_all = np.bincount(cl_all, minlength=n_clusters)
+        pre = (cent, order_all, counts_all, n_spill_old + n_spill_new)
         return cls(vectors, n_clusters=n_clusters, dtype=dtype, mesh=mesh,
                    axis=axis, _precomputed=pre)
 
@@ -415,9 +500,11 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
 
     Every shard probes the SAME nprobe clusters per query (the centroid
     scoring is replicated), scans only the probed rows it owns, and
-    emits its local top-k with a composite tie key
-    `probe_rank * (m+1) + within_cluster_offset` — exactly the position
-    order the single-device `_ivf_search` resolves ties by, so the
+    emits its local top-k with a (probe_rank, within_cluster_offset)
+    tie key — exactly the position order the single-device
+    `_ivf_search` resolves ties by (kept as two lexsort keys rather
+    than probe_rank * (m+1) + offset, which overflows int32 once
+    m x nprobe crosses 2^31 — the 100M-row config), so the
     all_gather lexsort merge reproduces it bit-for-bit. With spilled
     entries (dedup=True) every shard emits its top-2k so the global
     top-2k multiset is complete, and the dedup-by-id keep-first runs
@@ -428,7 +515,6 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
 
     k_eff = min(k, nprobe * cmax)
     k_fetch = min(2 * k, nprobe * cmax) if dedup else k_eff
-    stride = m + 1
 
     def local(mats, soff, scnt, cent, g_off, rids, qs, qdg, rsc):
         mat, soff, scnt = mats[0], soff[0], scnt[0]
@@ -444,7 +530,7 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
         goff = g_off[top_c]
 
         def probe(p, carry):
-            s_all, pos_all, comp_all = carry
+            s_all, pos_all, woff_all, prnk_all = carry
 
             def one_query(qvec, qhi, qlo, rs, b, c, go):
                 s = _probe_scores(mat, qvec, qhi, qlo, rs, b, cmax, int8)
@@ -452,35 +538,41 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
                 valid = within < c
                 s = jnp.where(valid, s, -jnp.inf)
                 gpos = jnp.where(valid, r0 + b + within, m)
-                comp = jnp.where(valid, p * stride + (r0 + b + within - go),
-                                 2**31 - 1)
-                return s, gpos, comp
+                # (probe rank, within-cluster offset) tie keys; invalid
+                # slots sort last
+                woff = jnp.where(valid, r0 + b + within - go, 2**31 - 1)
+                prnk = jnp.where(valid, p, 2**31 - 1)
+                return s, gpos, woff, prnk
 
-            s_p, g_p, c_p = jax.vmap(one_query)(
+            s_p, g_p, w_p, r_p = jax.vmap(one_query)(
                 qs, qdg[0], qdg[1], rsc[:, 0], base[:, p], cnt[:, p],
                 goff[:, p])
             upd = lambda a, v: jax.lax.dynamic_update_slice_in_dim(
                 a, v, p * cmax, axis=1)
-            return upd(s_all, s_p), upd(pos_all, g_p), upd(comp_all, c_p)
+            return (upd(s_all, s_p), upd(pos_all, g_p),
+                    upd(woff_all, w_p), upd(prnk_all, r_p))
 
         s_all = jnp.full((qn, nprobe * cmax), -jnp.inf, jnp.float32)
         pos_all = jnp.full((qn, nprobe * cmax), m, jnp.int32)
-        comp_all = jnp.full((qn, nprobe * cmax), 2**31 - 1, jnp.int32)
-        s_all, pos_all, comp_all = jax.lax.fori_loop(
-            0, nprobe, probe, (s_all, pos_all, comp_all))
+        woff_all = jnp.full((qn, nprobe * cmax), 2**31 - 1, jnp.int32)
+        prnk_all = jnp.full((qn, nprobe * cmax), 2**31 - 1, jnp.int32)
+        s_all, pos_all, woff_all, prnk_all = jax.lax.fori_loop(
+            0, nprobe, probe, (s_all, pos_all, woff_all, prnk_all))
 
-        # local top-k (stable: position order == composite order here)
+        # local top-k (stable: position order == tie-key order here)
         top_s, sel = jax.lax.top_k(s_all, k_fetch)
         top_g = jnp.take_along_axis(pos_all, sel, axis=1)
-        top_c_ = jnp.take_along_axis(comp_all, sel, axis=1)
+        top_w = jnp.take_along_axis(woff_all, sel, axis=1)
+        top_r = jnp.take_along_axis(prnk_all, sel, axis=1)
 
         def merge(x):  # [P, Q, k_fetch] -> [Q, P*k_fetch]
             return jnp.transpose(x, (1, 0, 2)).reshape(qn, -1)
 
         all_s = merge(jax.lax.all_gather(top_s, axis))
         all_g = merge(jax.lax.all_gather(top_g, axis))
-        all_c = merge(jax.lax.all_gather(top_c_, axis))
-        order = jnp.lexsort((all_c, -all_s), axis=1)[:, :k_fetch]
+        all_w = merge(jax.lax.all_gather(top_w, axis))
+        all_r = merge(jax.lax.all_gather(top_r, axis))
+        order = jnp.lexsort((all_w, all_r, -all_s), axis=1)[:, :k_fetch]
         out_s = jnp.take_along_axis(all_s, order, axis=1)
         out_g = jnp.take_along_axis(all_g, order, axis=1)
         rids_pad = jnp.concatenate([rids, jnp.full((1,), -1, jnp.int32)])

@@ -126,6 +126,12 @@ class VectorStore:
     # (count, data_version) can detect truncate-then-reappend-same-size
     # and overwrite-same-name mutations).
     data_version: int = 0
+    # Bumped ONLY by truncate (the one mutation that rewrites existing
+    # rows). While it holds still, the row prefix is immutable, so
+    # derived structures built over the first N rows (the IVF k-means
+    # cache) can be EXTENDED with newly-appended rows instead of being
+    # rebuilt from scratch.
+    mutation_epoch: int = 0
     _vec_f: Any = field(default=None, repr=False)
     _pay_f: Any = field(default=None, repr=False)
     _idx_f: Any = field(default=None, repr=False)
@@ -149,9 +155,12 @@ class VectorStore:
         meta_path = os.path.join(path, META_FILE)
         if os.path.exists(meta_path) and not overwrite:
             raise StoreError(f"Database already exists: {name}")
+        # both seeded from the clock so a delete-recreate under the same
+        # name never aliases a prior incarnation's derived caches
+        now = time.time_ns()
         store = VectorStore(path=path, name=name, dim=dim,
                             collection=collection_name(name), count=0,
-                            data_version=time.time_ns())
+                            data_version=now, mutation_epoch=now)
         store._acquire_lock()
         store._write_meta()
         # touch data files
@@ -174,7 +183,9 @@ class VectorStore:
         coll = meta.get("collection", collection_name(name))
         store = VectorStore(path=path, name=name, dim=int(meta["dim"]),
                             collection=coll, count=int(meta["count"]),
-                            data_version=int(meta.get("data_version", 0)))
+                            data_version=int(meta.get("data_version", 0)),
+                            mutation_epoch=int(meta.get("mutation_epoch",
+                                                        0)))
         vec_path = os.path.join(path, VEC_FILE)
         actual_rows = os.path.getsize(vec_path) // (4 * store.dim) if os.path.exists(vec_path) else 0
         if actual_rows < store.count:
@@ -206,6 +217,8 @@ class VectorStore:
         if count != self.count or version != self.data_version:
             self.count = count
             self.data_version = version
+            self.mutation_epoch = int(meta.get("mutation_epoch",
+                                               self.mutation_epoch))
             self._offsets_cache = None
 
     def _acquire_lock(self) -> None:
@@ -248,6 +261,7 @@ class VectorStore:
             json.dump({"name": self.name, "collection": self.collection,
                        "dim": self.dim, "count": self.count,
                        "data_version": self.data_version,
+                       "mutation_epoch": self.mutation_epoch,
                        "dtype": "float32", "version": 1}, f, indent=2)
         os.replace(tmp, os.path.join(self.path, META_FILE))
 
@@ -421,7 +435,8 @@ class VectorStore:
                 f.truncate(count * 8)
         self.count = count
         self.data_version += 1
-        self._offsets_cache = None
+        self.mutation_epoch += 1     # existing rows changed: derived
+        self._offsets_cache = None   # prefix caches are now invalid
         self._write_meta()
 
     def close_files_for_truncate(self) -> None:

@@ -91,6 +91,16 @@ def main():
     s_true, i_true = jax.device_get(exact(qs_eval))
     print("ground truth (exact scan over stored int8) done", flush=True)
 
+    # recall once per nprobe (independent of the timed batch size)
+    nprobes = [int(x) for x in args.nprobes.split(",")]
+    recall = {}
+    for np_ in nprobes:
+        _, ids = jax.device_get(ivf.search(qs_eval, args.k, nprobe=np_))
+        recall[np_] = np.mean([len(set(p) & set(t)) / args.k
+                               for p, t in zip(ids, i_true)])
+        print(f"recall@{args.k} nprobe={np_}: {recall[np_]:.4f}",
+              flush=True)
+
     results = []
     for q_n in [int(x) for x in args.qs.split(",")]:
         q = qs_eval[:q_n] if q_n <= args.eval_queries else np.tile(
@@ -102,19 +112,15 @@ def main():
         print(f"exact  Q={q_n:>3}: {dt * 1e3:7.2f} ms "
               f"({q_n / dt:,.0f} QPS)", flush=True)
         results.append(("exact", q_n, None, dt, 1.0))
-        for np_ in [int(x) for x in args.nprobes.split(",")]:
+        for np_ in nprobes:
             np.asarray(ivf.search(q, args.k, nprobe=np_)[0][:1, :1])
             dt = _best_time(lambda: ivf.search(q, args.k, nprobe=np_),
                             lambda r: np.asarray(r[0][:1, :1]),
                             budget_s=args.budget)
-            _, ids = jax.device_get(
-                ivf.search(qs_eval, args.k, nprobe=np_))
-            rec = np.mean([len(set(p) & set(t)) / args.k
-                           for p, t in zip(ids, i_true)])
             print(f"IVF    Q={q_n:>3} nprobe={np_:>2}: {dt * 1e3:7.2f} ms "
-                  f"({q_n / dt:,.0f} QPS)  recall@{args.k}={rec:.4f}",
-                  flush=True)
-            results.append(("ivf", q_n, np_, dt, rec))
+                  f"({q_n / dt:,.0f} QPS)  recall@{args.k}="
+                  f"{recall[np_]:.4f}", flush=True)
+            results.append(("ivf", q_n, np_, dt, recall[np_]))
 
     print("\n| path | Q | nprobe | ms/batch | QPS | recall@10 |")
     print("|---|---|---|---|---|---|")

@@ -362,3 +362,117 @@ def test_spill_cache_roundtrip(tmp_path, corpus):
     s2, i2 = jax.device_get(idx2.search(queries, 10, nprobe=4))
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(s1, s2)
+
+
+# -- incremental extension (round 3: appends don't retrain k-means) -----
+
+def test_extend_cache_full_probe_exact(tmp_path, corpus):
+    """Extending a cached index with appended rows must keep the exact
+    contract: full probe == exact scan over ALL rows, and the new rows
+    are findable by id."""
+    old, new = corpus[:6000], corpus[:7500]
+    idx = IVFIndex(old, n_clusters=16, dtype="float32", seed=0)
+    path = str(tmp_path / "ivf.npz")
+    idx.save_cache(path)
+
+    ext = IVFIndex.extend_cache(new, path, dtype="float32")
+    assert ext is not None
+    assert ext.n == 7500 and ext.m == 7500 and ext.n_spill == 0
+    rng = np.random.default_rng(12)
+    queries = new[rng.choice(7500, 16, replace=False)]
+    _, true_i = numpy_topk64(new, queries, 10)
+    s, i = jax.device_get(ext.search(queries, 10, nprobe=16))
+    assert recall_at_k(i, true_i) == 1.0
+    # a query equal to an appended row finds itself first
+    s, i = jax.device_get(ext.search(new[7000], 5, nprobe=16))
+    assert i[0, 0] == 7000
+
+    # not a prefix / too much growth -> None (caller retrains)
+    assert IVFIndex.extend_cache(new[:6000], path) is None       # n == n_old
+    assert IVFIndex.extend_cache(new[:3000], path) is None       # shrunk
+    assert IVFIndex.extend_cache(new, path, max_grow=0.1) is None
+
+
+def test_extend_cache_spill_and_int8(tmp_path, corpus):
+    """Extension composes with spill (same fraction on the new rows)
+    and int8 storage; still no duplicate ids, still exact at full
+    probe w.r.t. the stored int8 rows."""
+    old, new = corpus[:5000], corpus[:6800]
+    idx = IVFIndex(old, n_clusters=16, dtype="int8", seed=0, spill=0.2)
+    path = str(tmp_path / "ivf.npz")
+    idx.save_cache(path)
+    ext = IVFIndex.extend_cache(new, path, dtype="int8")
+    assert ext is not None
+    assert ext.n_spill > idx.n_spill        # new rows spilled too
+    assert ext.m == 6800 + ext.n_spill
+    rng = np.random.default_rng(13)
+    queries = new[rng.choice(6800, 8, replace=False)]
+    s, i = jax.device_get(ext.search(queries, 10, nprobe=16))
+    for row in np.asarray(i):
+        v = row[row >= 0]
+        assert len(set(v.tolist())) == len(v), row
+    deq = np.zeros_like(new)
+    deq[np.asarray(ext.row_ids)] = \
+        np.asarray(ext.matrix[: ext.m]).astype(np.float32) * ext.db_scale
+    _, true_i = numpy_topk64(deq, queries, 10)
+    assert recall_at_k(i, true_i) == 1.0
+
+
+def test_engine_ivf_append_extends_without_retrain(tmp_path, monkeypatch):
+    """Store appends must NOT retrain k-means (extend path); truncate
+    bumps mutation_epoch and forces the retrain."""
+    import dataclasses
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+    from reverso_tpu.store import VectorStore
+    import reverso_tpu.store.ivf as ivf_mod
+    import os as _os
+
+    root = str(tmp_path / "db")
+    rng = np.random.default_rng(0)
+    vecs = random_unit(rng, 900, 16)
+    _os.makedirs(root, exist_ok=True)
+    with VectorStore.create(root, "grow", 16) as s:
+        s.append(vecs[:600], [{"region_id": f"r{i}"} for i in range(600)])
+
+    def make():
+        cfg = default_config()
+        enc = PerceptionEncoder(dataclasses.replace(
+            MODEL_PRESETS["test-tiny"], dtype="float32"))
+        cfg = dataclasses.replace(
+            cfg, model=enc.cfg,
+            store=dataclasses.replace(cfg.store, root_dir=root),
+            search=dataclasses.replace(cfg.search, index="ivf",
+                                       ivf_clusters=16, ivf_nprobe=16))
+        eng = Reverso(cfg, encoder=enc)
+        eng.load_database("grow")
+        return eng
+
+    eng1 = make()
+    eng1.search_batch(vecs[:4], k=5)                 # trains + caches
+
+    with VectorStore.open(root, "grow", writable=True) as s:
+        s.append(vecs[600:800], [{"region_id": f"r{i}"}
+                                 for i in range(600, 800)])
+
+    calls = []
+    orig = ivf_mod._kmeans_fit
+    monkeypatch.setattr(ivf_mod, "_kmeans_fit",
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    eng2 = make()
+    s2, i2 = eng2.search_batch(vecs[795], k=5)
+    assert calls == [], "append retrained k-means instead of extending"
+    assert i2[0, 0] == 795                           # appended row found
+    # the extended table was re-cached: a THIRD engine hits load_cache
+    eng3 = make()
+    s3, i3 = eng3.search_batch(vecs[795], k=5)
+    assert calls == []
+    np.testing.assert_array_equal(i2, i3)
+
+    # truncate rewrites the prefix -> epoch bump -> full retrain
+    with VectorStore.open(root, "grow", writable=True) as s:
+        s.truncate(700)
+    eng4 = make()
+    eng4.search_batch(vecs[:4], k=5)
+    assert calls == [1], "truncate must invalidate the k-means cache"
