@@ -630,9 +630,15 @@ def quantize_db_int8(db):
     bf16: 100M x 1024 fits a v5e-8 at 12.8 GB/chip.
     """
     db32 = jnp.asarray(db, jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(db32)), 1e-30) / 127.0
-    v8 = jnp.clip(jnp.round(db32 / scale), -127, 127).astype(jnp.int8)
-    return v8, scale
+    amax = jnp.maximum(jnp.max(jnp.abs(db32)), 1e-30)
+    # quantize by MULTIPLYING with 127/amax: f32 multiply is correctly
+    # rounded on the TPU VPU, while f32 division lowers to a reciprocal
+    # refinement that can be 1 ulp off IEEE — round(x / s) then differs
+    # from host numpy at halfway points. Host mirrors (DeviceIndex,
+    # IVFIndex) use the same multiply form with a host-f32 inverse.
+    inv = 127.0 / amax
+    v8 = jnp.clip(jnp.round(db32 * inv), -127, 127).astype(jnp.int8)
+    return v8, amax / 127.0
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))

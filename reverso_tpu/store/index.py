@@ -69,9 +69,10 @@ class DeviceIndex:
             # int8 device copy (2x the bf16 capacity, same scan speed,
             # exact w.r.t. the stored int8 — ops.topk int8-exact path).
             # Disk persistence stays f32; only the HBM copy quantizes.
-            s = max(float(np.abs(host).max()), 1e-30) / 127.0
-            host = np.clip(np.round(host / s), -127, 127)
-            self.scale = s
+            amax = np.float32(max(np.abs(host).max(), np.float32(1e-30)))
+            host = np.clip(np.round(host * (np.float32(127.0) / amax)),
+                           -127, 127)
+            self.scale = float(amax / np.float32(127.0))
         arr = jnp.asarray(host, self._dtype)
         if mesh is not None:
             arr = jax.device_put(arr, row_sharding(mesh, axis))

@@ -44,6 +44,71 @@ import numpy as np
 from ..ops.topk import _round_up, _dot_precision
 
 
+def _assign_all(rows_at, n: int, cent_d, want_spill: bool,
+                chunk: int = 262144):
+    """Assign every row to its nearest centroid, chunked.
+
+    `rows_at(lo, hi)` returns rows [lo:hi] as a jnp array in the
+    centroid dtype — a host slice staged to device (host build) or a
+    device slice (from_device build); either way only the [chunk, C]
+    score block and the O(chunk) results cross back to host. With
+    `want_spill`, also records each row's runner-up cluster and
+    top-1/top-2 margin."""
+    assign = np.empty(n, np.int32)
+    second = np.empty(n, np.int32) if want_spill else None
+    margin = np.empty(n, np.float32) if want_spill else None
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        s = jax.lax.dot_general(
+            rows_at(lo, hi), cent_d, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if want_spill:
+            top2_s, top2_i = jax.lax.top_k(s, 2)
+            top2_s, top2_i = np.asarray(top2_s), np.asarray(top2_i)
+            assign[lo:hi] = top2_i[:, 0]
+            second[lo:hi] = top2_i[:, 1]
+            margin[lo:hi] = top2_s[:, 0] - top2_s[:, 1]
+        else:
+            assign[lo:hi] = np.asarray(jnp.argmax(s, axis=1))
+    return assign, second, margin
+
+
+def _plan_entries(n: int, n_clusters: int, assign, second, margin,
+                  spill: float):
+    """Entry table from assignments: spilled copies (SOAR-lite — the
+    `spill` fraction of rows closest to their runner-up centroid get a
+    second copy there), then the cluster-sorted order + per-cluster
+    counts. Pure O(N) host math shared by every build path."""
+    entry_id = np.arange(n, dtype=np.int64)
+    entry_cl = assign
+    n_spill = 0
+    if second is not None:
+        extra = np.nonzero(margin <= np.quantile(margin, spill))[0]
+        n_spill = len(extra)
+        entry_id = np.concatenate([entry_id, extra])
+        entry_cl = np.concatenate([assign, second[extra]])
+    order = entry_id[np.argsort(entry_cl, kind="stable")]
+    counts = np.bincount(entry_cl, minlength=n_clusters)
+    return order, counts, n_spill
+
+
+def _shard_tables(offsets, counts, n_entries: int, n_shards: int,
+                  local_n: int):
+    """Per-shard cluster-intersection tables: each cluster's contiguous
+    global range clipped to shard p's window [p*local_n, (p+1)*local_n)."""
+    ends = offsets + counts
+    loc_off = np.zeros((n_shards, len(offsets)), np.int32)
+    loc_cnt = np.zeros((n_shards, len(offsets)), np.int32)
+    for p in range(n_shards):
+        r0 = p * local_n
+        r1 = max(r0, min((p + 1) * local_n, n_entries))
+        lo = np.clip(offsets, r0, r1)
+        hi = np.clip(ends, r0, r1)
+        loc_off[p] = lo - r0
+        loc_cnt[p] = hi - lo
+    return loc_off, loc_cnt
+
+
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
 def _kmeans_fit(data: jnp.ndarray, init_idx: jnp.ndarray, *,
                 n_clusters: int, iters: int):
@@ -70,6 +135,34 @@ def _kmeans_fit(data: jnp.ndarray, init_idx: jnp.ndarray, *,
         preferred_element_type=jnp.float32,
         precision=_dot_precision(data.dtype))
     return cent, jnp.argmax(scores, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("int8", "out_dtype"))
+def _gather_cluster_sorted(emb, ord_chunks, inv_scale, *, int8: bool,
+                           out_dtype: str):
+    """Device gather of `emb` rows into cluster-sorted order, one
+    chunk of indices at a time (lax.map fills one output buffer
+    progressively — peak HBM is the OUTPUT in its storage dtype plus a
+    single [chunk, d] f32 intermediate, never a full f32 copy). Pad
+    indices must be >= len(emb): gather mode "fill" zero-fills those
+    (negative indices wrap — do not use -1). In int8 mode rows are
+    globally-symmetric quantized by MULTIPLYING with the host-computed
+    `inv_scale` (= 127/amax): f32 multiply is correctly rounded on the
+    TPU VPU, whereas f32 division lowers to reciprocal+Newton and can
+    land 1 ulp off IEEE — `round(x / s)` then crosses halfway points
+    differently from the numpy host path (measured: 0.02% of elements
+    at 20k x 512). Multiply matches the host bit-for-bit."""
+    d = emb.shape[1]
+
+    def one(idx):
+        rows = jnp.take(emb, idx, axis=0, mode="fill",
+                        fill_value=0).astype(jnp.float32)
+        if int8:
+            return jnp.clip(jnp.round(rows * inv_scale), -127,
+                            127).astype(jnp.int8)
+        return rows.astype(out_dtype)
+
+    return jax.lax.map(one, ord_chunks).reshape(-1, d)
 
 
 class IVFIndex:
@@ -120,41 +213,13 @@ class IVFIndex:
 
             # assign all rows (chunked); with spill also record each
             # row's runner-up cluster + assignment margin
-            assign = np.empty(n, np.int32)
             cent_d = cent
             want_spill = spill > 0.0 and n_clusters > 1
-            second = np.empty(n, np.int32) if want_spill else None
-            margin = np.empty(n, np.float32) if want_spill else None
-            chunk = 262144
-            for lo in range(0, n, chunk):
-                blk = jnp.asarray(vec32[lo:lo + chunk], self._dtype)
-                s = jax.lax.dot_general(
-                    blk, cent_d, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                if want_spill:
-                    top2_s, top2_i = jax.lax.top_k(s, 2)
-                    top2_s, top2_i = np.asarray(top2_s), np.asarray(top2_i)
-                    assign[lo:lo + chunk] = top2_i[:, 0]
-                    second[lo:lo + chunk] = top2_i[:, 1]
-                    margin[lo:lo + chunk] = top2_s[:, 0] - top2_s[:, 1]
-                else:
-                    assign[lo:lo + chunk] = np.asarray(jnp.argmax(s, axis=1))
-
-            # spilled assignments (SOAR/replication-lite): the `spill`
-            # fraction of rows CLOSEST to their runner-up centroid get a
-            # second copy there, so boundary rows survive probe misses.
-            # Search dedups by original id (top-2k fetch, keep-first).
-            entry_id = np.arange(n, dtype=np.int64)
-            entry_cl = assign
-            n_spill = 0
-            if want_spill:
-                extra = np.nonzero(
-                    margin <= np.quantile(margin, spill))[0]
-                n_spill = len(extra)
-                entry_id = np.concatenate([entry_id, extra])
-                entry_cl = np.concatenate([assign, second[extra]])
-            order = entry_id[np.argsort(entry_cl, kind="stable")]
-            counts = np.bincount(entry_cl, minlength=n_clusters)
+            assign, second, margin = _assign_all(
+                lambda lo, hi: jnp.asarray(vec32[lo:hi], self._dtype),
+                n, cent_d, want_spill)
+            order, counts, n_spill = _plan_entries(
+                n, n_clusters, assign, second, margin, spill)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         self.cmax = int(counts.max())
         cmax_pad = _round_up(max(self.cmax, 8), 8)
@@ -183,16 +248,178 @@ class IVFIndex:
             # numpy mirror of `quantize_db_int8` (same f32 math): at
             # 100M rows the device round-trip would move 3x the full
             # matrix through host<->HBM just to round it.
-            scale = np.float32(max(np.abs(sorted_m).max(),
-                                   np.float32(1e-30))) / np.float32(127.0)
-            self.db_scale = float(scale)
-            sorted_m = np.clip(np.round(sorted_m / scale), -127,
+            amax = np.float32(max(np.abs(sorted_m).max(),
+                                  np.float32(1e-30)))
+            self.db_scale = float(amax / np.float32(127.0))
+            inv = np.float32(127.0) / amax
+            sorted_m = np.clip(np.round(sorted_m * inv), -127,
                                127).astype(np.int8)
         if mesh is None:
             self.matrix = (jnp.asarray(sorted_m) if self._int8
                            else jnp.asarray(sorted_m, self._dtype))
         else:
             self._build_shards(sorted_m[:m], offsets, counts, mesh, axis)
+
+    # -- device-resident build ------------------------------------------
+
+    @classmethod
+    def from_device(cls, emb, *, n_clusters: int = 256,
+                    train_iters: int = 10, train_sample: int = 131072,
+                    dtype: str = "bfloat16", seed: int = 0,
+                    spill: float = 0.0, mesh=None, axis: str = "data",
+                    _precomputed=None):
+        """Build the index from a DEVICE-resident embedding matrix.
+
+        Every O(N*d) step runs on device: the k-means sample gather,
+        the full assignment matmuls, the cluster-sort row gather, and
+        the int8 quantization. Only the O(N) entry tables (assignments,
+        sort order, counts) cross to host. This is the build path when
+        embeddings are already in HBM (ingest just embedded them, or a
+        DeviceIndex is being converted) — the host-array `__init__`
+        round-trips the full matrix through host RAM, which at 100M
+        rows costs more wall-clock in memcpy than the k-means itself.
+
+        Given the same values (e.g. `emb` is the f32 store matrix put
+        on device) and the same seed, this produces bit-identical
+        centroids, order, and search results to the host build: the
+        same `_kmeans_fit`/`_assign_all`/`_plan_entries` math runs on
+        the same backend either way. When `emb` is bf16, quantization
+        and scoring see the bf16 values — the stored-row exactness
+        contract is unchanged (scores are exact w.r.t. what's stored).
+
+        With `mesh=`, the cluster-sorted rows are gathered directly
+        into the sharded [n_shards, local_n + pad, d] layout on device
+        and placed with a row sharding — no host-side shard assembly.
+        """
+        emb = jnp.asarray(emb)
+        n, d = emb.shape
+        if n == 0:
+            raise ValueError("empty index")
+        if not 0.0 <= spill <= 1.0:
+            raise ValueError(f"spill must be in [0, 1], got {spill}")
+        n_clusters = min(n_clusters, n)
+        rng = np.random.default_rng(seed)
+        self = object.__new__(cls)
+        self._int8 = jnp.dtype(dtype) == jnp.int8
+        self._dtype = jnp.bfloat16 if self._int8 else jnp.dtype(dtype)
+        self.db_scale = None
+        if self._int8 and d * 127 * 127 >= 2 ** 24:
+            raise ValueError(
+                f"int8 IVF requires d <= 1040 for exact f32 partials "
+                f"(got d={d})")
+
+        if _precomputed is not None:
+            cent_np, order, counts, n_spill = _precomputed
+            cent_d = jnp.asarray(cent_np, self._dtype)
+            order = np.asarray(order, np.int64)
+            counts = np.asarray(counts)
+        else:
+            sample_idx = (rng.choice(n, min(train_sample, n),
+                                     replace=False)
+                          if n > train_sample else np.arange(n))
+            sample = jnp.take(emb, jnp.asarray(sample_idx, jnp.int32),
+                              axis=0).astype(self._dtype)
+            init = jnp.asarray(rng.choice(len(sample_idx), n_clusters,
+                                          replace=False))
+            cent_d, _ = _kmeans_fit(sample, init, n_clusters=n_clusters,
+                                    iters=train_iters)
+            want_spill = spill > 0.0 and n_clusters > 1
+            assign, second, margin = _assign_all(
+                lambda lo, hi: emb[lo:hi].astype(self._dtype),
+                n, cent_d, want_spill)
+            order, counts, n_spill = _plan_entries(
+                n, n_clusters, assign, second, margin, spill)
+
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        self.cmax = int(counts.max())
+        cmax_pad = _round_up(max(self.cmax, 8), 8)
+        m = len(order)
+        self.n = n
+        self.m = m
+        self.n_spill = int(n_spill)
+        self.dim = d
+        self.n_clusters = n_clusters
+        self.centroids = cent_d
+        self.row_ids = jnp.asarray(order.astype(np.int32))
+        self.offsets = jnp.asarray(offsets.astype(np.int32))
+        self.counts = jnp.asarray(counts.astype(np.int32))
+        self._cmax_pad = cmax_pad
+        self.mesh = mesh
+        self.axis = axis
+
+        inv = None
+        if self._int8:
+            # same f32 math as the host `__init__` path: abs-max pulled
+            # to host, scale AND the quantizer's inverse both computed
+            # in host f32 (device f32 division is not IEEE on TPU —
+            # see _gather_cluster_sorted)
+            amax = np.float32(jnp.max(jnp.abs(emb.astype(jnp.float32))))
+            amax = np.float32(max(amax, np.float32(1e-30)))
+            self.db_scale = float(amax / np.float32(127.0))
+            inv = np.float32(127.0) / amax
+
+        # gather rows into the cluster-sorted layout ON DEVICE, emitting
+        # the storage dtype directly (the f32 intermediate only ever
+        # exists one chunk at a time). Pad slots index row `n`, which
+        # mode="fill" maps to zero rows (negative indices would WRAP).
+        if mesh is None:
+            gchunk = min(65536, _round_up(m + cmax_pad, 8))
+            total = _round_up(m + cmax_pad, gchunk)
+            ord_pad = np.full(total, n, np.int64)
+            ord_pad[:m] = order
+            ord_chunks = jnp.asarray(
+                ord_pad.reshape(-1, gchunk).astype(np.int32))
+            self.matrix = _gather_cluster_sorted(
+                emb, ord_chunks,
+                jnp.float32(0.0 if inv is None else inv),
+                int8=self._int8, out_dtype=jnp.dtype(self._dtype).name)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_shards = mesh.shape[axis]
+            local_n = -(-m // n_shards)
+            ord_pad = np.full((n_shards, local_n + cmax_pad), n, np.int64)
+            for p in range(n_shards):
+                r0, r1 = p * local_n, min((p + 1) * local_n, m)
+                if r1 > r0:
+                    ord_pad[p, :r1 - r0] = order[r0:r1]
+            mats = _gather_cluster_sorted(
+                emb, jnp.asarray(ord_pad.astype(np.int32)),
+                jnp.float32(0.0 if inv is None else inv),
+                int8=self._int8, out_dtype=jnp.dtype(self._dtype).name)
+            mats = mats.reshape(n_shards, local_n + cmax_pad, d)
+            loc_off, loc_cnt = _shard_tables(offsets, counts, m,
+                                             n_shards, local_n)
+            spec = NamedSharding(mesh, P(axis))
+            rep = NamedSharding(mesh, P())
+            self.shard_mats = jax.device_put(mats, spec)
+            self.shard_off = jax.device_put(jnp.asarray(loc_off), spec)
+            self.shard_cnt = jax.device_put(jnp.asarray(loc_cnt), spec)
+            self.centroids = jax.device_put(self.centroids, rep)
+            self.offsets = jax.device_put(self.offsets, rep)
+            self.row_ids = jax.device_put(self.row_ids, rep)
+            self._local_n = local_n
+        return self
+
+    @classmethod
+    def load_cache_device(cls, emb, path: str, *,
+                          dtype: str = "bfloat16", mesh=None,
+                          axis: str = "data"):
+        """`load_cache`, but rebuilding from device-resident embeddings
+        via `from_device` — one on-device gather, zero host O(N*d)
+        traffic. Returns None on any cache/shape mismatch."""
+        try:
+            with np.load(path) as z:
+                meta = z["meta"]
+                if int(meta[0]) != emb.shape[0] or \
+                        int(meta[1]) != emb.shape[1]:
+                    return None
+                n_spill = int(meta[3]) if len(meta) > 3 else 0
+                pre = (z["centroids"], z["order"], z["counts"], n_spill)
+                n_clusters = int(meta[2])
+        except (OSError, KeyError, ValueError):
+            return None
+        return cls.from_device(emb, n_clusters=n_clusters, dtype=dtype,
+                               mesh=mesh, axis=axis, _precomputed=pre)
 
     # -- persistence (skip k-means on reload) ---------------------------
 
@@ -275,23 +502,9 @@ class IVFIndex:
         n_new = n - n_old
         spill_frac = n_spill_old / n_old
         want_spill = spill_frac > 0 and n_clusters > 1
-        assign = np.empty(n_new, np.int32)
-        second = np.empty(n_new, np.int32) if want_spill else None
-        margin = np.empty(n_new, np.float32) if want_spill else None
-        chunk = 262144
-        for lo in range(0, n_new, chunk):
-            blk = jnp.asarray(new32[lo:lo + chunk], dt)
-            s = jax.lax.dot_general(
-                blk, cent_d, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if want_spill:
-                t2s, t2i = jax.lax.top_k(s, 2)
-                t2s, t2i = np.asarray(t2s), np.asarray(t2i)
-                assign[lo:lo + chunk] = t2i[:, 0]
-                second[lo:lo + chunk] = t2i[:, 1]
-                margin[lo:lo + chunk] = t2s[:, 0] - t2s[:, 1]
-            else:
-                assign[lo:lo + chunk] = np.asarray(jnp.argmax(s, axis=1))
+        assign, second, margin = _assign_all(
+            lambda lo, hi: jnp.asarray(new32[lo:hi], dt),
+            n_new, cent_d, want_spill)
 
         new_ids = np.arange(n_old, n, dtype=np.int64)
         new_cl = assign
@@ -334,18 +547,13 @@ class IVFIndex:
         local_n = -(-n // n_shards)          # ceil
         pad = self._cmax_pad
         mats = np.zeros((n_shards, local_n + pad, d), sorted_m.dtype)
-        loc_off = np.zeros((n_shards, self.n_clusters), np.int32)
-        loc_cnt = np.zeros((n_shards, self.n_clusters), np.int32)
-        ends = offsets + counts
         for p in range(n_shards):
             r0 = p * local_n
             r1 = max(r0, min((p + 1) * local_n, n))  # trailing shards may own 0 rows
             if r1 > r0:
                 mats[p, :r1 - r0] = sorted_m[r0:r1]
-            lo = np.clip(offsets, r0, r1)
-            hi = np.clip(ends, r0, r1)
-            loc_off[p] = lo - r0
-            loc_cnt[p] = hi - lo
+        loc_off, loc_cnt = _shard_tables(offsets, counts, n, n_shards,
+                                         local_n)
         spec = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
         self.shard_mats = jax.device_put(

@@ -27,21 +27,38 @@ def make_clustered(rng, n, d, n_centers=512):
     and the case where probe misses hurt. Spreads are calibrated so
     intra-cluster cosines land ~0.6-0.95 (sigma*sqrt(d) in [0.3, 0.8]),
     like near-duplicate/same-scene embeddings; 15% of rows are diffuse
-    background (unit-norm noise), the hardest probe targets."""
+    background (unit-norm noise), the hardest probe targets.
+
+    Vectorized f32 end-to-end, one output allocation, chunked
+    application: the naive per-center f64 block list cost 3x the bytes
+    in temporaries — on a host with slow first-touch paging (this
+    environment: MB/s-range fault-in under contention) that dominated
+    the whole benchmark. Shuffling the ASSIGNMENT vector replaces the
+    16 GB row-permutation copy (iid noise makes them equivalent)."""
     n_bg = int(0.15 * n)
     centers = rng.standard_normal((n_centers, d)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    sizes = rng.lognormal(0.0, 1.0, n_centers)
-    sizes = np.maximum(1, (sizes / sizes.sum() * (n - n_bg))).astype(int)
+    w = rng.lognormal(0.0, 1.0, n_centers)
+    sizes = np.maximum(1, (w / w.sum() * (n - n_bg))).astype(int)
     while sizes.sum() < n - n_bg:
         sizes[rng.integers(n_centers)] += 1
-    sig = rng.uniform(0.3, 0.8, n_centers) / np.sqrt(d)
-    rows = [s_ * rng.standard_normal((k_, d)).astype(np.float32) + c[None]
-            for c, k_, s_ in zip(centers, sizes, sig)]
-    rows.append(rng.standard_normal((n_bg, d)).astype(np.float32))
-    db = np.concatenate(rows)[:n]
-    db /= np.linalg.norm(db, axis=1, keepdims=True)
-    return db[rng.permutation(n)]
+    sig = (rng.uniform(0.3, 0.8, n_centers) / np.sqrt(d)).astype(
+        np.float32)
+    # per-row center index; -1 = background; pre-shuffled
+    idx = np.repeat(np.arange(n_centers, dtype=np.int32), sizes)[:n - n_bg]
+    idx = np.concatenate([idx, np.full(n_bg, -1, np.int32)])
+    rng.shuffle(idx)
+    db = rng.standard_normal((n, d), dtype=np.float32)  # noise, in place
+    chunk = 262144
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        ix = idx[lo:hi]
+        blk = db[lo:hi]
+        blk *= np.where(ix >= 0, sig[np.maximum(ix, 0)], 1.0)[:, None]
+        blk += np.where(ix >= 0, 1.0, 0.0)[:, None] \
+            * centers[np.maximum(ix, 0)]
+        blk /= np.linalg.norm(blk, axis=1, keepdims=True)
+    return db
 
 
 def main():

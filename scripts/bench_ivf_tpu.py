@@ -20,11 +20,19 @@ across a v5e-8 is 32 chips-worth of this shard shape):
 Timing is latency-immune block-minima (bench._best_time): the axon
 tunnel adds 1.6-29 ms per sync, so single-synced calls lie.
 
+Everything O(N*d) stays on device: the clustered corpus is GENERATED
+in HBM (host RAM never holds it — a 16 GiB host corpus is minutes of
+memcpy even on a healthy host), the index is built with
+`IVFIndex.from_device`, and the exact-scan ground truth runs over the
+index's own cluster-sorted int8 matrix (ids mapped back through
+row_ids), so no second exact copy is staged.
+
 Run:  python scripts/bench_ivf_tpu.py [--n 4194304]
 Reference analog: the corpus-scaling axis of the qdrant scan it
 replaces (/root/reference/core_system.py:659-664).
 """
 import argparse
+import functools
 import os
 import sys
 import time
@@ -33,8 +41,53 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))   # repo root: bench, reverso_tpu
-sys.path.insert(0, _HERE)                    # sibling: bench_ivf_recall
-from bench_ivf_recall import make_clustered  # noqa: E402
+
+
+def make_clustered_device(seed: int, n: int, d: int, n_centers: int,
+                          chunk: int = 262144):
+    """Mixture-of-Gaussians corpus generated ON DEVICE, bf16 [n, d].
+
+    Same distribution as bench_ivf_recall.make_clustered (lognormal
+    cluster sizes, sigma*sqrt(d) in [0.3, 0.8], 15% diffuse
+    background), but only the O(n) assignment vector exists on host;
+    noise, center add, and normalization run chunked on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    n_bg = int(0.15 * n)
+    w = rng.lognormal(0.0, 1.0, n_centers)
+    sizes = np.maximum(1, (w / w.sum() * (n - n_bg))).astype(int)
+    while sizes.sum() < n - n_bg:
+        sizes[rng.integers(n_centers)] += 1
+    sig = (rng.uniform(0.3, 0.8, n_centers) / np.sqrt(d)).astype(
+        np.float32)
+    idx = np.repeat(np.arange(n_centers, dtype=np.int32),
+                    sizes)[:n - n_bg]
+    idx = np.concatenate([idx, np.full(n_bg, -1, np.int32)])
+    rng.shuffle(idx)
+
+    key = jax.random.PRNGKey(seed)
+    centers = jax.random.normal(key, (n_centers, d), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    sig_d = jnp.asarray(sig)
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def gen(step, ix, rows: int):
+        noise = jax.random.normal(jax.random.fold_in(key, step + 1),
+                                  (rows, d), jnp.float32)
+        clustered = (ix >= 0)[:, None]
+        s = jnp.where(clustered, sig_d[jnp.maximum(ix, 0)][:, None], 1.0)
+        c = jnp.where(clustered, 1.0, 0.0) * centers[jnp.maximum(ix, 0)]
+        r = noise * s + c
+        r = r / jnp.linalg.norm(r, axis=1, keepdims=True)
+        return r.astype(jnp.bfloat16)
+
+    parts = [gen(i, jnp.asarray(idx[lo:lo + chunk]),
+                 rows=min(chunk, n - lo))
+             for i, lo in enumerate(range(0, n, chunk))]
+    return jnp.concatenate(parts)
 
 
 def main():
@@ -52,9 +105,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("IVF_CPU"):        # smoke-test the plumbing off-TPU
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
     from bench import _best_time
     from reverso_tpu.cli import _enable_compile_cache
-    from reverso_tpu.ops.topk import cosine_topk_int8_xla, quantize_db_int8
+    from reverso_tpu.ops.topk import cosine_topk_int8_xla
     from reverso_tpu.store.ivf import IVFIndex
 
     _enable_compile_cache()
@@ -64,29 +120,39 @@ def main():
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    db = make_clustered(rng, args.n, args.d, args.centers)
-    print(f"corpus built in {time.time() - t0:.0f}s "
-          f"({db.nbytes / 2**30:.1f} GiB host)", flush=True)
+    emb = make_clustered_device(0, args.n, args.d, args.centers)
+    np.asarray(emb[:1, :1])                      # sync
+    print(f"corpus generated on device in {time.time() - t0:.0f}s "
+          f"({emb.nbytes / 2**30:.1f} GiB HBM bf16)", flush=True)
 
-    qi = rng.choice(args.n, args.eval_queries, replace=False)
-    qs_eval = db[qi] + 0.05 * rng.standard_normal(
+    # eval queries: perturbed corpus members (pull 64 rows, not the db)
+    qi = np.sort(rng.choice(args.n, args.eval_queries, replace=False))
+    qs_eval = np.asarray(jnp.take(emb, jnp.asarray(qi), axis=0),
+                         np.float32)
+    qs_eval += 0.05 * rng.standard_normal(
         (args.eval_queries, args.d)).astype(np.float32)
     qs_eval /= np.linalg.norm(qs_eval, axis=1, keepdims=True)
 
-    # ---- IVF build (trains k-means on device, stores int8) ----------
+    # ---- IVF build, fully on device (from_device) -------------------
     t0 = time.time()
-    ivf = IVFIndex(db, n_clusters=args.clusters, dtype="int8", seed=0)
-    print(f"IVF build {time.time() - t0:.0f}s  cmax={ivf.cmax} "
+    ivf = IVFIndex.from_device(emb, n_clusters=args.clusters,
+                               dtype="int8", seed=0)
+    np.asarray(ivf.matrix[:1, :1])               # sync
+    build_s = time.time() - t0
+    print(f"IVF from_device build {build_s:.0f}s  cmax={ivf.cmax} "
           f"(scan fraction/probe ~= {ivf.cmax / args.n:.4f})", flush=True)
+    emb.delete()       # free the bf16 source: the index owns the rows now
 
-    # ---- exact int8 baseline on the SAME rows ------------------------
-    t0 = time.time()
-    db_i8, scale = quantize_db_int8(db)
-    db_dev = jax.device_put(db_i8)
-    print(f"exact int8 copy staged {time.time() - t0:.0f}s", flush=True)
+    # ---- exact int8 baseline over the index's OWN sorted rows -------
+    # (no second copy staged; positions map back through row_ids)
+    row_ids = jnp.concatenate([ivf.row_ids,
+                               jnp.full((1,), -1, jnp.int32)])
 
     def exact(q):
-        return cosine_topk_int8_xla(db_dev, scale, q, k=args.k)
+        s, pos = cosine_topk_int8_xla(ivf.matrix, ivf.db_scale,
+                                      q, args.k, n_valid=ivf.m)
+        return s, jnp.where(pos < 0, -1,
+                            row_ids[jnp.clip(pos, 0, ivf.m)])
 
     s_true, i_true = jax.device_get(exact(qs_eval))
     print("ground truth (exact scan over stored int8) done", flush=True)

@@ -476,3 +476,97 @@ def test_engine_ivf_append_extends_without_retrain(tmp_path, monkeypatch):
     eng4 = make()
     eng4.search_batch(vecs[:4], k=5)
     assert calls == [1], "truncate must invalidate the k-means cache"
+
+
+# -- device-resident build (`from_device`) ------------------------------
+
+def test_from_device_matches_host_build_bitwise(corpus):
+    """Same values + same seed => the device build IS the host build:
+    identical entry order, counts, stored matrix, and search output
+    (shared _kmeans_fit/_assign_all/_plan_entries on one backend)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    queries = corpus[rng.choice(len(corpus), 16, replace=False)]
+    host = IVFIndex(corpus, n_clusters=32, dtype="bfloat16", seed=0)
+    dev = IVFIndex.from_device(jnp.asarray(corpus), n_clusters=32,
+                               dtype="bfloat16", seed=0)
+    np.testing.assert_array_equal(np.asarray(host.row_ids),
+                                  np.asarray(dev.row_ids))
+    np.testing.assert_array_equal(np.asarray(host.counts),
+                                  np.asarray(dev.counts))
+    np.testing.assert_array_equal(
+        np.asarray(host.centroids, np.float32),
+        np.asarray(dev.centroids, np.float32))
+    m = host.m
+    np.testing.assert_array_equal(
+        np.asarray(host.matrix[:m], np.float32),
+        np.asarray(dev.matrix[:m], np.float32))
+    for nprobe in (4, 32):
+        s1, i1 = jax.device_get(host.search(queries, 10, nprobe=nprobe))
+        s2, i2 = jax.device_get(dev.search(queries, 10, nprobe=nprobe))
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(s1, s2)
+
+
+def test_from_device_int8_and_spill_match_host(corpus):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    queries = corpus[rng.choice(len(corpus), 8, replace=False)]
+    host = IVFIndex(corpus, n_clusters=16, dtype="int8", seed=0,
+                    spill=0.2)
+    dev = IVFIndex.from_device(jnp.asarray(corpus), n_clusters=16,
+                               dtype="int8", seed=0, spill=0.2)
+    assert dev.n_spill == host.n_spill > 0
+    assert dev.db_scale == pytest.approx(host.db_scale, rel=1e-6)
+    m = host.m
+    np.testing.assert_array_equal(np.asarray(host.matrix[:m]),
+                                  np.asarray(dev.matrix[:m]))
+    s1, i1 = jax.device_get(host.search(queries, 10, nprobe=6))
+    s2, i2 = jax.device_get(dev.search(queries, 10, nprobe=6))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_from_device_sharded_matches_single(corpus):
+    """Mesh from_device gathers straight into the sharded layout; search
+    must equal the single-device from_device search exactly."""
+    import jax.numpy as jnp
+    from reverso_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(9)
+    queries = corpus[rng.choice(len(corpus), 8, replace=False)]
+    emb = jnp.asarray(corpus)
+    single = IVFIndex.from_device(emb, n_clusters=32, dtype="float32",
+                                  seed=0)
+    sharded = IVFIndex.from_device(emb, n_clusters=32, dtype="float32",
+                                   seed=0, mesh=mesh)
+    for nprobe in (4, 32):
+        s1, i1 = jax.device_get(single.search(queries, 10, nprobe=nprobe))
+        s2, i2 = jax.device_get(sharded.search(queries, 10, nprobe=nprobe))
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_from_device_cache_roundtrip(tmp_path, corpus):
+    """save_cache from a host build -> load_cache_device rebuilds the
+    same index from device embeddings (zero host O(N*d) traffic)."""
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "ivf.npz")
+    host = IVFIndex(corpus, n_clusters=16, dtype="bfloat16", seed=0)
+    host.save_cache(path)
+    dev = IVFIndex.load_cache_device(jnp.asarray(corpus), path,
+                                     dtype="bfloat16")
+    assert dev is not None
+    rng = np.random.default_rng(10)
+    queries = corpus[rng.choice(len(corpus), 8, replace=False)]
+    s1, i1 = jax.device_get(host.search(queries, 10, nprobe=8))
+    s2, i2 = jax.device_get(dev.search(queries, 10, nprobe=8))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)
+    # shape mismatch -> None
+    assert IVFIndex.load_cache_device(jnp.asarray(corpus[:100]),
+                                      path) is None
