@@ -353,7 +353,11 @@ class IVFIndex:
             # to host, scale AND the quantizer's inverse both computed
             # in host f32 (device f32 division is not IEEE on TPU —
             # see _gather_cluster_sorted)
-            amax = np.float32(jnp.max(jnp.abs(emb.astype(jnp.float32))))
+            # fused jit reduction: eager abs would materialize a full
+            # copy of emb (16 GiB at 4M x 1024 f32) and OOM the chip.
+            # abs/max are exact in the storage dtype; the bf16->f32
+            # scalar widening is exact.
+            amax = np.float32(jax.jit(lambda e: jnp.max(jnp.abs(e)))(emb))
             amax = np.float32(max(amax, np.float32(1e-30)))
             self.db_scale = float(amax / np.float32(127.0))
             inv = np.float32(127.0) / amax

@@ -73,8 +73,9 @@ def make_clustered_device(seed: int, n: int, d: int, n_centers: int,
     centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
     sig_d = jnp.asarray(sig)
 
-    @functools.partial(jax.jit, static_argnames=("rows",))
-    def gen(step, ix, rows: int):
+    @functools.partial(jax.jit, static_argnames=("rows",),
+                       donate_argnames=("buf",))
+    def gen(buf, step, ix, lo, rows: int):
         noise = jax.random.normal(jax.random.fold_in(key, step + 1),
                                   (rows, d), jnp.float32)
         clustered = (ix >= 0)[:, None]
@@ -82,12 +83,17 @@ def make_clustered_device(seed: int, n: int, d: int, n_centers: int,
         c = jnp.where(clustered, 1.0, 0.0) * centers[jnp.maximum(ix, 0)]
         r = noise * s + c
         r = r / jnp.linalg.norm(r, axis=1, keepdims=True)
-        return r.astype(jnp.bfloat16)
+        return jax.lax.dynamic_update_slice(buf, r.astype(jnp.bfloat16),
+                                            (lo, 0))
 
-    parts = [gen(i, jnp.asarray(idx[lo:lo + chunk]),
-                 rows=min(chunk, n - lo))
-             for i, lo in enumerate(range(0, n, chunk))]
-    return jnp.concatenate(parts)
+    # write chunks into ONE donated buffer: jnp.concatenate(parts) would
+    # briefly hold corpus x2 in HBM (16 GiB at N=4M) and OOM the chip
+    buf = jnp.zeros((n, d), jnp.bfloat16)
+    for i, lo in enumerate(range(0, n, chunk)):
+        rows = min(chunk, n - lo)
+        buf = gen(buf, i, jnp.asarray(idx[lo:lo + rows]),
+                  jnp.int32(lo), rows=rows)
+    return buf
 
 
 def main():
@@ -97,6 +103,7 @@ def main():
     ap.add_argument("--centers", type=int, default=4096)
     ap.add_argument("--clusters", type=int, default=1024)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--spill", type=float, default=0.0)
     ap.add_argument("--qs", default="1,8")
     ap.add_argument("--nprobes", default="8,16,32")
     ap.add_argument("--eval-queries", type=int, default=64)
@@ -136,7 +143,7 @@ def main():
     # ---- IVF build, fully on device (from_device) -------------------
     t0 = time.time()
     ivf = IVFIndex.from_device(emb, n_clusters=args.clusters,
-                               dtype="int8", seed=0)
+                               dtype="int8", seed=0, spill=args.spill)
     np.asarray(ivf.matrix[:1, :1])               # sync
     build_s = time.time() - t0
     print(f"IVF from_device build {build_s:.0f}s  cmax={ivf.cmax} "
@@ -154,7 +161,20 @@ def main():
         return s, jnp.where(pos < 0, -1,
                             row_ids[jnp.clip(pos, 0, ivf.m)])
 
-    s_true, i_true = jax.device_get(exact(qs_eval))
+    if args.spill > 0:
+        # spilled copies duplicate ids in the sorted matrix: fetch 2k
+        # and dedup keep-first per query so ground truth has k UNIQUE ids
+        s2k, pos2k = jax.device_get(cosine_topk_int8_xla(
+            ivf.matrix, ivf.db_scale, qs_eval, 2 * args.k,
+            n_valid=ivf.m))
+        ids2k = np.where(pos2k < 0, -1,
+                         np.asarray(row_ids)[np.clip(pos2k, 0, ivf.m)])
+        i_true = np.stack([
+            np.array([x for j, x in enumerate(r)
+                      if x not in r[:j]][:args.k])
+            for r in ids2k])
+    else:
+        s_true, i_true = jax.device_get(exact(qs_eval))
     print("ground truth (exact scan over stored int8) done", flush=True)
 
     # recall once per nprobe (independent of the timed batch size)
