@@ -42,6 +42,10 @@ def _make_engine(args, *, need_detector: bool = False):
         cfg = dataclasses.replace(
             cfg, detector=dataclasses.replace(cfg.detector,
                                               dtype=args.detector_dtype))
+    if getattr(args, "embed_quant", None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           quant=args.embed_quant))
     if getattr(args, "index_dtype", None):
         cfg = dataclasses.replace(
             cfg, store=dataclasses.replace(cfg.store,
@@ -299,6 +303,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of the command into "
                         "this directory (open with TensorBoard/Perfetto)")
+    p.add_argument("--embed-quant", choices=["none", "int8"], default=None,
+                   help="int8: dynamic-int8 embed tower matmuls on the s8 "
+                        "MXU — faster, with measured embedding noise "
+                        "(PERF.md 'int8 activations'); default exact bf16")
     p.add_argument("--detector-dtype", choices=["float32", "bfloat16"],
                    default=None,
                    help="GroundingDINO+SAM activation dtype. float32 "

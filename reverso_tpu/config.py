@@ -89,6 +89,14 @@ class ModelConfig:
     # (stats still accumulate fp32 inside the VPU reduce) trades ~1e-3
     # embedding drift for throughput on bf16 towers.
     norm_dtype: str = "float32"
+    # "int8": dynamic-int8 fused-MLP matmuls on the s8 MXU path
+    # (Pallas, 1.28x/layer; tower 1.08x end-to-end). Opt-in throughput
+    # knob: ~1.8e-2 relative noise per MLP vs bf16's 2.3e-3, diluted
+    # by the residual stream to ~3e-5 embedding cosine drift and 0.99
+    # top-10 neighbor overlap (scripts/bench_embed_int8.py). The qkv
+    # projections stay bf16 — int8 measured slower in-model
+    # (scripts/bench_embed_quant_parts.py).
+    quant: str = "none"
 
     @property
     def grid_size(self) -> int:

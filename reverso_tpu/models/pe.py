@@ -44,7 +44,12 @@ class PerceptionEncoder:
     def __init__(self, cfg: ModelConfig, *, family: str = "pe",
                  params: Optional[Any] = None, seed: int = 0,
                  use_flash: Optional[bool] = None, mesh=None,
-                 data_axis: str = "data"):
+                 data_axis: str = "data", quant: Optional[str] = None):
+        if quant is not None and quant != cfg.quant:
+            # opt-in int8 compute knob (same param tree, so params from
+            # a bf16 tower load unchanged) — see ModelConfig.quant
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, quant=quant)
         self.cfg = cfg
         self.family = family
         self.mesh = mesh

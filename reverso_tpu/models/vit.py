@@ -42,6 +42,11 @@ class MHA(nn.Module):
         w, h = cfg.width, cfg.num_heads
         hd = w // h
         dense = lambda name: nn.Dense(w, dtype=x.dtype, param_dtype=jnp.dtype(cfg.param_dtype), name=name)
+        # NOTE cfg.quant deliberately does NOT touch the projections: a
+        # fused int8 q|k|v won its standalone micro-bench (1.66x,
+        # bench_int8_linear.py) but measured 0.97x IN-MODEL — the three
+        # bf16 dots fuse into the surrounding graph better than the
+        # quantize+concat+split chain (bench_embed_quant_parts.py).
         q = dense("q_proj")(x)
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
@@ -116,7 +121,7 @@ class MLP(nn.Module):
             from ..ops.fused_mlp import fused_mlp
             return fused_mlp(x, w1.astype(x.dtype), b1.astype(x.dtype),
                              w2.astype(x.dtype), b2.astype(x.dtype),
-                             act=self.act)
+                             act=self.act, quant=cfg.quant == "int8")
         h = jnp.dot(x, w1.astype(x.dtype)) + b1.astype(x.dtype)
         h = _act(self.act)(h)
         return jnp.dot(h, w2.astype(x.dtype)) + b2.astype(x.dtype)

@@ -84,10 +84,59 @@ def _fused_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
         o_ref[:] = (acc[:] + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _quant_rows(v):
+    """Per-row symmetric s8 in-kernel: returns (v8, row_scale [R, 1]).
+    Multiply-by-inverse form — TPU f32 divide is not IEEE (ivf.py)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(v), axis=1, keepdims=True), 1e-30)
+    v8 = jnp.clip(jnp.round(v * (127.0 / amax)), -127, 127)
+    return v8.astype(jnp.int8), amax * (1.0 / 127.0)
+
+
+def _fused_mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                           b2_ref, o_ref, acc, x8, xs, *, act: str):
+    """int8-dynamic variant: both matmuls run s8 x s8 -> s32 on the MXU
+    (2x bf16 FLOPs, 397 vs 197 TOP/s measured). x is quantized per-row
+    ONCE per row tile (ci == 0, kept in VMEM scratch); the hidden
+    activation re-quantizes per (row, chunk) — each chunk's partial is
+    dequantized in f32 before accumulation, so per-chunk scales are
+    exact. Accuracy: ~1% relative noise per dot (ops/quant.py) — an
+    opt-in speed knob, never a parity path.
+    """
+    ci = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(ci == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        q, s = _quant_rows(x_ref[:].astype(jnp.float32))
+        x8[:] = q
+        xs[:] = s
+
+    h32 = jax.lax.dot_general(
+        x8[:], w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    h = h32.astype(jnp.float32) * (xs[:] * s1_ref[:])
+    h = h + b1_ref[:].astype(jnp.float32)
+    if act == "gelu":
+        h = _gelu_exactish(h)
+    else:  # quick_gelu
+        h = h * jax.nn.sigmoid(1.702 * h)
+    h8, hs = _quant_rows(h)
+    y32 = jax.lax.dot_general(
+        h8, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc[:] += y32.astype(jnp.float32) * (hs * s2_ref[:])
+
+    @pl.when(ci == n_c - 1)
+    def _():
+        o_ref[:] = (acc[:] + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("act", "row_tile", "hidden_tile",
-                                             "interpret", "t_out"))
+                                             "interpret", "t_out", "quant"))
 def _fused_mlp_jit(x, w1, b1, w2, b2, *, act: str, row_tile: int,
-                   hidden_tile: int, interpret: bool, t_out: int):
+                   hidden_tile: int, interpret: bool, t_out: int,
+                   quant: bool = False):
     t, w = x.shape
     hid = w1.shape[1]
     w_p = _round_up(w, 128)
@@ -100,33 +149,66 @@ def _fused_mlp_jit(x, w1, b1, w2, b2, *, act: str, row_tile: int,
     w2_p = _pad_dim(_pad_dim(w2, 0, hid_p), 1, w_p)
     b2_p = _pad_dim(b2.reshape(1, -1), 1, w_p)
 
+    grid = (t_p // row_tile, hid_p // hidden_tile)
+    x_spec = pl.BlockSpec((row_tile, w_p), lambda ti, ci: (ti, 0),
+                          memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((w_p, hidden_tile), lambda ti, ci: (0, ci),
+                           memory_space=pltpu.VMEM)
+    b1_spec = pl.BlockSpec((1, hidden_tile), lambda ti, ci: (0, ci),
+                           memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((hidden_tile, w_p), lambda ti, ci: (ci, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, w_p), lambda ti, ci: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((row_tile, w_p), lambda ti, ci: (ti, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=4 * t_p * w_p * hid_p,
+        bytes_accessed=(t_p * w_p * 2 + w_p * hid_p * 2) * x.dtype.itemsize,
+        transcendentals=t_p * hid_p,
+    )
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+
+    if quant:
+        # per-output-column weight quantization in XLA, once per call —
+        # O(W*hid), noise vs the O(T*W*hid) matmuls (quantize_weight_int8
+        # math; pad columns are all-zero -> clamp keeps them finite)
+        f32 = jnp.float32
+        a1 = jnp.maximum(jnp.max(jnp.abs(w1_p.astype(f32)), axis=0,
+                                 keepdims=True), 1e-30)
+        w1_8 = jnp.clip(jnp.round(w1_p.astype(f32) * (127.0 / a1)),
+                        -127, 127).astype(jnp.int8)
+        a2 = jnp.maximum(jnp.max(jnp.abs(w2_p.astype(f32)), axis=0,
+                                 keepdims=True), 1e-30)
+        w2_8 = jnp.clip(jnp.round(w2_p.astype(f32) * (127.0 / a2)),
+                        -127, 127).astype(jnp.int8)
+        out = pl.pallas_call(
+            functools.partial(_fused_mlp_int8_kernel, act=act),
+            grid=grid,
+            in_specs=[x_spec, w1_spec, b1_spec, b1_spec, w2_spec,
+                      row_spec, row_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((t_p, w_p), x.dtype),
+            scratch_shapes=[pltpu.VMEM((row_tile, w_p), jnp.float32),
+                            pltpu.VMEM((row_tile, w_p), jnp.int8),
+                            pltpu.VMEM((row_tile, 1), jnp.float32)],
+            compiler_params=params, cost_estimate=cost,
+            interpret=interpret,
+        )(x_p, w1_8, a1 * (1.0 / 127.0), b1_p, w2_8,
+          a2 * (1.0 / 127.0), b2_p)
+        return out[:t_out, :w]
+
     kernel = functools.partial(_fused_mlp_kernel, act=act)
     out = pl.pallas_call(
         kernel,
-        grid=(t_p // row_tile, hid_p // hidden_tile),
-        in_specs=[
-            pl.BlockSpec((row_tile, w_p), lambda ti, ci: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_p, hidden_tile), lambda ti, ci: (0, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden_tile), lambda ti, ci: (0, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden_tile, w_p), lambda ti, ci: (ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w_p), lambda ti, ci: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((row_tile, w_p), lambda ti, ci: (ti, 0),
-                               memory_space=pltpu.VMEM),
+        grid=grid,
+        in_specs=[x_spec, w1_spec, b1_spec, w2_spec, row_spec],
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((t_p, w_p), x.dtype),
         scratch_shapes=[pltpu.VMEM((row_tile, w_p), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * t_p * w_p * hid_p,
-            bytes_accessed=(t_p * w_p * 2 + w_p * hid_p * 2) * x.dtype.itemsize,
-            transcendentals=t_p * hid_p,
-        ),
+        compiler_params=params,
+        cost_estimate=cost,
         interpret=interpret,
     )(x_p, w1_p, b1_p, w2_p, b2_p)
     return out[:t_out, :w]
@@ -134,13 +216,19 @@ def _fused_mlp_jit(x, w1, b1, w2, b2, *, act: str, row_tile: int,
 
 def fused_mlp(x, w1, b1, w2, b2, *, act: str = "gelu",
               row_tile: int = 512, hidden_tile: int = 512,
-              interpret: Optional[bool] = None):
-    """Fused MLP over [..., T, W] inputs (leading dims flattened)."""
+              interpret: Optional[bool] = None, quant: bool = False):
+    """Fused MLP over [..., T, W] inputs (leading dims flattened).
+
+    `quant=True` runs both matmuls s8 x s8 -> s32 on the MXU (2x bf16
+    FLOPs): weights per-output-column quantized once per call,
+    activations per-row dynamically in-kernel. ~1% relative noise per
+    dot (ops/quant.py accuracy model) — opt-in throughput knob.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     out = _fused_mlp_jit(x2, w1, b1, w2, b2, act=act, row_tile=row_tile,
                          hidden_tile=hidden_tile, interpret=interpret,
-                         t_out=x2.shape[0])
+                         t_out=x2.shape[0], quant=quant)
     return out.reshape(shape)

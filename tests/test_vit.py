@@ -324,3 +324,93 @@ def test_flash_heads_degenerate_scores_stay_finite():
     # all keys tie -> uniform softmax over REAL keys -> mean of v
     np.testing.assert_allclose(out[0, 0], np.full(w, v[0, :, 0].mean()),
                                rtol=1e-4)
+
+
+def test_fused_mlp_int8_matches_emulated_quant_math(rng):
+    """quant=True IS its documented math: per-column s8 weights,
+    per-row s8 activations, per-(row, chunk) hidden re-quant, f32
+    combine — emulated here in numpy with the same chunking. Exact in
+    interpret mode (same ops, same rounding)."""
+    from reverso_tpu.ops.fused_mlp import _gelu_exactish, fused_mlp
+
+    t, w, hid, htile = 100, 96, 384, 128
+    x = rng.standard_normal((t, w)).astype(np.float32)
+    w1 = (rng.standard_normal((w, hid)) * 0.05).astype(np.float32)
+    b1 = (rng.standard_normal(hid) * 0.05).astype(np.float32)
+    w2 = (rng.standard_normal((hid, w)) * 0.05).astype(np.float32)
+    b2 = (rng.standard_normal(w) * 0.05).astype(np.float32)
+
+    def qcols(m):
+        a = np.maximum(np.abs(m).max(axis=0, keepdims=True),
+                       np.float32(1e-30)).astype(np.float32)
+        q = np.clip(np.round(m * (np.float32(127.0) / a)), -127,
+                    127).astype(np.int8)
+        return q, a * np.float32(1.0 / 127.0)
+
+    def qrows(m):
+        a = np.maximum(np.abs(m).max(axis=1, keepdims=True),
+                       np.float32(1e-30)).astype(np.float32)
+        q = np.clip(np.round(m * (np.float32(127.0) / a)), -127,
+                    127).astype(np.int8)
+        return q, a * np.float32(1.0 / 127.0)
+
+    w1_8, s1 = qcols(w1)
+    w2_8, s2 = qcols(w2)
+    x8, xs = qrows(x)
+    acc = np.zeros((t, w), np.float32)
+    for lo in range(0, hid, htile):
+        sl = slice(lo, lo + htile)
+        h = (x8.astype(np.int64) @ w1_8[:, sl].astype(np.int64)
+             ).astype(np.float32) * (xs * s1[:, sl]) + b1[sl]
+        h = np.asarray(_gelu_exactish(jnp.asarray(h)), np.float32)
+        h8, hs = qrows(h)
+        acc += (h8.astype(np.int64) @ w2_8[sl].astype(np.int64)
+                ).astype(np.float32) * (hs * s2)
+    expect = acc + b2
+
+    out = np.asarray(fused_mlp(jnp.asarray(x), jnp.asarray(w1),
+                               jnp.asarray(b1), jnp.asarray(w2),
+                               jnp.asarray(b2), act="gelu", quant=True,
+                               row_tile=64, hidden_tile=htile))
+    np.testing.assert_allclose(out, expect, atol=1e-5, rtol=1e-5)
+    # and it lands in the documented noise band of the f32 answer
+    from reverso_tpu.ops.fused_mlp import mlp_xla
+    ref = np.asarray(mlp_xla(jnp.asarray(x), jnp.asarray(w1),
+                             jnp.asarray(b1), jnp.asarray(w2),
+                             jnp.asarray(b2)))
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-12)
+    assert rel < 5e-2, rel
+
+
+def test_vit_int8_quant_tower_close_to_bf16(rng):
+    """quant="int8" is the same model at the same params — embeddings
+    must stay within the documented noise band of the exact tower, and
+    the param TREE must be identical (checkpoints load into either).
+    quant lives in the fused-MLP path, so force use_fused (interpret
+    mode on CPU) the same way the fused-parity test does."""
+    import reverso_tpu.models.vit as vitmod
+
+    cfg = dataclasses.replace(TINY, dtype="float32")
+    cfg8 = dataclasses.replace(cfg, quant="int8")
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    m = VisionTransformer(cfg, use_flash=False)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    ref = np.asarray(m.apply({"params": params}, jnp.asarray(imgs)))
+
+    orig = vitmod.MLP
+    try:
+        vitmod.MLP = lambda cfg, act="gelu", use_fused=None, **kw: orig(
+            cfg, act=act, use_fused=True, **kw)
+        m8 = VisionTransformer(cfg8, use_flash=False)
+        p8 = m8.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 32, 32, 3)))["params"]
+        out = np.asarray(m8.apply({"params": params}, jnp.asarray(imgs)))
+    finally:
+        vitmod.MLP = orig
+    assert jax.tree.structure(params) == jax.tree.structure(p8)
+    ref_n = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+    out_n = out / np.linalg.norm(out, axis=-1, keepdims=True)
+    cos = (ref_n * out_n).sum(-1)
+    assert np.isfinite(out).all()
+    assert (cos > 0.98).all(), cos
+    assert not np.allclose(out, ref)   # the knob actually switched paths
