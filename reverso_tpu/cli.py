@@ -57,6 +57,8 @@ def _make_engine(args, *, need_detector: bool = False):
         scfg = dataclasses.replace(scfg, ivf_nprobe=args.ivf_nprobe)
     if getattr(args, "ivf_spill", None) is not None:
         scfg = dataclasses.replace(scfg, ivf_spill=args.ivf_spill)
+    if getattr(args, "ivf_balance", None) is not None:
+        scfg = dataclasses.replace(scfg, ivf_balance=args.ivf_balance)
     if scfg is not cfg.search:
         cfg = dataclasses.replace(cfg, search=scfg)
     import os as _os
@@ -333,6 +335,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IVF: fraction of rows duplicated into their "
                         "runner-up cluster (SOAR-lite; raises recall at "
                         "fixed nprobe for ~spill x storage overhead)")
+    p.add_argument("--ivf-balance", type=float, default=None,
+                   help="IVF: cluster-size cap as a multiple of the mean "
+                        "(>= 1.0; 0/off default). Oversized clusters are "
+                        "split into child centroids, bounding per-probe "
+                        "scan cost on skewed data")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build a searchable database from a folder")

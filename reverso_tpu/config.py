@@ -169,6 +169,13 @@ class SearchConfig:
     # recall at fixed nprobe rises for ~spill x storage overhead.
     # Results stay dedup'd and exactly ordered.
     ivf_spill: float = 0.0
+    # cluster-size cap as a multiple of the mean (0 = off, else >= 1.0):
+    # oversized clusters are recursively split into child centroids so
+    # cmax <= ceil(balance * n / clusters). The probed scan reads a
+    # PADDED [cmax, d] slice per (query, probe), so one skewed cluster
+    # taxes EVERY probe — capping cmax bounds per-probe DMA on real
+    # (lognormal-skewed) data.
+    ivf_balance: float = 0.0
 
 
 @dataclass(frozen=True)

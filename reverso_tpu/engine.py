@@ -192,6 +192,8 @@ class Reverso:
                 cache_dir = os.path.join(store.path, "index")
                 sp = f"_sp{round(scfg.ivf_spill * 1000)}" \
                     if scfg.ivf_spill else ""
+                if scfg.ivf_balance:
+                    sp += f"_b{round(scfg.ivf_balance * 100)}"
                 stem = f"ivf_c{scfg.ivf_clusters}"
                 tail = f"_{store.mutation_epoch}{sp}.npz"
                 cache = os.path.join(cache_dir, f"{stem}_{count}{tail}")
@@ -215,6 +217,7 @@ class Reverso:
                                    n_clusters=min(scfg.ivf_clusters, count),
                                    dtype=self.config.store.dtype,
                                    spill=scfg.ivf_spill,
+                                   balance=scfg.ivf_balance,
                                    mesh=self.mesh)
                 if dirty:
                     try:

@@ -8,6 +8,7 @@ from .topk import (
     sharded_cosine_topk,
     apply_score_threshold,
 )
+from .ivf_scan import ivf_probe_scan
 from .norm import l2_normalize
 # NOTE: `ops.topk_int8` (two-stage overfetch+rescore int8) is a retained
 # experiment superseded by `cosine_topk_int8_exact` — same capacity win,

@@ -19,7 +19,19 @@ vectors on a multi-host slice) needs sublinear scan cost. Design:
     rows — the dominant probe-miss victims — are found from either
     side. Search fetches top-2k candidates and dedups by original id
     (keep-first, preserving the exact (-score, position) tie order),
-    at ~f extra storage and the same probe shape.
+    at ~f extra storage and the same probe shape;
+  * optional capacity balancing (`balance=f`, f >= 1.0): clusters over
+    ceil(f * n / clusters) rows are recursively SPLIT into child
+    centroids trained on their own members (`_split_oversized`). The
+    probed scan reads a padded [cmax, d] slice per (query, probe), so
+    one skewed cluster taxes every probe — real corpora are lognormal-
+    skewed (cmax 3.5x mean at 4M rows), and capping cmax bounds the
+    per-probe DMA while keeping probes spatially selective (a finer
+    quantizer exactly where data is dense). The cap is HARD: clusters
+    spatial splitting cannot break (uneven k-means children, point
+    masses of identical rows) fall back to even slices sharing the
+    parent's exact centroid, which tie in ranking and get probed
+    together.
 
 Multi-host scale-out (BASELINE.md config #5, exercised on the virtual
 mesh by tests/test_ivf.py): pass `mesh=` — the cluster-sorted matrix is
@@ -73,6 +85,113 @@ def _assign_all(rows_at, n: int, cent_d, want_spill: bool,
     return assign, second, margin
 
 
+def _split_oversized(take, n: int, assign, cent, cap: int, seed: int,
+                     *, iters: int = 5, sub_sample: int = 16384,
+                     max_rounds: int = 4, chunk: int = 262144,
+                     max_children: int = 16):
+    """Spatially split clusters over `cap` rows via recursive k-means.
+
+    TPU-native rationale: the probed scan reads a PADDED [cmax, d]
+    slice per (query, probe), so ONE skewed cluster taxes EVERY probe —
+    at 4M rows / 1024 clusters the lognormal skew made cmax 3.5x the
+    mean, i.e. 3.5x the DMA per probe. Moving boundary rows to their
+    runner-up cluster cannot fix real skew (receivers fill instantly —
+    it is a flow problem); splitting the heavy cluster into
+    ceil(count/cap) children with their OWN trained centroids bounds
+    cmax while keeping probes spatially selective (a finer quantizer
+    exactly where the data is dense — what a hierarchical IVF does).
+
+    `take(idx)` returns the given rows as a device array in centroid
+    dtype (host slice or device gather — only O(cluster) data moves).
+    Child 0 reuses the parent's centroid slot (so existing runner-up
+    ids stay meaningful); children 1.. append to the table.
+    Deterministic given `seed`: every draw comes from
+    default_rng((seed, round, cluster)).
+
+    Shape discipline: EVERY device call is bucketed to a power of two
+    — training-sample rows, child count, and re-assign chunk rows all
+    wrap-pad (np.resize) up — so the whole split pass reuses a
+    handful of compiled shapes. The first cut of this loop used raw
+    per-cluster shapes: ~300 oversized clusters x fresh
+    gather/dot/k-means compiles turned a 27 s device-resident 4M
+    build into 31 minutes through the remote-TPU tunnel (measured
+    round 3). Wrap-pad duplicates are harmless: a duplicated row
+    scores identically, and the original slot's write wins.
+    Returns (assign, cent) with cent as a host f32 array.
+    """
+    cent = np.asarray(cent, np.float32).copy()
+    assign = assign.copy()
+    for rnd in range(max_rounds):
+        counts = np.bincount(assign, minlength=len(cent))
+        over = np.nonzero(counts > cap)[0]
+        if len(over) == 0:
+            break
+        appended = []
+        total = len(cent)
+        for c in over:
+            rows = np.nonzero(assign == c)[0]
+            k_real = min(int(np.ceil(len(rows) / cap)), max_children)
+            # pow2 child count (>= the needed split factor): bounds the
+            # distinct (bucket, K) k-means shapes to ~4 per sample size
+            k_child = 1 << int(np.ceil(np.log2(max(k_real, 2))))
+            rng = np.random.default_rng((seed, rnd, int(c)))
+            samp = (rng.choice(rows, sub_sample, replace=False)
+                    if len(rows) > sub_sample else rows)
+            bucket = 1 << int(np.ceil(np.log2(max(len(samp), k_child))))
+            samp = np.resize(samp, bucket)         # wrap-pad: unbiased
+            sample_d = take(samp)
+            init = jnp.asarray(rng.choice(bucket, k_child, replace=False))
+            child, _ = _kmeans_fit(sample_d, init, n_clusters=k_child,
+                                   iters=iters)
+            child = np.asarray(child, np.float32)
+            # child 0 reuses the parent slot; children 1.. append
+            ids = np.concatenate(
+                [[c], total + np.arange(k_child - 1)]).astype(np.int32)
+            total += k_child - 1
+            cent[c] = child[0]
+            appended.append(child[1:])
+            # re-assign the cluster's rows to the children, in pow2-
+            # bucketed chunks
+            child_d = jnp.asarray(child, sample_d.dtype)
+            blen = min(1 << int(np.ceil(np.log2(len(rows)))), chunk)
+            for lo in range(0, len(rows), blen):
+                sub = rows[lo:lo + blen]
+                s = jax.lax.dot_general(
+                    take(np.resize(sub, blen)), child_d,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                am = np.asarray(jnp.argmax(s, axis=1))
+                assign[sub] = ids[am[:len(sub)]]
+        cent = np.concatenate([cent] + appended)
+
+    # Residual even split: spatial k-means cannot always reach the cap
+    # (uneven children within max_rounds; a point mass of identical
+    # rows is UNSPLITTABLE spatially — every round routes it whole).
+    # Clusters still over cap are sliced evenly into children that
+    # share the parent's EXACT centroid vector: the children tie in
+    # centroid ranking, so a query that would probe the parent probes
+    # the siblings at adjacent ranks (recall preserved at the cost of
+    # probe slots), and the cap becomes hard — the probed scan's
+    # per-probe DMA bound is a layout guarantee, not a heuristic.
+    counts = np.bincount(assign, minlength=len(cent))
+    over = np.nonzero(counts > cap)[0]
+    if len(over):
+        appended = []
+        total = len(cent)
+        for c in over:
+            rows = np.nonzero(assign == c)[0]
+            k_res = int(np.ceil(len(rows) / cap))
+            ids = np.concatenate(
+                [[c], total + np.arange(k_res - 1)]).astype(np.int32)
+            total += k_res - 1
+            appended.append(np.repeat(cent[c][None], k_res - 1, axis=0))
+            # deterministic balanced contiguous slices (rows ascend by
+            # original id), each of size <= ceil(len/k_res) <= cap
+            assign[rows] = ids[np.arange(len(rows)) * k_res // len(rows)]
+        cent = np.concatenate([cent] + appended)
+    return assign, cent
+
+
 def _plan_entries(n: int, n_clusters: int, assign, second, margin,
                   spill: float):
     """Entry table from assignments: spilled copies (SOAR-lite — the
@@ -82,7 +201,7 @@ def _plan_entries(n: int, n_clusters: int, assign, second, margin,
     entry_id = np.arange(n, dtype=np.int64)
     entry_cl = assign
     n_spill = 0
-    if second is not None:
+    if spill > 0.0 and second is not None:
         extra = np.nonzero(margin <= np.quantile(margin, spill))[0]
         n_spill = len(extra)
         entry_id = np.concatenate([entry_id, extra])
@@ -171,12 +290,15 @@ class IVFIndex:
     def __init__(self, vectors: np.ndarray, *, n_clusters: int = 256,
                  train_iters: int = 10, train_sample: int = 131072,
                  dtype: str = "bfloat16", seed: int = 0, spill: float = 0.0,
-                 mesh=None, axis: str = "data", _precomputed=None):
+                 balance: float = 0.0, mesh=None, axis: str = "data",
+                 _precomputed=None):
         n, d = vectors.shape
         if n == 0:
             raise ValueError("empty index")
         if not 0.0 <= spill <= 1.0:
             raise ValueError(f"spill must be in [0, 1], got {spill}")
+        if balance and balance < 1.0:
+            raise ValueError(f"balance must be 0 or >= 1.0, got {balance}")
         n_clusters = min(n_clusters, n)
         rng = np.random.default_rng(seed)
         # int8 storage (2x capacity — the 100M stretch config stacks
@@ -218,6 +340,15 @@ class IVFIndex:
             assign, second, margin = _assign_all(
                 lambda lo, hi: jnp.asarray(vec32[lo:hi], self._dtype),
                 n, cent_d, want_spill)
+            if balance > 0.0 and n_clusters > 1:
+                # cap from the TRAINED granularity; splitting may then
+                # grow n_clusters (children of oversized clusters)
+                cap = int(np.ceil(balance * n / n_clusters))
+                assign, cent_np = _split_oversized(
+                    lambda idx: jnp.asarray(vec32[idx], self._dtype),
+                    n, assign, cent, cap, seed)
+                n_clusters = len(cent_np)
+                cent_d = jnp.asarray(cent_np, self._dtype)
             order, counts, n_spill = _plan_entries(
                 n, n_clusters, assign, second, margin, spill)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -266,8 +397,8 @@ class IVFIndex:
     def from_device(cls, emb, *, n_clusters: int = 256,
                     train_iters: int = 10, train_sample: int = 131072,
                     dtype: str = "bfloat16", seed: int = 0,
-                    spill: float = 0.0, mesh=None, axis: str = "data",
-                    _precomputed=None):
+                    spill: float = 0.0, balance: float = 0.0, mesh=None,
+                    axis: str = "data", _precomputed=None):
         """Build the index from a DEVICE-resident embedding matrix.
 
         Every O(N*d) step runs on device: the k-means sample gather,
@@ -297,6 +428,8 @@ class IVFIndex:
             raise ValueError("empty index")
         if not 0.0 <= spill <= 1.0:
             raise ValueError(f"spill must be in [0, 1], got {spill}")
+        if balance and balance < 1.0:
+            raise ValueError(f"balance must be 0 or >= 1.0, got {balance}")
         n_clusters = min(n_clusters, n)
         rng = np.random.default_rng(seed)
         self = object.__new__(cls)
@@ -327,6 +460,15 @@ class IVFIndex:
             assign, second, margin = _assign_all(
                 lambda lo, hi: emb[lo:hi].astype(self._dtype),
                 n, cent_d, want_spill)
+            if balance > 0.0 and n_clusters > 1:
+                cap = int(np.ceil(balance * n / n_clusters))
+                assign, cent_np = _split_oversized(
+                    lambda idx: jnp.take(
+                        emb, jnp.asarray(idx, jnp.int32),
+                        axis=0).astype(self._dtype),
+                    n, assign, cent_d, cap, seed)
+                n_clusters = len(cent_np)
+                cent_d = jnp.asarray(cent_np, self._dtype)
             order, counts, n_spill = _plan_entries(
                 n, n_clusters, assign, second, margin, spill)
 
@@ -481,7 +623,10 @@ class IVFIndex:
         the frozen centroids drift from the data distribution and a
         full retrain is the right call. Spill (if the cache used it)
         is applied to the new rows at the same fraction, thresholded
-        on the new rows' own margin quantile."""
+        on the new rows' own margin quantile. A balance cap from the
+        original build is NOT re-enforced on appends (no re-split
+        without retraining); `max_grow` bounds the resulting cmax
+        drift to 1.5x the trained cap in the worst case."""
         n, d = vectors.shape
         try:
             with np.load(path) as z:
@@ -570,8 +715,17 @@ class IVFIndex:
         self.row_ids = jax.device_put(self.row_ids, rep)
         self._local_n = local_n
 
-    def search(self, queries, k: int, *, nprobe: int = 8):
-        """Returns (scores [Q, k] f32, original row ids [Q, k] int32)."""
+    def search(self, queries, k: int, *, nprobe: int = 8,
+               impl: str = "auto"):
+        """Returns (scores [Q, k] f32, original row ids [Q, k] int32).
+
+        impl: "auto" picks the Pallas probed-scan kernel
+        (ops/ivf_scan.py) on a single TPU device — it streams only the
+        probed cluster ranges through a manual DMA ring instead of the
+        XLA path's per-probe dynamic-slice copies (~10x small-Q
+        latency) — and the XLA probe loop otherwise ("xla"/"pallas"
+        force one; "pallas" off-TPU runs in interpret mode, for
+        tests)."""
         nprobe = min(nprobe, self.n_clusters)
         q32 = jnp.asarray(queries, jnp.float32)
         if q32.ndim == 1:
@@ -605,6 +759,19 @@ class IVFIndex:
                 m=self.m, local_n=self._local_n, mesh=self.mesh,
                 axis=self.axis, int8=self._int8,
                 dedup=self.n_spill > 0)
+        dedup = self.n_spill > 0
+        k_fetch = min(2 * k, nprobe * self._cmax_pad) if dedup \
+            else min(k, nprobe * self._cmax_pad)
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu"
+            and self.dim % 128 == 0 and k_fetch <= 128
+            and q.shape[0] <= 256)
+        if use_pallas:
+            return _ivf_search_pallas(
+                self.matrix, self.centroids, self.offsets, self.counts,
+                self.row_ids, q, qdig, row_scale, k=k, nprobe=nprobe,
+                cmax=self._cmax_pad, m=self.m, int8=self._int8,
+                dedup=dedup)
         return _ivf_search(self.matrix, self.centroids, self.offsets,
                            self.counts, self.row_ids, q, qdig, row_scale,
                            k=k, nprobe=nprobe, cmax=self._cmax_pad,
@@ -613,9 +780,9 @@ class IVFIndex:
 
 
 def _probe_scores(matrix, qvec, qhi, qlo, rs, b, cmax: int, int8: bool):
-    """Scores of one probed cluster slice for one query: bf16 MXU dot,
-    or two exact s8 passes + f32 combine in int8 mode (the in-cluster
-    analog of `cosine_topk_int8_exact`)."""
+    """Scores of one probed cluster slice for one query: bf16 MXU dot
+    with f32 accumulation, or two exact s8 passes + f32 combine in int8
+    mode (the in-cluster analog of `cosine_topk_int8_exact`)."""
     rows = jax.lax.dynamic_slice_in_dim(matrix, b, cmax, axis=0)
     if int8:
         dims = (((1,), (0,)), ((), ()))
@@ -625,7 +792,15 @@ def _probe_scores(matrix, qvec, qhi, qlo, rs, b, cmax: int, int8: bool):
                                    preferred_element_type=jnp.int32)
         return (s_hi.astype(jnp.float32) * 254.0
                 + s_lo.astype(jnp.float32)) * rs
-    return (rows @ qvec.astype(rows.dtype)).astype(jnp.float32)
+    # f32 accumulation + per-dtype precision: without these the bf16
+    # matvec rounds scores to bf16 and an f32 matrix silently runs one
+    # bf16 MXU pass (pallas-f32-dot-default-precision trap) — both
+    # would break the "exact within probed clusters" contract and the
+    # bitwise parity with the Pallas probed-scan kernel.
+    return jax.lax.dot_general(
+        rows, qvec.astype(rows.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(rows.dtype))
 
 
 def _dedup_keep_first(scores, ids):
@@ -691,6 +866,51 @@ def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries,
     # map sorted positions back to original row ids (pad row -> -1)
     row_ids_pad = jnp.concatenate([row_ids, jnp.full((1,), -1, jnp.int32)])
     top_ids = row_ids_pad[jnp.clip(top_sorted_idx, 0, m)]
+    top_ids = jnp.where(jnp.isneginf(top_s), -1, top_ids)
+    if dedup:
+        top_s, top_ids = _dedup_keep_first(top_s, top_ids)
+        top_s, sel = jax.lax.top_k(top_s, k_eff)
+        top_ids = jnp.take_along_axis(top_ids, sel, axis=1)
+    if k_eff < k:
+        pad = k - k_eff
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
+    return top_s, top_ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "cmax", "m",
+                                              "int8", "dedup"))
+def _ivf_search_pallas(matrix, centroids, offsets, counts, row_ids,
+                       queries, qdig, row_scale, *, k: int, nprobe: int,
+                       cmax: int, m: int, int8: bool = False,
+                       dedup: bool = False):
+    """`_ivf_search` with the probe loop replaced by the Pallas
+    probed-scan kernel (ops/ivf_scan.py). Same contract: candidates
+    ordered by (-score, probe-major position); int8 scores are the
+    identical f32 combine (exact s32 dots make the two paths bitwise
+    equal there; bf16/f32 agree up to MXU accumulation order)."""
+    from ..ops.ivf_scan import ivf_probe_scan, probe_group_width
+
+    qn, d = queries.shape
+    cs = jax.lax.dot_general(
+        queries, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(queries.dtype))              # [Q, C]
+    _, top_c = jax.lax.top_k(cs, nprobe)                      # [Q, nprobe]
+    base = offsets[top_c].astype(jnp.int32)
+    cnt = counts[top_c].astype(jnp.int32)
+
+    k_eff = min(k, nprobe * cmax)
+    k_fetch = min(2 * k, nprobe * cmax) if dedup else k_eff
+    top_s, flat = ivf_probe_scan(matrix, queries, qdig, row_scale,
+                                 base, cnt, k=k_fetch, nprobe=nprobe,
+                                 cmax_pad=cmax, int8=int8)
+    gw = probe_group_width(cmax, d, jnp.dtype(matrix.dtype).itemsize)
+    pr = jnp.clip(flat // gw, 0, nprobe - 1)
+    b_sel = jnp.take_along_axis(base, pr, axis=1)
+    sorted_pos = jnp.where(flat < 0, m, b_sel + flat % gw)
+    row_ids_pad = jnp.concatenate([row_ids, jnp.full((1,), -1, jnp.int32)])
+    top_ids = row_ids_pad[jnp.clip(sorted_pos, 0, m)]
     top_ids = jnp.where(jnp.isneginf(top_s), -1, top_ids)
     if dedup:
         top_s, top_ids = _dedup_keep_first(top_s, top_ids)

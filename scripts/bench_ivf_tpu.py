@@ -104,6 +104,7 @@ def main():
     ap.add_argument("--clusters", type=int, default=1024)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--spill", type=float, default=0.0)
+    ap.add_argument("--balance", type=float, default=0.0)
     ap.add_argument("--qs", default="1,8")
     ap.add_argument("--nprobes", default="8,16,32")
     ap.add_argument("--eval-queries", type=int, default=64)
@@ -143,7 +144,8 @@ def main():
     # ---- IVF build, fully on device (from_device) -------------------
     t0 = time.time()
     ivf = IVFIndex.from_device(emb, n_clusters=args.clusters,
-                               dtype="int8", seed=0, spill=args.spill)
+                               dtype="int8", seed=0, spill=args.spill,
+                               balance=args.balance)
     np.asarray(ivf.matrix[:1, :1])               # sync
     build_s = time.time() - t0
     print(f"IVF from_device build {build_s:.0f}s  cmax={ivf.cmax} "

@@ -570,3 +570,283 @@ def test_from_device_cache_roundtrip(tmp_path, corpus):
     # shape mismatch -> None
     assert IVFIndex.load_cache_device(jnp.asarray(corpus[:100]),
                                       path) is None
+
+
+# -- capacity balancing (`balance=f`) -----------------------------------
+
+def _skewed_corpus(seed=11, n=6000, d=64):
+    """Lognormal cluster sizes: the shape where cmax >> mean."""
+    rng = np.random.default_rng(seed)
+    centers = random_unit(rng, 24, d)
+    w = rng.lognormal(0.0, 1.2, 24)
+    sizes = np.maximum(8, (w / w.sum() * n)).astype(int)
+    rows = []
+    for c, s in zip(centers, sizes):
+        pts = c[None] + 0.12 * rng.standard_normal((s, d)).astype(np.float32)
+        rows.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    db = np.concatenate(rows)[:n]
+    return db[rng.permutation(len(db))].astype(np.float32)
+
+
+def test_balance_caps_cmax_by_splitting():
+    db = _skewed_corpus()
+    n = len(db)
+    plain = IVFIndex(db, n_clusters=24, dtype="float32", seed=0)
+    bal = IVFIndex(db, n_clusters=24, dtype="float32", seed=0,
+                   balance=1.25)
+    cap = int(np.ceil(1.25 * n / 24))
+    # oversized clusters split into child centroids: cmax capped, the
+    # centroid table grows
+    assert bal.cmax <= cap, (bal.cmax, cap)
+    assert bal.cmax < plain.cmax
+    assert bal.n_clusters > plain.n_clusters == 24
+    assert len(np.asarray(bal.centroids)) == bal.n_clusters
+    # every row present exactly once
+    ids = np.sort(np.asarray(bal.row_ids))
+    np.testing.assert_array_equal(ids, np.arange(n))
+    # rows land close to their stored centroid: each row's cluster
+    # scores within the top-4 of the expanded table (children are
+    # trained on the parent's members only, so global top-1 is not
+    # guaranteed — top-4 bounds the drift)
+    cent = np.asarray(bal.centroids, np.float32)
+    s = db @ cent.T
+    offsets = np.asarray(bal.offsets)
+    counts = np.asarray(bal.counts)
+    cluster_of = np.empty(n, np.int64)
+    rid = np.asarray(bal.row_ids)
+    for c in range(bal.n_clusters):
+        cluster_of[rid[offsets[c]:offsets[c] + counts[c]]] = c
+    rank = (s > s[np.arange(n), cluster_of][:, None]).sum(1)
+    assert (rank < 4).mean() > 0.95, (rank < 4).mean()
+
+
+def test_balance_hard_cap_on_point_mass():
+    """A mass of identical rows is spatially unsplittable (every
+    k-means round routes it whole); the residual even split must still
+    enforce the cap, keep every id exactly once, and return exact
+    scores for the duplicated vector."""
+    rng = np.random.default_rng(16)
+    base = random_unit(rng, 1, 64)[0]
+    dup = np.repeat(base[None], 3000, axis=0)
+    rest = random_unit(rng, 3000, 64)
+    db = np.concatenate([dup, rest]).astype(np.float32)
+    db = db[rng.permutation(len(db))]
+    bal = IVFIndex(db, n_clusters=12, dtype="float32", seed=0,
+                   balance=1.1)
+    cap = int(np.ceil(1.1 * len(db) / 12))
+    assert bal.cmax <= cap, (bal.cmax, cap)
+    ids = np.sort(np.asarray(bal.row_ids))
+    np.testing.assert_array_equal(ids, np.arange(len(db)))
+    # siblings share the parent's exact centroid -> tie-adjacent ranks
+    # -> probing enough slots finds the mass members at score ~1.0
+    s, i = jax.device_get(bal.search(base, 10, nprobe=10))
+    np.testing.assert_allclose(np.asarray(s)[0], 1.0, atol=1e-5)
+    dup_rows = set(np.nonzero((db == base).all(axis=1))[0].tolist())
+    assert all(int(x) in dup_rows for x in np.asarray(i)[0])
+
+
+def test_balance_recall_stays_close(corpus):
+    rng = np.random.default_rng(12)
+    q = corpus[rng.choice(len(corpus), 32, replace=False)]
+    exact = IVFIndex(corpus, n_clusters=1, dtype="float32", seed=0)
+    _, i_true = jax.device_get(exact.search(q, 10, nprobe=1))
+    plain = IVFIndex(corpus, n_clusters=32, dtype="float32", seed=0)
+    bal = IVFIndex(corpus, n_clusters=32, dtype="float32", seed=0,
+                   balance=1.25)
+    _, i_p = jax.device_get(plain.search(q, 10, nprobe=8))
+    _, i_b = jax.device_get(bal.search(q, 10, nprobe=8))
+    r_p = recall_at_k(i_p, i_true)
+    r_b = recall_at_k(i_b, i_true)
+    assert r_b >= r_p - 0.05, (r_p, r_b)
+
+
+def test_balance_with_spill_and_from_device_parity(corpus):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    q = corpus[rng.choice(len(corpus), 8, replace=False)]
+    host = IVFIndex(corpus, n_clusters=16, dtype="int8", seed=0,
+                    spill=0.15, balance=1.5)
+    dev = IVFIndex.from_device(jnp.asarray(corpus), n_clusters=16,
+                               dtype="int8", seed=0, spill=0.15,
+                               balance=1.5)
+    assert host.n_spill == dev.n_spill > 0
+    np.testing.assert_array_equal(np.asarray(host.row_ids),
+                                  np.asarray(dev.row_ids))
+    s1, i1 = jax.device_get(host.search(q, 10, nprobe=6))
+    s2, i2 = jax.device_get(dev.search(q, 10, nprobe=6))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)
+
+
+# -- Pallas probed-scan kernel (ops/ivf_scan.py) -------------------------
+# interpret mode on CPU; the contract is exact equality with the XLA
+# probe loop (int8 is bitwise by construction; bf16/f32 share the same
+# f32 math in interpret mode)
+
+@pytest.fixture(scope="module")
+def corpus128():
+    """Clustered corpus at d=128 (the kernel needs d % 128 == 0), with
+    skewed cluster sizes and a few exact-duplicate rows (tie cases)."""
+    rng = np.random.default_rng(5)
+    centers = random_unit(rng, 24, 128)
+    w = rng.lognormal(0.0, 1.0, 24)
+    sizes = np.maximum(16, (w / w.sum() * 6000)).astype(int)
+    rows = []
+    for c, sz in zip(centers, sizes):
+        pts = c[None] + 0.15 * rng.standard_normal(
+            (sz, 128)).astype(np.float32)
+        rows.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    db = np.concatenate(rows)
+    db[100] = db[4000]          # exact duplicates across clusters
+    db[101] = db[4000]
+    return db[rng.permutation(len(db))].astype(np.float32)
+
+
+@pytest.mark.parametrize("dtype,spill,balance", [
+    ("float32", 0.0, 0.0),
+    ("bfloat16", 0.0, 1.25),
+    ("int8", 0.0, 0.0),
+    ("int8", 0.2, 1.25),
+    ("bfloat16", 0.15, 0.0),
+])
+def test_probe_scan_matches_xla(corpus128, dtype, spill, balance):
+    idx = IVFIndex(corpus128, n_clusters=24, dtype=dtype, seed=0,
+                   spill=spill, balance=balance)
+    rng = np.random.default_rng(6)
+    q = corpus128[rng.choice(len(corpus128), 8, replace=False)]
+    q = q + 0.03 * rng.standard_normal(q.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    for qs, k, nprobe in ((q[:1], 10, 4), (q, 10, 6), (q, 3, 1),
+                          (q, 25, idx.n_clusters)):
+        s_x, i_x = jax.device_get(idx.search(qs, k, nprobe=nprobe,
+                                             impl="xla"))
+        s_p, i_p = jax.device_get(idx.search(qs, k, nprobe=nprobe,
+                                             impl="pallas"))
+        np.testing.assert_array_equal(i_x, i_p)
+        if dtype == "int8":
+            # exact s32 dots: the two paths are bitwise equal
+            np.testing.assert_array_equal(s_x, s_p)
+        else:
+            # matvec vs matmul accumulation order: last-ulp f32 drift
+            np.testing.assert_allclose(s_x, s_p, rtol=2e-6, atol=1e-7)
+
+
+def test_probe_scan_query_chunking(corpus128):
+    """Q > the kernel's resident-query cap exercises the launch loop."""
+    idx = IVFIndex(corpus128, n_clusters=16, dtype="int8", seed=0)
+    rng = np.random.default_rng(7)
+    q = corpus128[rng.choice(len(corpus128), 67, replace=False)]
+    s_x, i_x = jax.device_get(idx.search(q, 10, nprobe=4, impl="xla"))
+    s_p, i_p = jax.device_get(idx.search(q, 10, nprobe=4, impl="pallas"))
+    np.testing.assert_array_equal(i_x, i_p)
+    np.testing.assert_array_equal(s_x, s_p)
+
+
+def test_probe_scan_tiny_clusters_and_k_gt_candidates():
+    """cmax smaller than one tile; k exceeding the probed candidate
+    count must pad with (-inf, -1) exactly like the XLA path."""
+    rng = np.random.default_rng(8)
+    db = random_unit(rng, 64, 128)
+    idx = IVFIndex(db, n_clusters=32, dtype="float32", seed=0)
+    q = random_unit(rng, 3, 128)
+    s_x, i_x = jax.device_get(idx.search(q, 20, nprobe=2, impl="xla"))
+    s_p, i_p = jax.device_get(idx.search(q, 20, nprobe=2, impl="pallas"))
+    np.testing.assert_array_equal(i_x, i_p)
+    np.testing.assert_allclose(s_x, s_p, rtol=2e-6, atol=1e-7)
+    assert (i_p == -1).any()        # some slots below k are absent
+
+
+def test_probe_scan_rejects_unpadded_dim(corpus):
+    idx = IVFIndex(corpus[:500], n_clusters=8, dtype="float32", seed=0)
+    with pytest.raises(ValueError, match="128"):
+        idx.search(corpus[:2], 5, nprobe=2, impl="pallas")
+
+
+def test_extend_cache_after_balance(tmp_path, corpus):
+    """Appends extend a balance-built cache assign-only: the expanded
+    child-centroid table is reused, no retrain, every id exactly once,
+    and full-probe recall stays exact."""
+    old, new = corpus[:5000], corpus[:6500]
+    idx = IVFIndex(old, n_clusters=16, dtype="float32", seed=0,
+                   balance=1.25)
+    assert idx.n_clusters > 16                   # splitting engaged
+    path = str(tmp_path / "ivf.npz")
+    idx.save_cache(path)
+    ext = IVFIndex.extend_cache(new, path, dtype="float32")
+    assert ext is not None
+    assert ext.n_clusters == idx.n_clusters     # table reused, no split
+    ids = np.sort(np.asarray(ext.row_ids))
+    np.testing.assert_array_equal(ids, np.arange(6500))
+    rng = np.random.default_rng(21)
+    q = new[rng.choice(6500, 8, replace=False)]
+    _, i = jax.device_get(ext.search(q, 10, nprobe=ext.n_clusters))
+    _, true_i = numpy_topk64(new, q, 10)
+    assert recall_at_k(i, true_i) == 1.0
+
+
+def test_balance_sharded_matches_single_device(corpus):
+    """Mesh-sharded IVF with balance == single-device, exactly (the
+    split-expanded centroid table shards like any other)."""
+    from reverso_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(15)
+    q = corpus[rng.choice(len(corpus), 16, replace=False)]
+    single = IVFIndex(corpus, n_clusters=24, dtype="float32", seed=0,
+                      balance=1.25)
+    sharded = IVFIndex(corpus, n_clusters=24, dtype="float32", seed=0,
+                       balance=1.25, mesh=make_mesh())
+    assert sharded.n_clusters == single.n_clusters > 24
+    for nprobe in (4, 8):
+        s1, i1 = jax.device_get(single.search(q, 10, nprobe=nprobe))
+        s2, i2 = jax.device_get(sharded.search(q, 10, nprobe=nprobe))
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_engine_ivf_balance_wiring(tmp_path):
+    """config.search.ivf_balance reaches the IVF build and keys the
+    persisted cache (a plain-cache file must not satisfy a balance
+    config)."""
+    import dataclasses
+    import os as _os
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipeline import make_corpus
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.detect import StubDetector  # noqa: F401 (import parity)
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"],
+                                dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")),
+        search=dataclasses.replace(cfg.search, index="ivf", ivf_clusters=4,
+                                   ivf_nprobe=4, ivf_balance=1.5))
+    engine = Reverso(cfg, encoder=PerceptionEncoder(model))
+    make_corpus(tmp_path / "imgs", n=20)
+    engine.create_database(str(tmp_path / "imgs"), "baldb",
+                           use_direct_pe=True)
+    adapter = engine._get_index()
+    assert adapter._ivf.cmax <= int(np.ceil(1.5 * adapter._ivf.n / 4))
+    cache_dir = _os.path.join(str(tmp_path / "db"), "baldb", "index")
+    names = _os.listdir(cache_dir)
+    assert any("_b150" in f for f in names), names
+
+
+def test_balance_cache_roundtrip(tmp_path, corpus):
+    path = str(tmp_path / "ivf.npz")
+    bal = IVFIndex(corpus, n_clusters=16, dtype="bfloat16", seed=0,
+                   balance=1.25)
+    bal.save_cache(path)
+    re = IVFIndex.load_cache(corpus, path, dtype="bfloat16")
+    assert re is not None and re.cmax == bal.cmax
+    rng = np.random.default_rng(14)
+    q = corpus[rng.choice(len(corpus), 8, replace=False)]
+    s1, i1 = jax.device_get(bal.search(q, 10, nprobe=8))
+    s2, i2 = jax.device_get(re.search(q, 10, nprobe=8))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)
