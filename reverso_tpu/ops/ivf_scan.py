@@ -141,7 +141,11 @@ def _ivf_scan_kernel(base_ref, cnt_ref, q_hbm, mat_hbm,
                               s, -jnp.inf)
                 sp_scr[:, c * db_tile:(c + 1) * db_tile] = s
 
-            @pl.when(jnp.logical_not(valid))
+            # -inf fill for the skipped tail, only when this probe
+            # stages anything at all: an empty probe (a PAD query, or
+            # a pad row of the flat tables) skips staging AND
+            # extraction entirely, so its stale buffer is never read
+            @pl.when((cnt > 0) & jnp.logical_not(valid))
             def _():
                 sp_scr[:, c * db_tile:(c + 1) * db_tile] = jnp.full(
                     (qp, db_tile), -jnp.inf, jnp.float32)
@@ -149,6 +153,12 @@ def _ivf_scan_kernel(base_ref, cnt_ref, q_hbm, mat_hbm,
         # ---- drain the staged probe into the top-k state ------------
         # (the exact kernel's grouped extraction, q_tile == qp, one
         # group per probe; see ops/topk.py for the event accounting)
+        @pl.when(cnt > 0)
+        def _extract():
+            _extract_probe(p_idx)
+        return 0
+
+    def _extract_probe(p_idx):
         gbase = p_idx * gw
         sp = sp_scr[:]
         m0 = jnp.max(sp, axis=1, keepdims=True)
@@ -196,8 +206,6 @@ def _ivf_scan_kernel(base_ref, cnt_ref, q_hbm, mat_hbm,
                             s_scr[:, k - 1:k])
 
                 jax.lax.while_loop(cond, extract, (m1, s_scr[:, k - 1:k]))
-
-        return 0
 
     jax.lax.fori_loop(0, n_iter, probe_step, 0)
     scores_out[:] = s_scr[:]

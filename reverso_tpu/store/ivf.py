@@ -758,7 +758,7 @@ class IVFIndex:
                 row_scale, k=k, nprobe=nprobe, cmax=self._cmax_pad,
                 m=self.m, local_n=self._local_n, mesh=self.mesh,
                 axis=self.axis, int8=self._int8,
-                dedup=self.n_spill > 0)
+                dedup=self.n_spill > 0, impl=impl, dim=self.dim)
         dedup = self.n_spill > 0
         k_fetch = min(2 * k, nprobe * self._cmax_pad) if dedup \
             else min(k, nprobe * self._cmax_pad)
@@ -927,7 +927,8 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
                         g_offsets, row_ids, queries, qdig, row_scale, *,
                         k: int, nprobe: int, cmax: int, m: int,
                         local_n: int, mesh, axis: str, int8: bool = False,
-                        dedup: bool = False):
+                        dedup: bool = False, impl: str = "auto",
+                        dim: int = 0):
     """Row-sharded IVF probe scan + exact (score, probe-position) merge.
 
     Every shard probes the SAME nprobe clusters per query (the centroid
@@ -947,6 +948,13 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
 
     k_eff = min(k, nprobe * cmax)
     k_fetch = min(2 * k, nprobe * cmax) if dedup else k_eff
+    # per-shard probe scan via the Pallas kernel (same guards as the
+    # single-device dispatch); each shard's local top-k_fetch has the
+    # identical (-score, probe-major position) order either way
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
+        and dim % 128 == 0 and k_fetch <= 128
+        and queries.shape[0] <= 256)
 
     def local(mats, soff, scnt, cent, g_off, rids, qs, qdg, rsc):
         mat, soff, scnt = mats[0], soff[0], scnt[0]
@@ -960,6 +968,50 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
         base = soff[top_c]
         cnt = scnt[top_c]
         goff = g_off[top_c]
+
+        def _merge(top_s, top_g, top_w, top_r):
+            """all_gather the per-shard top-k_fetch candidates and
+            lexsort-merge them into the single-device order."""
+            def gather(x):  # [P, Q, k_fetch] -> [Q, P*k_fetch]
+                return jnp.transpose(
+                    jax.lax.all_gather(x, axis), (1, 0, 2)).reshape(qn, -1)
+
+            all_s = gather(top_s)
+            all_g = gather(top_g)
+            all_w = gather(top_w)
+            all_r = gather(top_r)
+            order = jnp.lexsort((all_w, all_r, -all_s), axis=1)[:, :k_fetch]
+            out_s = jnp.take_along_axis(all_s, order, axis=1)
+            out_g = jnp.take_along_axis(all_g, order, axis=1)
+            rids_pad = jnp.concatenate([rids,
+                                        jnp.full((1,), -1, jnp.int32)])
+            out_i = rids_pad[jnp.clip(out_g, 0, m)]
+            out_i = jnp.where(jnp.isneginf(out_s), -1, out_i)
+            if dedup:
+                out_s, out_i = _dedup_keep_first(out_s, out_i)
+                out_s, sel2 = jax.lax.top_k(out_s, k_eff)
+                out_i = jnp.take_along_axis(out_i, sel2, axis=1)
+            else:
+                out_s, out_i = out_s[:, :k_eff], out_i[:, :k_eff]
+            return out_s, out_i
+
+        if use_pallas:
+            from ..ops.ivf_scan import ivf_probe_scan, probe_group_width
+
+            top_s, flat = ivf_probe_scan(
+                mat, qs, qdg, rsc, base.astype(jnp.int32),
+                cnt.astype(jnp.int32), k=k_fetch, nprobe=nprobe,
+                cmax_pad=cmax, int8=int8)
+            gw = probe_group_width(cmax, mat.shape[1],
+                                   jnp.dtype(mat.dtype).itemsize)
+            pr = jnp.clip(flat // gw, 0, nprobe - 1)
+            lpos = jnp.take_along_axis(base, pr, axis=1) + flat % gw
+            go_sel = jnp.take_along_axis(goff, pr, axis=1)
+            invalid = flat < 0
+            top_g = jnp.where(invalid, m, r0 + lpos)
+            top_w = jnp.where(invalid, 2**31 - 1, r0 + lpos - go_sel)
+            top_r = jnp.where(invalid, 2**31 - 1, pr)
+            return _merge(top_s, top_g, top_w, top_r)
 
         def probe(p, carry):
             s_all, pos_all, woff_all, prnk_all = carry
@@ -996,27 +1048,7 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
         top_g = jnp.take_along_axis(pos_all, sel, axis=1)
         top_w = jnp.take_along_axis(woff_all, sel, axis=1)
         top_r = jnp.take_along_axis(prnk_all, sel, axis=1)
-
-        def merge(x):  # [P, Q, k_fetch] -> [Q, P*k_fetch]
-            return jnp.transpose(x, (1, 0, 2)).reshape(qn, -1)
-
-        all_s = merge(jax.lax.all_gather(top_s, axis))
-        all_g = merge(jax.lax.all_gather(top_g, axis))
-        all_w = merge(jax.lax.all_gather(top_w, axis))
-        all_r = merge(jax.lax.all_gather(top_r, axis))
-        order = jnp.lexsort((all_w, all_r, -all_s), axis=1)[:, :k_fetch]
-        out_s = jnp.take_along_axis(all_s, order, axis=1)
-        out_g = jnp.take_along_axis(all_g, order, axis=1)
-        rids_pad = jnp.concatenate([rids, jnp.full((1,), -1, jnp.int32)])
-        out_i = rids_pad[jnp.clip(out_g, 0, m)]
-        out_i = jnp.where(jnp.isneginf(out_s), -1, out_i)
-        if dedup:
-            out_s, out_i = _dedup_keep_first(out_s, out_i)
-            out_s, sel2 = jax.lax.top_k(out_s, k_eff)
-            out_i = jnp.take_along_axis(out_i, sel2, axis=1)
-        else:
-            out_s, out_i = out_s[:, :k_eff], out_i[:, :k_eff]
-        return out_s, out_i
+        return _merge(top_s, top_g, top_w, top_r)
 
     fn = shard_map(
         local, mesh=mesh,

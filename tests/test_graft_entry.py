@@ -31,7 +31,11 @@ def _run_clean(code: str, *, timeout: int = 600, extra_env=None):
 def test_dryrun_multichip_bootstraps_devices():
     """dryrun_multichip(n) must succeed when the caller has ONE device."""
     proc = _run_clean(
-        "import jax; assert jax.device_count() == 1, jax.devices()\n"
+        # Pin CPU via config (the axon plugin ignores the env var and
+        # would touch — or hang on — the real tunnel): one plain CPU
+        # device, exactly the shape of the driver's round-1 failure.
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "assert jax.device_count() == 1, jax.devices()\n"
         "import __graft_entry__ as g\n"
         "g.dryrun_multichip(4)\n")
     assert proc.returncode == 0, proc.stderr[-2000:]

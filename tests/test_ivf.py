@@ -757,6 +757,34 @@ def test_probe_scan_tiny_clusters_and_k_gt_candidates():
     assert (i_p == -1).any()        # some slots below k are absent
 
 
+@pytest.mark.parametrize("dtype,spill", [("int8", 0.15), ("bfloat16", 0.0)])
+def test_probe_scan_sharded_matches_xla(corpus128, dtype, spill):
+    """Kernel inside shard_map: per-shard probed scan + all_gather
+    merge must equal the XLA sharded path AND the single-device scan."""
+    from reverso_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    idx = IVFIndex(corpus128, n_clusters=16, dtype=dtype, seed=0,
+                   spill=spill, balance=1.25, mesh=mesh)
+    single = IVFIndex(corpus128, n_clusters=16, dtype=dtype, seed=0,
+                      spill=spill, balance=1.25)
+    rng = np.random.default_rng(9)
+    q = corpus128[rng.choice(len(corpus128), 8, replace=False)]
+    for nprobe in (4, 8):
+        s_x, i_x = jax.device_get(idx.search(q, 10, nprobe=nprobe,
+                                             impl="xla"))
+        s_p, i_p = jax.device_get(idx.search(q, 10, nprobe=nprobe,
+                                             impl="pallas"))
+        s_1, i_1 = jax.device_get(single.search(q, 10, nprobe=nprobe,
+                                                impl="xla"))
+        np.testing.assert_array_equal(i_x, i_p)
+        np.testing.assert_array_equal(i_1, i_p)
+        if dtype == "int8":
+            np.testing.assert_array_equal(s_x, s_p)
+        else:
+            np.testing.assert_allclose(s_x, s_p, rtol=2e-6, atol=1e-7)
+
+
 def test_probe_scan_rejects_unpadded_dim(corpus):
     idx = IVFIndex(corpus[:500], n_clusters=8, dtype="float32", seed=0)
     with pytest.raises(ValueError, match="128"):
