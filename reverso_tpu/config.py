@@ -188,6 +188,14 @@ class IngestConfig:
     # embeddings (north-star improvement).
     region_embed_mode: str = "compat"
     checkpoint_every: int = 10     # images between checkpoints, core_system.py:582
+    # Host decode/resize backend for the ingest loader. "pil" is the
+    # reference-transform family (PIL bicubic; JPEGs use DCT draft decode
+    # when no original-resolution copy is needed — 2.1x faster, pixels
+    # within JPEG quantization noise of a full decode). "cv2" uses
+    # OpenCV's SIMD decode+INTER_CUBIC (~2x faster again per core;
+    # resize-kernel pixel deltas ~1.3/255 vs PIL — below retrieval
+    # relevance, but not bit-compatible with the reference transform).
+    decode_backend: str = "pil"
     image_extensions: tuple[str, ...] = IMAGE_EXTENSIONS
     video_extensions: tuple[str, ...] = VIDEO_EXTENSIONS
     jpeg_quality: int = 95         # frame-write quality, video_processing.py:275

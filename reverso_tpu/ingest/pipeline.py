@@ -228,7 +228,8 @@ def build_database(
 
     try:
         for batch in iter_batches(todo, size, batch_size,
-                                  keep_originals=not use_direct_pe):
+                                  keep_originals=not use_direct_pe,
+                                  backend=config.ingest.decode_backend):
             if stop_event.is_set():
                 log("🛑 Stop requested. Saving progress...")
                 checkpoint()
