@@ -68,7 +68,7 @@ class BatchingSearcher:
     def __init__(self, index_fn: Callable[[], object], *,
                  max_delay_s: float = 0.003, max_batch: int = 256,
                  k_cap: int = 128, max_queue: int = 1024,
-                 latency_window: int = 512):
+                 latency_window: int = 512, max_inflight: int = 2):
         self._index_fn = index_fn
         self._max_delay_s = max_delay_s
         self._max_batch = max_batch
@@ -83,6 +83,18 @@ class BatchingSearcher:
         # end-to-end request latencies (seconds), newest-last ring
         self._latencies: deque[float] = deque(maxlen=latency_window)
         self._stats_lock = threading.Lock()
+        # JAX dispatch is async: the collector dispatches a launch and
+        # hands the blocking device->host fetch to this completion pool,
+        # so the next batch's device work overlaps the previous batch's
+        # host transfer (the tunnel round-trip is 1.6-29 ms — comparable
+        # to the scan itself). max_inflight bounds dispatched-but-
+        # unfetched launches so overload can't stack unbounded device
+        # work behind the queue bound.
+        import concurrent.futures as _cf
+        self._inflight = threading.Semaphore(max(1, max_inflight))
+        self._completer = _cf.ThreadPoolExecutor(
+            max_workers=max(1, max_inflight),
+            thread_name_prefix="reverso-search-complete")
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="reverso-search-batcher")
         self._worker.start()
@@ -140,8 +152,8 @@ class BatchingSearcher:
             depth = len(self._queue)
         with self._stats_lock:
             lat = sorted(self._latencies)
-            shed = self.shed
-        out = {"launches": self.launches, "served": self.served,
+            shed, launches, served = self.shed, self.launches, self.served
+        out = {"launches": launches, "served": served,
                "shed": shed, "queue_depth": depth,
                "latency_count": len(lat)}
         if lat:
@@ -188,8 +200,9 @@ class BatchingSearcher:
         return min(b, cap)
 
     def _launch(self, group: list[_Pending]) -> None:
-        """One device launch for same-dimension requests, with padded
-        shapes so repeat traffic reuses compiled kernels."""
+        """Dispatch one device launch for same-dimension requests (padded
+        shapes so repeat traffic reuses compiled kernels), then hand the
+        blocking fetch to the completion pool."""
         k_max = max(p.k for p in group)
         k_pad = min(self._k_cap, _round_up_8(k_max))
         bucket = self._bucket(len(group), self._max_batch)
@@ -198,19 +211,39 @@ class BatchingSearcher:
         for row, p in enumerate(group):
             queries[row] = p.query
         index = self._index_fn()
-        import jax
-        scores, ids = jax.device_get(index.search(queries, k_pad))
-        for row, p in enumerate(group):
-            p.scores = np.asarray(scores)[row, :p.k]
-            p.ids = np.asarray(ids)[row, :p.k]
-        self.launches += 1
-        self.served += len(group)
+        self._inflight.acquire()           # bound dispatched-unfetched work
+        try:
+            result = index.search(queries, k_pad)   # async dispatch
+        except BaseException:
+            self._inflight.release()
+            raise
+        self._completer.submit(self._complete, group, result)
+
+    def _complete(self, group: list[_Pending], result) -> None:
+        """Fetch a dispatched launch and distribute slices (pool thread)."""
+        try:
+            import jax
+            scores, ids = map(np.asarray, jax.device_get(result))
+            for row, p in enumerate(group):
+                p.scores = scores[row, :p.k]
+                p.ids = ids[row, :p.k]
+            with self._stats_lock:
+                self.launches += 1
+                self.served += len(group)
+        except BaseException as e:
+            for p in group:
+                p.error = e
+        finally:
+            self._inflight.release()
+            for p in group:
+                p.event.set()
 
     def _run(self) -> None:
         while True:
             batch = self._drain()
             if not batch:
                 if self._closed:
+                    self._completer.shutdown(wait=True)
                     return
                 continue
             # group by query dimension: one malformed request must not
@@ -224,6 +257,4 @@ class BatchingSearcher:
                 except BaseException as e:   # propagate to this group only
                     for p in group:
                         p.error = e
-                finally:
-                    for p in group:
                         p.event.set()

@@ -446,3 +446,59 @@ def test_batcher_over_ivf_index(tmp_path):
         np.testing.assert_array_equal(got[i][1], want_i[i])
         np.testing.assert_allclose(got[i][0], want_s[i], rtol=1e-6)
     eng.searcher.close()
+
+
+def test_fetch_error_propagates_to_its_group_only():
+    """An error raised while FETCHING a dispatched launch (completion
+    pool) must fail that launch's callers and release the in-flight
+    slot so later launches still serve."""
+    class Poisoned:
+        def __array__(self, *a, **kw):
+            raise RuntimeError("fetch boom")
+
+    class FetchFail(FakeIndex):
+        def __init__(self, db):
+            super().__init__(db)
+            self.fail_next = True
+
+        def search(self, queries, k):
+            if self.fail_next:
+                self.fail_next = False
+                return Poisoned(), Poisoned()
+            return super().search(queries, k)
+
+    idx = FetchFail(_db())
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.0, max_inflight=1)
+    with pytest.raises(SearchError, match="fetch boom"):
+        b.search(np.zeros(16, np.float32), k=3)
+    # the pool slot was released: a follow-up search completes
+    s, i = b.search(_db()[5], k=3)
+    assert i[0] == 5
+    b.close()
+
+
+def test_pipelined_completion_matches_serial():
+    """Several back-to-back batches through the async completion path
+    return exactly the serial results (order preserved per caller)."""
+    db = _db(128, 16)
+    idx = FakeIndex(db, delay=0.002)
+    b = BatchingSearcher(lambda: idx, max_delay_s=0.0, max_inflight=2)
+    results = {}
+
+    def worker(qi):
+        s, ids = b.search(db[qi], k=5)
+        results[qi] = (s.copy(), ids.copy())
+
+    ts = [threading.Thread(target=worker, args=(qi,)) for qi in range(32)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    b.close()
+    assert len(results) == 32
+    for qi, (s, ids) in results.items():
+        ref = np.argsort(-(db[qi] @ db.T), kind="stable")[:5]
+        np.testing.assert_array_equal(ids, ref)
+        assert ids[0] == qi
+    st = b.stats()
+    assert st["served"] == 32 and st["launches"] == idx.launches
