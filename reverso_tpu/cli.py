@@ -59,6 +59,8 @@ def _make_engine(args, *, need_detector: bool = False):
         scfg = dataclasses.replace(scfg, ivf_spill=args.ivf_spill)
     if getattr(args, "ivf_balance", None) is not None:
         scfg = dataclasses.replace(scfg, ivf_balance=args.ivf_balance)
+    if getattr(args, "ivf_impl", None):
+        scfg = dataclasses.replace(scfg, ivf_impl=args.ivf_impl)
     if scfg is not cfg.search:
         cfg = dataclasses.replace(cfg, search=scfg)
     if getattr(args, "ingest_backend", None):
@@ -339,6 +341,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IVF: fraction of rows duplicated into their "
                         "runner-up cluster (SOAR-lite; raises recall at "
                         "fixed nprobe for ~spill x storage overhead)")
+    p.add_argument("--ivf-impl", choices=["auto", "xla", "pallas"],
+                   default=None,
+                   help="IVF probed-scan implementation (auto: Pallas "
+                        "kernel on single-TPU serving shapes; xla is the "
+                        "escape hatch)")
     p.add_argument("--ingest-backend", choices=["pil", "cv2"], default=None,
                    help="host image decode/resize backend for builds: pil "
                         "(reference transform family, default) or cv2 "

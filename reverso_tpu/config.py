@@ -176,6 +176,10 @@ class SearchConfig:
     # taxes EVERY probe — capping cmax bounds per-probe DMA on real
     # (lognormal-skewed) data.
     ivf_balance: float = 0.0
+    # probed-scan implementation: "auto" (Pallas kernel on single-TPU
+    # serving shapes, XLA otherwise), "xla", "pallas". The operational
+    # escape hatch if the kernel misbehaves on a new toolchain.
+    ivf_impl: str = "auto"
 
 
 @dataclass(frozen=True)

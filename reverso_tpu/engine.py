@@ -59,13 +59,15 @@ def _resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
 class _IVFSearchAdapter:
     """DeviceIndex-shaped facade over IVFIndex (approximate mode)."""
 
-    def __init__(self, ivf, nprobe: int):
+    def __init__(self, ivf, nprobe: int, impl: str = "auto"):
         self._ivf = ivf
         self.nprobe = nprobe
+        self.impl = impl
         self.n_valid = ivf.n
 
     def search(self, queries, k: int, **_):
-        return self._ivf.search(queries, k, nprobe=self.nprobe)
+        return self._ivf.search(queries, k, nprobe=self.nprobe,
+                                impl=self.impl)
 
 
 class Reverso:
@@ -228,7 +230,8 @@ class Reverso:
                         ivf.save_cache(cache)
                     except OSError:
                         pass      # read-only store: rebuild per process
-                index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe)
+                index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe,
+                                          impl=scfg.ivf_impl)
             else:
                 index = DeviceIndex(
                     vectors, mesh=self.mesh,

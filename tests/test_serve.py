@@ -502,3 +502,37 @@ def test_pipelined_completion_matches_serial():
         assert ids[0] == qi
     st = b.stats()
     assert st["served"] == 32 and st["launches"] == idx.launches
+
+
+def test_ivf_impl_knob_reaches_the_adapter(tmp_path):
+    """SearchConfig.ivf_impl / --ivf-impl must flow to IVFIndex.search
+    (the operational escape hatch for the probed-scan kernel)."""
+    from reverso_tpu.cli import build_parser
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+    from reverso_tpu.store import VectorStore
+
+    args = build_parser().parse_args(
+        ["--ivf-impl", "xla", "list"])
+    assert args.ivf_impl == "xla"
+
+    cfg = default_config()
+    enc = PerceptionEncoder(
+        dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32"))
+    cfg = dataclasses.replace(
+        cfg, model=enc.cfg,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")),
+        search=dataclasses.replace(cfg.search, index="ivf", ivf_clusters=8,
+                                   ivf_nprobe=8, ivf_impl="xla"))
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(200, enc.embed_dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    with VectorStore.create(str(tmp_path / "db"), "x", enc.embed_dim) as s:
+        s.append(emb, [{"region_id": f"r{i}"} for i in range(200)])
+    eng = Reverso(cfg, encoder=enc)
+    eng.load_database("x")
+    idx = eng._get_index()
+    assert idx.impl == "xla"
+    s_, i_ = eng.search_batch(emb[:4], k=5)
+    assert (np.asarray(i_)[:, 0] == np.arange(4)).all()
