@@ -115,7 +115,38 @@ def main() -> None:
     }))
 
 
+def _require_device(timeout_s: float = 300.0) -> None:
+    """Fail fast (with a diagnosable JSON line) if the TPU tunnel is
+    unreachable: backend init otherwise hangs FOREVER during an axon
+    outage (observed 2026-08-17), and a silent hang at round end loses
+    the whole bench artifact."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+        x = jnp.ones((8, 8))
+        np.asarray(x @ x)
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not ok.wait(timeout_s):
+        print(json.dumps({
+            "metric": "exact_cosine_top10_qps_1M",
+            "value": 0.0,
+            "unit": "qps",
+            "vs_baseline": 0.0,
+            "error": f"device unreachable after {timeout_s:.0f}s "
+                     "(axon tunnel down?)",
+        }))
+        sys.exit(2)
+
+
 if __name__ == "__main__":
+    _require_device()
     if "--embed" in sys.argv:
         embed_main()
     else:
