@@ -222,10 +222,25 @@ class Reverso:
                                    balance=scfg.ivf_balance,
                                    mesh=self.mesh)
                 if dirty:
+                    # prune only THIS config's stale caches (any count/
+                    # epoch): sibling configs' caches — a different
+                    # clusters/spill/balance an A/B alternates with —
+                    # stay valid and reloadable, so flipping between
+                    # two configs does not retrain k-means every time.
+                    def _same_cfg(f: str) -> bool:
+                        if not (f.startswith(stem + "_")
+                                and f.endswith(".npz")):
+                            return False
+                        parts = f[len(stem) + 1:-4].split("_", 2)
+                        if len(parts) < 2 or not (parts[0].isdigit()
+                                                  and parts[1].isdigit()):
+                            return False
+                        extra = parts[2] if len(parts) > 2 else ""
+                        return ("_" + extra if extra else "") == sp
                     try:
                         if os.path.isdir(cache_dir):
                             for old in os.listdir(cache_dir):
-                                if old.startswith("ivf_"):
+                                if _same_cfg(old):
                                     os.remove(os.path.join(cache_dir, old))
                         ivf.save_cache(cache)
                     except OSError:

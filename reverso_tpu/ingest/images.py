@@ -94,14 +94,21 @@ def normalize_u8(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def _preprocess_cv2(path: str, size: int, *, keep_original: bool):
+def _preprocess_cv2(path: str, size: int, *, keep_original: bool,
+                    mode: str = "resize_square"):
     """OpenCV decode + resize: ~2-4x faster per core than PIL.
 
     When the original isn't needed and the source is comfortably larger
     than `size`, decode at 1/2 DCT scale (IMREAD_REDUCED_COLOR_2).
-    Returns (pixels, (w, h), original_or_None).
+    Implements the same geometry modes as `preprocess_pil` (the two
+    backends must agree on WHAT pixels feed the model even though the
+    resamplers differ numerically); unknown modes raise rather than
+    silently squashing. Returns (pixels, (w, h), original_or_None).
     """
     import cv2
+
+    if mode not in ("resize_square", "resize_crop"):
+        raise ValueError(mode)
 
     a = None
     w = h = None
@@ -124,7 +131,18 @@ def _preprocess_cv2(path: str, size: int, *, keep_original: bool):
         h, w = a.shape[:2]
     rgb = cv2.cvtColor(a, cv2.COLOR_BGR2RGB)
     orig = rgb if keep_original else None
-    resized = cv2.resize(rgb, (size, size), interpolation=cv2.INTER_CUBIC)
+    if mode == "resize_crop":
+        # shortest-side resize + center crop, same arithmetic as
+        # preprocess_pil (rounding included) on the DECODED dims
+        dh, dw = rgb.shape[:2]
+        scale = size / min(dw, dh)
+        nw, nh = round(dw * scale), round(dh * scale)
+        r = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_CUBIC)
+        left, top = (nw - size) // 2, (nh - size) // 2
+        resized = r[top:top + size, left:left + size]
+    else:
+        resized = cv2.resize(rgb, (size, size),
+                             interpolation=cv2.INTER_CUBIC)
     return normalize_u8(resized), (int(w), int(h)), orig
 
 
@@ -160,8 +178,8 @@ def iter_batches(paths: Sequence[str], size: int, batch_size: int, *,
     def load_one(path: str):
         try:
             if backend == "cv2":
-                px, wh, orig = _preprocess_cv2(path, size,
-                                               keep_original=keep_originals)
+                px, wh, orig = _preprocess_cv2(
+                    path, size, keep_original=keep_originals, mode=mode)
                 return path, px, wh, orig, None
             # Original (width, height) is read BEFORE any draft
             # reduction shrinks im.size — it feeds bbox metadata.

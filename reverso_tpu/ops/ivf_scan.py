@@ -57,8 +57,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .topk import _INT_MAX, _dot_precision, _insert_sorted, _round_up
 
 # queries resident per launch; the wrapper chunks larger batches (the
-# XLA path is preferred at large Q anyway — see ivf.py dispatch)
+# XLA path is preferred at large Q anyway — see ivf.py dispatch).
+# Shrinks when the staged probe area (qp * group_width) would blow the
+# VMEM budget — see _qp_for.
 _Q_RESIDENT = 64
+
+# Stay well under the 16 MB/core VMEM: Mosaic needs headroom for
+# spills, iotas, and the compiler's own temporaries.
+_VMEM_BUDGET = 12 * 2 ** 20
 
 
 def _ivf_scan_kernel(base_ref, cnt_ref, q_hbm, mat_hbm,
@@ -295,12 +301,26 @@ def ivf_probe_scan(mat, queries, qdig, row_scale, base, cnt, *,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     qn, d = queries.shape
+    itemsize = jnp.dtype(mat.dtype).itemsize
     if d % 128 != 0:
         raise ValueError(f"kernel needs d % 128 == 0, got {d}")
-    db_tile, chunks, n_bufs = _probe_tiling(cmax_pad, d,
-                                            jnp.dtype(mat.dtype).itemsize)
+    if k > 128:
+        # same bound as cosine_topk_pallas: the sorted top-k state is
+        # VMEM-resident and k-wide per query. Spill dedup doubles the
+        # fetch, so k=65..128 + spill already exceeds this.
+        raise ValueError(
+            f"ivf_probe_scan supports k <= 128 (got k={k}, possibly "
+            f"2x from spill overfetch); use the XLA path (impl='xla')")
+    db_tile, chunks, n_bufs = _probe_tiling(cmax_pad, d, itemsize)
     kpad = _round_up(max(k, 8), 8)
-    qp = _round_up(min(qn, _Q_RESIDENT), 8)
+    qp_cap = _qp_for(db_tile, chunks, n_bufs, d, itemsize, kpad, int8)
+    if qp_cap < 8:
+        raise ValueError(
+            f"probed-cluster width cmax_pad={cmax_pad} at d={d} "
+            f"exceeds the kernel VMEM budget even at an 8-query block; "
+            f"use the XLA path (impl='xla') or build with balance= to "
+            f"cap cluster sizes")
+    qp = _round_up(min(qn, qp_cap), 8)
     f32_mode = jnp.dtype(mat.dtype) == jnp.float32
 
     outs = []
@@ -340,18 +360,50 @@ def _probe_tiling(cmax_pad: int, d: int, itemsize: int):
     every cluster's count). Reads stay in bounds: a started chunk has
     c*db_tile < cnt <= cmax <= cmax_pad, so the last byte read is
     before base + cnt + db_tile <= M + cmax_pad (the matrix carries
-    cmax_pad zero pad rows, ivf.py's layout invariant)."""
+    cmax_pad zero pad rows, ivf.py's layout invariant).
+
+    Deliberately independent of the query block size: the flat-index
+    stride gw = chunks * db_tile is part of the output contract
+    (`probe_group_width`), so it must be a pure function of
+    (cmax_pad, d, itemsize). Shrinking db_tile only bounds the DMA
+    RING; the staged probe area (>= cmax_pad per query) is bounded by
+    shrinking the query block instead (`_qp_for`)."""
     n_bufs = 4 if itemsize <= 2 else 2
     db_tile = min(512, _round_up(cmax_pad, 8))
-    chunks = -(-cmax_pad // db_tile)
-    chunks = _round_up(chunks, n_bufs)
-    # VMEM guard: ring + staging + iota (f32+i32 = 8 B/elem)
-    while (n_bufs * db_tile * d * itemsize
-           + _Q_RESIDENT * chunks * db_tile * 8) > 12 * 2**20 \
-            and db_tile > 128:
+    chunks = _round_up(-(-cmax_pad // db_tile), n_bufs)
+    while n_bufs * db_tile * d * itemsize > 4 * 2 ** 20 and db_tile > 128:
         db_tile //= 2
         chunks = _round_up(-(-cmax_pad // db_tile), n_bufs)
     return db_tile, chunks, n_bufs
+
+
+def _qp_for(db_tile: int, chunks: int, n_bufs: int, d: int,
+            itemsize: int, kpad: int, int8: bool) -> int:
+    """Largest query-block size (multiple of 8, <= _Q_RESIDENT) whose
+    scratches fit the VMEM budget; < 8 means the kernel cannot run at
+    this cluster width at all. Per-query bytes: the staged probe area
+    sp_scr+col_scr (gw * 8 — the term that is UNBOUNDED in cmax_pad
+    and cannot be reduced by tiling), top-k state + outputs
+    (2 * kpad * 8), and the resident query block."""
+    gw = chunks * db_tile
+    ring = n_bufs * db_tile * d * itemsize
+    per_q = gw * 8 + 2 * kpad * 8 + (2 * d if int8 else d) * itemsize
+    qp = (_VMEM_BUDGET - ring) // per_q if ring < _VMEM_BUDGET else 0
+    return min(_Q_RESIDENT, (qp // 8) * 8)
+
+
+def ivf_scan_supported(cmax_pad: int, d: int, itemsize: int,
+                       k: int) -> bool:
+    """True iff `ivf_probe_scan` can run this configuration: used by
+    the `impl="auto"` dispatch (store/ivf.py) so unbalanced or very
+    wide indexes fall back to the XLA probe loop instead of failing a
+    Mosaic VMEM allocation at serve time."""
+    if d % 128 != 0 or k > 128:
+        return False
+    db_tile, chunks, n_bufs = _probe_tiling(cmax_pad, d, itemsize)
+    kpad = _round_up(max(k, 8), 8)
+    return _qp_for(db_tile, chunks, n_bufs, d, itemsize, kpad,
+                   int8=True) >= 8
 
 
 def _pad_rows(x, size: int, axis: int = 0):

@@ -31,7 +31,9 @@ vectors on a multi-host slice) needs sublinear scan cost. Design:
     spatial splitting cannot break (uneven k-means children, point
     masses of identical rows) fall back to even slices sharing the
     parent's exact centroid, which tie in ranking and get probed
-    together.
+    together. With spill active too, spilled copies respect the cap
+    (a runner-up cluster at capacity declines copies, most-boundary
+    rows admitted first) so the layout bound stays exact.
 
 Multi-host scale-out (BASELINE.md config #5, exercised on the virtual
 mesh by tests/test_ivf.py): pass `mesh=` — the cluster-sorted matrix is
@@ -193,16 +195,40 @@ def _split_oversized(take, n: int, assign, cent, cap: int, seed: int,
 
 
 def _plan_entries(n: int, n_clusters: int, assign, second, margin,
-                  spill: float):
+                  spill: float, cap: Optional[int] = None):
     """Entry table from assignments: spilled copies (SOAR-lite — the
     `spill` fraction of rows closest to their runner-up centroid get a
     second copy there), then the cluster-sorted order + per-cluster
-    counts. Pure O(N) host math shared by every build path."""
+    counts. Pure O(N) host math shared by every build path.
+
+    With `cap` (the balance cap `_split_oversized` just enforced on
+    base assignments), spill copies must not re-inflate a cluster past
+    it — otherwise a popular runner-up cluster grows cmax unbounded
+    and every probe's padded [cmax, d] DMA pays for it, defeating the
+    hard-cap layout guarantee. Copies are admitted per runner-up
+    cluster up to its remaining room, most-boundary rows (smallest
+    margin) first; the overflow is simply not spilled (those rows keep
+    their primary copy — recall falls back to the unspilled level for
+    them, the layout bound stays exact)."""
     entry_id = np.arange(n, dtype=np.int64)
     entry_cl = assign
     n_spill = 0
     if spill > 0.0 and second is not None:
         extra = np.nonzero(margin <= np.quantile(margin, spill))[0]
+        if cap is not None and len(extra):
+            room = cap - np.bincount(assign, minlength=n_clusters)
+            # admit by ascending margin (deterministic tiebreak: row id
+            # — np.lexsort's last key is primary)
+            by_margin = extra[np.lexsort((extra, margin[extra]))]
+            tgt = second[by_margin]
+            by_tgt = np.argsort(tgt, kind="stable")
+            tgt_s = tgt[by_tgt]
+            first = np.searchsorted(tgt_s, np.arange(n_clusters))
+            rank = np.arange(len(tgt_s)) - first[tgt_s]
+            keep_s = rank < np.maximum(room[tgt_s], 0)
+            keep = np.zeros(len(by_margin), bool)
+            keep[by_tgt] = keep_s
+            extra = np.sort(by_margin[keep])   # row-id entry order
         n_spill = len(extra)
         entry_id = np.concatenate([entry_id, extra])
         entry_cl = np.concatenate([assign, second[extra]])
@@ -340,6 +366,7 @@ class IVFIndex:
             assign, second, margin = _assign_all(
                 lambda lo, hi: jnp.asarray(vec32[lo:hi], self._dtype),
                 n, cent_d, want_spill)
+            cap = None
             if balance > 0.0 and n_clusters > 1:
                 # cap from the TRAINED granularity; splitting may then
                 # grow n_clusters (children of oversized clusters)
@@ -350,7 +377,7 @@ class IVFIndex:
                 n_clusters = len(cent_np)
                 cent_d = jnp.asarray(cent_np, self._dtype)
             order, counts, n_spill = _plan_entries(
-                n, n_clusters, assign, second, margin, spill)
+                n, n_clusters, assign, second, margin, spill, cap)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         self.cmax = int(counts.max())
         cmax_pad = _round_up(max(self.cmax, 8), 8)
@@ -460,6 +487,7 @@ class IVFIndex:
             assign, second, margin = _assign_all(
                 lambda lo, hi: emb[lo:hi].astype(self._dtype),
                 n, cent_d, want_spill)
+            cap = None
             if balance > 0.0 and n_clusters > 1:
                 cap = int(np.ceil(balance * n / n_clusters))
                 assign, cent_np = _split_oversized(
@@ -470,7 +498,7 @@ class IVFIndex:
                 n_clusters = len(cent_np)
                 cent_d = jnp.asarray(cent_np, self._dtype)
             order, counts, n_spill = _plan_entries(
-                n, n_clusters, assign, second, margin, spill)
+                n, n_clusters, assign, second, margin, spill, cap)
 
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         self.cmax = int(counts.max())
@@ -762,10 +790,21 @@ class IVFIndex:
         dedup = self.n_spill > 0
         k_fetch = min(2 * k, nprobe * self._cmax_pad) if dedup \
             else min(k, nprobe * self._cmax_pad)
+        # auto: the kernel only when it can actually run — d/k bounds
+        # AND the VMEM feasibility check (an unbalanced index can have
+        # cmax_pad wide enough that even an 8-query block cannot stage
+        # a probe; ivf_scan_supported falls back to XLA instead of
+        # failing a Mosaic allocation at serve time). Forcing "pallas"
+        # bypasses auto's guards but hits ivf_probe_scan's own
+        # validation, which raises a clear error rather than running
+        # outside the kernel contract.
+        from ..ops.ivf_scan import ivf_scan_supported
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu"
-            and self.dim % 128 == 0 and k_fetch <= 128
-            and q.shape[0] <= 256)
+            and q.shape[0] <= 256
+            and ivf_scan_supported(
+                self._cmax_pad, self.dim,
+                jnp.dtype(self.matrix.dtype).itemsize, k_fetch))
         if use_pallas:
             return _ivf_search_pallas(
                 self.matrix, self.centroids, self.offsets, self.counts,
@@ -949,12 +988,15 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
     k_eff = min(k, nprobe * cmax)
     k_fetch = min(2 * k, nprobe * cmax) if dedup else k_eff
     # per-shard probe scan via the Pallas kernel (same guards as the
-    # single-device dispatch); each shard's local top-k_fetch has the
-    # identical (-score, probe-major position) order either way
+    # single-device dispatch, incl. the VMEM feasibility check); each
+    # shard's local top-k_fetch has the identical (-score, probe-major
+    # position) order either way
+    from ..ops.ivf_scan import ivf_scan_supported
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
-        and dim % 128 == 0 and k_fetch <= 128
-        and queries.shape[0] <= 256)
+        and queries.shape[0] <= 256
+        and ivf_scan_supported(
+            cmax, dim, jnp.dtype(shard_mats.dtype).itemsize, k_fetch))
 
     def local(mats, soff, scnt, cent, g_off, rids, qs, qdg, rsc):
         mat, soff, scnt = mats[0], soff[0], scnt[0]

@@ -113,3 +113,33 @@ def test_preprocess_pil_unchanged_contract():
     assert out.shape == (32, 32, 3) and out.dtype == np.float32
     crop = preprocess_pil(im, 32, mode="resize_crop")
     assert crop.shape == (32, 32, 3)
+
+
+def test_cv2_backend_honors_mode(jpeg_folder):
+    """mode= must reach the cv2 path: "resize_crop" produces the same
+    center-crop geometry as PIL (previously the parameter was silently
+    dropped and cv2 always squashed to a square)."""
+    paths_p, px_p, sizes_p, _, _ = _collect(jpeg_folder,
+                                            mode="resize_crop")
+    paths_c, px_c, sizes_c, _, _ = _collect(jpeg_folder,
+                                            mode="resize_crop",
+                                            backend="cv2")
+    assert paths_p == paths_c and sizes_p == sizes_c
+    # same geometry, different bicubic kernels: close agreement
+    assert np.abs(px_p - px_c).mean() < 0.12
+    # and crop really differs from the squash on these 4:3 sources
+    _, px_sq, _, _, _ = _collect(jpeg_folder, backend="cv2")
+    assert np.abs(px_sq - px_c).mean() > 0.05
+
+
+def test_cv2_unknown_mode_rejected(jpeg_folder):
+    import pytest
+
+    files = sorted(
+        str(p) for p in __import__("pathlib").Path(jpeg_folder).iterdir())
+    from reverso_tpu.ingest.images import iter_batches
+    batches = list(iter_batches(files, 32, 4, mode="nope", backend="cv2"))
+    # per-file fault tolerance routes the ValueError into failed
+    assert all(not b.paths for b in batches)
+    assert any("ValueError" in err for b in batches
+               for _, err in b.failed)

@@ -878,3 +878,143 @@ def test_balance_cache_roundtrip(tmp_path, corpus):
     s2, i2 = jax.device_get(re.search(q, 10, nprobe=8))
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_plan_entries_cap_drops_overflow():
+    """Spill admission is per runner-up cluster up to the balance cap:
+    most-boundary rows (smallest margin) first, deterministic tiebreak
+    on row id, overflow simply not spilled."""
+    from reverso_tpu.store.ivf import _plan_entries
+
+    assign = np.array([0, 0, 1, 1, 2, 2])
+    second = np.array([1, 1, 0, 0, 0, 0])
+    margin = np.array([.9, .9, .1, .2, .3, .4], np.float32)
+    # cap == base counts: no room anywhere -> every spill dropped
+    order, counts, n_spill = _plan_entries(6, 3, assign, second, margin,
+                                           spill=1.0, cap=2)
+    assert n_spill == 0
+    np.testing.assert_array_equal(counts, [2, 2, 2])
+    np.testing.assert_array_equal(np.sort(order), np.arange(6))
+    # one slot of room per cluster: cluster 0 admits its smallest-
+    # margin suitor (row 2); cluster 1 admits row 0 (margin tie with
+    # row 1 -> lower row id wins); cluster 2 has no suitors
+    order, counts, n_spill = _plan_entries(6, 3, assign, second, margin,
+                                           spill=1.0, cap=3)
+    assert n_spill == 2
+    np.testing.assert_array_equal(counts, [3, 3, 2])
+    spilled = np.bincount(order, minlength=6)
+    np.testing.assert_array_equal(spilled, [2, 1, 2, 1, 1, 1])
+    # no cap: every candidate spills (previous behavior unchanged)
+    _, counts, n_spill = _plan_entries(6, 3, assign, second, margin,
+                                       spill=1.0, cap=None)
+    assert n_spill == 6 and counts.sum() == 12
+
+
+def test_spill_respects_balance_cap():
+    """Spilled copies must not re-inflate clusters past the balance
+    cap: a popular runner-up cluster otherwise grows cmax unbounded
+    and every probe's padded [cmax, d] slice pays for it."""
+    db = _skewed_corpus()
+    n = len(db)
+    idx = IVFIndex(db, n_clusters=24, dtype="float32", seed=0,
+                   spill=0.25, balance=1.25)
+    cap = int(np.ceil(1.25 * n / 24))
+    counts = np.asarray(idx.counts)
+    assert counts.max() <= cap, (int(counts.max()), cap)
+    assert idx.cmax <= cap
+    rid = np.asarray(idx.row_ids)
+    copies = np.bincount(rid, minlength=n)
+    assert copies.min() >= 1 and copies.max() <= 2
+    assert idx.n_spill == len(rid) - n <= int(0.25 * n) + 1
+    s, i = jax.device_get(idx.search(db[5], 10, nprobe=8))
+    assert i[0, 0] == 5
+    assert len(set(i[0].tolist())) == 10      # dedup intact
+
+
+def test_ivf_scan_supported_bounds():
+    """The auto-dispatch feasibility check: d/k contract bounds plus
+    the VMEM budget (staging area scales with cmax_pad and cannot be
+    tiled away — wide-but-feasible widths run at a reduced query
+    block, infeasible ones report unsupported so dispatch falls back
+    to XLA instead of failing a Mosaic allocation)."""
+    from reverso_tpu.ops.ivf_scan import (_probe_tiling, _qp_for,
+                                          ivf_scan_supported)
+
+    assert ivf_scan_supported(5120, 1024, 1, 20)
+    assert not ivf_scan_supported(5120, 1000, 1, 20)      # d % 128
+    assert not ivf_scan_supported(5120, 1024, 1, 129)     # k contract
+    assert not ivf_scan_supported(400_000, 1024, 1, 20)   # VMEM
+    # the measured hardware config keeps its exact tiling (gw is part
+    # of the flat-index contract)
+    assert _probe_tiling(5120, 1024, 1) == (512, 12, 4)
+    # cmax_pad ~24k is feasible at a reduced query block
+    db_tile, chunks, n_bufs = _probe_tiling(24576, 1024, 1)
+    qp = _qp_for(db_tile, chunks, n_bufs, 1024, 1, 24, int8=True)
+    assert 8 <= qp < 64, qp
+    assert ivf_scan_supported(24576, 1024, 1, 20)
+
+
+def test_probe_scan_k_over_128_raises():
+    import jax.numpy as jnp
+
+    from reverso_tpu.ops.ivf_scan import ivf_probe_scan
+
+    mat = jnp.zeros((16, 128), jnp.float32)
+    q = jnp.zeros((1, 128), jnp.float32)
+    qd = jnp.zeros((2, 1, 128), jnp.int8)
+    tbl = jnp.zeros((1, 2), jnp.int32)
+    with pytest.raises(ValueError, match="k <= 128"):
+        ivf_probe_scan(mat, q, qd, jnp.ones((1, 1)), tbl, tbl,
+                       k=129, nprobe=2, cmax_pad=8, int8=False)
+
+
+def test_engine_cache_keeps_sibling_configs(tmp_path):
+    """A dirty rebuild under config B must not delete config A's
+    still-valid cache: alternating two IVF configs against one store
+    (an A/B of spill, say) would otherwise retrain k-means on every
+    flip."""
+    import dataclasses
+    import os as _os
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipeline import make_corpus
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"],
+                                dtype="float32")
+    base = default_config()
+    base = dataclasses.replace(
+        base, model=model,
+        store=dataclasses.replace(base.store,
+                                  root_dir=str(tmp_path / "db")),
+        search=dataclasses.replace(base.search, index="ivf",
+                                   ivf_clusters=4, ivf_nprobe=4))
+    enc = PerceptionEncoder(model)
+    eng_a = Reverso(base, encoder=enc)
+    make_corpus(tmp_path / "imgs", n=20)
+    eng_a.create_database(str(tmp_path / "imgs"), "sibdb",
+                          use_direct_pe=True)
+    eng_a._get_index()
+    cache_dir = _os.path.join(str(tmp_path / "db"), "sibdb", "index")
+    files_a = set(_os.listdir(cache_dir))
+    assert len(files_a) == 1
+    (cache_a,) = files_a
+    mtime_a = _os.path.getmtime(_os.path.join(cache_dir, cache_a))
+
+    cfg_b = dataclasses.replace(
+        base, search=dataclasses.replace(base.search, ivf_spill=0.25))
+    eng_b = Reverso(cfg_b, encoder=enc)
+    assert eng_b.load_database("sibdb").startswith("✅")
+    eng_b._get_index()
+    files_ab = set(_os.listdir(cache_dir))
+    assert cache_a in files_ab and len(files_ab) == 2, files_ab
+    assert _os.path.getmtime(
+        _os.path.join(cache_dir, cache_a)) == mtime_a
+
+    # config A reloads its untouched cache (no retrain, no new files)
+    eng_a2 = Reverso(base, encoder=enc)
+    assert eng_a2.load_database("sibdb").startswith("✅")
+    eng_a2._get_index()
+    assert set(_os.listdir(cache_dir)) == files_ab
