@@ -36,7 +36,7 @@ from .ingest.pipeline import (
 from .models.pe import PerceptionEncoder
 from .parallel.sharding import make_mesh
 from .store import (
-    VectorStore, DeviceIndex, StoreError,
+    VectorStore, DeviceIndex, StoreError, StoreLockedError,
     list_databases as _list_databases,
     delete_database as _delete_database,
     unlock_database as _unlock_database,
@@ -131,6 +131,9 @@ class Reverso:
                 self._set_store(None)
             _delete_database(self.db_root, database_name)
             return f"✅ Deleted database: {database_name}"
+        except StoreLockedError:
+            return (f"❌ Database '{database_name}' is locked (a build "
+                    f"may be running); unlock it first")
         except StoreError:
             return f"❌ Database not found: {database_name}"
         except Exception as e:

@@ -83,6 +83,9 @@ def cosine_topk_xla(db: jnp.ndarray, queries: jnp.ndarray, k: int,
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
     k_eff = min(k, db.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k_eff)  # lax.top_k is stable: ties -> lower idx
+    # absent slots (masked padding rows when n_valid < k) are -1, the
+    # repo-wide contract — matching the Pallas and int8-XLA paths
+    top_idx = jnp.where(jnp.isneginf(top_scores), -1, top_idx)
     if k_eff < k:
         top_scores = _pad_dim(top_scores, 1, k)
         top_scores = top_scores.at[:, k_eff:].set(-jnp.inf)
@@ -778,8 +781,12 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
     n_shards = mesh.shape[axis]
     assert n % n_shards == 0, (n, n_shards)
     local_n = n // n_shards
-    use_pallas = impl == "pallas" or (impl == "auto" and k <= 128)
     int8 = jnp.dtype(db.dtype) == jnp.int8
+    # auto respects the int8-exact kernel's d <= 1040 exactness bound
+    # (wider dims use the chunked int8 XLA scan per shard)
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and k <= 128
+        and not (int8 and d * 127 * 127 >= 2 ** 24))
     assert not int8 or db_scale is not None
     if n_valid is None:
         n_valid = n
@@ -840,8 +847,10 @@ def tree_merge_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
     shards = n_host * n_chip
     assert n % shards == 0, (n, shards)
     local_n = n // shards
-    use_pallas = impl == "pallas" or (impl == "auto" and k <= 128)
     int8 = jnp.dtype(db.dtype) == jnp.int8
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and k <= 128
+        and not (int8 and d * 127 * 127 >= 2 ** 24))
     assert not int8 or db_scale is not None
     if n_valid is None:
         n_valid = n

@@ -58,10 +58,15 @@ class DeviceIndex:
         self._dtype = jnp.dtype(dtype)
 
         n_shards = mesh.shape[axis] if mesh is not None else 1
-        # x4: the streaming kernel unrolls by its DMA ring depth (4) and
-        # pads rows to whole ring units; pre-aligning here keeps the
-        # in-jit pad a no-op (no database copy per search).
-        padded = _round_up(max(n, 1), 4 * db_tile * n_shards)
+        # x12: the streaming kernel unrolls by lcm(ring depth, extraction
+        # group) and pads rows to whole unroll units. The ring depth is
+        # VMEM-adaptive (4, 3, or 2 depending on dtype/d/query block), so
+        # pre-align to lcm(4,6,2)*db_tile = 12*db_tile — covering every
+        # ring the kernel can pick — to keep the in-jit pad a no-op for
+        # ALL query batch shapes (a 4*db_tile pre-pad met only the
+        # 4-buffer ring; a 3-buffer launch then copied the whole padded
+        # matrix inside jit on every search and compiled a fresh shape).
+        padded = _round_up(max(n, 1), 12 * db_tile * n_shards)
         host = np.zeros((padded, d), np.float32)
         host[:n] = np.asarray(vectors, np.float32)
         self.scale: Optional[float] = None
@@ -102,7 +107,12 @@ class DeviceIndex:
                                        axis=self.axis, impl=impl,
                                        n_valid=self.n_valid,
                                        db_scale=self.scale)
-        if impl == "xla" or (impl == "auto" and k > 128):
+        # the int8-exact kernel's f32-partial exactness bounds d <= 1040;
+        # "auto" routes wider embeddings to the chunked int8 XLA scan
+        # (any d, exact f32-HIGHEST dots) instead of crashing
+        int8_exact_ok = int8 and self.dim * 127 * 127 < 2 ** 24
+        if impl == "xla" or (impl == "auto"
+                             and (k > 128 or (int8 and not int8_exact_ok))):
             if int8:
                 # chunked scan: never dequantizes the whole matrix (a
                 # full f32 copy is 4x the int8 footprint — OOM at the

@@ -66,10 +66,21 @@ def list_databases(root: str) -> list[str]:
 
 
 def delete_database(root: str, name: str) -> None:
-    """shutil.rmtree of the DB dir (reference core_system.py:121-135)."""
+    """shutil.rmtree of the DB dir (reference core_system.py:121-135).
+
+    A locked store is live in another process (a build appending to
+    it); deleting it out from under the writer both destroys the data
+    mid-build and lets a later create() interleave with the zombie
+    writer. Mirror create(overwrite=True)'s guard: explicit unlock
+    required first (the reference exposed the same escape hatch,
+    core_system.py:137-154)."""
     path = os.path.join(root, name)
     if not os.path.isdir(path):
         raise StoreError(f"Database not found: {name}")
+    if os.path.exists(os.path.join(path, LOCK_FILE)):
+        raise StoreLockedError(
+            f"Database '{name}' is locked (a build may be running); "
+            f"unlock it first")
     shutil.rmtree(path)
 
 
@@ -177,8 +188,12 @@ class VectorStore:
             raise StoreError(f"Database not found: {name}")
         if not os.path.exists(meta_path):
             raise StoreError(f"Collection not found in database: {name}")
-        with open(meta_path) as f:
-            meta = json.load(f)
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except ValueError as e:   # empty/partial meta: StoreError, so
+            raise StoreError(     # recovery paths catch it uniformly
+                f"Corrupt store {name}: unreadable meta.json ({e})")
         # legacy-name fallback (reference core_system.py:107)
         coll = meta.get("collection", collection_name(name))
         store = VectorStore(path=path, name=name, dim=int(meta["dim"]),
@@ -193,10 +208,14 @@ class VectorStore:
                 f"Corrupt store {name}: meta says {store.count} rows, file has {actual_rows}")
         if actual_rows > store.count:
             # torn append (crash between write and meta flush): keep the
-            # durable prefix, ignore the tail.
+            # durable prefix, ignore the tail. Read-only handles just
+            # never look past count; a WRITABLE handle must physically
+            # trim the tail (below) because append() writes at EOF —
+            # appending after torn bytes would misalign every later row.
             pass
         if writable:
             store._acquire_lock()
+            store._trim_torn_tail()
         return store
 
     def refresh(self) -> None:
@@ -222,11 +241,17 @@ class VectorStore:
             self._offsets_cache = None
 
     def _acquire_lock(self) -> None:
+        # O_CREAT|O_EXCL makes acquisition atomic: a check-then-create
+        # would let two processes that race past the exists() check
+        # both "hold" the lock and interleave appends (permanent
+        # row/payload misalignment)
         lock = os.path.join(self.path, LOCK_FILE)
-        if os.path.exists(lock):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
             raise StoreLockedError(
                 f"Database '{self.name}' is locked; unlock it first")
-        with open(lock, "w") as f:
+        with os.fdopen(fd, "w") as f:
             f.write(str(os.getpid()))
         self._locked = True
 
@@ -263,6 +288,12 @@ class VectorStore:
                        "data_version": self.data_version,
                        "mutation_epoch": self.mutation_epoch,
                        "dtype": "float32", "version": 1}, f, indent=2)
+            # fsync BEFORE the rename: os.replace is atomic in the
+            # namespace but does not imply the new file's data blocks
+            # are durable — power loss could otherwise commit a rename
+            # to an empty/partial meta.json
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.path, META_FILE))
 
     def append(self, vectors: np.ndarray, payloads: Sequence[dict]) -> None:
@@ -414,30 +445,94 @@ class VectorStore:
                 out.append(json.loads(f.readline()))
         return out
 
+    def _payload_cut(self, count: int) -> int:
+        """Byte offset in payloads.jsonl where line `count` starts —
+        O(1) via the sidecar (plus a short walk if the sidecar trails
+        by a few lines), never an O(N) scan of the JSONL."""
+        jsonl = os.path.join(self.path, PAYLOAD_FILE)
+        if count <= 0 or not os.path.exists(jsonl):
+            return 0
+        size = os.path.getsize(jsonl)
+        idx = os.path.join(self.path, PAYLOAD_IDX_FILE)
+        idx_rows = os.path.getsize(idx) // 8 if os.path.exists(idx) else 0
+        start_row, start_pos = 0, 0
+        if idx_rows > 0:
+            row = min(count, idx_rows - 1)
+            with open(idx, "rb") as f:
+                f.seek(row * 8)
+                cand = int(np.frombuffer(f.read(8), "<i8")[0])
+            if 0 <= cand <= size:
+                if row == count:          # direct hit: start of line count
+                    return cand
+                start_row, start_pos = row, cand
+        with open(jsonl, "rb") as f:
+            f.seek(start_pos)
+            for _ in range(start_row, count):
+                if not f.readline():
+                    break
+            return f.tell()
+
+    def _trim_torn_tail(self) -> None:
+        """Physically drop file bytes beyond the committed `count`
+        (torn append, or a truncate interrupted after its meta commit).
+        Called on writable open, before any append can land at EOF."""
+        vec_path = os.path.join(self.path, VEC_FILE)
+        vec_bytes = self.count * 4 * self.dim
+        if os.path.exists(vec_path) and \
+                os.path.getsize(vec_path) > vec_bytes:
+            with open(vec_path, "r+b") as f:
+                f.truncate(vec_bytes)
+        jsonl = os.path.join(self.path, PAYLOAD_FILE)
+        if os.path.exists(jsonl):
+            cut = self._payload_cut(self.count)
+            if os.path.getsize(jsonl) > cut:
+                with open(jsonl, "r+b") as f:
+                    f.truncate(cut)
+        idx_path = os.path.join(self.path, PAYLOAD_IDX_FILE)
+        if os.path.exists(idx_path) and \
+                os.path.getsize(idx_path) > self.count * 8:
+            with open(idx_path, "r+b") as f:
+                f.truncate(self.count * 8)
+
     def truncate(self, count: int) -> None:
-        """Drop rows beyond `count` (resume support: roll back a torn batch)."""
+        """Drop rows beyond `count` (resume support: roll back a torn
+        batch).
+
+        Crash-safe ordering: the reduced count is committed to meta
+        FIRST (readers never look past meta count, and the next
+        writable open trims oversized files via `_trim_torn_tail`), and
+        the payload file is shrunk in place at its exact byte offset —
+        never rewritten (the old read-all/rewrite both loaded the whole
+        JSONL into RAM and, worse, zeroed the file before rewriting: a
+        crash in that window destroyed every payload)."""
         if not self._locked:
             raise StoreError("store opened read-only")
         if count > self.count:
             raise StoreError("cannot truncate upward")
+        if count == self.count:
+            # no-op: the row prefix is untouched — keep mutation_epoch
+            # (and the IVF k-means cache keyed on it) intact. The
+            # resume path truncates unconditionally, and a full retrain
+            # after every clean resume would be pure waste.
+            return
         self.close_files_for_truncate()
+        cut = self._payload_cut(count)
+        self.count = count
+        self.data_version += 1
+        self.mutation_epoch += 1     # rows beyond count may be replaced:
+        self._offsets_cache = None   # larger-prefix caches are invalid
+        self._write_meta()
         vec_path = os.path.join(self.path, VEC_FILE)
         with open(vec_path, "r+b") as f:
             f.truncate(count * 4 * self.dim)
         pay_path = os.path.join(self.path, PAYLOAD_FILE)
-        with open(pay_path, "rb") as f:
-            lines = f.read().splitlines(keepends=True)
-        with open(pay_path, "wb") as f:
-            f.writelines(lines[:count])
+        if os.path.exists(pay_path):
+            with open(pay_path, "r+b") as f:
+                f.truncate(cut)
         idx_path = os.path.join(self.path, PAYLOAD_IDX_FILE)
         if os.path.exists(idx_path):
             with open(idx_path, "r+b") as f:
                 f.truncate(count * 8)
-        self.count = count
-        self.data_version += 1
-        self.mutation_epoch += 1     # existing rows changed: derived
-        self._offsets_cache = None   # prefix caches are now invalid
-        self._write_meta()
 
     def close_files_for_truncate(self) -> None:
         if self._vec_f is not None:

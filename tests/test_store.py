@@ -202,3 +202,154 @@ def test_truncate_keeps_sidecar_in_lockstep(tmp_path, rng):
     s2 = VectorStore.open(root, "tc")
     got = s2.payloads([0, 3, 4, 5])
     assert [p["region_id"] for p in got] == ["r0", "r3", "r4", "r5"]
+
+
+# -- review-fix regressions (truncate crash-safety, lock atomicity,
+#    torn-tail trim, -1 contract, int8 wide-dim dispatch) ---------------
+
+def test_truncate_noop_keeps_epoch(tmp_path, rng):
+    """Resume truncates unconditionally; a no-op truncate (count
+    unchanged) must not bump mutation_epoch — that key invalidates the
+    IVF k-means cache and forces a full retrain for nothing."""
+    root = str(tmp_path)
+    with VectorStore.create(root, "db", 8) as s:
+        s.append(random_unit(rng, 10, 8), make_payloads(10))
+        epoch = s.mutation_epoch
+        version = s.data_version
+        s.truncate(10)
+        assert s.mutation_epoch == epoch
+        assert s.data_version == version
+        s.truncate(6)                      # real truncation still bumps
+        assert s.mutation_epoch == epoch + 1
+        assert s.count == 6
+
+
+def test_truncate_is_inplace_shrink_not_rewrite(tmp_path, rng):
+    """truncate must shrink payloads.jsonl at its byte offset (O(1) via
+    the sidecar), never zero-and-rewrite it: the payload bytes of kept
+    rows are byte-identical before and after."""
+    root = str(tmp_path)
+    with VectorStore.create(root, "db", 8) as s:
+        s.append(random_unit(rng, 20, 8), make_payloads(20))
+        s.flush()
+        pay = os.path.join(root, "db", "payloads.jsonl")
+        with open(pay, "rb") as f:
+            before = f.read()
+        s.truncate(7)
+        with open(pay, "rb") as f:
+            after = f.read()
+        cut = len(b"".join(before.splitlines(keepends=True)[:7]))
+        assert after == before[:cut]
+        assert s.payloads([6])[0]["region_id"] == "r6"
+        assert s.payloads([7])[0] is None
+
+
+def test_interrupted_truncate_recovers_on_reopen(tmp_path, rng):
+    """Crash window: meta committed with the reduced count but the data
+    files never shrank. A writable reopen must trim the tails so later
+    appends stay aligned."""
+    import json as _json
+    root = str(tmp_path)
+    vecs = random_unit(rng, 12, 8)
+    with VectorStore.create(root, "db", 8) as s:
+        s.append(vecs, make_payloads(12))
+    meta_path = os.path.join(root, "db", "meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    meta["count"] = 5                       # simulated torn truncate
+    meta["mutation_epoch"] += 1
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    s2 = VectorStore.open(root, "db", writable=True)
+    assert s2.count == 5
+    assert os.path.getsize(os.path.join(root, "db", "vectors.bin")) \
+        == 5 * 4 * 8
+    new = random_unit(rng, 3, 8)
+    s2.append(new, make_payloads(3, 5))
+    got = np.asarray(s2.vectors())
+    np.testing.assert_allclose(got[:5], vecs[:5], atol=1e-7)
+    np.testing.assert_allclose(got[5:], new, atol=1e-7)
+    assert s2.payloads([5])[0]["region_id"] == "r5"
+    s2.close()
+
+
+def test_writable_open_trims_torn_append(tmp_path, rng):
+    """A crash mid-append leaves partial trailing bytes; appending after
+    them would misalign every later row. Writable open drops them."""
+    root = str(tmp_path)
+    vecs = random_unit(rng, 6, 8)
+    with VectorStore.create(root, "db", 8) as s:
+        s.append(vecs, make_payloads(6))
+    with open(os.path.join(root, "db", "vectors.bin"), "ab") as f:
+        f.write(b"\x00" * 13)               # torn partial row
+    with open(os.path.join(root, "db", "payloads.jsonl"), "ab") as f:
+        f.write(b'{"region_id": "torn"')    # torn partial line
+    # read-only open tolerates the tail
+    assert VectorStore.open(root, "db").count == 6
+    s2 = VectorStore.open(root, "db", writable=True)
+    new = random_unit(rng, 2, 8)
+    s2.append(new, make_payloads(2, 6))
+    got = np.asarray(s2.vectors())
+    assert got.shape == (8, 8)
+    np.testing.assert_allclose(got[6:], new, atol=1e-7)
+    assert s2.payloads([6])[0]["region_id"] == "r6"
+    assert s2.payloads([7])[0]["region_id"] == "r7"
+    s2.close()
+
+
+def test_delete_locked_store_refused(tmp_path, rng):
+    root = str(tmp_path)
+    s = VectorStore.create(root, "db", 8)
+    s.append(random_unit(rng, 3, 8), make_payloads(3))
+    with pytest.raises(StoreLockedError):
+        delete_database(root, "db")
+    s.close()
+    delete_database(root, "db")             # unlocked: fine
+    assert list_databases(root) == []
+
+
+def test_corrupt_meta_raises_store_error(tmp_path, rng):
+    root = str(tmp_path)
+    with VectorStore.create(root, "db", 8) as s:
+        s.append(random_unit(rng, 3, 8), make_payloads(3))
+    with open(os.path.join(root, "db", "meta.json"), "w") as f:
+        f.write('{"name": "db", "cou')       # power-loss partial write
+    with pytest.raises(StoreError):
+        VectorStore.open(root, "db")
+
+
+def test_xla_topk_absent_slots_are_minus_one(rng):
+    """cosine_topk_xla must emit -1 for -inf slots (n_valid < k) like
+    the Pallas and int8-XLA paths — the repo-wide contract."""
+    from reverso_tpu.ops.topk import cosine_topk_xla
+    db = random_unit(rng, 64, 16)            # 64 rows, only 3 valid
+    s, i = jax.device_get(cosine_topk_xla(db, db[:2], 10, n_valid=3))
+    assert (i[:, 3:] == -1).all(), i
+    assert np.isneginf(s[:, 3:]).all()
+    assert (i[:, :3] >= 0).all()
+
+
+def test_device_index_int8_wide_dim_auto_falls_back(rng):
+    """int8 storage with d > 1040 (e.g. a 1152-dim encoder): auto must
+    route to the chunked int8 XLA scan instead of crashing on the
+    int8-exact kernel's exactness bound."""
+    d = 1152
+    db = random_unit(rng, 96, d)
+    q = db[:4]
+    idx = DeviceIndex(db, dtype="int8", db_tile=64)
+    s, i = jax.device_get(idx.search(q, 5))
+    assert i[0, 0] == 0 and i[3, 0] == 3
+    # scores are cosines against the dequantized int8 rows
+    deq = np.asarray(idx.matrix[:96], np.float32) * idx.scale
+    want = np.take_along_axis(q.astype(np.float64) @ deq.astype(np.float64).T,
+                              i, axis=1)
+    np.testing.assert_allclose(s, want, rtol=1e-5, atol=1e-6)
+
+
+def test_device_index_prepad_covers_all_ring_depths(rng):
+    """Row pre-padding must be a multiple of lcm(4,3,2)*db_tile so the
+    kernel's in-jit pad is a no-op for EVERY VMEM-adaptive ring depth
+    (a 3-buffer launch against a 4-aligned matrix copied the whole
+    database inside jit)."""
+    idx = DeviceIndex(random_unit(rng, 100, 16), db_tile=64)
+    assert idx.matrix.shape[0] % (12 * 64) == 0
