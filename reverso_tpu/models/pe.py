@@ -142,28 +142,39 @@ class PerceptionEncoder:
             "family", "pe" if cfg.use_rope else "clip"))
         return cls(cfg, params=load_params(path), **kw)
 
+    def _stage_batch(self, *arrays):
+        """Mesh mode: pad every array's batch dim to a multiple of the
+        data-axis size and place it with the DP sharding (one helper so
+        encode_image / encode_with_tokens / encode_regions all scale
+        out identically). Identity off-mesh. Returns (*staged, b)."""
+        arrays = tuple(jnp.asarray(a) for a in arrays)
+        b = arrays[0].shape[0]
+        if self._batch_sharding is None:
+            return (*arrays, b)
+        n_shards = self.mesh.shape[self.data_axis]
+        pad = (-b) % n_shards
+        out = []
+        for a in arrays:
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            out.append(jax.device_put(a, self._batch_sharding))
+        return (*out, b)
+
     def encode_image(self, images, *, normalized: bool = True):
         """images: [B, H, W, 3] float (already mean/std preprocessed).
         Returns L2-normalized [B, embed_dim] fp32 embeddings
         (reference core_system.py:341,407)."""
         if not normalized:
             raise ValueError("embeddings are always L2-normalized")
-        images = jnp.asarray(images)
-        if self._batch_sharding is not None:
-            n_shards = self.mesh.shape[self.data_axis]
-            b = images.shape[0]
-            pad = (-b) % n_shards
-            if pad:
-                images = jnp.concatenate(
-                    [images, jnp.zeros((pad,) + images.shape[1:],
-                                       images.dtype)], axis=0)
-            images = jax.device_put(images, self._batch_sharding)
-            return self._fwd(self.params, images)[:b]
-        return self._fwd(self.params, images)
+        images, b = self._stage_batch(images)
+        return self._fwd(self.params, images)[:b]
 
     def encode_with_tokens(self, images):
         """Returns (embeddings [B, E], tokens [B, S, W]) for region pooling."""
-        return self._fwd(self.params, jnp.asarray(images), return_tokens=True)
+        images, b = self._stage_batch(images)
+        emb, tokens = self._fwd(self.params, images, return_tokens=True)
+        return emb[:b], tokens[:b]
 
     def encode_regions(self, images, masks):
         """Fused masked-ROI region embeddings.
@@ -176,14 +187,15 @@ class PerceptionEncoder:
         the global embedding for every region (core_system.py:406).
         Returns (global [B, E], regions [B, R, E]), all L2-normalized.
         """
-        images = jnp.asarray(images)
         masks = jnp.asarray(masks, jnp.float32)
         p = self.cfg.patch_size
         g = self.cfg.grid_size
         b, r = masks.shape[:2]
         # average-pool pixel masks onto the patch grid
         mg = masks.reshape(b, r, g, p, g, p).mean(axis=(3, 5))
-        return self._fwd_regions(self.params, images, mg.reshape(b, r, g * g))
+        images, mg, b = self._stage_batch(images, mg.reshape(b, r, g * g))
+        emb, regions = self._fwd_regions(self.params, images, mg)
+        return emb[:b], regions[:b]
 
     @property
     def embed_dim(self) -> int:
@@ -191,12 +203,19 @@ class PerceptionEncoder:
 
 
 def preprocess_images(batch: np.ndarray) -> np.ndarray:
-    """uint8/float [B, H, W, 3] in [0, 255] -> normalized float32.
+    """[B, H, W, 3] pixels -> normalized float32.
 
     Host-side equivalent of the reference's torchvision transform chain
     output (resize/crop happen in the ingest pipeline; this is the
-    mean/std step)."""
-    x = np.asarray(batch, np.float32)
-    if x.max() > 1.5:
-        x = x / 255.0
+    mean/std step). The 0-255 vs 0-1 convention comes from the DTYPE:
+    integer arrays are 0-255 (divided by 255), float arrays must
+    already be 0-1 (torchvision ToTensor semantics). A content
+    heuristic (max() > 1.5) would mis-scale near-black uint8 batches
+    255x and make one image's normalization depend on its batchmates.
+    """
+    batch = np.asarray(batch)
+    if np.issubdtype(batch.dtype, np.integer):
+        x = batch.astype(np.float32) / 255.0
+    else:
+        x = batch.astype(np.float32)
     return (x - IMAGE_MEAN) / IMAGE_STD

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..ops.attention import attention
 from ..ops.rope import rope_2d_tables, apply_rope_2d
+from ..ops.topk import _dot_precision
 
 
 def _act(name: str):
@@ -64,7 +65,12 @@ class MHA(nn.Module):
         use_flash = self.use_flash
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
-        if use_flash and x.shape[1] <= 2048 and hd % 4 == 0:
+        # heads-in-lanes holds the full sequence resident plus per-chunk
+        # [S, S] fp32 score stacks; its VMEM envelope is validated up to
+        # S_pad ~1032 at ViT-L width (ops/attention.py head-scheduling
+        # note). Longer sequences take the tiled flash path below, which
+        # streams KV and handles any S.
+        if use_flash and x.shape[1] <= 1032 and hd % 4 == 0:
             # heads-in-lanes kernel: no head transposes, RoPE in-kernel
             from ..ops.attention import flash_attention_heads
             o = flash_attention_heads(q, k, v, heads=h, cos=cos, sin=sin,
@@ -122,9 +128,12 @@ class MLP(nn.Module):
             return fused_mlp(x, w1.astype(x.dtype), b1.astype(x.dtype),
                              w2.astype(x.dtype), b2.astype(x.dtype),
                              act=self.act, quant=cfg.quant == "int8")
-        h = jnp.dot(x, w1.astype(x.dtype)) + b1.astype(x.dtype)
+        prec = _dot_precision(x.dtype)
+        h = jnp.dot(x, w1.astype(x.dtype), precision=prec) \
+            + b1.astype(x.dtype)
         h = _act(self.act)(h)
-        return jnp.dot(h, w2.astype(x.dtype)) + b2.astype(x.dtype)
+        return jnp.dot(h, w2.astype(x.dtype), precision=prec) \
+            + b2.astype(x.dtype)
 
 
 class LayerScale(nn.Module):
@@ -171,7 +180,6 @@ class AttentionPool(nn.Module):
     the pooling-head weights (SURVEY.md north star; the reference instead
     reused the global embedding per region, core_system.py:406)."""
     cfg: ModelConfig
-    use_flash: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, mask_bias=None):  # [B, S, W] -> [B, W] | [B, R, W]
@@ -199,10 +207,15 @@ class AttentionPool(nn.Module):
             o = attention(split(q), split(k), split(v), use_flash=False)
         else:
             qh, kh, vh = split(q), split(k), split(v)
-            s = jnp.einsum("bhrd,bhsd->bhrs", qh, kh).astype(jnp.float32)
+            # per-dtype precision: default-precision f32 dots run one
+            # bf16 MXU pass on TPU (the documented trap), which would
+            # silently degrade exact-parity f32 region pooling
+            prec = _dot_precision(x.dtype)
+            s = jnp.einsum("bhrd,bhsd->bhrs", qh, kh,
+                           precision=prec).astype(jnp.float32)
             s = s * (hd ** -0.5) + mask_bias[:, None, :, :]
             p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-            o = jnp.einsum("bhrs,bhsd->bhrd", p, vh)
+            o = jnp.einsum("bhrs,bhsd->bhrd", p, vh, precision=prec)
         o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], r, w)
         o = dense("out_proj")(o)
         o = ln(o).astype(x.dtype)
@@ -283,8 +296,10 @@ class VisionTransformer(nn.Module):
                                         name="ln_post")(tokens).astype(dtype)
             else:
                 tokens_n = tokens
-            pool = AttentionPool(cfg, use_flash=self.use_flash,
-                                 name="attn_pool")
+            # no use_flash knob: the pool is 1 (or R) queries — the
+            # flash kernel would pad to 128; the XLA/einsum paths are
+            # the right shape here regardless of backend
+            pool = AttentionPool(cfg, name="attn_pool")
             if kv_valid is None:
                 pooled = pool(tokens_n)
             else:

@@ -298,9 +298,15 @@ def flash_attention(q, k, v, *, kv_valid: Optional[int] = None,
         # temporaries (~2 live at once)
         budget = 12 * 2**20 - 2 * s_p * s_p * 4
         per_head = 2 * 4 * s_p * d_p * q.dtype.itemsize
-        hp = max(1, min(16, budget // per_head))
-        return _flash_fullseq_jit(q, k, v, scale=scale, kv_valid=kv_valid,
-                                  interpret=interpret, heads_per_prog=int(hp))
+        if budget >= per_head:
+            hp = min(16, budget // per_head)
+            return _flash_fullseq_jit(q, k, v, scale=scale,
+                                      kv_valid=kv_valid,
+                                      interpret=interpret,
+                                      heads_per_prog=int(hp))
+        # budget < one head: the [S, S] temporaries alone are too big
+        # for fullseq (S roughly > 1250) — stream KV via the tiled
+        # kernel instead of launching a VMEM-infeasible program
     q_tile = min(q_tile, _round_up(q.shape[2], 128))
     kv_tile = min(kv_tile, _round_up(skv, 128))
     return _flash_jit(q, k, v, None, None, scale=scale, q_tile=q_tile,
@@ -381,6 +387,12 @@ def _flash_heads_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
             # exact but cancelled catastrophically in f32 when every
             # real score was << 0 (pad columns pin m at 0), producing
             # Inf/NaN embeddings in that degenerate regime.
+            # Known bound of this fast path: with pad columns pinning
+            # m at 0, real-score probabilities pass through the
+            # p.astype(q.dtype) cast below, so scores below ~-87
+            # underflow bf16 exp and the output decays toward 0 (no
+            # Inf/NaN). Softmax logits of trained towers are O(10);
+            # reaching -87 means the inputs are already garbage.
             l = jnp.sum(p[:, :s_real], axis=1, keepdims=True)
         else:
             l = jnp.sum(p, axis=1, keepdims=True)
@@ -494,7 +506,10 @@ def flash_attention_heads(q, k, v, *, heads: int, cos=None, sin=None,
     use_rope = cos is not None
     cos_a = jnp.asarray(cos, jnp.float32) if use_rope else None
     sin_a = jnp.asarray(sin, jnp.float32) if use_rope else None
+    # `is not None`, not truthiness: kv_valid=0 must mean "zero valid
+    # keys" (fully masked), matching flash_attention's handling
     return _flash_heads_jit(q, k, v, cos_a, sin_a, heads=heads, scale=scale,
-                            kv_valid=int(kv_valid) if kv_valid else s,
+                            kv_valid=(int(kv_valid) if kv_valid is not None
+                                      else s),
                             use_rope=use_rope, interpret=interpret,
                             seq_pad=_SEQ_PAD)

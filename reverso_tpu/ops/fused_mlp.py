@@ -20,6 +20,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .topk import _round_up, _pad_dim, _dot_precision
+# shared quantization definitions (ops/quant.py) so the fused int8 path
+# and int8_linear can never silently diverge; quantize_rows_int8 is
+# plain jnp math and runs inside the kernel too
+from .quant import quantize_rows_int8 as _quant_rows
+from .quant import quantize_weight_int8 as _quant_weight
 
 
 def mlp_xla(x, w1, b1, w2, b2, act: str = "gelu"):
@@ -82,14 +87,6 @@ def _fused_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
     @pl.when(ci == n_c - 1)
     def _():
         o_ref[:] = (acc[:] + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
-
-
-def _quant_rows(v):
-    """Per-row symmetric s8 in-kernel: returns (v8, row_scale [R, 1]).
-    Multiply-by-inverse form — TPU f32 divide is not IEEE (ivf.py)."""
-    amax = jnp.maximum(jnp.max(jnp.abs(v), axis=1, keepdims=True), 1e-30)
-    v8 = jnp.clip(jnp.round(v * (127.0 / amax)), -127, 127)
-    return v8.astype(jnp.int8), amax * (1.0 / 127.0)
 
 
 def _fused_mlp_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
@@ -172,17 +169,12 @@ def _fused_mlp_jit(x, w1, b1, w2, b2, *, act: str, row_tile: int,
 
     if quant:
         # per-output-column weight quantization in XLA, once per call —
-        # O(W*hid), noise vs the O(T*W*hid) matmuls (quantize_weight_int8
-        # math; pad columns are all-zero -> clamp keeps them finite)
-        f32 = jnp.float32
-        a1 = jnp.maximum(jnp.max(jnp.abs(w1_p.astype(f32)), axis=0,
-                                 keepdims=True), 1e-30)
-        w1_8 = jnp.clip(jnp.round(w1_p.astype(f32) * (127.0 / a1)),
-                        -127, 127).astype(jnp.int8)
-        a2 = jnp.maximum(jnp.max(jnp.abs(w2_p.astype(f32)), axis=0,
-                                 keepdims=True), 1e-30)
-        w2_8 = jnp.clip(jnp.round(w2_p.astype(f32) * (127.0 / a2)),
-                        -127, 127).astype(jnp.int8)
+        # O(W*hid), noise vs the O(T*W*hid) matmuls; shared
+        # quantize_weight_int8 so this path and int8_linear use ONE
+        # quantization definition (pad columns are all-zero -> the
+        # clamp keeps them finite)
+        w1_8, s1 = _quant_weight(w1_p)
+        w2_8, s2 = _quant_weight(w2_p)
         out = pl.pallas_call(
             functools.partial(_fused_mlp_int8_kernel, act=act),
             grid=grid,
@@ -195,8 +187,7 @@ def _fused_mlp_jit(x, w1, b1, w2, b2, *, act: str, row_tile: int,
                             pltpu.VMEM((row_tile, 1), jnp.float32)],
             compiler_params=params, cost_estimate=cost,
             interpret=interpret,
-        )(x_p, w1_8, a1 * (1.0 / 127.0), b1_p, w2_8,
-          a2 * (1.0 / 127.0), b2_p)
+        )(x_p, w1_8, s1, b1_p, w2_8, s2, b2_p)
         return out[:t_out, :w]
 
     kernel = functools.partial(_fused_mlp_kernel, act=act)
@@ -226,6 +217,14 @@ def fused_mlp(x, w1, b1, w2, b2, *, act: str = "gelu",
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # the kernel's output block is sized from the INPUT width, so a
+    # non-square MLP (w2 wider than x) would be silently truncated —
+    # make the latent contract explicit
+    if w1.shape[0] != x.shape[-1] or w2.shape[1] != x.shape[-1] \
+            or w1.shape[1] != w2.shape[0]:
+        raise ValueError(
+            f"fused_mlp requires a square MLP (w1 [{x.shape[-1]}, H], "
+            f"w2 [H, {x.shape[-1]}]); got w1 {w1.shape}, w2 {w2.shape}")
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     out = _fused_mlp_jit(x2, w1, b1, w2, b2, act=act, row_tile=row_tile,

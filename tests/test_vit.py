@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from reverso_tpu.config import MODEL_PRESETS, ModelConfig
 from reverso_tpu.models import (
     VisionTransformer, PerceptionEncoder, convert_vision_tower,
-    preprocess_images,
+    preprocess_images, IMAGE_MEAN, IMAGE_STD,
 )
 from reverso_tpu.ops.attention import attention_xla, flash_attention
 
@@ -414,3 +414,78 @@ def test_vit_int8_quant_tower_close_to_bf16(rng):
     assert np.isfinite(out).all()
     assert (cos > 0.98).all(), cos
     assert not np.allclose(out, ref)   # the knob actually switched paths
+
+
+def test_preprocess_dtype_semantics():
+    """Scale convention comes from dtype, not batch content: a near-
+    black uint8 batch must still be divided by 255 (the old max()>1.5
+    heuristic scaled it 255x and made normalization batch-dependent)."""
+    dark = np.ones((1, 4, 4, 3), np.uint8)          # max() == 1
+    bright = np.full((1, 4, 4, 3), 255, np.uint8)
+    x = preprocess_images(np.concatenate([dark, bright]))
+    alone = preprocess_images(dark)
+    np.testing.assert_array_equal(x[0], alone[0])   # batch-independent
+    want = (1.0 / 255.0 - IMAGE_MEAN) / IMAGE_STD
+    np.testing.assert_allclose(alone[0, 0, 0], want, rtol=1e-6)
+    # float input: already 0-1 (ToTensor semantics)
+    f = preprocess_images(np.full((1, 2, 2, 3), 0.5, np.float32))
+    np.testing.assert_allclose(
+        f[0, 0, 0], (0.5 - IMAGE_MEAN) / IMAGE_STD, rtol=1e-6)
+
+
+def test_flash_dispatch_long_seq_uses_tiled_path():
+    """S where the fullseq kernel's [S,S] temporaries exceed VMEM must
+    fall through to the tiled kernel (previously it launched a
+    VMEM-infeasible fullseq program with heads_per_prog clamped to 1).
+    Numerics vs the XLA reference prove the fallback path runs."""
+    from reverso_tpu.ops.attention import attention_xla, flash_attention
+    rng = np.random.default_rng(0)
+    q, k, v = (rng.standard_normal((1, 1, 1536, 16)).astype(np.float32)
+               for _ in range(3))
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v)))
+    ref = np.asarray(attention_xla(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mlp_rejects_non_square():
+    from reverso_tpu.ops.fused_mlp import fused_mlp
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((32, 64)).astype(np.float32))
+    b1 = jnp.zeros(64)
+    w2 = jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32))
+    b2 = jnp.zeros(48)
+    with pytest.raises(ValueError, match="square MLP"):
+        fused_mlp(x, w1, b1, w2, b2)
+
+
+def test_encoder_mesh_dp_parity_all_entry_points():
+    """All three encode entry points must take the DP mesh path (pad to
+    the axis size, shard, slice back) and agree with the single-device
+    encoder to bf16 shape-noise tolerance. encode_with_tokens and
+    encode_regions previously bypassed the mesh staging entirely."""
+    from reverso_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8)
+    px = preprocess_images(imgs)
+    masks = (rng.random((6, 2, 32, 32)) > 0.5).astype(np.float32)
+    pe0 = PerceptionEncoder.from_preset("test-tiny")
+    pe1 = PerceptionEncoder.from_preset("test-tiny", mesh=mesh)
+    # batch 6 over 4 devices: pads to 8, slices back to 6
+    tol = dict(atol=5e-3, rtol=5e-3)   # bf16 + shape-dependent fusion
+    # raw bf16 token features: a couple of bf16 ULPs at feature scale
+    tok_tol = dict(atol=2e-2, rtol=3e-2)
+    e0, t0 = pe0.encode_with_tokens(px)
+    e1, t1 = pe1.encode_with_tokens(px)
+    assert np.asarray(e1).shape == (6, pe1.embed_dim)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), **tol)
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), **tok_tol)
+    g0, r0 = pe0.encode_regions(px, masks)
+    g1, r1 = pe1.encode_regions(px, masks)
+    assert np.asarray(r1).shape == (6, 2, pe1.embed_dim)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), **tol)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), **tol)
