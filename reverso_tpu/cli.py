@@ -233,8 +233,18 @@ def cmd_serve(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import os
     import subprocess
-    return subprocess.call([sys.executable, "bench.py"])
+    # resolve against the repo root, not the cwd: `reverso bench` must
+    # work from any directory
+    bench = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py")
+    if not os.path.exists(bench):
+        print(f"bench.py not found at {bench} (installed package?); "
+              f"run it from a repo checkout", file=sys.stderr)
+        return 1
+    return subprocess.call([sys.executable, bench])
 
 
 def cmd_video_local(args) -> int:
@@ -271,6 +281,7 @@ def cmd_train(args) -> int:
         return 1
     rng = np.random.default_rng(0)
     step = 0
+    loss = float("nan")        # --steps 0: nothing trained, no NameError
     while step < args.steps:
         for batch in iter_batches(files, cfg.image_size, args.batch_size):
             if step >= args.steps or not len(batch.paths):

@@ -153,6 +153,10 @@ class GroundedSamDetector:
         PERF.md). SAM still runs per image (box counts vary)."""
         if not len(images):
             return []
+        if cv2 is None:   # same clear error as detect(); this is the
+            # path build_database takes, and a bare AttributeError from
+            # _prep_dino_image gives the operator no hint
+            raise RuntimeError("OpenCV required for detector preprocessing")
         ids, attn, pos, token_mask, spans = self._prep_text(prompts)
         b = len(images)
         dino_in = np.concatenate([self._prep_dino_image(im) for im in images])

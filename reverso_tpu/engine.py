@@ -22,16 +22,15 @@ from __future__ import annotations
 
 import os
 import threading
-import uuid
 from typing import Optional, Sequence
 
 import numpy as np
 
-from .config import EngineConfig, MODEL_PRESETS, default_config
+from .config import EngineConfig, default_config
 from .detect.regions import Regions, parse_prompts
 from .ingest.images import preprocess_pil
 from .ingest.pipeline import (
-    build_database, direct_pe_metadata, region_metadata, BuildResult,
+    build_database, direct_pe_metadata, region_metadata,
 )
 from .models.pe import PerceptionEncoder
 from .parallel.sharding import make_mesh
@@ -72,6 +71,12 @@ class _IVFSearchAdapter:
 
 class Reverso:
     """Visual investigation engine: detect -> embed -> store -> search."""
+
+    # "caller did not pass this" sentinel: distinguishes an EXPLICIT
+    # None (e.g. a UI session whose detect found nothing — must error,
+    # not fall back to another session's engine state) from an omitted
+    # argument (engine-singleton compat behavior).
+    _USE_ENGINE_STATE = object()
 
     def __init__(self, config: Optional[EngineConfig] = None, *,
                  encoder: Optional[PerceptionEncoder] = None,
@@ -371,10 +376,15 @@ class Reverso:
                    and regions.masks is not None and n > 0)
         if use_roi:
             size = self.config.model.image_size
-            resized = np.stack([
-                _resize_mask(regions.masks[i], size) for i in range(n)])
+            # pow2 region bucket: the jit specializes on R, so raw
+            # per-query region counts would compile a fresh (remote,
+            # 30-180 s) program per distinct count
+            rb = 1 << (n - 1).bit_length()
+            resized = np.zeros((rb, size, size), np.float32)
+            for i in range(n):
+                resized[i] = _resize_mask(regions.masks[i], size)
             _, region_embs = self.encoder.encode_regions(px, resized[None])
-            region_embs = np.asarray(region_embs)[0]
+            region_embs = np.asarray(region_embs)[0][:n]
         else:
             emb = np.asarray(self.encoder.encode_image(px))[0]
         vecs, metas = [], []
@@ -395,7 +405,8 @@ class Reverso:
     def search_similar(self, similarity_threshold: Optional[float] = None,
                        max_results: Optional[int] = None,
                        query_index: int = 0, *,
-                       embeddings=None, use_batcher: bool = False):
+                       embeddings=_USE_ENGINE_STATE,
+                       use_batcher: bool = False):
         """Search the loaded database with a previously extracted embedding
         (reference core_system.py:650-717). Returns (text, items).
 
@@ -408,8 +419,13 @@ class Reverso:
         cfg = self.config.search
         threshold = cfg.score_threshold if similarity_threshold is None else similarity_threshold
         k = cfg.top_k if max_results is None else max_results
-        embs = (self.region_embeddings if embeddings is None
-                else np.asarray(embeddings))
+        # explicit None (a session that detected 0 regions) must NOT
+        # fall back to the engine singleton: that would answer one UI
+        # session's search with another session's query state
+        embs = (self.region_embeddings
+                if embeddings is Reverso._USE_ENGINE_STATE
+                else (None if embeddings is None
+                      else np.asarray(embeddings)))
         if embs is None or len(embs) == 0:
             return ("❌ No query embeddings available. Please detect/process an image first.", [])
         store = self._store    # single read: see _get_index TOCTOU note
@@ -510,8 +526,6 @@ class Reverso:
         return result.transcript
 
     # -- visualization ----------------------------------------------------
-
-    _USE_ENGINE_STATE = object()
 
     def visualize_detections(self, image, selected_region_index=None,
                              regions=_USE_ENGINE_STATE):

@@ -153,6 +153,25 @@ def build_database(
     store: Optional[VectorStore] = None
     if resume_from_checkpoint:
         ck = _load_checkpoint(root, database_name)
+        if ck is None:
+            # No checkpoint: either the previous build COMPLETED (the
+            # checkpoint is removed on success) or none ever ran. If a
+            # store exists, falling through to create(overwrite=True)
+            # would rmtree the finished database — exactly the work
+            # --resume exists to protect. Refuse; an explicit
+            # non-resume run is the way to rebuild.
+            try:
+                existing = VectorStore.open(root, database_name)
+            except StoreError:
+                existing = None
+            if existing is not None:
+                return BuildResult(
+                    log(f"ℹ️ Nothing to resume: no checkpoint, and "
+                        f"database '{database_name}' already exists "
+                        f"({existing.count} embeddings — the previous "
+                        f"build completed). Run without resume to "
+                        f"rebuild it from scratch."),
+                    0, 0, existing.count)
         if ck is not None:
             try:
                 store = VectorStore.open(root, database_name, writable=True)
@@ -221,6 +240,19 @@ def build_database(
     since_checkpoint = 0
     stopped = False
 
+    def embed_padded(pixels):
+        """Embed at ONE fixed batch shape: tail batches and batches
+        shrunk by unreadable files pad up to batch_size, so the whole
+        build reuses a single jit compile (each fresh shape costs a
+        30-180 s remote compile on this setup — the IVF split loop
+        learned this the hard way, CLAUDE.md)."""
+        b = pixels.shape[0]
+        if b < batch_size:
+            pad = np.zeros((batch_size - b,) + pixels.shape[1:],
+                           pixels.dtype)
+            pixels = np.concatenate([pixels, pad])
+        return np.asarray(encoder.encode_image(pixels))[:b]
+
     def checkpoint():
         store.flush()
         _save_checkpoint(root, database_name, processed_files, store.count,
@@ -250,7 +282,7 @@ def build_database(
 
             if use_direct_pe:
                 with timer.stage("embed", len(batch.paths)):
-                    emb = np.asarray(encoder.encode_image(batch.pixels))
+                    emb = embed_padded(batch.pixels)
                 metas = []
                 for j, path in enumerate(batch.paths):
                     w, h = batch.sizes[j]
@@ -272,8 +304,23 @@ def build_database(
                 # (reference core_system.py:406); region mode: fused
                 # masked-ROI per-region embeddings.
                 roi_mode = config.ingest.region_embed_mode == "region"
-                with timer.stage("embed", len(batch.paths)):
-                    emb = np.asarray(encoder.encode_image(batch.pixels))
+                emb = None
+                if not roi_mode:
+                    with timer.stage("embed", len(batch.paths)):
+                        emb = embed_padded(batch.pixels)
+
+                def global_emb(j):
+                    # roi mode needs the whole-image embedding only for
+                    # the rare mask-less fallback rows; computing it
+                    # lazily (once per batch, same padded shape) avoids
+                    # a second full ViT forward per image when every
+                    # region has a mask
+                    nonlocal emb
+                    if emb is None:
+                        with timer.stage("embed", len(batch.paths)):
+                            emb = embed_padded(batch.pixels)
+                    return emb[j]
+
                 vecs, metas = [], []
                 with timer.stage("detect", len(batch.paths)):
                     # Detect on the ORIGINAL-resolution images: bboxes,
@@ -292,15 +339,21 @@ def build_database(
                         n = min(len(regions), config.ingest.max_regions)
                         region_embs = None
                         if roi_mode and regions.masks is not None and n > 0:
-                            size = config.model.image_size
                             from ..engine import _resize_mask
-                            resized = np.stack([
-                                _resize_mask(regions.masks[i], size)
-                                for i in range(n)])
+                            # pad the region dim to a pow2 bucket: the
+                            # jit specializes on R, and per-image region
+                            # counts (1..max_regions) would otherwise
+                            # compile up to 50 distinct shapes remotely
+                            rb = 1 << (n - 1).bit_length()
+                            resized = np.zeros((rb, size, size),
+                                               np.float32)
+                            for i in range(n):
+                                resized[i] = _resize_mask(
+                                    regions.masks[i], size)
                             with timer.stage("roi_embed", n):
                                 _, re_ = encoder.encode_regions(
                                     batch.pixels[j:j + 1], resized[None])
-                            region_embs = np.asarray(re_)[0]
+                            region_embs = np.asarray(re_)[0][:n]
                         kept = 0
                         for i in range(n):
                             meta = region_metadata(regions, i)
@@ -313,8 +366,9 @@ def build_database(
                             meta["filename"] = os.path.basename(path)
                             meta["original_region_id"] = meta["region_id"]
                             meta["region_id"] = str(uuid.uuid4())
-                            vecs.append(region_embs[i] if region_embs is not None
-                                        else emb[j])
+                            vecs.append(region_embs[i]
+                                        if region_embs is not None
+                                        else global_emb(j))
                             metas.append(meta)
                             kept += 1
                         if kept == 0:

@@ -33,6 +33,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Optional
 from urllib.parse import urlparse
 
+from ..serve import OverloadedError
 from ..utils.logging import get_logger
 
 log = get_logger("ui")
@@ -69,6 +70,11 @@ class UIState:
         self.engine = engine
         self.lock = threading.Lock()       # serializes engine access
         self.build: Optional[BuildJob] = None
+        # admission control for /api/build: the running-build check and
+        # the state.build assignment must be atomic, or two concurrent
+        # POSTs both pass the check and the second build orphans the
+        # first job's status (and can overwrite its output)
+        self.build_admission = threading.Lock()
         self.sessions: "OrderedDict[str, QuerySession]" = OrderedDict()
         self._sessions_lock = threading.Lock()
 
@@ -122,8 +128,14 @@ class UIState:
         fail fast with 409 'build in progress' instead, keeping the UI
         responsive (round-1 advisor finding: every endpoint used to hang
         for the duration of a build)."""
-        if self.build_running() or not self.lock.acquire(timeout=5):
+        if self.build_running():
             raise EngineBusyError("build in progress")
+        if not self.lock.acquire(timeout=5):
+            # distinct message: no build is running — another request
+            # (e.g. a first, un-warmed detect paying its jit compile)
+            # holds the engine
+            raise EngineBusyError(
+                "engine busy with another request; retry shortly")
         try:
             yield
         finally:
@@ -233,16 +245,23 @@ def make_handler(state: UIState):
                 handler(body)
             except EngineBusyError as e:
                 self._json({"error": str(e)}, 409)
+            except OverloadedError as e:
+                # the batcher's explicit load-shed signal: a retryable
+                # 429, NOT a server bug — no stack trace in the log
+                self._json({"error": str(e), "retry": True}, 429)
             except Exception as e:
                 log.exception("request failed")
                 self._json({"error": f"{type(e).__name__}: {e}"}, 500)
 
         # -- build -------------------------------------------------------
         def _build(self, body: dict) -> None:
-            if state.build is not None and not state.build.done and state.build.error is None:
-                self._json({"error": "a build is already running"}, 409)
-                return
-            job = BuildJob()
+            with state.build_admission:
+                if state.build is not None and not state.build.done \
+                        and state.build.error is None:
+                    self._json({"error": "a build is already running"}, 409)
+                    return
+                job = BuildJob()
+                state.build = job
 
             def progress_cb(msg, p):
                 if p is not None:
@@ -264,7 +283,6 @@ def make_handler(state: UIState):
                     job.done = True
 
             job.thread = threading.Thread(target=run, daemon=True)
-            state.build = job
             job.thread.start()
             self._json({"started": True})
 
@@ -316,14 +334,27 @@ def make_handler(state: UIState):
             img = _b64_to_pil(body["image"])
             sel = body.get("region_index")
             sel = None if sel is None else int(sel)
+
+            def to_detection_index(metas):
+                # the UI select is indexed over METAS (empty-mask
+                # detections are skipped there), but the visualizer
+                # indexes the full detection set — map through the
+                # payload's detection_index so the highlighted region
+                # is the one actually searched
+                if sel is None or not metas or not 0 <= sel < len(metas):
+                    return sel
+                return int(metas[sel].get("detection_index", sel))
+
             sess = state.get_session(body.get("token"))
             if sess is not None:
                 # pure host-side drawing on session state; no engine lock
-                viz = engine.visualize_detections(img, sel,
-                                                  regions=sess.regions)
+                viz = engine.visualize_detections(
+                    img, to_detection_index(sess.metadata),
+                    regions=sess.regions)
             else:
                 with state.engine_guard():
-                    viz = engine.visualize_detections(img, sel)
+                    viz = engine.visualize_detections(
+                        img, to_detection_index(engine.region_metadata_list))
             self._json({"visualization": _img_to_b64(viz)})
 
         def _search(self, body: dict) -> None:

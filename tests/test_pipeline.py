@@ -329,3 +329,74 @@ def test_region_build_int8_index_batched_search(tmp_path):
     for i in range(3):
         np.testing.assert_array_equal(out[i][1], direct_i[i])
         np.testing.assert_allclose(out[i][0], direct_s[i], atol=1e-6)
+
+
+def test_resume_without_checkpoint_refuses_rebuild(engine, tmp_path):
+    """A completed build removes its checkpoint; a habitual re-run with
+    resume_from_checkpoint=True must NOT fall through to the
+    destructive create(overwrite=True) and wipe the finished DB."""
+    make_corpus(tmp_path / "imgs", n=4)
+    t1 = engine.create_database(str(tmp_path / "imgs"), "done",
+                                use_direct_pe=True)
+    assert "ready for searching" in t1
+    from reverso_tpu.store import VectorStore
+    count = VectorStore.open(engine.db_root, "done").count
+    assert count > 0
+    t2 = engine.create_database(str(tmp_path / "imgs"), "done",
+                                use_direct_pe=True,
+                                resume_from_checkpoint=True)
+    assert "Nothing to resume" in t2
+    # the store was left untouched
+    assert VectorStore.open(engine.db_root, "done").count == count
+    # a fresh name still builds fine under resume (no store to protect)
+    t3 = engine.create_database(str(tmp_path / "imgs"), "fresh",
+                                use_direct_pe=True,
+                                resume_from_checkpoint=True)
+    assert "ready for searching" in t3
+
+
+def test_search_explicit_none_embeddings_never_falls_back(engine, tmp_path):
+    """A UI session whose detect produced 0 regions passes
+    embeddings=None; that must error, not silently answer with the
+    engine singleton's (i.e. another session's) query state."""
+    make_corpus(tmp_path / "imgs", n=2)
+    engine.create_database(str(tmp_path / "imgs"), "iso",
+                           use_direct_pe=True)
+    # engine state holds a valid query (another "session")
+    engine.process_image_direct_pe(str(tmp_path / "imgs" / "img_000.jpg"))
+    assert engine.region_embeddings is not None
+    text, items = engine.search_similar(embeddings=None)
+    assert text.startswith("❌ No query embeddings") and items == []
+    # omitting the argument keeps the engine-singleton behavior
+    text2, items2 = engine.search_similar(similarity_threshold=-1.0)
+    assert not text2.startswith("❌ No query embeddings")
+
+
+def test_build_embeds_at_one_batch_shape(engine, tmp_path, encoder):
+    """Tail batches and failure-shrunk batches must pad to the fixed
+    batch size: every distinct embed shape is a fresh (remote,
+    30-180 s) jit compile."""
+    files = make_corpus(tmp_path / "imgs", n=10)
+    # one unreadable file mid-corpus shrinks its batch
+    with open(os.path.join(tmp_path / "imgs", "img_003.jpg"), "wb") as f:
+        f.write(b"not a jpeg")
+    shapes = []
+    real = encoder.encode_image
+
+    def recording(images, **kw):
+        shapes.append(np.asarray(images).shape)
+        return real(images, **kw)
+
+    cfg = engine.config
+    engine.config = dataclasses.replace(
+        cfg, ingest=dataclasses.replace(cfg.ingest, batch_size=4))
+    try:
+        encoder.encode_image = recording
+        t = engine.create_database(str(tmp_path / "imgs"), "shapes",
+                                   use_direct_pe=True)
+    finally:
+        encoder.encode_image = real
+        engine.config = cfg
+    assert "ready for searching" in t
+    # 9 good files in batches of 4 -> 4, 3(+1 failed), 2 — all padded to 4
+    assert shapes and all(s[0] == 4 for s in shapes), shapes
