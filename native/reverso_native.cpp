@@ -80,39 +80,70 @@ static void topk_range(const float* db, int64_t n0, int64_t n1, int d,
 
 // db [n, d] fp32 (L2-normalized), queries [q, d] fp32.
 // out_scores [q, k] fp32, out_idx [q, k] int64 (-1 padding when k > n).
-// Deterministic: results ordered by (-score, idx).
+// Deterministic: results ordered by (-score, idx). Work is a
+// (query, row-range) grid: small query counts — q=1 is the primary
+// host-search shape — still use every core by splitting the row range,
+// with a per-query merge of the per-range sorted top-k lists. Per-row
+// dot products are computed identically regardless of the split, so
+// the output is bit-identical to the single-thread scan.
 void reverso_topk_f32(const float* db, int64_t n, int d, const float* queries,
                       int q, int k, float* out_scores, int64_t* out_idx,
                       int n_threads) {
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
-  n_threads = std::max(1, std::min(n_threads, q > 1 ? q : 1));
+  n_threads = std::max(1, n_threads);
+  if (q < 1 || k < 1) return;
 
-  std::atomic<int> next_query{0};
+  int splits = std::max(1, n_threads / q);
+  const int64_t kMinRows = 32768;  // amortize the merge
+  while (splits > 1 && n / splits < kMinRows) --splits;
+  const int64_t chunk = (n + splits - 1) / splits;
+  const int total = q * splits;
+
+  std::vector<HeapEntry> partial((size_t)total * k);
+  std::vector<int> sizes(total, 0);
+  std::atomic<int> next_task{0};
   auto worker = [&]() {
-    std::vector<HeapEntry> heap(k);
     for (;;) {
-      int qi = next_query.fetch_add(1);
-      if (qi >= q) break;
+      int t = next_task.fetch_add(1);
+      if (t >= total) break;
+      const int qi = t / splits, si = t % splits;
+      const int64_t lo = (int64_t)si * chunk;
+      const int64_t hi = std::min(n, lo + chunk);
+      HeapEntry* heap = partial.data() + (size_t)t * k;
       int hs = 0;
-      topk_range(db, 0, n, d, queries + (int64_t)qi * d, k, heap.data(), &hs);
+      topk_range(db, lo, hi, d, queries + (int64_t)qi * d, k, heap, &hs);
       // sort_heap under rank_above yields best-first directly
-      std::sort_heap(heap.begin(), heap.begin() + hs, rank_above);
-      for (int j = 0; j < k; ++j) {
-        if (j < hs) {
-          out_scores[(int64_t)qi * k + j] = heap[j].score;
-          out_idx[(int64_t)qi * k + j] = heap[j].idx;
-        } else {
-          out_scores[(int64_t)qi * k + j] = -INFINITY;
-          out_idx[(int64_t)qi * k + j] = -1;
-        }
-      }
+      std::sort_heap(heap, heap + hs, rank_above);
+      sizes[t] = hs;
     }
   };
 
+  const int workers = std::min(n_threads, total);
   std::vector<std::thread> threads;
-  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  for (int t = 1; t < workers; ++t) threads.emplace_back(worker);
   worker();
   for (auto& th : threads) th.join();
+
+  std::vector<HeapEntry> merged;
+  for (int qi = 0; qi < q; ++qi) {
+    merged.clear();
+    for (int si = 0; si < splits; ++si) {
+      const int t = qi * splits + si;
+      const HeapEntry* p = partial.data() + (size_t)t * k;
+      merged.insert(merged.end(), p, p + sizes[t]);
+    }
+    std::sort(merged.begin(), merged.end(), rank_above);
+    const int hs = (int)std::min<size_t>(merged.size(), (size_t)k);
+    for (int j = 0; j < k; ++j) {
+      if (j < hs) {
+        out_scores[(int64_t)qi * k + j] = merged[j].score;
+        out_idx[(int64_t)qi * k + j] = merged[j].idx;
+      } else {
+        out_scores[(int64_t)qi * k + j] = -INFINITY;
+        out_idx[(int64_t)qi * k + j] = -1;
+      }
+    }
+  }
 }
 
 // ---------------------------------------------------------------------------

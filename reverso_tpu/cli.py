@@ -343,9 +343,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "bfloat16 (default) / int8 (2x capacity, same scan "
                         "speed, exact w.r.t. the int8 copy) / float32 "
                         "(strict parity mode)")
-    p.add_argument("--index", choices=["exact", "ivf"], default=None,
-                   help="search index: exact fused scan (default) or IVF "
-                        "k-means coarse quantizer for very large corpora")
+    p.add_argument("--index", choices=["exact", "ivf", "host"], default=None,
+                   help="search index: exact fused scan (default), IVF "
+                        "k-means coarse quantizer for very large corpora, "
+                        "or the native C++ host scan (no accelerator)")
     p.add_argument("--ivf-nprobe", type=int, default=None,
                    help="IVF clusters probed per query (recall knob)")
     p.add_argument("--ivf-spill", type=float, default=None,

@@ -160,7 +160,10 @@ class SearchConfig:
     db_tile: int = 1024       # database rows per kernel tile
     exact_dtype: str = "float32"   # parity mode accumulates/storage in fp32
     # approximate index for very large corpora (BASELINE config #5):
-    # "exact" = fused full scan; "ivf" = k-means coarse quantizer
+    # "exact" = fused full scan; "ivf" = k-means coarse quantizer;
+    # "host" = the native C++ multithreaded host scan (reverso_native),
+    # for hosts without an accelerator — the role qdrant local mode's
+    # numpy scan plays in the reference (core_system.py:659)
     index: str = "exact"
     ivf_clusters: int = 1024
     ivf_nprobe: int = 16

@@ -189,7 +189,13 @@ class Reverso:
                 return self._index
             count = store.count
             vectors = np.asarray(store.vectors())
-            if scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
+            if scfg.index == "host":
+                # native C++ multithreaded host scan: the search path
+                # for no-accelerator deployments (reference analog:
+                # qdrant local mode's numpy scan, core_system.py:659)
+                from .store import HostIndex
+                index = HostIndex(vectors)
+            elif scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
                 from .store import IVFIndex
                 # persist the k-means result next to the store, keyed on
                 # (clusters, count, mutation_epoch, spill): a process

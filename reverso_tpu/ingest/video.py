@@ -142,20 +142,6 @@ class VideoInfo:
         return self.frame_count / self.fps if self.fps else 0.0
 
 
-def _hsv_content_scores(frames_bgr) -> np.ndarray:
-    """Per-transition content score: mean(|ΔH| + |ΔS| + |ΔV|) / 3 over
-    pixels — PySceneDetect ContentDetector's default metric."""
-    scores = []
-    prev = None
-    for frame in frames_bgr:
-        hsv = cv2.cvtColor(frame, cv2.COLOR_BGR2HSV).astype(np.int16)
-        if prev is not None:
-            delta = np.abs(hsv - prev).mean(axis=(0, 1))
-            scores.append(float(delta.sum() / 3.0))
-        prev = hsv
-    return np.asarray(scores, np.float32)
-
-
 def content_scores_batched(hsv_frames: np.ndarray):
     """Batched JAX scorer for a [T, H, W, 3] uint8 HSV stack — the
     device-side variant for long videos (SURVEY.md §2.2 OpenCV row)."""

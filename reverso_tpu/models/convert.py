@@ -131,8 +131,10 @@ def convert_openai_clip_vision(sd: Mapping[str, Any], cfg: ModelConfig,
         params["ln_post"] = _ln(sd, "ln_post")
     if "attn_pool.probe" in sd:
         pool: Dict[str, Any] = {"probe": _np(sd["attn_pool.probe"]).reshape(1, 1, -1)}
-        pool.update(_split_qkv(_np(sd["attn_pool.attn.in_proj_weight"]),
-                               _np(sd.get("attn_pool.attn.in_proj_bias"))))
+        pool_bias = sd.get("attn_pool.attn.in_proj_bias")
+        pool.update(_split_qkv(
+            _np(sd["attn_pool.attn.in_proj_weight"]),
+            _np(pool_bias) if pool_bias is not None else None))
         pool["out_proj"] = _linear(sd, "attn_pool.attn.out_proj")
         pool["ln"] = _ln(sd, "attn_pool.layernorm")
         params["attn_pool"] = pool

@@ -530,12 +530,26 @@ class GroundingDino(nn.Module):
                 hidden, qpos, ref_input, vision, text_feat, shapes,
                 text_cross_bias)
             hidden_ln = dec_ln(hidden).astype(dtype)
-            delta = bbox_head(hidden_ln).astype(jnp.float32)
-            new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(reference))
-            intermediate_boxes.append(new_ref)
+            # TWO delta chains, matching HF exactly (transformers
+            # modeling_grounding_dino.py: decoder "hack implementation"
+            # + GroundingDinoForObjectDetection level loop):
+            #   * the OUTPUT boxes for level i apply bbox_embed to the
+            #     LAYER-NORMED hidden against the PREVIOUS level's
+            #     refined reference (level 0: the init reference);
+            #   * the internal refinement chain feeding level i+1
+            #     applies bbox_embed to the RAW layer output.
+            # At random init decoder_norm is an affine identity over
+            # already-normed outputs, so only trained checkpoints (with
+            # gamma/beta != 1/0) distinguish the chains — collapsing
+            # them diverges every level >= 1 from torch.
+            delta_out = bbox_head(hidden_ln).astype(jnp.float32)
+            intermediate_boxes.append(
+                jax.nn.sigmoid(delta_out + inverse_sigmoid(reference)))
             intermediate_logits.append(contrastive_logits(
                 hidden_ln, text_feat, text_token_mask, c.max_text_len))
-            reference = new_ref
+            delta_raw = bbox_head(hidden).astype(jnp.float32)
+            reference = jax.nn.sigmoid(delta_raw
+                                       + inverse_sigmoid(reference))
 
         return intermediate_logits[-1], intermediate_boxes[-1]
 

@@ -134,6 +134,13 @@ class SwinBlock(nn.Module):
         shortcut = x
         y = ln("ln_before")(x).astype(x.dtype).reshape(b, h, w, self.dim)
 
+        # Zero-pad partial windows, matching HF's maybe_pad (pad keys
+        # participate in attention unmasked there too). For maps
+        # SMALLER than the window this keeps working — the installed
+        # transformers SwinLayer shrinks its window but not its
+        # attention bias and CRASHES (verified empirically), so there
+        # is no working HF reference for that regime; detector inputs
+        # are sized so production maps never go sub-window.
         pad_h = (win - h % win) % win
         pad_w = (win - w % win) % win
         if pad_h or pad_w:

@@ -6,7 +6,8 @@ This is a faithful BERT encoder with HF-naming conversion; parity is
 tested against `transformers.BertModel` at fp32.
 
 TPU notes: static [B, L] token shapes with an attention mask; bf16
-activations optional; attention can run through the shared attention op.
+activations optional. Attention is plain XLA einsum — BERT sequences
+here are <= 256 tokens, below any flash-kernel payoff.
 """
 from __future__ import annotations
 
@@ -18,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import attention_xla
 
 
 @dataclass(frozen=True)
@@ -140,7 +140,11 @@ def convert_bert(sd: Mapping[str, Any], cfg: BertConfig,
         "emb_ln": {"scale": _np(g("embeddings.LayerNorm.weight")),
                    "bias": _np(g("embeddings.LayerNorm.bias"))},
     }
-    sub = {k[len(prefix):]: v for k, v in sd.items()} if prefix else dict(sd)
+    # filter by prefix BEFORE stripping: blindly slicing every key would
+    # mangle non-prefixed entries (cls heads, pooler) into junk names
+    # that can collide with real parameter keys
+    sub = ({k[len(prefix):]: v for k, v in sd.items()
+            if k.startswith(prefix)} if prefix else dict(sd))
     for i in range(cfg.num_layers):
         lp = f"encoder.layer.{i}"
         params[f"layer{i}"] = {

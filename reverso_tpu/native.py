@@ -126,7 +126,15 @@ class MappedVectors:
         lib = _load()
         if lib is None:
             self._handle = None
-            self.array = np.fromfile(path, np.float32).reshape(-1, dim)
+            # numpy's own mmap keeps the zero-copy contract without the
+            # native library (np.fromfile would copy a multi-GB file
+            # into RAM eagerly); empty files need the explicit branch —
+            # np.memmap refuses zero-length maps
+            if os.path.getsize(path) == 0:
+                self.array = np.zeros((0, dim), np.float32)
+            else:
+                self.array = np.memmap(path, np.float32,
+                                       mode="r").reshape(-1, dim)
             return
         size = ctypes.c_int64()
         self._lib = lib
@@ -135,6 +143,14 @@ class MappedVectors:
         if not self._handle:
             raise OSError(f"mmap failed: {path}")
         rows = size.value // (4 * dim)
+        if rows == 0:
+            # empty store: the native handle maps no pages (addr NULL)
+            # and np.ctypeslib.as_array raises on a NULL pointer even
+            # for shape (0, d) — close the handle, return an empty view
+            lib.reverso_mmap_close(self._handle)
+            self._handle = None
+            self.array = np.zeros((0, dim), np.float32)
+            return
         ptr = lib.reverso_mmap_data(self._handle)
         self.array = np.ctypeslib.as_array(ptr, shape=(rows, dim))
 

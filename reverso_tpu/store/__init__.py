@@ -7,5 +7,5 @@ from .persist import (
     unlock_database,
     collection_name,
 )
-from .index import DeviceIndex, SearchResult
+from .index import DeviceIndex, HostIndex, SearchResult
 from .ivf import IVFIndex

@@ -37,6 +37,36 @@ class SearchResult:
     payloads: list              # [Q][k] payload dict or None
 
 
+class HostIndex:
+    """Exact cosine top-k on the HOST via the native C++ scan
+    (native/reverso_native.cpp; numpy fallback without a compiler).
+
+    The no-accelerator search path — the role qdrant local mode's
+    embedded numpy scan plays in the reference (core_system.py:659-664),
+    at multithreaded C++ speed. Same (-score, idx) result contract as
+    DeviceIndex.search; returns numpy arrays (jax.device_get passes
+    them through), so engine/serving code is agnostic to which index
+    answered. Selected with SearchConfig.index = "host".
+    """
+
+    def __init__(self, vectors: np.ndarray):
+        self.matrix = np.ascontiguousarray(vectors, np.float32)
+        self.n_valid = len(vectors)
+        self.dim = self.matrix.shape[1] if self.matrix.ndim == 2 else 0
+
+    def search(self, queries, k: int, **_):
+        from ..native import cpu_topk
+
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        if self.n_valid == 0:
+            return (np.full((q.shape[0], k), -np.inf, np.float32),
+                    np.full((q.shape[0], k), -1, np.int32))
+        scores, idx = cpu_topk(self.matrix, q, k)
+        return scores, idx.astype(np.int32)
+
+
 class DeviceIndex:
     """Immutable snapshot of an embedding matrix, resident on device.
 

@@ -92,3 +92,55 @@ def test_grounding_dino_parity():
     np.testing.assert_allclose(boxes, ref_boxes, atol=5e-3, rtol=1e-2)
     np.testing.assert_allclose(logits[finite], ref_logits[finite],
                                atol=5e-3, rtol=1e-2)
+
+
+def test_grounding_dino_parity_perturbed_layernorms():
+    """Parity with NON-identity LayerNorm affines.
+
+    At default init every LN has gamma=1/beta=0, making decoder_norm an
+    affine identity over the (already-normed) decoder layer outputs —
+    so the plain random-init test cannot distinguish HF's two delta
+    chains (box refinement from the RAW layer output vs per-level
+    output boxes from the NORMED one). Perturbing all LN affines makes
+    the chains measurably different and pins the HF semantics."""
+    cfg = tiny_test_config()
+    model = make_hf_model(cfg)
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for mod in model.modules():
+            if isinstance(mod, torch.nn.LayerNorm):
+                mod.weight.add_(0.2 * torch.randn(mod.weight.shape,
+                                                  generator=g))
+                if mod.bias is not None:
+                    mod.bias.add_(0.1 * torch.randn(mod.bias.shape,
+                                                    generator=g))
+        # the bbox head's last layer is ZERO-initialized (delta == 0),
+        # which makes the whole refinement chain inert at init — wake
+        # it up so the two chains actually produce different boxes
+        for head in model.bbox_embed:
+            last = head.layers[-1]
+            last.weight.add_(0.05 * torch.randn(last.weight.shape,
+                                                generator=g))
+            last.bias.add_(0.05 * torch.randn(last.bias.shape,
+                                              generator=g))
+
+    rng = np.random.default_rng(3)
+    imgs = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    ids = np.array([[101, 10, 11, 1012, 12, 13, 1012, 102]])
+    with torch.no_grad():
+        out = model(pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+                    input_ids=torch.from_numpy(ids))
+    ref_logits = out.logits.numpy()
+    ref_boxes = out.pred_boxes.numpy()
+
+    params = convert_grounding_dino(model.state_dict(), cfg)
+    attn, pos = generate_text_masks(ids)
+    gd = GroundingDino(cfg)
+    logits, boxes = gd.apply({"params": params}, jnp.asarray(imgs),
+                             jnp.asarray(ids), jnp.asarray(attn),
+                             jnp.asarray(pos))
+    logits, boxes = np.asarray(logits), np.asarray(boxes)
+    finite = np.isfinite(ref_logits)
+    np.testing.assert_allclose(boxes, ref_boxes, atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(logits[finite], ref_logits[finite],
+                               atol=5e-3, rtol=1e-2)

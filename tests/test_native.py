@@ -95,3 +95,78 @@ def test_cpu_topk_throughput(rng):
     _ = numpy_topk64(db, qs, 10)
     numpy_t = time.perf_counter() - t0
     assert native_t < numpy_t * 1.5, (native_t, numpy_t)
+
+
+def test_cpu_topk_row_split_matches_numpy():
+    """Single-query scans row-split across threads: the merged result
+    must be bit-identical to the one-thread scan and match numpy's
+    (-score, idx) order (q=1 is the primary host-search shape and used
+    to run on one thread)."""
+    rng = np.random.default_rng(5)
+    db = rng.standard_normal((200_000, 32)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[123:124]
+    s1, i1 = cpu_topk(db, q, 10, n_threads=1)
+    s8, i8 = cpu_topk(db, q, 10, n_threads=8)
+    np.testing.assert_array_equal(i1, i8)
+    np.testing.assert_array_equal(s1, s8)
+    assert i1[0, 0] == 123
+    # vs fp64 numpy reference (tie-tolerant score comparison)
+    scores = (q.astype(np.float64) @ db.astype(np.float64).T)[0]
+    ref = np.lexsort((np.arange(len(db)), -scores))[:10]
+    np.testing.assert_allclose(s8[0], scores[ref], atol=1e-4)
+
+
+def test_mapped_vectors_empty_file(tmp_path):
+    """A freshly created store has a zero-byte vectors.bin; both the
+    native mmap and the numpy fallback must return a (0, d) view
+    instead of raising NULL-pointer/zero-length errors."""
+    p = str(tmp_path / "vectors.bin")
+    open(p, "wb").close()
+    from reverso_tpu.native import MappedVectors
+    with MappedVectors(p, 16) as mv:
+        assert mv.array.shape == (0, 16)
+
+
+def test_host_index_engine_path(tmp_path):
+    """SearchConfig.index='host' routes searches through the native C++
+    scan (numpy fallback) with the same result contract as the device
+    path — the no-accelerator deployment story."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipeline import make_corpus
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+    from reverso_tpu.store import HostIndex
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"],
+                                dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")),
+        search=dataclasses.replace(cfg.search, index="host"))
+    eng = Reverso(cfg, encoder=PerceptionEncoder(model))
+    make_corpus(tmp_path / "imgs", n=8)
+    eng.create_database(str(tmp_path / "imgs"), "hostdb",
+                        use_direct_pe=True)
+    assert isinstance(eng._get_index(), HostIndex)
+    eng.process_image_direct_pe(
+        str(tmp_path / "imgs" / "img_003.jpg"))
+    text, items = eng.search_similar(similarity_threshold=-1.0,
+                                     max_results=3)
+    assert "Found" in text and len(items) == 3
+    assert items[0]["filename"] == "img_003.jpg"
+    # exact agreement with the device (XLA) scan
+    cfg2 = dataclasses.replace(
+        cfg, search=dataclasses.replace(cfg.search, index="exact"))
+    eng2 = Reverso(cfg2, encoder=eng.encoder)
+    eng2.load_database("hostdb")
+    eng2.process_image_direct_pe(
+        str(tmp_path / "imgs" / "img_003.jpg"))
+    _, items2 = eng2.search_similar(similarity_threshold=-1.0,
+                                    max_results=3)
+    assert [it["filename"] for it in items] == \
+        [it["filename"] for it in items2]
