@@ -27,25 +27,26 @@ def _best_time(run, sync, iters=None, budget_s=60.0, k=8):
     time a block of k dispatches + one sync, and a block of k/2, take
     the min of each over a time budget, and use the difference — an
     estimator immune to any additive sync latency, with min() handling
-    multiplicative contention. (iters is accepted for compatibility.)"""
+    multiplicative contention. The k-blocks and half-blocks ALTERNATE
+    within one loop (the chip is time-shared: two disjoint windows can
+    sample different contention regimes and corrupt the subtraction;
+    interleaved minima see the same best-case regime).
+    (iters is accepted for compatibility.)"""
     del iters
 
-    def block(n, budget):
-        best = float("inf")
-        t_start = time.perf_counter()
-        while time.perf_counter() - t_start < budget:
+    k = max(2, k)
+    half = max(1, k // 2)
+    best = {k: float("inf"), half: float("inf")}
+    t_start = time.perf_counter()
+    while time.perf_counter() - t_start < budget_s:
+        for n in (k, half):
             t0 = time.perf_counter()
             r = None
             for _ in range(n):
                 r = run()
             sync(r)
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    half = max(1, k // 2)
-    t_k = block(k, budget_s / 2)
-    t_h = block(half, budget_s / 2)
-    return max((t_k - t_h) / (k - half), 1e-9)
+            best[n] = min(best[n], time.perf_counter() - t0)
+    return max((best[k] - best[half]) / (k - half), 1e-9)
 
 
 def embed_main() -> None:

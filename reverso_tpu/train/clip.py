@@ -47,8 +47,6 @@ def param_partition_spec(params: Any, tp_axis: str = "model") -> Any:
             return P(tp_axis, None)
         return P()
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
     def path_names(kp):
         out = []
         for k in kp:
@@ -60,9 +58,8 @@ def param_partition_spec(params: Any, tp_axis: str = "model") -> Any:
                 out.append(str(k))
         return tuple(out)
 
-    specs = {path_names(kp): spec_for(path_names(kp), leaf) for kp, leaf in flat}
     return jax.tree_util.tree_map_with_path(
-        lambda kp, _: specs[path_names(kp)], params)
+        lambda kp, leaf: spec_for(path_names(kp), leaf), params)
 
 
 @dataclasses.dataclass
@@ -75,12 +72,23 @@ class TrainState:
 
 
 def siglip_loss(emb_a: jnp.ndarray, emb_b: jnp.ndarray,
-                t: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise sigmoid contrastive loss over the global batch."""
+                t: jnp.ndarray, b: jnp.ndarray,
+                valid=None) -> jnp.ndarray:
+    """Pairwise sigmoid contrastive loss over the global batch.
+
+    `valid` [B] (0/1 float) masks PAD rows out of the pair grid: a
+    wrap-padded batch duplicates rows, and a duplicate's off-diagonal
+    pair is a genuine positive that the identity labels would mark -1
+    — without the mask every padded step actively pushes real pairs
+    apart."""
     logits = emb_a @ emb_b.T * jnp.exp(t) + b          # [B, B]
     n = emb_a.shape[0]
     labels = 2.0 * jnp.eye(n, dtype=logits.dtype) - 1.0  # +1 diag, -1 off
-    return -jnp.mean(jax.nn.log_sigmoid(labels * logits))
+    ll = jax.nn.log_sigmoid(labels * logits)
+    if valid is None:
+        return -jnp.mean(ll)
+    w = valid[:, None] * valid[None, :]
+    return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 class ClipTrainer:
@@ -94,7 +102,15 @@ class ClipTrainer:
         self.mesh = mesh
         self.data_axis = data_axis
         self.module = VisionTransformer(cfg, use_flash=use_flash)
-        self.tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+        # t/b are LEARNABLE (SigLIP trains its temperature and bias):
+        # the optimizer runs over the combined {params, t, b} tree, with
+        # weight decay masked off the scalars (decaying a temperature
+        # toward zero is never what anyone wants)
+        self.tx = optax.adamw(
+            learning_rate, weight_decay=weight_decay,
+            mask=lambda tree: {"params": jax.tree.map(lambda _: True,
+                                                      tree["params"]),
+                               "t": False, "b": False})
 
         dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
         params = jax.jit(self.module.init)(jax.random.PRNGKey(seed), dummy)["params"]
@@ -102,52 +118,69 @@ class ClipTrainer:
         shard = lambda tree, spec: jax.device_put(
             tree, jax.tree.map(lambda s: NamedSharding(mesh, s), spec))
         params = shard(params, pspec)
-        opt_state = self.tx.init(params)
+        t0 = jnp.asarray(jnp.log(10.0), jnp.float32)
+        b0 = jnp.asarray(-10.0, jnp.float32)
+        opt_state = self.tx.init({"params": params, "t": t0, "b": b0})
         self.state = TrainState(
             params=params,
             opt_state=opt_state,
-            t=jnp.asarray(jnp.log(10.0), jnp.float32),
-            b=jnp.asarray(-10.0, jnp.float32),
+            t=t0,
+            b=b0,
             step=jnp.zeros((), jnp.int32),
         )
         self.batch_sharding = NamedSharding(mesh, P(data_axis))
 
-        def loss_fn(params, t, b, view_a, view_b):
-            emb_a = l2_normalize(
-                self.module.apply({"params": params}, view_a).astype(jnp.float32))
-            emb_b = l2_normalize(
-                self.module.apply({"params": params}, view_b).astype(jnp.float32))
-            return siglip_loss(emb_a, emb_b, t, b)
+        def loss_fn(params, t, b, view_a, view_b, valid):
+            # barrier before the fp32 normalize (CLAUDE.md convention;
+            # same guard as pe.py): without it XLA fuses the normalize
+            # into the bf16 projection and recomputes operands in bf16
+            # under --xla_allow_excess_precision
+            emb_a = jax.lax.optimization_barrier(
+                self.module.apply({"params": params}, view_a))
+            emb_b = jax.lax.optimization_barrier(
+                self.module.apply({"params": params}, view_b))
+            emb_a = l2_normalize(emb_a.astype(jnp.float32))
+            emb_b = l2_normalize(emb_b.astype(jnp.float32))
+            return siglip_loss(emb_a, emb_b, t, b, valid)
 
         @jax.jit
-        def step_fn(state: TrainState, view_a, view_b):
-            loss, grads = jax.value_and_grad(
-                lambda p: loss_fn(p, state.t, state.b, view_a, view_b))(state.params)
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.params)
-            params = optax.apply_updates(state.params, updates)
+        def step_fn(state: TrainState, view_a, view_b, n_valid):
+            valid = (jnp.arange(view_a.shape[0]) < n_valid).astype(
+                jnp.float32)
+            loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                state.params, state.t, state.b, view_a, view_b, valid)
+            combined = {"params": state.params, "t": state.t, "b": state.b}
+            gtree = {"params": grads[0], "t": grads[1], "b": grads[2]}
+            updates, opt_state = self.tx.update(gtree, state.opt_state,
+                                                combined)
+            new = optax.apply_updates(combined, updates)
             return dataclasses.replace(
-                state, params=params, opt_state=opt_state,
-                step=state.step + 1), loss
+                state, params=new["params"], t=new["t"], b=new["b"],
+                opt_state=opt_state, step=state.step + 1), loss
 
         self._step = step_fn
 
     def shard_batch(self, batch):
-        """Place a batch sharded over the data axis, tiling rows up to a
-        multiple of the axis size (repeated pairs stay valid positives
-        for the pairwise loss)."""
+        """Place a batch sharded over the data axis, WRAP-padding rows
+        up to a multiple of the axis size (a short final batch may be
+        smaller than the pad itself — a single [:pad] slice under-fills
+        there). Pad rows are masked out of the loss by train_step."""
         batch = jnp.asarray(batch)
         n = self.mesh.shape[self.data_axis]
         pad = (-batch.shape[0]) % n
         if pad:
-            batch = jnp.concatenate([batch, batch[:pad]], axis=0)
+            idx = jnp.arange(batch.shape[0] + pad) % batch.shape[0]
+            batch = batch[idx]
         return jax.device_put(batch, self.batch_sharding)
 
     def train_step(self, view_a, view_b):
         """One optimizer step on two augmented views [B, H, W, 3]."""
+        view_a = jnp.asarray(view_a)
+        n_valid = view_a.shape[0]
         view_a = self.shard_batch(view_a)
         view_b = self.shard_batch(view_b)
-        self.state, loss = self._step(self.state, view_a, view_b)
+        self.state, loss = self._step(self.state, view_a, view_b,
+                                      jnp.int32(n_valid))
         return float(jax.device_get(loss))
 
 

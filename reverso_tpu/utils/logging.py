@@ -35,20 +35,27 @@ class StatusLog:
 
     def __init__(self, progress_callback: Optional[Callable[[str, Optional[float]], None]] = None,
                  logger: Optional[logging.Logger] = None):
-        self.messages: list[str] = []
+        # transcript kept as one incrementally-extended string: joining
+        # a growing message list on EVERY call (the old form) is O(n^2)
+        # over a long ingest; CPython's in-place `str +=` keeps the
+        # common discard-the-return case amortized O(len(message))
+        self._text = ""
         self._cb = progress_callback
         self._logger = logger or get_logger("status")
 
     def __call__(self, message: str, progress: Optional[float] = None) -> str:
-        self.messages.append(message)
+        if self._text:
+            self._text += "\n" + message
+        else:
+            self._text = message
         self._logger.info(message)
         if self._cb is not None:
             try:
                 self._cb(message, progress)
             except Exception:  # progress UI must never kill the pipeline
                 pass
-        return self.text
+        return self._text
 
     @property
     def text(self) -> str:
-        return "\n".join(self.messages)
+        return self._text

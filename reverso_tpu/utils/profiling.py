@@ -38,20 +38,23 @@ class Metrics:
 class StageTimer:
     """Context-manager stage timer feeding a Metrics struct.
 
-    Blocks on device work (`block_until_ready` analog) are the caller's
-    responsibility — JAX dispatch is async, so time only around explicit
-    syncs or pass `sync=True` to insert one.
+    Syncing on device work is the CALLER's responsibility: JAX dispatch
+    is async, and through the remote-TPU tunnel even block_until_ready
+    returns early (CLAUDE.md) — the only reliable fence is forcing a
+    small host transfer (`np.asarray` on an output) inside the block.
+    There is deliberately no `sync=` knob: the former implementation
+    called jax.effects_barrier(), which waits only for EFFECTFUL
+    computations and returns immediately for pure jitted compute —
+    a silent lie worse than no sync at all.
     """
 
     def __init__(self, metrics: Metrics | None = None):
         self.metrics = metrics or Metrics()
 
     @contextlib.contextmanager
-    def stage(self, name: str, n: int = 1, sync: bool = False) -> Iterator[None]:
+    def stage(self, name: str, n: int = 1) -> Iterator[None]:
         t0 = time.perf_counter()
         yield
-        if sync:
-            jax.effects_barrier()
         self.metrics.add(name, time.perf_counter() - t0, n)
 
 
