@@ -27,11 +27,9 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
-def _make_engine(args, *, need_detector: bool = False):
-    _enable_compile_cache()
-    from .engine import Reverso
-    from .models.pe import PerceptionEncoder
-
+def _make_config(args):
+    """EngineConfig from CLI flags (shared by engine-building commands
+    and `tune`, which needs no encoder)."""
     cfg = default_config()
     if args.model:
         cfg = dataclasses.replace(cfg, model=MODEL_PRESETS[args.model])
@@ -67,6 +65,15 @@ def _make_engine(args, *, need_detector: bool = False):
         cfg = dataclasses.replace(
             cfg, ingest=dataclasses.replace(cfg.ingest,
                                             decode_backend=args.ingest_backend))
+    return cfg
+
+
+def _make_engine(args, *, need_detector: bool = False):
+    _enable_compile_cache()
+    from .engine import Reverso
+    from .models.pe import PerceptionEncoder
+
+    cfg = _make_config(args)
     import os as _os
     pe_ckpt = _os.environ.get("REVERSO_PE_CKPT")
     if pe_ckpt and pe_ckpt.endswith(".msgpack"):
@@ -247,6 +254,91 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, bench])
 
 
+def cmd_tune(args) -> int:
+    """Pick the smallest IVF nprobe meeting --target-recall on a store.
+
+    Ground truth is the exact fp32 scan (native host top-k) over
+    queries sampled from the store's own vectors — the qdrant-side
+    recall methodology of BASELINE config #5. Builds (or reloads) the
+    SAME persisted k-means cache serving uses, so a tune run also warms
+    the index for the first real search."""
+    _enable_compile_cache()
+    import time
+
+    import numpy as np
+    import jax
+    from .engine import load_or_build_ivf
+    from .native import cpu_topk
+    from .store import VectorStore
+
+    cfg = _make_config(args)
+    try:
+        store = VectorStore.open(cfg.store.root_dir, args.name)
+    except Exception as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    vecs = np.ascontiguousarray(np.asarray(store.vectors()), np.float32)
+    n = len(vecs)
+    if n == 0:
+        print("❌ store is empty", file=sys.stderr)
+        return 1
+    rng = np.random.default_rng(args.seed)
+    qn = min(args.queries, n)
+    q = vecs[rng.choice(n, qn, replace=False)]
+    k = min(args.k, n)
+    _, true_i = cpu_topk(vecs, q, k)
+
+    print(f"store '{args.name}': {n} vectors x {vecs.shape[1]}, "
+          f"{qn} sampled queries, recall@{k} target "
+          f"{args.target_recall}", file=sys.stderr)
+    ivf = load_or_build_ivf(store, vecs, cfg.search, cfg.store.dtype)
+
+    def recall_at(nprobe):
+        jax.device_get(ivf.search(q, k, nprobe=nprobe))
+        # second run: the first pays the per-shape jit compile
+        t0 = time.perf_counter()
+        _, ids = jax.device_get(ivf.search(q, k, nprobe=nprobe))
+        dt = time.perf_counter() - t0
+        hits = 0
+        total = 0
+        for got, want in zip(np.asarray(ids), true_i):
+            w = set(int(x) for x in want if x >= 0)
+            hits += len(set(int(x) for x in got if x >= 0) & w)
+            total += len(w)
+        return hits / max(total, 1), dt
+
+    rows = []
+    pick = None
+    nprobe = 1
+    while nprobe <= ivf.n_clusters:
+        r, dt = recall_at(nprobe)
+        rows.append((nprobe, r, dt))
+        print(f"  nprobe {nprobe:5d}  recall {r:.4f}  "
+              f"{dt * 1e3:8.2f} ms / {qn} queries", file=sys.stderr)
+        if r >= args.target_recall:
+            pick = nprobe
+            break
+        # pow2 ladder, clamped so the full probe (exact) is measured
+        nprobe = min(nprobe * 2, ivf.n_clusters) \
+            if nprobe < ivf.n_clusters else ivf.n_clusters + 1
+    if pick is None:
+        pick = ivf.n_clusters     # full probe reproduces the exact scan
+        print(f"⚠️ target {args.target_recall} not reached below full "
+              f"probe; recommending nprobe={pick} (exact)",
+              file=sys.stderr)
+    print(json.dumps({
+        "database": args.name, "count": n, "dim": int(vecs.shape[1]),
+        "clusters": ivf.n_clusters, "k": k,
+        "target_recall": args.target_recall,
+        "recommended_nprobe": pick,
+        "sweep": [{"nprobe": p_, "recall": round(r_, 4),
+                   "ms_per_batch": round(dt_ * 1e3, 2)}
+                  for p_, r_, dt_ in rows],
+        "flag": f"--index ivf --ivf-nprobe {pick}",
+    }, indent=2))
+    return 0
+
+
 def cmd_video_local(args) -> int:
     from .ingest.video import process_local_videos_with_progress
     msg = process_local_videos_with_progress(
@@ -422,6 +514,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)
+
+    tu = sub.add_parser("tune",
+                        help="pick the smallest IVF nprobe meeting a "
+                             "target recall on a store")
+    tu.add_argument("--name", required=True)
+    tu.add_argument("--target-recall", type=float, default=0.95)
+    tu.add_argument("--queries", type=int, default=256,
+                    help="self-queries sampled from the store")
+    tu.add_argument("--k", type=int, default=10)
+    tu.add_argument("--seed", type=int, default=0)
+    tu.set_defaults(fn=cmd_tune)
 
     vid = sub.add_parser("video", help="extract keyframes from videos")
     vid_sub = vid.add_subparsers(dest="video_cmd", required=True)

@@ -55,6 +55,70 @@ def _resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
     return mask[np.ix_(ys, xs)].astype(np.float32)
 
 
+def load_or_build_ivf(store, vectors: np.ndarray, scfg, dtype: str,
+                      *, mesh=None):
+    """Load, extend, or build the store's IVF index, persisting the
+    k-means result next to the store.
+
+    The cache is keyed on (clusters, count, mutation_epoch, spill,
+    balance): a process restart reloads in one fancy-index pass instead
+    of retraining. The epoch only moves when existing rows are
+    rewritten (truncate), so a cache whose epoch matches but whose
+    count is SMALLER covers an intact prefix — new rows are assigned
+    to the cached centroids (extend) instead of retraining k-means.
+    Shared by the engine's `_get_index` and the CLI `tune` command (so
+    tuning warms exactly the cache serving will use)."""
+    from .store import IVFIndex
+
+    count = store.count
+    cache_dir = os.path.join(store.path, "index")
+    sp = f"_sp{round(scfg.ivf_spill * 1000)}" if scfg.ivf_spill else ""
+    if scfg.ivf_balance:
+        sp += f"_b{round(scfg.ivf_balance * 100)}"
+    stem = f"ivf_c{scfg.ivf_clusters}"
+    tail = f"_{store.mutation_epoch}{sp}.npz"
+    cache = os.path.join(cache_dir, f"{stem}_{count}{tail}")
+    ivf = None
+    if os.path.exists(cache):
+        ivf = IVFIndex.load_cache(vectors, cache, dtype=dtype, mesh=mesh)
+    dirty = ivf is None
+    if ivf is None and os.path.isdir(cache_dir):
+        for f in sorted(os.listdir(cache_dir), reverse=True):
+            if f.startswith(stem + "_") and f.endswith(tail):
+                ivf = IVFIndex.extend_cache(
+                    vectors, os.path.join(cache_dir, f),
+                    dtype=dtype, mesh=mesh)
+                if ivf is not None:
+                    break
+    if ivf is None:
+        ivf = IVFIndex(vectors, n_clusters=min(scfg.ivf_clusters, count),
+                       dtype=dtype, spill=scfg.ivf_spill,
+                       balance=scfg.ivf_balance, mesh=mesh)
+    if dirty:
+        # prune only THIS config's stale caches (any count/epoch):
+        # sibling configs' caches — a different clusters/spill/balance
+        # an A/B alternates with — stay valid and reloadable, so
+        # flipping between two configs does not retrain k-means.
+        def _same_cfg(f: str) -> bool:
+            if not (f.startswith(stem + "_") and f.endswith(".npz")):
+                return False
+            parts = f[len(stem) + 1:-4].split("_", 2)
+            if len(parts) < 2 or not (parts[0].isdigit()
+                                      and parts[1].isdigit()):
+                return False
+            extra = parts[2] if len(parts) > 2 else ""
+            return ("_" + extra if extra else "") == sp
+        try:
+            if os.path.isdir(cache_dir):
+                for old in os.listdir(cache_dir):
+                    if _same_cfg(old):
+                        os.remove(os.path.join(cache_dir, old))
+            ivf.save_cache(cache)
+        except OSError:
+            pass      # read-only store: rebuild per process
+    return ivf
+
+
 class _IVFSearchAdapter:
     """DeviceIndex-shaped facade over IVFIndex (approximate mode)."""
 
@@ -196,69 +260,9 @@ class Reverso:
                 from .store import HostIndex
                 index = HostIndex(vectors)
             elif scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
-                from .store import IVFIndex
-                # persist the k-means result next to the store, keyed on
-                # (clusters, count, mutation_epoch, spill): a process
-                # restart reloads in one fancy-index pass instead of
-                # retraining. The epoch only moves when existing rows
-                # are rewritten (truncate), so a cache whose epoch
-                # matches but whose count is SMALLER covers an intact
-                # prefix — new rows are assigned to the cached
-                # centroids (extend) instead of retraining k-means.
-                cache_dir = os.path.join(store.path, "index")
-                sp = f"_sp{round(scfg.ivf_spill * 1000)}" \
-                    if scfg.ivf_spill else ""
-                if scfg.ivf_balance:
-                    sp += f"_b{round(scfg.ivf_balance * 100)}"
-                stem = f"ivf_c{scfg.ivf_clusters}"
-                tail = f"_{store.mutation_epoch}{sp}.npz"
-                cache = os.path.join(cache_dir, f"{stem}_{count}{tail}")
-                ivf = None
-                if os.path.exists(cache):
-                    ivf = IVFIndex.load_cache(
-                        vectors, cache, dtype=self.config.store.dtype,
-                        mesh=self.mesh)
-                dirty = ivf is None
-                if ivf is None and os.path.isdir(cache_dir):
-                    for f in sorted(os.listdir(cache_dir), reverse=True):
-                        if f.startswith(stem + "_") and f.endswith(tail):
-                            ivf = IVFIndex.extend_cache(
-                                vectors, os.path.join(cache_dir, f),
-                                dtype=self.config.store.dtype,
-                                mesh=self.mesh)
-                            if ivf is not None:
-                                break
-                if ivf is None:
-                    ivf = IVFIndex(vectors,
-                                   n_clusters=min(scfg.ivf_clusters, count),
-                                   dtype=self.config.store.dtype,
-                                   spill=scfg.ivf_spill,
-                                   balance=scfg.ivf_balance,
-                                   mesh=self.mesh)
-                if dirty:
-                    # prune only THIS config's stale caches (any count/
-                    # epoch): sibling configs' caches — a different
-                    # clusters/spill/balance an A/B alternates with —
-                    # stay valid and reloadable, so flipping between
-                    # two configs does not retrain k-means every time.
-                    def _same_cfg(f: str) -> bool:
-                        if not (f.startswith(stem + "_")
-                                and f.endswith(".npz")):
-                            return False
-                        parts = f[len(stem) + 1:-4].split("_", 2)
-                        if len(parts) < 2 or not (parts[0].isdigit()
-                                                  and parts[1].isdigit()):
-                            return False
-                        extra = parts[2] if len(parts) > 2 else ""
-                        return ("_" + extra if extra else "") == sp
-                    try:
-                        if os.path.isdir(cache_dir):
-                            for old in os.listdir(cache_dir):
-                                if _same_cfg(old):
-                                    os.remove(os.path.join(cache_dir, old))
-                        ivf.save_cache(cache)
-                    except OSError:
-                        pass      # read-only store: rebuild per process
+                ivf = load_or_build_ivf(store, vectors, scfg,
+                                        self.config.store.dtype,
+                                        mesh=self.mesh)
                 index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe,
                                           impl=scfg.ivf_impl)
             else:

@@ -400,3 +400,38 @@ def test_build_embeds_at_one_batch_shape(engine, tmp_path, encoder):
     assert "ready for searching" in t
     # 9 good files in batches of 4 -> 4, 3(+1 failed), 2 — all padded to 4
     assert shapes and all(s[0] == 4 for s in shapes), shapes
+
+
+def test_cli_tune(tmp_path, capsys):
+    """`reverso tune` sweeps nprobe on a store's own vectors, reports a
+    recall table, and recommends the smallest nprobe meeting the
+    target — warming the same k-means cache serving reloads."""
+    import json as _json
+    import numpy as np
+    from reverso_tpu import cli
+    from reverso_tpu.store import VectorStore
+
+    root = str(tmp_path / "db")
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((16, 32)).astype(np.float32)
+    rows = centers[rng.integers(0, 16, 2000)] + \
+        0.1 * rng.standard_normal((2000, 32)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    os.makedirs(root, exist_ok=True)
+    with VectorStore.create(root, "tunedb", 32) as s:
+        s.append(rows, [{"region_id": f"r{i}"} for i in range(2000)])
+
+    rc = cli.main(["--db-root", root, "--index", "ivf", "tune",
+                   "--name", "tunedb", "--target-recall", "0.9",
+                   "--queries", "64", "--k", "5"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["recommended_nprobe"] >= 1
+    assert out["sweep"][-1]["recall"] >= 0.9 or \
+        out["recommended_nprobe"] == out["clusters"]
+    # recall is non-decreasing along the pow2 ladder (sanity)
+    recalls = [r["recall"] for r in out["sweep"]]
+    assert all(b >= a - 0.02 for a, b in zip(recalls, recalls[1:]))
+    # the tune run persisted the k-means cache serving will reload
+    assert any(f.startswith("ivf_")
+               for f in os.listdir(os.path.join(root, "tunedb", "index")))
