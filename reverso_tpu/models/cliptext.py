@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.topk import _dot_precision
+
 
 @dataclass(frozen=True)
 class ClipTextConfig:
@@ -53,7 +55,12 @@ class TextBlock(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
                                        dtype=jnp.float32)
         y = ln("ln1")(x).astype(x.dtype)
-        dense = lambda name: nn.Dense(c.width, name=name, dtype=x.dtype)
+        # per-dtype precision everywhere a matmul runs: default-
+        # precision f32 silently executes one bf16 MXU pass on TPU
+        # (the repo-wide trap; see ops.topk._dot_precision)
+        prec = _dot_precision(x.dtype)
+        dense = lambda name: nn.Dense(c.width, name=name, dtype=x.dtype,
+                                      precision=prec)
         q, k, v = dense("q_proj")(y), dense("k_proj")(y), dense("v_proj")(y)
 
         def split(t):
@@ -61,18 +68,21 @@ class TextBlock(nn.Module):
             return t.reshape(b, s, c.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       precision=prec).astype(jnp.float32)
         s = s / np.sqrt(hd) + causal_bias
         p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v, precision=prec)
         b, _, sl, _ = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(b, sl, c.width)
         x = x + dense("out_proj")(o)
 
         y = ln("ln2")(x).astype(x.dtype)
-        y = nn.Dense(int(c.width * c.mlp_ratio), name="fc1", dtype=x.dtype)(y)
+        y = nn.Dense(int(c.width * c.mlp_ratio), name="fc1",
+                     dtype=x.dtype, precision=prec)(y)
         y = _act(self.cfg.act)(y)
-        y = nn.Dense(c.width, name="fc2", dtype=x.dtype)(y)
+        y = nn.Dense(c.width, name="fc2", dtype=x.dtype,
+                     precision=prec)(y)
         return x + y
 
 
@@ -104,7 +114,8 @@ class ClipTextEncoder(nn.Module):
                                    1, 0), axis=1)
         pooled = x[jnp.arange(b), eot]
         return nn.Dense(c.embed_dim, use_bias=False, name="proj",
-                        dtype=dtype)(pooled)
+                        dtype=dtype,
+                        precision=_dot_precision(dtype))(pooled)
 
 
 class TextEmbedder:

@@ -50,11 +50,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .topk import _INT_MAX, _dot_precision, _insert_sorted, _round_up
+from .topk import (_INT_MAX, _dot_precision, _insert_sorted,
+                   _pad_dim, _round_up)
 
 # queries resident per launch; the wrapper chunks larger batches (the
 # XLA path is preferred at large Q anyway — see ivf.py dispatch).
@@ -137,8 +137,10 @@ def _ivf_scan_kernel(base_ref, cnt_ref, q_hbm, mat_hbm,
                         q_vmem[:], bufs[slot],
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=(jax.lax.Precision.HIGHEST if f32_mode
-                                   else jax.lax.Precision.DEFAULT))
+                        # the one per-dtype precision definition: f32
+                        # needs HIGHEST or Mosaic runs one bf16 pass
+                        precision=_dot_precision(
+                            jnp.float32 if f32_mode else jnp.bfloat16))
                 # only the probing query's row is real; other rows and
                 # columns beyond the cluster count mask to -inf
                 row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -326,12 +328,12 @@ def ivf_probe_scan(mat, queries, qdig, row_scale, base, cnt, *,
     outs = []
     for lo in range(0, qn, qp):
         hi = min(lo + qp, qn)
-        q_c = _pad_rows(queries[lo:hi], qp)
+        q_c = _pad_dim(queries[lo:hi], 0, qp)
         qd_c = jnp.zeros((2, qp, d), jnp.int8)
         if int8:
-            qd_c = _pad_rows(qdig[:, lo:hi], qp, axis=1)
-        b_c = _pad_rows(base[lo:hi], qp)
-        c_c = _pad_rows(cnt[lo:hi], qp)     # pad queries: cnt 0 -> skipped
+            qd_c = _pad_dim(qdig[:, lo:hi], 1, qp)
+        b_c = _pad_dim(base[lo:hi], 0, qp)
+        c_c = _pad_dim(cnt[lo:hi], 0, qp)   # pad queries: cnt 0 -> skipped
         s, f = _ivf_scan_jit(mat, q_c, qd_c, b_c, c_c, k=k, kpad=kpad,
                              db_tile=db_tile, chunks=chunks,
                              n_bufs=n_bufs, nprobe=nprobe, qp=qp,
@@ -405,10 +407,3 @@ def ivf_scan_supported(cmax_pad: int, d: int, itemsize: int,
     return _qp_for(db_tile, chunks, n_bufs, d, itemsize, kpad,
                    int8=True) >= 8
 
-
-def _pad_rows(x, size: int, axis: int = 0):
-    if x.shape[axis] == size:
-        return x
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, size - x.shape[axis])
-    return jnp.pad(x, pad)

@@ -176,7 +176,7 @@ def _sort_state_desc(S, I, k: int):
     return out_S, out_I
 
 
-def _topk_stream_kernel(n_valid_ref, scale_ref, q_hbm, db_hbm, scores_out,
+def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out,
                         idx_out,
                         q_vmem, bufs, s_scr, i_scr, col_scr, sp_scr,
                         db_sems, q_sem,
@@ -469,23 +469,15 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
         # depend on which other queries were coalesced into the same
         # launch (batch-global max|q| broke that). Per-query positive
         # scaling leaves each row's (-score, idx) order untouched, so
-        # the kernel ranks UNscaled combined dots (scale_ref = 1) and
-        # the true scores are restored outside by a per-row multiply.
-        qs32 = queries.astype(jnp.float32)
-        c1 = jnp.maximum(jnp.max(jnp.abs(qs32), axis=1, keepdims=True),
-                         1e-30) / 127.0
-        c2 = c1 / 254.0
-        q_hi = jnp.clip(jnp.round(qs32 / c1), -127, 127).astype(jnp.int8)
-        resid = qs32 - q_hi.astype(jnp.float32) * c1
-        q_lo = jnp.clip(jnp.round(resid / c2), -127, 127).astype(jnp.int8)
+        # the kernel ranks UNscaled combined dots and the true scores
+        # are restored outside by a per-row multiply.
+        q_hi, q_lo, c2 = int8_query_digits(queries)
         qs_p = jnp.stack([
             _pad_dim(_pad_dim(q_hi, 1, d_p), 0, q_p),
             _pad_dim(_pad_dim(q_lo, 1, d_p), 0, q_p)])
-        scale = jnp.ones((1,), jnp.float32)
         row_scale = c2 * jnp.asarray(db_scale, jnp.float32)   # [Q, 1]
     else:
         qs_p = _pad_dim(_pad_dim(queries, 1, d_p), 0, q_p)
-        scale = jnp.ones((1,), jnp.float32)
     n_valid = jnp.asarray(n_valid, jnp.int32).reshape(1)
     n_tiles = n_p // db_tile
 
@@ -497,7 +489,6 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
     scores, idx = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -530,7 +521,7 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_valid, scale, qs_p, db_p)
+    )(n_valid, qs_p, db_p)
     scores, idx = scores[:q_out, :k], idx[:q_out, :k]
     if int8_mode:
         # restore true cosine scale per query (-inf stays -inf)
@@ -593,7 +584,28 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     while n_bufs > 2 and fixed + n_bufs * db_tile * d_p * itemsize > 11 * 2**20:
         n_bufs -= 1
 
-    if q <= _Q_RESIDENT:
+    # TRUE-total chunk clamp: the n_bufs model above intentionally
+    # keeps its historical accounting (the measured configs compile
+    # identically), but it budgets the group-score staging at q_tile
+    # rows while the kernel allocates it at the FULL resident q_p rows
+    # — a >768-query chunk at d=1024 bf16 overflowed the 16 MB VMEM.
+    # Correct accounting here only SHRINKS the resident chunk.
+    q_factor = 2 if itemsize == 1 else 1          # int8: two query planes
+    sp_factor = 2 if defer else 1
+
+    def _vmem_total(q_rows: int) -> int:
+        q_p_ = _round_up(q_rows, q_tile)
+        return (q_factor * q_p_ * d_p * itemsize
+                + n_bufs * db_tile * d_p * itemsize
+                + q_p_ * kpad * 16                 # state + outputs
+                + q_tile * group * db_tile * 4     # column iota
+                + sp_factor * q_p_ * group * db_tile * 4)
+
+    q_chunk = min(_Q_RESIDENT, _round_up(q, q_tile))
+    while q_chunk > q_tile and _vmem_total(q_chunk) > 14 * 2 ** 20:
+        q_chunk -= q_tile
+
+    if q <= q_chunk:
         return _topk_pallas_jit(db, queries, n_valid, k=k, kpad=kpad,
                                 q_tile=q_tile, db_tile=db_tile,
                                 interpret=interpret, q_out=q, n_bufs=n_bufs,
@@ -601,12 +613,12 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
                                 state_mode=state_mode)
     # Chunk large query batches; each chunk streams the database once.
     outs = [
-        _topk_pallas_jit(db, queries[lo:lo + _Q_RESIDENT], n_valid,
+        _topk_pallas_jit(db, queries[lo:lo + q_chunk], n_valid,
                          k=k, kpad=kpad, q_tile=q_tile, db_tile=db_tile,
                          interpret=interpret,
-                         q_out=min(_Q_RESIDENT, q - lo), n_bufs=n_bufs,
+                         q_out=min(q_chunk, q - lo), n_bufs=n_bufs,
                          group=group, defer=defer, state_mode=state_mode)
-        for lo in range(0, q, _Q_RESIDENT)
+        for lo in range(0, q, q_chunk)
     ]
     return (jnp.concatenate([s for s, _ in outs], axis=0),
             jnp.concatenate([i for _, i in outs], axis=0))
@@ -616,7 +628,9 @@ def cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int, **kw):
     """Dispatch: Pallas kernel when possible, XLA fallback otherwise."""
     if k <= 128:
         return cosine_topk_pallas(db, queries, k, **kw)
-    return cosine_topk_xla(db, queries, k)
+    # the XLA path must keep honoring n_valid: dropping it would score
+    # tile-padding rows at 0.0 and surface their indices as results
+    return cosine_topk_xla(db, queries, k, n_valid=kw.get("n_valid"))
 
 
 # ---------------------------------------------------------------------------
@@ -642,6 +656,28 @@ def quantize_db_int8(db):
     inv = 127.0 / amax
     v8 = jnp.clip(jnp.round(db32 * inv), -127, 127).astype(jnp.int8)
     return v8, amax / 127.0
+
+
+def int8_query_digits(queries):
+    """Two-digit int8 query decomposition for the exact s8 MXU path.
+
+    q ~= c1*q_hi + c2*q_lo with c1 = 254*c2 (c1 from the per-query
+    abs-max, 1e-30 floored): two s8 dots combine to an exact ~15-bit-
+    query-precision f32 score. Scales are PER-QUERY — positive scaling
+    leaves each row's (-score, idx) order untouched, so kernels rank
+    unscaled combined dots and the caller restores true scores with
+    row_scale = c2 * db_scale. THE single definition of the exactness
+    contract — shared by cosine_topk_int8_exact and IVFIndex.search so
+    the two paths stay bitwise consistent.
+    Returns (q_hi [Q, d] i8, q_lo [Q, d] i8, c2 [Q, 1] f32)."""
+    qs32 = jnp.asarray(queries, jnp.float32)
+    c1 = jnp.maximum(jnp.max(jnp.abs(qs32), axis=1, keepdims=True),
+                     1e-30) / 127.0
+    c2 = c1 / 254.0
+    q_hi = jnp.clip(jnp.round(qs32 / c1), -127, 127).astype(jnp.int8)
+    resid = qs32 - q_hi.astype(jnp.float32) * c1
+    q_lo = jnp.clip(jnp.round(resid / c2), -127, 127).astype(jnp.int8)
+    return q_hi, q_lo, c2
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -742,6 +778,19 @@ def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
     while n_bufs > 2 and fixed + n_bufs * db_tile * d_p > 11 * 2**20:
         n_bufs -= 1
 
+    # TRUE-total chunk clamp (same rationale as cosine_topk_pallas):
+    # the staging scratch is q_p rows, not q_tile — bound the resident
+    # chunk so large query batches cannot overflow VMEM
+    def _vmem_total(q_rows: int) -> int:
+        q_p_ = _round_up(q_rows, q_tile)
+        return (2 * q_p_ * d_p + n_bufs * db_tile * d_p
+                + q_p_ * kpad * 16 + q_tile * group * db_tile * 4
+                + q_p_ * group * db_tile * 4)
+
+    q_chunk = min(_Q_RESIDENT, _round_up(q, q_tile))
+    while q_chunk > q_tile and _vmem_total(q_chunk) > 14 * 2 ** 20:
+        q_chunk -= q_tile
+
     def launch(qs, q_out):
         return _topk_pallas_jit(db_i8, qs, n_valid, k=k, kpad=kpad,
                                 q_tile=q_tile, db_tile=db_tile,
@@ -750,10 +799,10 @@ def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
                                 db_scale=jnp.asarray(db_scale, jnp.float32),
                                 state_mode=state_mode)
 
-    if q <= _Q_RESIDENT:
+    if q <= q_chunk:
         return launch(queries, q)
-    outs = [launch(queries[lo:lo + _Q_RESIDENT], min(_Q_RESIDENT, q - lo))
-            for lo in range(0, q, _Q_RESIDENT)]
+    outs = [launch(queries[lo:lo + q_chunk], min(q_chunk, q - lo))
+            for lo in range(0, q, q_chunk)]
     return (jnp.concatenate([s for s, _ in outs], axis=0),
             jnp.concatenate([i for _, i in outs], axis=0))
 

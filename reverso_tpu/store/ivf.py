@@ -760,15 +760,11 @@ class IVFIndex:
             q32 = q32[None]
         q = q32.astype(self._dtype)          # centroid-probe copy (bf16)
         if self._int8:
-            # PER-QUERY two-digit decomposition (q ~= c1*hi + c2*lo,
-            # c1 = 254*c2) — same contract as cosine_topk_int8_exact:
-            # per-query positive scaling leaves each row's order intact
-            c1 = jnp.maximum(jnp.max(jnp.abs(q32), axis=1, keepdims=True),
-                             1e-30) / 127.0
-            c2 = c1 / 254.0
-            q_hi = jnp.clip(jnp.round(q32 / c1), -127, 127).astype(jnp.int8)
-            resid = q32 - q_hi.astype(jnp.float32) * c1
-            q_lo = jnp.clip(jnp.round(resid / c2), -127, 127).astype(jnp.int8)
+            # shared two-digit decomposition (ops.topk.int8_query_digits)
+            # — ONE definition of the exactness contract for this path
+            # and cosine_topk_int8_exact
+            from ..ops.topk import int8_query_digits
+            q_hi, q_lo, c2 = int8_query_digits(q32)
             qdig = jnp.stack([q_hi, q_lo])
             row_scale = c2 * self.db_scale
         else:

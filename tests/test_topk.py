@@ -183,3 +183,33 @@ def test_replace_min_state_bitwise_matches_sorted_state(rng):
         np.testing.assert_array_equal(outs["sorted"][1], outs["replace_min"][1])
         np.testing.assert_array_equal(outs["sorted"][0], outs["replace_min"][0])
         assert_topk_equiv(db, qs, *outs["replace_min"], k)
+
+
+def test_cosine_topk_k_over_128_keeps_n_valid(rng):
+    """The k>128 XLA fallback must keep honoring n_valid: dropping it
+    scored tile-padding rows at 0.0 and surfaced their indices."""
+    from reverso_tpu.ops.topk import cosine_topk
+    db = random_unit(rng, 512, 16)
+    s, i = jax.device_get(cosine_topk(db, db[:2], 200, n_valid=100))
+    assert (i[i >= 0] < 100).all(), i
+    assert (i[:, 100:] == -1).all()
+    assert np.isneginf(s[:, 100:]).all()
+
+
+def test_pallas_query_chunking_matches_xla(rng, monkeypatch):
+    """Query batches beyond the resident chunk split into multiple
+    launches; the concatenated result must equal the one-shot scan
+    (exercises the VMEM-clamped chunk loop with a tiny chunk)."""
+    import reverso_tpu.ops.topk as topk_mod
+    db = random_unit(rng, 256, 32)
+    q = random_unit(rng, 96, 32)
+    want_s, want_i = jax.device_get(
+        topk_mod.cosine_topk_xla(db, q, 7, n_valid=200))
+    monkeypatch.setattr(topk_mod, "_Q_RESIDENT", 32)
+    got_s, got_i = jax.device_get(
+        topk_mod.cosine_topk_pallas(db, q, 7, q_tile=8, db_tile=64,
+                                    n_valid=200))
+    assert_topk_equiv(db[:200].astype(np.float64),
+                      q.astype(np.float64), got_s, got_i, 7)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_s, want_s, atol=1e-5)
