@@ -5,17 +5,34 @@ mapping, lowercasing, end-of-word `</w>` markers, rank-ordered BPE
 merges, `<|startoftext|>`/`<|endoftext|>` wrapping — from the standard
 `vocab.json` + `merges.txt` files that ship next to CLIP/PE checkpoints.
 No network access and no tokenizer package needed.
+
+Search-by-text is a beyond-reference capability (the reference app has
+no text search; its CLIP text tower is simply never used,
+reference core_system.py:181). Tokenization must still match OpenAI
+CLIP's simple_tokenizer EXACTLY or text embeddings from real
+checkpoints are silently wrong for any query the pattern splits
+differently.
 """
 from __future__ import annotations
 
 import functools
 import json
-import re
 from typing import Sequence
 
-_PATTERN = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+")
+try:
+    # CLIP's exact pattern needs \p{L}/\p{N} Unicode classes (the
+    # `regex` package). An ASCII-only approximation tokenizes "café"
+    # as 'caf' + 'é'-as-punctuation — different BPE pieces than every
+    # checkpoint's training tokenization.
+    import regex as _re
+    _PATTERN = _re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+")
+except ImportError:       # stdlib fallback: [^\W\d_]+ == Unicode letters
+    import re as _re
+    _PATTERN = _re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|\d|(?:[^\w\s]|_)+")
 
 
 @functools.lru_cache()
@@ -75,7 +92,7 @@ class ClipBPETokenizer:
         return word
 
     def encode_text(self, text: str) -> list[int]:
-        text = re.sub(r"\s+", " ", text.strip().lower())
+        text = _re.sub(r"\s+", " ", text.strip().lower())
         ids: list[int] = []
         for tok in _PATTERN.findall(text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))

@@ -34,25 +34,12 @@ def scan_images(folder: str, *, include_subfolders: bool = False,
         if not os.path.isdir(folder):
             return []
         for name in os.listdir(folder):
-            if name.lower().endswith(exts):
-                files.append(os.path.join(folder, name))
+            p = os.path.join(folder, name)
+            # a DIRECTORY named 'vacation.jpg' would otherwise surface
+            # as a per-image decode failure in the build transcript
+            if name.lower().endswith(exts) and os.path.isfile(p):
+                files.append(p)
     return sorted(files)
-
-
-def load_image_rgb(path: str, *, draft_size: Optional[int] = None) -> Image.Image:
-    """PIL open + RGB convert (reference core_system.py:552).
-
-    With `draft_size`, JPEGs decode at the largest DCT-scaled reduction
-    that stays >= (draft_size, draft_size) — ~2.1x faster than a full
-    decode at typical photo resolutions, with pixel deltas after the
-    bicubic resize within JPEG quantization noise (measured mean
-    0.47/255, max 3/255 on 1280x960 q90 sources). Only used when the
-    caller does not need the original resolution.
-    """
-    with Image.open(path) as im:
-        if draft_size is not None:
-            im.draft("RGB", (draft_size, draft_size))
-        return im.convert("RGB")
 
 
 def preprocess_pil(im: Image.Image, size: int, *,
@@ -122,9 +109,15 @@ def _preprocess_cv2(path: str, size: int, *, keep_original: bool,
         except Exception:
             fmt, w, h = None, None, None
         if fmt == "JPEG" and w is not None and min(w, h) >= 2 * size:
-            a = cv2.imread(path, cv2.IMREAD_REDUCED_COLOR_2)
+            # IGNORE_ORIENTATION: OpenCV auto-applies EXIF rotation
+            # since 3.4.1, PIL's open+convert does NOT — the backends
+            # must feed the model the same pixels, and the (w, h)
+            # metadata read from the header above is unrotated
+            a = cv2.imread(path, cv2.IMREAD_REDUCED_COLOR_2
+                           | cv2.IMREAD_IGNORE_ORIENTATION)
     if a is None:
-        a = cv2.imread(path, cv2.IMREAD_COLOR)
+        a = cv2.imread(path, cv2.IMREAD_COLOR
+                       | cv2.IMREAD_IGNORE_ORIENTATION)
     if a is None:
         raise OSError(f"cv2 failed to decode {path}")
     if w is None:
@@ -197,9 +190,10 @@ def iter_batches(paths: Sequence[str], size: int, batch_size: int, *,
     chunks = [list(paths[i:i + batch_size])
               for i in range(0, len(paths), batch_size)]
 
-    def load_chunk(chunk):
+    def assemble(futs):
         ok_paths, pixels, sizes, originals, failed = [], [], [], [], []
-        for path, px, sz, orig, err in ex.map(load_one, chunk):
+        for f in futs:
+            path, px, sz, orig, err = f.result()
             if err is None:
                 ok_paths.append(path)
                 pixels.append(px)
@@ -213,14 +207,20 @@ def iter_batches(paths: Sequence[str], size: int, batch_size: int, *,
                            originals if keep_originals else None)
 
     with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-        pending: list[cf.Future] = []
+        # a chunk is its list of per-FILE futures — never a pool task
+        # that blocks on other pool tasks (the old chunk-level task
+        # called ex.map inside the same pool and DEADLOCKED whenever
+        # workers <= prefetch: every worker sat in a load_chunk waiting
+        # on load_one futures queued behind it)
+        pending: list[list[cf.Future]] = []
         idx = 0
         while idx < len(chunks) and len(pending) < prefetch:
-            pending.append(ex.submit(load_chunk, chunks[idx]))
+            pending.append([ex.submit(load_one, p) for p in chunks[idx]])
             idx += 1
         while pending:
-            batch = pending.pop(0).result()
+            batch = assemble(pending.pop(0))
             if idx < len(chunks):
-                pending.append(ex.submit(load_chunk, chunks[idx]))
+                pending.append([ex.submit(load_one, p)
+                                for p in chunks[idx]])
                 idx += 1
             yield batch

@@ -27,8 +27,15 @@ def save_params(path: str, params: Any, meta: dict | None = None) -> None:
         f.write(serialization.msgpack_serialize(host))
     os.replace(tmp, path)
     if meta is not None:
-        with open(path + ".json", "w") as f:
+        # sidecar gets the same tmp+replace treatment as the params: a
+        # crash mid-dump otherwise left a torn .json that fails every
+        # later load (or stale meta applied to the new params)
+        mtmp = path + ".json.tmp"
+        with open(mtmp, "w") as f:
             json.dump(meta, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, path + ".json")
 
 
 def load_params(path: str) -> Any:

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.topk import _dot_precision
 
 
 @dataclass(frozen=True)
@@ -41,8 +42,12 @@ class BertSelfAttention(nn.Module):
     def __call__(self, x, mask_bias):
         c = self.cfg
         hd = c.hidden_size // c.num_heads
+        # per-dtype precision (the repo-wide trap): default-precision
+        # f32 runs one bf16 MXU pass on TPU, so the fp32 exact-parity
+        # text conditioning would silently not be exact on device
+        prec = _dot_precision(x.dtype)
         dense = lambda name: nn.Dense(c.hidden_size, name=name,
-                                      dtype=x.dtype)
+                                      dtype=x.dtype, precision=prec)
         q, k, v = dense("query")(x), dense("key")(x), dense("value")(x)
 
         def split(t):
@@ -50,10 +55,11 @@ class BertSelfAttention(nn.Module):
             return t.reshape(b, s, c.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       precision=prec).astype(jnp.float32)
         s = s / np.sqrt(hd) + mask_bias           # [B, 1, 1, L] bias
         p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v, precision=prec)
         b, _, sl, _ = o.shape
         return o.transpose(0, 2, 1, 3).reshape(b, sl, c.hidden_size)
 
@@ -66,12 +72,16 @@ class BertLayer(nn.Module):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, name=name,
                                        dtype=jnp.float32)
+        prec = _dot_precision(x.dtype)
         attn_out = BertSelfAttention(c, name="self")(x, mask_bias)
-        attn_out = nn.Dense(c.hidden_size, name="attn_output", dtype=x.dtype)(attn_out)
+        attn_out = nn.Dense(c.hidden_size, name="attn_output",
+                            dtype=x.dtype, precision=prec)(attn_out)
         x = ln("attn_ln")(x + attn_out).astype(x.dtype)
-        h = nn.Dense(c.intermediate_size, name="intermediate", dtype=x.dtype)(x)
+        h = nn.Dense(c.intermediate_size, name="intermediate",
+                     dtype=x.dtype, precision=prec)(x)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(c.hidden_size, name="output", dtype=x.dtype)(h)
+        h = nn.Dense(c.hidden_size, name="output", dtype=x.dtype,
+                     precision=prec)(h)
         return ln("out_ln")(x + h).astype(x.dtype)
 
 

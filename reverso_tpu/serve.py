@@ -110,17 +110,25 @@ class BatchingSearcher:
         than asked with no error); route large-k requests directly to
         the index instead.
         """
-        if self._closed:
-            raise SearchError("searcher is closed")
         k = int(k)
         if k > self._k_cap:
             raise SearchError(
                 f"k={k} exceeds the batcher's k_cap={self._k_cap}; "
                 "use a direct index search for large k")
+        if k < 1:
+            # a negative k would silently mis-slice the padded launch
+            # (scores[row, :-5]) and return the wrong result count
+            raise SearchError(f"k must be >= 1, got {k}")
         q = np.asarray(query, np.float32).reshape(-1)
         p = _Pending(q, k)
         t0 = time.monotonic()
         with self._cv:
+            # _closed is checked UNDER the lock: an unsynchronized
+            # pre-check raced close() — a request could enqueue just
+            # after the collector's final drain and strand its caller
+            # for the full timeout instead of failing fast
+            if self._closed:
+                raise SearchError("searcher is closed")
             if len(self._queue) >= self._max_queue:
                 with self._stats_lock:
                     self.shed += 1

@@ -143,3 +143,25 @@ def test_cv2_unknown_mode_rejected(jpeg_folder):
     assert all(not b.paths for b in batches)
     assert any("ValueError" in err for b in batches
                for _, err in b.failed)
+
+
+def test_iter_batches_no_deadlock_small_worker_pool(jpeg_folder):
+    """workers <= prefetch used to DEADLOCK: chunk-level pool tasks
+    blocked on per-file tasks queued behind them in the same pool."""
+    import pathlib
+    files = sorted(str(p) for p in pathlib.Path(jpeg_folder).iterdir())
+    from reverso_tpu.ingest.images import iter_batches
+    batches = list(iter_batches(files, 32, 2, workers=1, prefetch=2))
+    assert sum(len(b.paths) for b in batches) + \
+        sum(len(b.failed) for b in batches) == len(files)
+
+
+def test_scan_images_skips_directories(tmp_path):
+    from PIL import Image
+    import numpy as np
+    from reverso_tpu.ingest.images import scan_images
+    os.makedirs(tmp_path / "f" / "vacation.jpg")   # dir with image name
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        tmp_path / "f" / "real.jpg")
+    assert [os.path.basename(p) for p in scan_images(str(tmp_path / "f"))] \
+        == ["real.jpg"]

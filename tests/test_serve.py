@@ -536,3 +536,21 @@ def test_ivf_impl_knob_reaches_the_adapter(tmp_path):
     assert idx.impl == "xla"
     s_, i_ = eng.search_batch(emb[:4], k=5)
     assert (np.asarray(i_)[:, 0] == np.arange(4)).all()
+
+
+def test_search_rejects_k_below_one():
+    b = BatchingSearcher(lambda: FakeIndex(_db()), max_delay_s=0.0)
+    with pytest.raises(SearchError, match="k must be >= 1"):
+        b.search(np.zeros(16, np.float32), k=0)
+    with pytest.raises(SearchError, match="k must be >= 1"):
+        b.search(np.zeros(16, np.float32), k=-5)
+    b.close()
+
+
+def test_search_after_close_fails_fast():
+    b = BatchingSearcher(lambda: FakeIndex(_db()), max_delay_s=0.0)
+    b.close()
+    t0 = time.monotonic()
+    with pytest.raises(SearchError, match="closed"):
+        b.search(np.zeros(16, np.float32), k=3)
+    assert time.monotonic() - t0 < 1.0      # no 60 s timeout strand
