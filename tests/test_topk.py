@@ -213,3 +213,48 @@ def test_pallas_query_chunking_matches_xla(rng, monkeypatch):
                       q.astype(np.float64), got_s, got_i, 7)
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_allclose(got_s, want_s, atol=1e-5)
+
+
+def test_randomized_shape_sweep_all_impls():
+    """Seeded sweep over awkward shapes (d not a lane multiple, k at or
+    past n_valid, tiny/odd q) — every implementation must satisfy the
+    fp64-truth contract and agree with the XLA reference."""
+    from reverso_tpu.ops.topk import (cosine_topk_int8_exact,
+                                      cosine_topk_int8_xla,
+                                      cosine_topk_pallas, cosine_topk_xla,
+                                      quantize_db_int8)
+    rng = np.random.default_rng(99)
+    for trial in range(10):
+        n = int(rng.integers(5, 400))
+        d = int(rng.choice([8, 24, 96, 130, 200]))
+        qn = int(rng.integers(1, 9))
+        k = int(rng.choice([1, 3, 8, 17]))
+        n_valid = int(rng.integers(1, n + 1))
+        db = random_unit(rng, n, d)
+        q = random_unit(rng, qn, d)
+        ref_s, ref_i = jax.device_get(
+            cosine_topk_xla(db, q, k, n_valid=n_valid))
+        got_s, got_i = jax.device_get(
+            cosine_topk_pallas(db, q, k, q_tile=8, db_tile=64,
+                               n_valid=n_valid))
+        np.testing.assert_array_equal(got_i, ref_i,
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_allclose(got_s, ref_s, atol=2e-5)
+        k_eff = min(k, n_valid)
+        assert (ref_i[:, k_eff:] == -1).all()
+        # int8 paths: each must satisfy the contract against the
+        # DEQUANTIZED rows (the exact path quantizes the QUERY to
+        # ~15 bits, the XLA path uses the raw f32 query — scores agree
+        # only to the query-quantization error, not bitwise)
+        db8, scale = quantize_db_int8(db)
+        deq = np.asarray(db8, np.float64) * float(scale)
+        s1, i1 = jax.device_get(cosine_topk_int8_exact(
+            db8, scale, q, k, q_tile=8, db_tile=64, n_valid=n_valid))
+        s2, i2 = jax.device_get(cosine_topk_int8_xla(
+            db8, scale, q, k, n_valid=n_valid))
+        k_eff8 = min(k, n_valid)
+        for s8, i8 in ((s1, i1), (s2, i2)):
+            assert (i8[:, k_eff8:] == -1).all()
+            assert_topk_equiv(deq[:n_valid], q.astype(np.float64),
+                              s8[:, :k_eff8], i8[:, :k_eff8], k_eff8,
+                              tol=1e-4)
