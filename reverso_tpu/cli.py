@@ -257,18 +257,21 @@ def cmd_bench(args) -> int:
 def cmd_tune(args) -> int:
     """Pick the smallest IVF nprobe meeting --target-recall on a store.
 
-    Ground truth is the exact fp32 scan (native host top-k) over
-    queries sampled from the store's own vectors — the qdrant-side
-    recall methodology of BASELINE config #5. Builds (or reloads) the
-    SAME persisted k-means cache serving uses, so a tune run also warms
-    the index for the first real search."""
+    Ground truth is the index's OWN full probe (nprobe == n_clusters),
+    which by the IVF contract reproduces the exact scan over the
+    stored representation. That isolates exactly what the knob being
+    tuned costs — probe misses — and is immune to storage-dtype
+    rounding: on near-duplicate-heavy corpora a fp32 host-scan truth
+    diverges from bf16-stored scoring on ties and recall saturates
+    below 1.0 at every nprobe, making the target unreachable. Builds
+    (or reloads) the SAME persisted k-means cache serving uses, so a
+    tune run also warms the index for the first real search."""
     _enable_compile_cache()
     import time
 
     import numpy as np
     import jax
     from .engine import load_or_build_ivf
-    from .native import cpu_topk
     from .store import VectorStore
 
     cfg = _make_config(args)
@@ -286,12 +289,21 @@ def cmd_tune(args) -> int:
     qn = min(args.queries, n)
     q = vecs[rng.choice(n, qn, replace=False)]
     k = min(args.k, n)
-    _, true_i = cpu_topk(vecs, q, k)
 
     print(f"store '{args.name}': {n} vectors x {vecs.shape[1]}, "
           f"{qn} sampled queries, recall@{k} target "
           f"{args.target_recall}", file=sys.stderr)
+    note = None
+    if n <= cfg.search.ivf_clusters * 4:
+        # the engine only engages IVF past clusters*4 rows — below
+        # that serving takes the exact scan regardless, so the sweep
+        # describes a path serving won't use
+        note = (f"store has {n} rows <= 4x ivf_clusters "
+                f"({cfg.search.ivf_clusters}): serving uses the EXACT "
+                f"scan for this config; tune is informational only")
+        print(f"⚠️ {note}", file=sys.stderr)
     ivf = load_or_build_ivf(store, vecs, cfg.search, cfg.store.dtype)
+    _, true_i = jax.device_get(ivf.search(q, k, nprobe=ivf.n_clusters))
 
     def recall_at(nprobe):
         jax.device_get(ivf.search(q, k, nprobe=nprobe))
@@ -321,21 +333,41 @@ def cmd_tune(args) -> int:
         # pow2 ladder, clamped so the full probe (exact) is measured
         nprobe = min(nprobe * 2, ivf.n_clusters) \
             if nprobe < ivf.n_clusters else ivf.n_clusters + 1
+    if pick is not None and pick > 1:
+        # refine inside (last-failing, first-passing]: the ladder's
+        # pick can be up to 2x the true smallest nprobe
+        lo = rows[-2][0] if len(rows) > 1 else 0
+        hi = pick
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            r, dt = recall_at(mid)
+            rows.append((mid, r, dt))
+            print(f"  nprobe {mid:5d}  recall {r:.4f}  "
+                  f"{dt * 1e3:8.2f} ms / {qn} queries  (refine)",
+                  file=sys.stderr)
+            if r >= args.target_recall:
+                hi = mid
+            else:
+                lo = mid
+        pick = hi
     if pick is None:
         pick = ivf.n_clusters     # full probe reproduces the exact scan
         print(f"⚠️ target {args.target_recall} not reached below full "
               f"probe; recommending nprobe={pick} (exact)",
               file=sys.stderr)
-    print(json.dumps({
+    out = {
         "database": args.name, "count": n, "dim": int(vecs.shape[1]),
         "clusters": ivf.n_clusters, "k": k,
         "target_recall": args.target_recall,
         "recommended_nprobe": pick,
         "sweep": [{"nprobe": p_, "recall": round(r_, 4),
                    "ms_per_batch": round(dt_ * 1e3, 2)}
-                  for p_, r_, dt_ in rows],
+                  for p_, r_, dt_ in sorted(rows)],
         "flag": f"--index ivf --ivf-nprobe {pick}",
-    }, indent=2))
+    }
+    if note:
+        out["note"] = note
+    print(json.dumps(out, indent=2))
     return 0
 
 

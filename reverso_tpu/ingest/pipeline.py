@@ -165,13 +165,12 @@ def build_database(
             except StoreError:
                 existing = None
             if existing is not None:
-                return BuildResult(
-                    log(f"ℹ️ Nothing to resume: no checkpoint, and "
-                        f"database '{database_name}' already exists "
-                        f"({existing.count} embeddings — the previous "
-                        f"build completed). Run without resume to "
-                        f"rebuild it from scratch."),
-                    0, 0, existing.count)
+                log(f"ℹ️ Nothing to resume: no checkpoint, and "
+                    f"database '{database_name}' already exists "
+                    f"({existing.count} embeddings — the previous "
+                    f"build completed). Run without resume to "
+                    f"rebuild it from scratch.")
+                return BuildResult(log.text, 0, 0, existing.count)
         if ck is not None:
             try:
                 store = VectorStore.open(root, database_name, writable=True)
@@ -182,10 +181,10 @@ def build_database(
                     store = VectorStore.open(root, database_name,
                                              writable=True)
                 else:
-                    return BuildResult(
-                        log(f"❌ Database '{database_name}' is locked by a "
-                            "running process. Stop it or unlock the "
-                            "database first."), 0, 0, 0)
+                    log(f"❌ Database '{database_name}' is locked by a "
+                        "running process. Stop it or unlock the "
+                        "database first.")
+                    return BuildResult(log.text, 0, 0, 0)
             except StoreError as e:
                 # Store dir missing/corrupt: nothing recoverable remains.
                 log(f"⚠️ Checkpoint exists but store is unusable ({e}). "
@@ -198,10 +197,10 @@ def build_database(
                     processed_files = set(ck.get("processed_files", []))
                 except Exception as e:
                     store.close()
-                    return BuildResult(
-                        log(f"❌ Error applying checkpoint: {e}. The store "
-                            "was left untouched; delete the checkpoint to "
-                            "start fresh."), 0, 0, 0)
+                    log(f"❌ Error applying checkpoint: {e}. The store "
+                        "was left untouched; delete the checkpoint to "
+                        "start fresh.")
+                    return BuildResult(log.text, 0, 0, 0)
                 log(f"📋 Resuming from checkpoint: {len(processed_files)} "
                     "files already processed")
     if store is None:
@@ -209,9 +208,9 @@ def build_database(
             store = VectorStore.create(root, database_name,
                                        encoder.embed_dim, overwrite=True)
         except StoreLockedError:
-            return BuildResult(
-                log(f"❌ Database '{database_name}' is locked (a build may "
-                    "be running). Unlock it first to overwrite."), 0, 0, 0)
+            log(f"❌ Database '{database_name}' is locked (a build may "
+                "be running). Unlock it first to overwrite.")
+            return BuildResult(log.text, 0, 0, 0)
 
     log(f"📁 Creating database '{database_name}' from {folder_path}")
 
@@ -219,13 +218,14 @@ def build_database(
                         extensions=config.ingest.image_extensions)
     if not files:
         store.close()
-        return BuildResult(log(f"❌ No images found in {folder_path}"), 0, 0, 0)
+        log(f"❌ No images found in {folder_path}")
+        return BuildResult(log.text, 0, 0, 0)
 
     todo = [f for f in files if f not in processed_files]
     if resume_from_checkpoint and not todo:
         store.close()
-        return BuildResult(log("✅ All files already processed. Database is complete."),
-                           0, 0, store.count)
+        log("✅ All files already processed. Database is complete.")
+        return BuildResult(log.text, 0, 0, store.count)
 
     log(f"📊 Found {len(todo)} images to process", 0.1)
     if include_subfolders:
@@ -394,9 +394,8 @@ def build_database(
                 log(f"⏱️ detect: {m.counts['detect']} images in "
                     f"{m.seconds['detect']:.1f}s ({m.rate('detect'):.1f} img/s)")
             if store.count == 0:
-                result = BuildResult(
-                    log("❌ No embeddings extracted from any images"),
-                    processed, failed, 0)
+                log("❌ No embeddings extracted from any images")
+                result = BuildResult(log.text, processed, failed, 0)
                 store.close()
                 return result
             store.flush()

@@ -339,7 +339,8 @@ def extract_frames_with_progress(urls: str, folder: str, fps: float = 2,
         return "❌ No valid URLs provided"
     log = StatusLog(lambda m, p: progress(p or 0.0, desc=m) if progress else None)
     if not YT_DLP_AVAILABLE:
-        return log("❌ yt-dlp not available. Please install it: pip install yt-dlp")
+        log("❌ yt-dlp not available. Please install it: pip install yt-dlp")
+        return log.text
 
     log("🔍 Checking video availability...", 0.0)
     valid = []

@@ -77,7 +77,9 @@ def delete_database(root: str, name: str) -> None:
     path = os.path.join(root, name)
     if not os.path.isdir(path):
         raise StoreError(f"Database not found: {name}")
-    if os.path.exists(os.path.join(path, LOCK_FILE)):
+    # only a LIVE holder blocks (docs/OPERATIONS.md contract); a stale
+    # lock from a crashed build is taken over, same as the resume path
+    if lock_holder_alive(root, name):
         raise StoreLockedError(
             f"Database '{name}' is locked (a build may be running); "
             f"unlock it first")

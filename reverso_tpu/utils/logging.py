@@ -35,27 +35,30 @@ class StatusLog:
 
     def __init__(self, progress_callback: Optional[Callable[[str, Optional[float]], None]] = None,
                  logger: Optional[logging.Logger] = None):
-        # transcript kept as one incrementally-extended string: joining
-        # a growing message list on EVERY call (the old form) is O(n^2)
-        # over a long ingest; CPython's in-place `str +=` keeps the
-        # common discard-the-return case amortized O(len(message))
-        self._text = ""
+        self.messages: list[str] = []
+        self._cache = ""
+        self._cache_len = 0
         self._cb = progress_callback
         self._logger = logger or get_logger("status")
 
     def __call__(self, message: str, progress: Optional[float] = None) -> str:
-        if self._text:
-            self._text += "\n" + message
-        else:
-            self._text = message
+        """Record + forward one status line; returns the MESSAGE (use
+        `.text` for the transcript — returning the joined transcript
+        from every call made long ingests O(n^2) in string copies;
+        attribute `+=` doesn't dodge that either, CPython's in-place
+        concat only optimizes local-variable targets)."""
+        self.messages.append(message)
         self._logger.info(message)
         if self._cb is not None:
             try:
                 self._cb(message, progress)
             except Exception:  # progress UI must never kill the pipeline
                 pass
-        return self._text
+        return message
 
     @property
     def text(self) -> str:
-        return self._text
+        if self._cache_len != len(self.messages):
+            self._cache = "\n".join(self.messages)
+            self._cache_len = len(self.messages)
+        return self._cache

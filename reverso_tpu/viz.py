@@ -35,12 +35,12 @@ def to_rgb_array(image) -> np.ndarray:
     elif arr.shape[2] == 4:
         arr = arr[:, :, :3]
     if np.issubdtype(arr.dtype, np.floating):
-        # float images: 0-1 convention (matplotlib/ToTensor) scales to
-        # 0-255; 0-255-ranged floats pass through. A bare astype(uint8)
-        # truncated 0-1 input to a black frame — and this array feeds
-        # the DETECTOR (engine.detect_regions), not just drawings.
-        scale = 255.0 if arr.size and float(arr.max()) <= 1.0 else 1.0
-        arr = np.clip(arr * scale, 0, 255)
+        # DTYPE convention, same as preprocess_images: float pixels are
+        # 0-1 (matplotlib/ToTensor), integers 0-255. A content
+        # heuristic (max() <= 1.0 -> x255) would amplify a near-black
+        # 0-255-float frame to noise — and this array feeds the
+        # DETECTOR (engine.detect_regions), not just drawings.
+        arr = np.clip(arr * 255.0, 0, 255)
     return arr.astype(np.uint8)
 
 

@@ -429,6 +429,9 @@ def test_cli_tune(tmp_path, capsys):
     assert out["recommended_nprobe"] >= 1
     assert out["sweep"][-1]["recall"] >= 0.9 or \
         out["recommended_nprobe"] == out["clusters"]
+    # 2000 rows <= 4x default clusters: serving would take the exact
+    # scan for this config, and tune must say so
+    assert "EXACT" in out.get("note", "")
     # recall is non-decreasing along the pow2 ladder (sanity)
     recalls = [r["recall"] for r in out["sweep"]]
     assert all(b >= a - 0.02 for a, b in zip(recalls, recalls[1:]))
