@@ -154,6 +154,7 @@ def test_bf16_features_with_f32_coords_close_to_fp32():
         assert err < 0.01, err       # feature rounding only, not ~0.1
 
 
+@pytest.mark.slow
 def test_model_supplies_f32_sampling_locations_under_bf16(monkeypatch):
     """The detector must hand the deformable op f32 coordinates in bf16
     mode (regression: sampling geometry quantization is a silent

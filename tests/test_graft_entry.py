@@ -11,6 +11,7 @@ NOT pre-provision virtual devices.
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -28,6 +29,7 @@ def _run_clean(code: str, *, timeout: int = 600, extra_env=None):
                           capture_output=True, text=True, timeout=timeout)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_bootstraps_devices():
     """dryrun_multichip(n) must succeed when the caller has ONE device."""
     proc = _run_clean(
@@ -46,6 +48,7 @@ def test_dryrun_multichip_bootstraps_devices():
     assert "ALL OK on 4 cpu devices" in out, out
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inline_when_devices_exist():
     """When the caller already has >= n devices, run inline (no re-exec)."""
     proc = _run_clean(

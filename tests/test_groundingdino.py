@@ -60,6 +60,7 @@ def test_text_mask_generation():
     np.testing.assert_array_equal(pos[0], [0, 0, 1, 2, 0, 1, 0])
 
 
+@pytest.mark.slow
 def test_grounding_dino_parity():
     cfg = tiny_test_config()
     model = make_hf_model(cfg)
@@ -94,6 +95,7 @@ def test_grounding_dino_parity():
                                atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_grounding_dino_parity_perturbed_layernorms():
     """Parity with NON-identity LayerNorm affines.
 

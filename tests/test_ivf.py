@@ -94,6 +94,7 @@ def test_engine_ivf_mode(tmp_path):
         it["filename"] for it in items]
 
 
+@pytest.mark.slow
 def test_sharded_ivf_matches_single_device(corpus):
     """8-way virtual-mesh IVF == single-device IVF, exactly (BASELINE
     config #5's multi-host story, round-1 verdict #6)."""
@@ -307,6 +308,7 @@ def test_spill_full_probe_is_exact(corpus):
     np.testing.assert_allclose(s, true_s, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_spill_matches_single_device(corpus):
     """Row-sharded spill == single-device spill, exactly: shards emit
     top-2k so the merged multiset is complete, dedup runs post-merge
@@ -529,6 +531,7 @@ def test_from_device_int8_and_spill_match_host(corpus):
     np.testing.assert_array_equal(s1, s2)
 
 
+@pytest.mark.slow
 def test_from_device_sharded_matches_single(corpus):
     """Mesh from_device gathers straight into the sharded layout; search
     must equal the single-device from_device search exactly."""
@@ -757,6 +760,7 @@ def test_probe_scan_tiny_clusters_and_k_gt_candidates():
     assert (i_p == -1).any()        # some slots below k are absent
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dtype,spill", [("int8", 0.15), ("bfloat16", 0.0)])
 def test_probe_scan_sharded_matches_xla(corpus128, dtype, spill):
     """Kernel inside shard_map: per-shard probed scan + all_gather
@@ -813,6 +817,7 @@ def test_extend_cache_after_balance(tmp_path, corpus):
     assert recall_at_k(i, true_i) == 1.0
 
 
+@pytest.mark.slow
 def test_balance_sharded_matches_single_device(corpus):
     """Mesh-sharded IVF with balance == single-device, exactly (the
     split-expanded centroid table shards like any other)."""

@@ -82,6 +82,7 @@ def test_bf16_nan_numpy_fallback(monkeypatch):
     assert bits[2] == 0x3F80                                      # 1.0
 
 
+@pytest.mark.slow
 def test_cpu_topk_throughput(rng):
     """The C++ scan replaces the reference's numpy-per-query loop; assert
     it is at least as fast as a single-threaded numpy full scan."""

@@ -249,6 +249,7 @@ def test_compat_shim(tmp_path, encoder):
     assert reverso.delete_database("compat_db").startswith("✅")
 
 
+@pytest.mark.slow
 def test_cli_train(tmp_path):
     from reverso_tpu import cli
     imgs = tmp_path / "imgs"

@@ -46,6 +46,7 @@ def make_hf_model(cfg):
     return model
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("multimask", [False, True])
 def test_sam_parity(multimask):
     cfg = tiny_sam_config()

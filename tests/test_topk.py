@@ -215,6 +215,7 @@ def test_pallas_query_chunking_matches_xla(rng, monkeypatch):
     np.testing.assert_allclose(got_s, want_s, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_randomized_shape_sweep_all_impls():
     """Seeded sweep over awkward shapes (d not a lane multiple, k at or
     past n_valid, tiny/odd q) — every implementation must satisfy the

@@ -131,6 +131,7 @@ def test_int8_exact_nvalid_and_small_n():
     np.testing.assert_array_equal(i, ri)
 
 
+@pytest.mark.slow
 def test_device_index_int8_single_vs_sharded():
     """StoreConfig.dtype='int8' flows through DeviceIndex: the sharded
     int8 scan must equal the single-device int8 scan exactly, and both

@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -64,6 +65,7 @@ def test_tp_matches_single_device():
     np.testing.assert_allclose(out1, out8, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from reverso_tpu.train.checkpoint import save_train_state, restore_train_state
     mesh = make_mesh(MeshConfig(axis_sizes=(4, 2)))

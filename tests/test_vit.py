@@ -222,6 +222,7 @@ def test_neighbor_set_parity_vs_torch():
         assert set(ref_nn[q]) == set(our_nn[q]), (q, ref_nn[q], our_nn[q])
 
 
+@pytest.mark.slow
 def test_pad_seq_equivalence():
     """The padded-sequence fast path must produce the same embeddings as
     the exact-length path (masked attention makes padding inert)."""
