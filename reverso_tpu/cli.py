@@ -136,7 +136,8 @@ def cmd_search(args) -> int:
         return _search_bulk(engine, args)
     with trace(args.trace_dir):
         engine.process_image_direct_pe(args.image[0])
-        text, items = engine.search_similar(args.threshold, args.top_k)
+        text, items = engine.search_similar(args.threshold, args.top_k,
+                                            filter=args.filter or None)
     if args.json:
         print(json.dumps([
             {"filename": it["filename"], "score": it["score"],
@@ -155,7 +156,7 @@ def _search_bulk(engine, args) -> int:
     px = np.concatenate([engine._preprocess(p)[0] for p in args.image])
     embs = np.asarray(engine.encoder.encode_image(px))
     k = args.top_k or engine.config.search.top_k
-    scores, ids = engine.search_batch(embs, k)
+    scores, ids = engine.search_batch(embs, k, filter=args.filter or None)
     thr = (engine.config.search.score_threshold
            if args.threshold is None else args.threshold)
     blocks = []
@@ -190,7 +191,9 @@ def cmd_search_text(args) -> int:
     if msg.startswith("❌"):
         print(msg, file=sys.stderr)
         return 1
-    text, items = engine.search_by_text(args.text, args.threshold, args.top_k)
+    text, items = engine.search_by_text(args.text, args.threshold,
+                                        args.top_k,
+                                        filter=args.filter or None)
     if args.json:
         print(json.dumps([
             {"filename": it["filename"], "score": it["score"],
@@ -220,6 +223,38 @@ def cmd_unlock(args) -> int:
     msg = engine.unlock_database(args.name)
     print(msg)
     return 0 if not msg.startswith("❌") else 1
+
+
+def cmd_export(args) -> int:
+    """Snapshot a database to a single portable file (no model load)."""
+    from .store import VectorStore, StoreError
+
+    cfg = _make_config(args)
+    try:
+        store = VectorStore.open(cfg.store.root_dir, args.name)
+        out = store.export_snapshot(args.output)
+    except StoreError as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    print(f"✅ Exported {args.name} ({store.count} rows, dim {store.dim}) "
+          f"to {out}")
+    return 0
+
+
+def cmd_import(args) -> int:
+    """Restore a snapshot as a (new) database (no model load)."""
+    from .store import VectorStore, StoreError, StoreLockedError
+
+    cfg = _make_config(args)
+    try:
+        store = VectorStore.import_snapshot(
+            cfg.store.root_dir, args.name, args.snapshot,
+            overwrite=args.overwrite)
+    except (StoreError, StoreLockedError, OSError) as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    print(f"✅ Imported {args.name}: {store.count} rows, dim {store.dim}")
+    return 0
 
 
 def cmd_serve(args) -> int:
@@ -512,6 +547,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--threshold", type=float, default=None)
     s.add_argument("--top-k", type=int, default=None)
     s.add_argument("--json", action="store_true")
+    s.add_argument("--filter", action="append", default=[],
+                   help="payload filter clause(s): key=value, key!=value, "
+                        "key>=N, key<=N (repeatable; all must hold), or a "
+                        "JSON object with must/should/must_not")
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("search-text",
@@ -521,6 +560,8 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--threshold", type=float, default=None)
     st.add_argument("--top-k", type=int, default=None)
     st.add_argument("--json", action="store_true")
+    st.add_argument("--filter", action="append", default=[],
+                    help="payload filter clause(s), as in `search`")
     st.set_defaults(fn=cmd_search_text)
 
     l = sub.add_parser("list", help="list databases")
@@ -533,6 +574,19 @@ def build_parser() -> argparse.ArgumentParser:
     u = sub.add_parser("unlock", help="remove a stale database lock")
     u.add_argument("name")
     u.set_defaults(fn=cmd_unlock)
+
+    ex = sub.add_parser("export",
+                        help="snapshot a database to one portable file")
+    ex.add_argument("name")
+    ex.add_argument("output")
+    ex.set_defaults(fn=cmd_export)
+
+    im = sub.add_parser("import",
+                        help="restore a database from a snapshot file")
+    im.add_argument("snapshot")
+    im.add_argument("--name", required=True)
+    im.add_argument("--overwrite", action="store_true")
+    im.set_defaults(fn=cmd_import)
 
     v = sub.add_parser("serve", help="start the web UI")
     v.add_argument("--host", default="127.0.0.1")

@@ -128,9 +128,9 @@ class _IVFSearchAdapter:
         self.impl = impl
         self.n_valid = ivf.n
 
-    def search(self, queries, k: int, **_):
+    def search(self, queries, k: int, *, row_mask=None, **_):
         return self._ivf.search(queries, k, nprobe=self.nprobe,
-                                impl=self.impl)
+                                impl=self.impl, row_mask=row_mask)
 
 
 class Reverso:
@@ -165,6 +165,10 @@ class Reverso:
         self._stop_event = threading.Event()
         self._searcher = None
         self._searcher_lock = threading.Lock()
+        # payload-column cache for filtered search, keyed on
+        # (count, data_version) — see _filter_mask
+        self._filter_cols = None
+        self._filter_cols_key = None
         # guards (_index, _index_key) rebuild/assignment: the batcher's
         # worker thread calls _get_index concurrently with UI-locked
         # callers, and two simultaneous rebuilds would transiently hold
@@ -274,6 +278,32 @@ class Reverso:
             self._index_key = key
             return index
 
+    def _filter_mask(self, filter_spec) -> Optional[np.ndarray]:
+        """Evaluate a payload filter (dict/string/Filter; see
+        `store.filter`) against the loaded store -> [count] bool mask.
+
+        The payload-column extraction (one streaming JSONL pass) is
+        cached per (count, data_version); repeated filtered searches
+        against an unchanged store evaluate in vectorized numpy with
+        no IO. Returns None for an empty filter."""
+        from .store.filter import PayloadColumns, evaluate_filter, parse_filter
+
+        filt = parse_filter(filter_spec)
+        if filt.is_empty():
+            return None
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        store.refresh()
+        key = (store.count, store.data_version)
+        with self._index_lock:
+            if self._filter_cols is None or self._filter_cols_key != key:
+                self._filter_cols = PayloadColumns(store)
+                self._filter_cols_key = key
+            cols = self._filter_cols
+        cols.ensure(sorted(filt.keys()))
+        return evaluate_filter(filt, cols)
+
     # -- serving ----------------------------------------------------------
 
     @property
@@ -324,19 +354,24 @@ class Reverso:
             warmed.append("detector")
         return "warmed: " + ", ".join(warmed)
 
-    def search_batch(self, embeddings, k: Optional[int] = None):
+    def search_batch(self, embeddings, k: Optional[int] = None, *,
+                     filter=None):
         """Bulk search: [B, d] query embeddings in ONE kernel launch.
 
         Returns (scores [B, k], ids [B, k]) with the usual
         (-score, idx) order and -1 padding. The per-query cost of the
         streaming kernel is tiny next to the database scan, so always
-        prefer this over a loop of single searches."""
+        prefer this over a loop of single searches. `filter` restricts
+        results to rows whose payload matches (see `store.filter` for
+        the qdrant-shaped spec); filtered scans are exact over the
+        matching subset."""
         import jax
         k = self.config.search.top_k if k is None else int(k)
         q = np.asarray(embeddings, np.float32)
         if q.ndim == 1:
             q = q[None]
-        return jax.device_get(self._get_index().search(q, k))
+        mask = self._filter_mask(filter) if filter is not None else None
+        return jax.device_get(self._get_index().search(q, k, row_mask=mask))
 
     # -- query path -----------------------------------------------------
 
@@ -416,7 +451,8 @@ class Reverso:
                        max_results: Optional[int] = None,
                        query_index: int = 0, *,
                        embeddings=_USE_ENGINE_STATE,
-                       use_batcher: bool = False):
+                       use_batcher: bool = False,
+                       filter=None):
         """Search the loaded database with a previously extracted embedding
         (reference core_system.py:650-717). Returns (text, items).
 
@@ -425,6 +461,11 @@ class Reverso:
         callers (the UI's per-session query state) pass their own.
         `use_batcher` routes the device launch through the micro-batching
         searcher so concurrent searches coalesce instead of serializing.
+        `filter` (dict/string; see `store.filter`) restricts results to
+        rows whose payload matches, e.g. `{"detected_class": "person"}`
+        or `"confidence>=0.5"` — the capability qdrant's search filters
+        provide in the reference's store. Filtered searches launch
+        directly (masks don't coalesce in the batcher).
         """
         cfg = self.config.search
         threshold = cfg.score_threshold if similarity_threshold is None else similarity_threshold
@@ -444,7 +485,8 @@ class Reverso:
         query_index = min(query_index, len(embs) - 1)
         query = embs[query_index]
 
-        if use_batcher and k <= 128:
+        mask = self._filter_mask(filter) if filter is not None else None
+        if mask is None and use_batcher and k <= 128:
             # k > 128 exceeds the batcher's fused-kernel cap; fall
             # through to a direct (XLA-path) index search instead of
             # silently truncating results
@@ -452,7 +494,8 @@ class Reverso:
         else:
             index = self._get_index()
             import jax
-            scores, ids = jax.device_get(index.search(query, k))
+            scores, ids = jax.device_get(
+                index.search(query, k, row_mask=mask))
             scores, ids = scores[0], ids[0]
         hits = [(float(s), int(i)) for s, i in zip(scores, ids)
                 if i >= 0 and s >= threshold]
@@ -479,7 +522,8 @@ class Reverso:
     def search_by_text(self, text: str,
                        similarity_threshold: Optional[float] = None,
                        max_results: Optional[int] = None, *,
-                       stateless: bool = False, use_batcher: bool = False):
+                       stateless: bool = False, use_batcher: bool = False,
+                       filter=None):
         """Search the loaded database with a natural-language description
         via the CLIP/PE text tower (capability the reference's models had
         but its app never exposed). Returns (text, items) like
@@ -503,7 +547,8 @@ class Reverso:
             # image-image ones; never fall through to the 0.7 default
             similarity_threshold = self.config.search.text_score_threshold
         return self.search_similar(similarity_threshold, max_results,
-                                   embeddings=emb, use_batcher=use_batcher)
+                                   embeddings=emb, use_batcher=use_batcher,
+                                   filter=filter)
 
     # -- index build ------------------------------------------------------
 

@@ -66,11 +66,13 @@ def _pad_dim(x: jnp.ndarray, axis: int, size: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def cosine_topk_xla(db: jnp.ndarray, queries: jnp.ndarray, k: int,
-                    n_valid=None):
+                    n_valid=None, row_mask=None):
     """Exact top-k by full score materialization + lax.top_k.
 
     db: [N, d] L2-normalized. queries: [Q, d] L2-normalized.
     Returns (scores [Q, k] f32, idx [Q, k] int32), ordered by (-score, idx).
+    `row_mask` ([N] bool) excludes rows (payload-filtered search): masked
+    rows score -inf, so the result equals the exact scan over the subset.
     """
     scores = jax.lax.dot_general(
         queries, db,
@@ -81,6 +83,8 @@ def cosine_topk_xla(db: jnp.ndarray, queries: jnp.ndarray, k: int,
     if n_valid is not None:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
+    if row_mask is not None:
+        scores = jnp.where(row_mask[None, :], scores, -jnp.inf)
     k_eff = min(k, db.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k_eff)  # lax.top_k is stable: ties -> lower idx
     # absent slots (masked padding rows when n_valid < k) are -1, the
@@ -683,7 +687,8 @@ def int8_query_digits(queries):
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def cosine_topk_int8_xla(db_i8: jnp.ndarray, db_scale,
                          queries: jnp.ndarray, k: int,
-                         n_valid=None, *, chunk: int = 65536):
+                         n_valid=None, *, chunk: int = 65536,
+                         row_mask=None):
     """Exact top-k over an int8 database via XLA, any k.
 
     Scans row chunks with `lax.scan`, dequantizing each chunk on the
@@ -692,7 +697,8 @@ def cosine_topk_int8_xla(db_i8: jnp.ndarray, db_scale,
     int8 footprint and OOM exactly at the capacity int8 exists for).
     Tie order matches the stable single-shot scan: earlier (lower-id)
     candidates precede the chunk in the concat, and lax.top_k is
-    stable."""
+    stable. `row_mask` ([N] bool) excludes rows exactly (filtered
+    search), chunked through the scan alongside the matrix."""
     n, d = db_i8.shape
     q = queries.shape[0]
     if n_valid is None:
@@ -701,13 +707,17 @@ def cosine_topk_int8_xla(db_i8: jnp.ndarray, db_scale,
     chunk = min(chunk, _round_up(n, 128))
     n_p = _round_up(n, chunk)
     db_p = _pad_dim(db_i8, 0, n_p).reshape(n_p // chunk, chunk, d)
+    mask_p = None
+    if row_mask is not None:
+        mask_p = _pad_dim(jnp.asarray(row_mask, jnp.bool_),
+                          0, n_p).reshape(n_p // chunk, chunk)
     q32 = queries.astype(jnp.float32)
     scale = jnp.asarray(db_scale, jnp.float32)
     k_eff = min(k, n)
 
     def body(carry, xs):
         s_c, i_c = carry
-        block, base = xs
+        block, base, mask_c = xs
         s = jax.lax.dot_general(
             q32, block.astype(jnp.float32) * scale,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -715,6 +725,8 @@ def cosine_topk_int8_xla(db_i8: jnp.ndarray, db_scale,
             precision=jax.lax.Precision.HIGHEST)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
         s = jnp.where(col < n_valid, s, -jnp.inf)
+        if mask_c is not None:
+            s = jnp.where(mask_c[None, :], s, -jnp.inf)
         all_s = jnp.concatenate([s_c, s], axis=1)
         all_i = jnp.concatenate([i_c, col], axis=1)
         top_s, pos = jax.lax.top_k(all_s, k_eff)
@@ -723,7 +735,7 @@ def cosine_topk_int8_xla(db_i8: jnp.ndarray, db_scale,
     init = (jnp.full((q, k_eff), -jnp.inf, jnp.float32),
             jnp.full((q, k_eff), -1, jnp.int32))
     bases = jnp.arange(n_p // chunk, dtype=jnp.int32) * chunk
-    (top_s, top_i), _ = jax.lax.scan(body, init, (db_p, bases))
+    (top_s, top_i), _ = jax.lax.scan(body, init, (db_p, bases, mask_p))
     if k_eff < k:
         top_s = _pad_dim(top_s, 1, k)
         top_s = top_s.at[:, k_eff:].set(-jnp.inf)
@@ -813,7 +825,8 @@ def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
 
 def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
                         mesh: Mesh, axis: str = "data",
-                        impl: str = "auto", n_valid=None, db_scale=None):
+                        impl: str = "auto", n_valid=None, db_scale=None,
+                        row_mask=None):
     """Top-k over a database row-sharded across `axis` of `mesh`.
 
     Each device scans its local shard with the fused kernel, then per-shard
@@ -822,6 +835,8 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
     `n_valid` (global count) masks trailing padding rows of the last shards.
     An int8-stored db passes its (global) dequantization scale via
     `db_scale` and is scanned with the int8-exact kernel per shard.
+    `row_mask` ([n] bool, sharded with the rows) excludes rows exactly
+    (payload-filtered search); masked shards scan via the XLA paths.
 
     Returns (scores [Q, k] f32, idx [Q, k] int32) identical to the
     single-device scan (deterministic tie-breaking by global row id).
@@ -832,15 +847,18 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
     local_n = n // n_shards
     int8 = jnp.dtype(db.dtype) == jnp.int8
     # auto respects the int8-exact kernel's d <= 1040 exactness bound
-    # (wider dims use the chunked int8 XLA scan per shard)
-    use_pallas = impl == "pallas" or (
+    # (wider dims use the chunked int8 XLA scan per shard); the fused
+    # kernels don't take a row mask, so filtered scans use XLA
+    use_pallas = row_mask is None and (impl == "pallas" or (
         impl == "auto" and k <= 128
-        and not (int8 and d * 127 * 127 >= 2 ** 24))
+        and not (int8 and d * 127 * 127 >= 2 ** 24)))
     assert not int8 or db_scale is not None
     if n_valid is None:
         n_valid = n
+    if row_mask is not None:
+        assert row_mask.shape == (n,), (row_mask.shape, n)
 
-    def local_scan(db_shard, qs):
+    def local_scan(db_shard, qs, mask_shard):
         shard_id = jax.lax.axis_index(axis)
         local_valid = jnp.clip(jnp.asarray(n_valid) - shard_id * local_n, 0, local_n)
         if int8 and use_pallas:
@@ -849,11 +867,13 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
         elif int8:
             # chunked: never dequantizes the whole shard at once
             s, i = cosine_topk_int8_xla(db_shard, db_scale, qs, k,
-                                        n_valid=local_valid)
+                                        n_valid=local_valid,
+                                        row_mask=mask_shard)
         elif use_pallas:
             s, i = cosine_topk_pallas(db_shard, qs, k, n_valid=local_valid)
         else:
-            s, i = cosine_topk_xla(db_shard, qs, k, n_valid=local_valid)
+            s, i = cosine_topk_xla(db_shard, qs, k, n_valid=local_valid,
+                                   row_mask=mask_shard)
         i = jnp.where(i >= 0, i + shard_id * local_n, i)
         # Gather all shards' candidates: [P, Q, k] -> [Q, P*k]
         all_s = jax.lax.all_gather(s, axis)
@@ -867,13 +887,21 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
         out_i = jnp.take_along_axis(all_i, order, axis=1)
         return out_s, out_i
 
+    if row_mask is None:
+        fn = shard_map(
+            lambda db_, qs_: local_scan(db_, qs_, None), mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(db, queries)
     fn = shard_map(
         local_scan, mesh=mesh,
-        in_specs=(P(axis), P()),
+        in_specs=(P(axis), P(), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(db, queries)
+    return fn(db, queries, jnp.asarray(row_mask, jnp.bool_))
 
 
 def tree_merge_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,

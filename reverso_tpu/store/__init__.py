@@ -9,3 +9,9 @@ from .persist import (
 )
 from .index import DeviceIndex, HostIndex, SearchResult
 from .ivf import IVFIndex
+from .filter import (
+    Filter,
+    FilterError,
+    parse_filter,
+    payload_mask,
+)

@@ -54,17 +54,26 @@ class HostIndex:
         self.n_valid = len(vectors)
         self.dim = self.matrix.shape[1] if self.matrix.ndim == 2 else 0
 
-    def search(self, queries, k: int, **_):
+    def search(self, queries, k: int, *, row_mask=None, **_):
         from ..native import cpu_topk
 
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None]
-        if self.n_valid == 0:
+        matrix, remap = self.matrix, None
+        if row_mask is not None:
+            # subset scan: row order is preserved, so the native scan's
+            # (-score, idx) tie order maps back through `remap` unchanged
+            remap = np.nonzero(np.asarray(row_mask, bool)[:self.n_valid])[0]
+            matrix = np.ascontiguousarray(self.matrix[remap])
+        if len(matrix) == 0:
             return (np.full((q.shape[0], k), -np.inf, np.float32),
                     np.full((q.shape[0], k), -1, np.int32))
-        scores, idx = cpu_topk(self.matrix, q, k)
-        return scores, idx.astype(np.int32)
+        scores, idx = cpu_topk(matrix, q, k)
+        idx = idx.astype(np.int32)
+        if remap is not None:
+            idx = np.where(idx >= 0, remap.astype(np.int32)[np.clip(idx, 0, None)], -1)
+        return scores, idx
 
 
 class DeviceIndex:
@@ -117,11 +126,27 @@ class DeviceIndex:
     def nbytes(self) -> int:
         return self.matrix.size * self.matrix.dtype.itemsize
 
-    def search(self, queries, k: int, *, impl: str = "auto"):
+    def _padded_mask(self, row_mask) -> jnp.ndarray:
+        """[n_valid]-or-longer host mask -> device bool of padded length
+        (padding rows False), sharded with the matrix rows on a mesh."""
+        m = np.zeros((self.matrix.shape[0],), np.bool_)
+        src = np.asarray(row_mask, bool)
+        m[:min(len(src), self.n_valid)] = src[:self.n_valid]
+        arr = jnp.asarray(m)
+        if self.mesh is not None:
+            arr = jax.device_put(arr, row_sharding(self.mesh, self.axis))
+        return arr
+
+    def search(self, queries, k: int, *, impl: str = "auto", row_mask=None):
         """Exact cosine top-k. queries: [Q, d] L2-normalized (host or device).
 
         Returns device arrays (scores [Q, k] f32, idx [Q, k] int32); idx -1
-        marks slots beyond the number of valid rows.
+        marks slots beyond the number of valid rows. `row_mask`
+        ([n_valid] bool, host) restricts the scan to matching rows
+        (payload-filtered search): exact w.r.t. the subset, same
+        (-score, idx) order. Masked scans run the XLA paths (the fused
+        streaming kernel does not take a mask); per-query-chunk score
+        materialization bounds memory for the bf16 case.
         """
         int8 = self._dtype == jnp.int8
         q = jnp.asarray(queries, jnp.float32 if int8 else self._dtype)
@@ -132,11 +157,30 @@ class DeviceIndex:
             return (jnp.full((qn, k), -jnp.inf, jnp.float32),
                     jnp.full((qn, k), -1, jnp.int32))
         if self.mesh is not None and self.mesh.devices.size > 1:
+            mask = self._padded_mask(row_mask) if row_mask is not None else None
             q = jax.device_put(q, replicated_sharding(self.mesh))
             return sharded_cosine_topk(self.matrix, q, k, self.mesh,
                                        axis=self.axis, impl=impl,
                                        n_valid=self.n_valid,
-                                       db_scale=self.scale)
+                                       db_scale=self.scale,
+                                       row_mask=mask)
+        if row_mask is not None:
+            mask = self._padded_mask(row_mask)
+            if int8:
+                return cosine_topk_int8_xla(self.matrix, self.scale,
+                                            q.astype(jnp.float32), k,
+                                            n_valid=self.n_valid,
+                                            row_mask=mask)
+            # chunk queries so the [Qc, N_padded] f32 score block stays
+            # bounded (~256 MB at 1M rows) regardless of batch size
+            qc = 64
+            outs = [cosine_topk_xla(self.matrix, q[lo:lo + qc], k,
+                                    n_valid=self.n_valid, row_mask=mask)
+                    for lo in range(0, q.shape[0], qc)]
+            if len(outs) == 1:
+                return outs[0]
+            return (jnp.concatenate([s for s, _ in outs], axis=0),
+                    jnp.concatenate([i for _, i in outs], axis=0))
         # the int8-exact kernel's f32-partial exactness bounds d <= 1040;
         # "auto" routes wider embeddings to the chunked int8 XLA scan
         # (any d, exact f32-HIGHEST dots) instead of crashing

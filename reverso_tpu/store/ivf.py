@@ -743,8 +743,24 @@ class IVFIndex:
         self.row_ids = jax.device_put(self.row_ids, rep)
         self._local_n = local_n
 
+    def _sorted_mask(self, row_mask, rows: int):
+        """[n] original-id mask -> bool over SORTED row positions,
+        padded to `rows` (the slice target's length) with False, so
+        per-probe dynamic slices never clamp. Spilled copies inherit
+        their row's mask bit through the row_ids gather."""
+        m = np.asarray(row_mask, bool)
+        if m.shape[0] < self.n:
+            m = np.pad(m, (0, self.n - m.shape[0]))
+        marr = jnp.asarray(m[:self.n])
+        rid = jnp.clip(self.row_ids, 0, self.n - 1)
+        sorted_m = jnp.where(self.row_ids >= 0, marr[rid], False)
+        pad = rows - sorted_m.shape[0]
+        if pad > 0:
+            sorted_m = jnp.pad(sorted_m, (0, pad))
+        return sorted_m
+
     def search(self, queries, k: int, *, nprobe: int = 8,
-               impl: str = "auto"):
+               impl: str = "auto", row_mask=None):
         """Returns (scores [Q, k] f32, original row ids [Q, k] int32).
 
         impl: "auto" picks the Pallas probed-scan kernel
@@ -753,7 +769,14 @@ class IVFIndex:
         XLA path's per-probe dynamic-slice copies (~10x small-Q
         latency) — and the XLA probe loop otherwise ("xla"/"pallas"
         force one; "pallas" off-TPU runs in interpret mode, for
-        tests)."""
+        tests).
+
+        `row_mask` ([n] bool over ORIGINAL row ids) restricts results
+        to matching rows (payload-filtered search). Probe selection is
+        unchanged — the same nprobe clusters are scanned and masked
+        rows score -inf — so filtered recall w.r.t. the filtered exact
+        scan matches unfiltered recall semantics. Masked scans run the
+        XLA probe loop (the Pallas kernel takes no mask)."""
         nprobe = min(nprobe, self.n_clusters)
         q32 = jnp.asarray(queries, jnp.float32)
         if q32.ndim == 1:
@@ -776,13 +799,22 @@ class IVFIndex:
             q = jax.device_put(q, rep)
             qdig = jax.device_put(qdig, rep)
             row_scale = jax.device_put(row_scale, rep)
+            mask_sorted = None
+            if row_mask is not None:
+                n_shards = self.mesh.shape[self.axis]
+                mask_sorted = jax.device_put(
+                    self._sorted_mask(
+                        row_mask,
+                        n_shards * self._local_n + self._cmax_pad), rep)
             return _ivf_search_sharded(
                 self.shard_mats, self.shard_off, self.shard_cnt,
                 self.centroids, self.offsets, self.row_ids, q, qdig,
                 row_scale, k=k, nprobe=nprobe, cmax=self._cmax_pad,
                 m=self.m, local_n=self._local_n, mesh=self.mesh,
                 axis=self.axis, int8=self._int8,
-                dedup=self.n_spill > 0, impl=impl, dim=self.dim)
+                dedup=self.n_spill > 0,
+                impl="xla" if row_mask is not None else impl,
+                dim=self.dim, mask_sorted=mask_sorted)
         dedup = self.n_spill > 0
         k_fetch = min(2 * k, nprobe * self._cmax_pad) if dedup \
             else min(k, nprobe * self._cmax_pad)
@@ -795,23 +827,27 @@ class IVFIndex:
         # validation, which raises a clear error rather than running
         # outside the kernel contract.
         from ..ops.ivf_scan import ivf_scan_supported
-        use_pallas = impl == "pallas" or (
+        use_pallas = row_mask is None and (impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu"
             and q.shape[0] <= 256
             and ivf_scan_supported(
                 self._cmax_pad, self.dim,
-                jnp.dtype(self.matrix.dtype).itemsize, k_fetch))
+                jnp.dtype(self.matrix.dtype).itemsize, k_fetch)))
         if use_pallas:
             return _ivf_search_pallas(
                 self.matrix, self.centroids, self.offsets, self.counts,
                 self.row_ids, q, qdig, row_scale, k=k, nprobe=nprobe,
                 cmax=self._cmax_pad, m=self.m, int8=self._int8,
                 dedup=dedup)
+        mask_sorted = None
+        if row_mask is not None:
+            mask_sorted = self._sorted_mask(row_mask, self.matrix.shape[0])
         return _ivf_search(self.matrix, self.centroids, self.offsets,
                            self.counts, self.row_ids, q, qdig, row_scale,
                            k=k, nprobe=nprobe, cmax=self._cmax_pad,
                            m=self.m, int8=self._int8,
-                           dedup=self.n_spill > 0)
+                           dedup=self.n_spill > 0,
+                           mask_sorted=mask_sorted)
 
 
 def _probe_scores(matrix, qvec, qhi, qlo, rs, b, cmax: int, int8: bool):
@@ -855,7 +891,7 @@ def _dedup_keep_first(scores, ids):
                                              "int8", "dedup"))
 def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries,
                 qdig, row_scale, *, k: int, nprobe: int, cmax: int, m: int,
-                int8: bool = False, dedup: bool = False):
+                int8: bool = False, dedup: bool = False, mask_sorted=None):
     qn, d = queries.shape
     cs = jax.lax.dot_general(
         queries, centroids, (((1,), (1,)), ((), ())),
@@ -873,6 +909,11 @@ def _ivf_search(matrix, centroids, offsets, counts, row_ids, queries,
             s = _probe_scores(matrix, qvec, qhi, qlo, rs, b, cmax, int8)
             within = jnp.arange(cmax)
             s = jnp.where(within < c, s, -jnp.inf)
+            if mask_sorted is not None:
+                # filtered search: masked rows score -inf (their ids
+                # then surface as -1 via the isneginf rewrite below)
+                mrows = jax.lax.dynamic_slice_in_dim(mask_sorted, b, cmax)
+                s = jnp.where(mrows, s, -jnp.inf)
             sorted_idx = jnp.where(within < c, b + within, m)  # m -> pad row
             return s, sorted_idx
 
@@ -963,7 +1004,7 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
                         k: int, nprobe: int, cmax: int, m: int,
                         local_n: int, mesh, axis: str, int8: bool = False,
                         dedup: bool = False, impl: str = "auto",
-                        dim: int = 0):
+                        dim: int = 0, mask_sorted=None):
     """Row-sharded IVF probe scan + exact (score, probe-position) merge.
 
     Every shard probes the SAME nprobe clusters per query (the centroid
@@ -988,13 +1029,14 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
     # shard's local top-k_fetch has the identical (-score, probe-major
     # position) order either way
     from ..ops.ivf_scan import ivf_scan_supported
-    use_pallas = impl == "pallas" or (
+    use_pallas = mask_sorted is None and (impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
         and queries.shape[0] <= 256
         and ivf_scan_supported(
-            cmax, dim, jnp.dtype(shard_mats.dtype).itemsize, k_fetch))
+            cmax, dim, jnp.dtype(shard_mats.dtype).itemsize, k_fetch)))
 
-    def local(mats, soff, scnt, cent, g_off, rids, qs, qdg, rsc):
+    def local(mats, soff, scnt, cent, g_off, rids, qs, qdg, rsc,
+              msk=None):
         mat, soff, scnt = mats[0], soff[0], scnt[0]
         qn = qs.shape[0]
         r0 = jax.lax.axis_index(axis) * local_n
@@ -1059,6 +1101,14 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
                 within = jnp.arange(cmax)
                 valid = within < c
                 s = jnp.where(valid, s, -jnp.inf)
+                if msk is not None:
+                    # the replicated mask is over GLOBAL sorted
+                    # positions; this shard's local row j sits at
+                    # r0 + j (padded past the last shard, so the
+                    # slice never clamps)
+                    mrows = jax.lax.dynamic_slice_in_dim(
+                        msk, r0 + b, cmax)
+                    s = jnp.where(mrows, s, -jnp.inf)
                 gpos = jnp.where(valid, r0 + b + within, m)
                 # (probe rank, within-cluster offset) tie keys; invalid
                 # slots sort last
@@ -1088,14 +1138,27 @@ def _ivf_search_sharded(shard_mats, shard_off, shard_cnt, centroids,
         top_r = jnp.take_along_axis(prnk_all, sel, axis=1)
         return _merge(top_s, top_g, top_w, top_r)
 
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    top_s, top_ids = fn(shard_mats, shard_off, shard_cnt, centroids,
-                        g_offsets, row_ids, queries, qdig, row_scale)
+    if mask_sorted is None:
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis),
+                      P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        top_s, top_ids = fn(shard_mats, shard_off, shard_cnt, centroids,
+                            g_offsets, row_ids, queries, qdig, row_scale)
+    else:
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis),
+                      P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        top_s, top_ids = fn(shard_mats, shard_off, shard_cnt, centroids,
+                            g_offsets, row_ids, queries, qdig, row_scale,
+                            mask_sorted)
     if k_eff < k:
         pad = k - k_eff
         top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)

@@ -546,3 +546,133 @@ class VectorStore:
         if self._idx_f is not None:
             self._idx_f.close()
             self._idx_f = None
+
+    # -- snapshots (export / import) -----------------------------------
+
+    def export_snapshot(self, out_path: str) -> str:
+        """Write a portable single-file snapshot (uncompressed tar) of
+        the committed rows: meta.json + the exact byte prefixes of
+        vectors.bin / payloads.jsonl / payloads.idx covering `count`
+        rows — the role qdrant's collection snapshots play for the
+        reference's store (its app exposed none; the capability is the
+        store's). The cut is taken at the current committed count, so
+        a concurrent append in another process can't tear the archive;
+        derived caches (`index/`) and the lock file are deliberately
+        excluded (rebuilt on demand, keyed on data_version).
+        """
+        import io as _io
+        import tarfile
+
+        self.flush()
+        count = self.count
+        vec_bytes = count * 4 * self.dim
+        pay_bytes = self._payload_cut(count)
+        meta = {"name": self.name, "collection": self.collection,
+                "dim": self.dim, "count": count,
+                "data_version": self.data_version,
+                "mutation_epoch": self.mutation_epoch,
+                "dtype": "float32", "version": 1}
+        tmp = out_path + ".tmp"
+        try:
+            with tarfile.open(tmp, "w") as tar:
+                raw = json.dumps(meta, indent=2).encode()
+                info = tarfile.TarInfo(META_FILE)
+                info.size = len(raw)
+                tar.addfile(info, _io.BytesIO(raw))
+
+                def add_prefix(fname: str, nbytes: int) -> None:
+                    src = os.path.join(self.path, fname)
+                    have = os.path.getsize(src) if os.path.exists(src) else 0
+                    if have < nbytes:
+                        raise StoreError(
+                            f"cannot snapshot {self.name}: {fname} holds "
+                            f"{have} bytes, committed rows need {nbytes}")
+                    info = tarfile.TarInfo(fname)
+                    info.size = nbytes
+                    if nbytes == 0:
+                        tar.addfile(info, _io.BytesIO(b""))
+                        return
+                    with open(src, "rb") as f:
+                        tar.addfile(info, f)   # reads exactly `size` bytes
+
+                add_prefix(VEC_FILE, vec_bytes)
+                add_prefix(PAYLOAD_FILE, pay_bytes)
+                # sidecar may legitimately trail (legacy stores): ship
+                # what exists; import rebuilds the rest on first access
+                idx_have = 0
+                idx_path = os.path.join(self.path, PAYLOAD_IDX_FILE)
+                if os.path.exists(idx_path):
+                    idx_have = min(os.path.getsize(idx_path) // 8, count) * 8
+                add_prefix(PAYLOAD_IDX_FILE, idx_have)
+            os.replace(tmp, out_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+        return out_path
+
+    @staticmethod
+    def import_snapshot(root: str, name: str, snapshot_path: str, *,
+                        overwrite: bool = False) -> "VectorStore":
+        """Restore a snapshot as database `name` under `root`.
+
+        Extraction is validated (only the four known member names, no
+        links/paths) and staged into a temp directory, sizes checked
+        against the snapshot meta, then atomically moved into place.
+        The imported store gets FRESH data_version/mutation_epoch so
+        any derived caches from a prior incarnation of `name` never
+        alias it. Returns a read-only handle.
+        """
+        import tarfile
+
+        allowed = {META_FILE, VEC_FILE, PAYLOAD_FILE, PAYLOAD_IDX_FILE}
+        path = os.path.join(root, name)
+        if os.path.isdir(path):
+            if not overwrite:
+                raise StoreError(f"Database already exists: {name}")
+            if os.path.exists(os.path.join(path, LOCK_FILE)):
+                raise StoreLockedError(
+                    f"Database '{name}' is locked; unlock it first")
+        os.makedirs(root, exist_ok=True)
+        tmp_dir = os.path.join(root, f".import-{name}-{os.getpid()}")
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+        try:
+            with tarfile.open(snapshot_path, "r") as tar:
+                members = tar.getmembers()
+                names = {m.name for m in members}
+                bad = names - allowed
+                if bad or META_FILE not in names:
+                    raise StoreError(
+                        f"not a reverso snapshot: members {sorted(names)}")
+                for m in members:
+                    if not m.isreg():
+                        raise StoreError(
+                            f"refusing non-regular snapshot member {m.name}")
+                    with open(os.path.join(tmp_dir, m.name), "wb") as out:
+                        shutil.copyfileobj(tar.extractfile(m), out)
+            with open(os.path.join(tmp_dir, META_FILE)) as f:
+                meta = json.load(f)
+            dim, count = int(meta["dim"]), int(meta["count"])
+            vec_size = os.path.getsize(os.path.join(tmp_dir, VEC_FILE)) \
+                if VEC_FILE in names else 0
+            if vec_size != count * 4 * dim:
+                raise StoreError(
+                    f"corrupt snapshot: {count} rows x dim {dim} needs "
+                    f"{count * 4 * dim} vector bytes, archive has {vec_size}")
+            now = time.time_ns()
+            meta.update({"name": name, "collection": collection_name(name),
+                         "data_version": now, "mutation_epoch": now})
+            with open(os.path.join(tmp_dir, META_FILE), "w") as f:
+                json.dump(meta, f, indent=2)
+                f.flush()
+                os.fsync(f.fileno())
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.replace(tmp_dir, path)
+        except BaseException:
+            if os.path.isdir(tmp_dir):
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise
+        return VectorStore.open(root, name)

@@ -34,6 +34,7 @@ from typing import Any, Optional
 from urllib.parse import urlparse
 
 from ..serve import OverloadedError
+from ..store.filter import FilterError
 from ..utils.logging import get_logger
 
 log = get_logger("ui")
@@ -245,6 +246,9 @@ def make_handler(state: UIState):
                 handler(body)
             except EngineBusyError as e:
                 self._json({"error": str(e)}, 409)
+            except FilterError as e:
+                # malformed payload-filter spec: caller error, not a bug
+                self._json({"error": f"bad filter: {e}"}, 400)
             except OverloadedError as e:
                 # the batcher's explicit load-shed signal: a retryable
                 # 429, NOT a server bug — no stack trace in the log
@@ -367,12 +371,14 @@ def make_handler(state: UIState):
                     lambda: engine.search_similar(
                         body.get("threshold"), body.get("max_results"),
                         query_index=int(body.get("region_index", 0)),
-                        embeddings=sess.embeddings, use_batcher=True))
+                        embeddings=sess.embeddings, use_batcher=True,
+                        filter=body.get("filter") or None))
             else:
                 with state.engine_guard():
                     text, items = engine.search_similar(
                         body.get("threshold"), body.get("max_results"),
-                        query_index=int(body.get("region_index", 0)))
+                        query_index=int(body.get("region_index", 0)),
+                        filter=body.get("filter") or None)
             self._json({
                 "summary": text,
                 "results": [{
@@ -389,7 +395,8 @@ def make_handler(state: UIState):
                 lambda: engine.search_by_text(
                     body.get("text", ""), body.get("threshold"),
                     body.get("max_results"), stateless=True,
-                    use_batcher=True))
+                    use_batcher=True,
+                    filter=body.get("filter") or None))
             self._json({
                 "summary": text,
                 "results": [{
@@ -530,6 +537,8 @@ img.viz{max-width:100%;border-radius:6px;margin-top:12px}
 <div><label>🎚️ Similarity Threshold</label><input type="text" id="s-thresh" value="0.7"></div>
 <div><label>📊 Max Results</label><select id="s-max"><option>3</option><option selected>5</option><option>10</option><option>20</option><option>50</option></select></div>
 </div>
+<label>🧮 Payload filter (optional: key=value, key!=value, key&gt;=N — comma-separated)</label>
+<input type="text" id="s-filter" placeholder="detected_class=person, confidence>=0.5">
 <button class="primary" onclick="searchDb()">🎯 Search Database</button>
 <h3>…or search by description</h3>
 <label>📝 Text query (needs the CLIP/PE text tower configured)</label>
@@ -621,7 +630,7 @@ $('s-region').onchange=async()=>{
 };
 async function searchDb(){
   if(!queryReady){alert('detect/process a query image first');return;}
-  const r=await api('/api/query/search',{token:queryToken,threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0});
+  const r=await api('/api/query/search',{token:queryToken,threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0,filter:$('s-filter').value.trim()});
   if(r.error){$('s-summary').textContent=r.error;return;}
   $('s-summary').textContent=r.summary;
   const g=$('s-results');g.innerHTML='';
@@ -635,7 +644,7 @@ async function searchByText(){
   const txt=$('s-text').value;
   if(!txt){alert('enter a description');return;}
   const tt=$('s-text-thresh').value.trim();
-  const r=await api('/api/query/search_text',{text:txt,threshold:tt?+tt:null,max_results:+$('s-max').value});
+  const r=await api('/api/query/search_text',{text:txt,threshold:tt?+tt:null,max_results:+$('s-max').value,filter:$('s-filter').value.trim()});
   if(r.error){$('s-summary').textContent=r.error;return;}
   $('s-summary').textContent=r.summary;
   const g=$('s-results');g.innerHTML='';

@@ -1,0 +1,387 @@
+"""Payload-filtered search: parse -> row mask -> exact masked top-k.
+
+The reference's embedded qdrant store supports payload filters on
+search (the app only ever used score_threshold,
+reference core_system.py:659-664); these tests pin the TPU build's
+equivalent: `store.filter` spec parsing, the columnar payload pass,
+and mask-exactness through every index path (XLA bf16/int8, sharded,
+host, IVF) — a filtered top-k must equal the brute-force scan over the
+matching subset, same (-score, idx) order.
+"""
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reverso_tpu.store.filter import (
+    Condition, Filter, FilterError, PayloadColumns,
+    evaluate_filter, parse_filter, payload_mask,
+)
+from reverso_tpu.ops.topk import (
+    cosine_topk_xla, cosine_topk_int8_xla, quantize_db_int8,
+    sharded_cosine_topk,
+)
+from reverso_tpu.store import VectorStore, DeviceIndex, HostIndex
+from reverso_tpu.store.ivf import IVFIndex
+from reverso_tpu.parallel import make_mesh, shard_rows, replicate
+
+from test_topk import numpy_topk64, random_unit
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+def test_parse_shorthand():
+    f = parse_filter({"detected_class": "person", "confidence": {"gte": 0.5},
+                      "filename": ["a.jpg", "b.jpg"]})
+    ops = {c.key: c.op for c in f.must}
+    assert ops == {"detected_class": "match", "confidence": "range",
+                   "filename": "any"}
+    assert not f.should and not f.must_not
+
+
+def test_parse_qdrant_form():
+    f = parse_filter({
+        "must": [{"key": "detected_class", "match": "car"}],
+        "should": [{"key": "confidence", "range": {"gt": 0.3}},
+                   {"key": "mask_status", "exists": True}],
+        "must_not": {"key": "filename", "match": "skip.jpg"},
+    })
+    assert len(f.must) == 1 and len(f.should) == 2 and len(f.must_not) == 1
+    assert f.keys() == {"detected_class", "confidence", "mask_status",
+                        "filename"}
+
+
+def test_parse_string_clauses():
+    f = parse_filter("detected_class=person, confidence>=0.5, filename!=x.jpg")
+    assert [c.op for c in f.must] == ["match", "range"]
+    assert f.must[1].value == {"gte": 0.5}
+    assert f.must_not[0] == Condition("filename", "match", "x.jpg")
+    # repeatable CLI flag -> list of clause strings
+    f2 = parse_filter(["a=1", "b<2"])
+    assert len(f2.must) == 2
+    # JSON object string
+    f3 = parse_filter(json.dumps({"must": [{"key": "a", "match": 1}]}))
+    assert f3.must[0] == Condition("a", "match", 1)
+
+
+def test_parse_scalar_coercion():
+    f = parse_filter("flag=true, n=3, x=1.5, name=img")
+    vals = {c.key: c.value for c in f.must}
+    assert vals == {"flag": True, "n": 3, "x": 1.5, "name": "img"}
+
+
+def test_parse_errors():
+    with pytest.raises(FilterError):
+        parse_filter("oops")                     # no operator
+    with pytest.raises(FilterError):
+        parse_filter("name>abc")                 # ordered needs a number
+    with pytest.raises(FilterError):
+        parse_filter({"must": [{"match": 1}]})   # condition without key
+    with pytest.raises(FilterError):
+        parse_filter({"key": "a", "match": 1, "range": {"gt": 0}, "must": []})
+    with pytest.raises(FilterError):
+        parse_filter({"must": [], "bogus": []})
+    assert parse_filter(None).is_empty()
+    assert parse_filter("").is_empty()
+
+
+# ---------------------------------------------------------------------------
+# evaluation over a real store
+# ---------------------------------------------------------------------------
+
+def _make_store(tmp_path, n=40, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = random_unit(rng, n, d)
+    payloads = [{"filename": f"img_{i:03d}.jpg",
+                 "detected_class": ("person" if i % 3 == 0 else
+                                    "car" if i % 3 == 1 else "building"),
+                 "confidence": round(float(i) / n, 3),
+                 **({"extra": i} if i % 2 == 0 else {})}
+                for i in range(n)]
+    with VectorStore.create(str(tmp_path), "fdb", d) as s:
+        s.append(vecs, payloads)
+    store = VectorStore.open(str(tmp_path), "fdb")
+    return store, vecs, payloads
+
+
+def test_payload_mask_semantics(tmp_path):
+    store, _, payloads = _make_store(tmp_path)
+    n = len(payloads)
+    mask = payload_mask(store, {"detected_class": "person"})
+    np.testing.assert_array_equal(mask, [i % 3 == 0 for i in range(n)])
+
+    mask = payload_mask(store, "confidence>=0.5, detected_class!=car")
+    expect = [(p["confidence"] >= 0.5 and p["detected_class"] != "car")
+              for p in payloads]
+    np.testing.assert_array_equal(mask, expect)
+
+    # missing key: never matches / range never holds / exists False matches
+    mask = payload_mask(store, {"key": "extra", "range": {"gte": 0}})
+    np.testing.assert_array_equal(mask, [i % 2 == 0 for i in range(n)])
+    mask = payload_mask(store, {"key": "extra", "exists": False})
+    np.testing.assert_array_equal(mask, [i % 2 == 1 for i in range(n)])
+
+    # should: at least one of the clauses
+    mask = payload_mask(store, {"should": [
+        {"key": "detected_class", "match": "person"},
+        {"key": "confidence", "range": {"gt": 0.9}}]})
+    expect = [(p["detected_class"] == "person" or p["confidence"] > 0.9)
+              for p in payloads]
+    np.testing.assert_array_equal(mask, expect)
+
+    # any
+    mask = payload_mask(store, {"filename": ["img_000.jpg", "img_007.jpg"]})
+    assert mask.sum() == 2 and mask[0] and mask[7]
+
+
+def test_payload_columns_reuse(tmp_path):
+    store, _, _ = _make_store(tmp_path)
+    cols = PayloadColumns(store)
+    cols.ensure(["detected_class"])
+    c1 = cols.column("detected_class")
+    cols.ensure(["confidence"])          # second pass for the new key only
+    assert cols.column("detected_class") is c1
+    assert len(cols.column("confidence")) == store.count
+
+
+# ---------------------------------------------------------------------------
+# masked top-k exactness (every index path)
+# ---------------------------------------------------------------------------
+
+def filtered_truth(db, qs, mask, k):
+    """fp64 exact top-k over the masked subset, ids in original space."""
+    ids = np.nonzero(mask)[0]
+    if len(ids) == 0:
+        q = qs.shape[0]
+        return (np.full((q, k), -np.inf), np.full((q, k), -1, np.int32))
+    s, i = numpy_topk64(db[ids], qs, min(k, len(ids)))
+    i = ids[i].astype(np.int32)
+    if i.shape[1] < k:
+        pad = k - i.shape[1]
+        s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+        i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+    return s, i
+
+
+def assert_masked_equiv(db, qs, mask, s, i, k, tol=2e-3):
+    ts, ti = filtered_truth(db, qs, mask, k)
+    s, i = np.asarray(s), np.asarray(i)
+    valid = ti >= 0
+    np.testing.assert_array_equal(i < 0, ~valid)
+    # every returned id satisfies the mask
+    assert mask[i[valid]].all()
+    np.testing.assert_allclose(np.where(valid, s, 0.0),
+                               np.where(valid, ts, 0.0), atol=tol)
+    # ids match exactly where margins are clear
+    clear = np.ones_like(valid)
+    clear[:, :-1] &= (ts[:, :-1] - ts[:, 1:]) > tol
+    clear[:, 1:] &= (ts[:, :-1] - ts[:, 1:]) > tol
+    np.testing.assert_array_equal(np.where(clear & valid, i, -1),
+                                  np.where(clear & valid, ti, -1))
+
+
+@pytest.fixture(scope="module")
+def masked_case():
+    rng = np.random.default_rng(7)
+    db = random_unit(rng, 3000, 64)
+    qs = random_unit(rng, 9, 64)
+    mask = rng.random(3000) < 0.3
+    return db, qs, mask
+
+
+def test_topk_xla_row_mask(masked_case):
+    db, qs, mask = masked_case
+    s, i = jax.device_get(cosine_topk_xla(
+        jnp.asarray(db), jnp.asarray(qs), 10, row_mask=jnp.asarray(mask)))
+    assert_masked_equiv(db, qs, mask, s, i, 10)
+
+
+def test_topk_int8_xla_row_mask(masked_case):
+    db, qs, mask = masked_case
+    db_i8, scale = quantize_db_int8(jnp.asarray(db))
+    s, i = jax.device_get(cosine_topk_int8_xla(
+        db_i8, scale, jnp.asarray(qs), 10, row_mask=jnp.asarray(mask),
+        chunk=1024))
+    # truth against the DEQUANTIZED matrix (int8 storage rounding)
+    deq = np.asarray(db_i8, np.float32) * float(scale)
+    assert_masked_equiv(deq, qs, mask, s, i, 10, tol=1e-5)
+
+
+def test_sharded_row_mask_matches_single(masked_case):
+    db, qs, mask = masked_case
+    mesh = make_mesh()
+    n = (len(db) // (8 * 8)) * 8 * 8            # divisible shard size
+    db8, mask8 = db[:n], mask[:n]
+    s1, i1 = jax.device_get(cosine_topk_xla(
+        jnp.asarray(db8), jnp.asarray(qs), 10, row_mask=jnp.asarray(mask8)))
+    s2, i2 = jax.device_get(sharded_cosine_topk(
+        shard_rows(jnp.asarray(db8), mesh), replicate(jnp.asarray(qs), mesh),
+        10, mesh, row_mask=jax.device_put(
+            jnp.asarray(mask8),
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec("data")))))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_device_index_row_mask(masked_case, dtype):
+    db, qs, mask = masked_case
+    idx = DeviceIndex(db, dtype=dtype)
+    s, i = jax.device_get(idx.search(qs, 10, row_mask=mask))
+    if dtype == "int8":
+        ref = np.asarray(
+            jnp.asarray(np.clip(np.round(
+                db / idx.scale), -127, 127), jnp.int8),
+            np.float32) * idx.scale
+        assert_masked_equiv(ref, qs, mask, s, i, 10, tol=1e-5)
+    else:
+        assert_masked_equiv(db, qs, mask, s, i, 10, tol=1e-5)
+
+
+def test_device_index_row_mask_mesh(masked_case):
+    db, qs, mask = masked_case
+    mesh = make_mesh()
+    idx = DeviceIndex(db, mesh=mesh, dtype="float32")
+    s, i = jax.device_get(idx.search(qs, 10, row_mask=mask))
+    assert_masked_equiv(db, qs, mask, s, i, 10, tol=1e-5)
+
+
+def test_host_index_row_mask(masked_case):
+    db, qs, mask = masked_case
+    idx = HostIndex(db)
+    s, i = idx.search(qs, 10, row_mask=mask)
+    assert_masked_equiv(db, qs, mask, s, i, 10, tol=1e-5)
+
+
+def test_row_mask_all_false(masked_case):
+    db, qs, _ = masked_case
+    idx = DeviceIndex(db[:256], dtype="float32")
+    s, i = jax.device_get(idx.search(qs, 5,
+                                     row_mask=np.zeros(256, bool)))
+    assert (i == -1).all() and np.isneginf(s).all()
+
+
+def test_row_mask_fewer_than_k(masked_case):
+    db, qs, _ = masked_case
+    mask = np.zeros(len(db), bool)
+    mask[[5, 17, 99]] = True
+    idx = DeviceIndex(db, dtype="float32")
+    s, i = jax.device_get(idx.search(qs, 10, row_mask=mask))
+    assert ((i >= 0).sum(axis=1) == 3).all()
+    assert set(i[i >= 0].tolist()) == {5, 17, 99}
+
+
+# ---------------------------------------------------------------------------
+# IVF filtered search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ivf_corpus():
+    rng = np.random.default_rng(3)
+    centers = random_unit(rng, 16, 64)
+    rows = []
+    for c in centers:
+        pts = c[None] + 0.15 * rng.standard_normal((120, 64)).astype(np.float32)
+        rows.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    db = np.concatenate(rows)
+    return db[rng.permutation(len(db))].astype(np.float32)
+
+
+def test_ivf_row_mask_full_probe_exact(ivf_corpus):
+    rng = np.random.default_rng(4)
+    qs = random_unit(rng, 6, 64)
+    mask = rng.random(len(ivf_corpus)) < 0.4
+    idx = IVFIndex(ivf_corpus, n_clusters=16, dtype="float32", seed=0)
+    s, i = jax.device_get(idx.search(qs, 10, nprobe=16, row_mask=mask))
+    assert_masked_equiv(ivf_corpus, qs, mask, s, i, 10, tol=1e-4)
+
+
+def test_ivf_row_mask_spill(ivf_corpus):
+    """Spilled copies inherit the mask bit; dedup still holds."""
+    rng = np.random.default_rng(5)
+    qs = random_unit(rng, 4, 64)
+    mask = rng.random(len(ivf_corpus)) < 0.5
+    idx = IVFIndex(ivf_corpus, n_clusters=16, dtype="float32", seed=0,
+                   spill=0.2)
+    s, i = jax.device_get(idx.search(qs, 10, nprobe=16, row_mask=mask))
+    assert_masked_equiv(ivf_corpus, qs, mask, s, i, 10, tol=1e-4)
+    for row in i:
+        got = row[row >= 0]
+        assert len(set(got.tolist())) == len(got)
+
+
+def test_ivf_sharded_row_mask(ivf_corpus):
+    rng = np.random.default_rng(6)
+    qs = random_unit(rng, 4, 64)
+    mask = rng.random(len(ivf_corpus)) < 0.4
+    single = IVFIndex(ivf_corpus, n_clusters=8, dtype="float32", seed=0)
+    mesh = make_mesh()
+    sharded = IVFIndex(ivf_corpus, n_clusters=8, dtype="float32", seed=0,
+                       mesh=mesh)
+    s1, i1 = jax.device_get(single.search(qs, 10, nprobe=8, row_mask=mask))
+    s2, i2 = jax.device_get(sharded.search(qs, 10, nprobe=8, row_mask=mask))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# engine end-to-end
+# ---------------------------------------------------------------------------
+
+def test_engine_filtered_search(tmp_path):
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg, encoder=PerceptionEncoder(model))
+
+    rng = np.random.default_rng(0)
+    d = engine.encoder.embed_dim
+    vecs = random_unit(rng, 30, d)
+    payloads = [{"filename": f"f{i}.jpg", "region_id": f"r{i}",
+                 "detected_class": "person" if i < 10 else "car",
+                 "confidence": i / 30}
+                for i in range(30)]
+    with VectorStore.create(str(tmp_path / "db"), "named", d) as s:
+        s.append(vecs, payloads)
+    engine.load_database("named")
+
+    # query = row 20 (a car); filter to persons -> best person, not row 20
+    text, items = engine.search_similar(
+        similarity_threshold=-1.0, embeddings=vecs[20:21],
+        filter={"detected_class": "person"})
+    assert items
+    assert all(it["payload"]["detected_class"] == "person" for it in items)
+
+    scores, ids = engine.search_batch(vecs[:4], k=5,
+                                      filter="confidence>=0.5")
+    assert (ids[ids >= 0] >= 15).all()
+
+    # unfiltered still sees everything (row 20 is its own best match)
+    _, items = engine.search_similar(similarity_threshold=-1.0,
+                                     embeddings=vecs[20:21])
+    assert items[0]["payload"]["filename"] == "f20.jpg"
+
+    # column cache refreshes after an append through another handle
+    with VectorStore.open(str(tmp_path / "db"), "named",
+                          writable=True) as w:
+        w.append(random_unit(rng, 2, d),
+                 [{"filename": "new0.jpg", "detected_class": "person",
+                   "region_id": "n0", "confidence": 1.0},
+                  {"filename": "new1.jpg", "detected_class": "person",
+                   "region_id": "n1", "confidence": 1.0}])
+    scores, ids = engine.search_batch(vecs[:1], k=40,
+                                      filter={"detected_class": "person"})
+    assert (ids >= 0).sum() == 12          # 10 old + 2 new persons

@@ -353,3 +353,107 @@ def test_device_index_prepad_covers_all_ring_depths(rng):
     database inside jit)."""
     idx = DeviceIndex(random_unit(rng, 100, 16), db_tile=64)
     assert idx.matrix.shape[0] % (12 * 64) == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshots (export / import)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_round_trip(tmp_path, rng):
+    root = str(tmp_path / "dbs")
+    vecs = random_unit(rng, 25, 16)
+    with VectorStore.create(root, "src", 16) as s:
+        s.append(vecs, make_payloads(25))
+    src = VectorStore.open(root, "src")
+    snap = str(tmp_path / "src.snapshot")
+    assert src.export_snapshot(snap) == snap
+
+    dst = VectorStore.import_snapshot(root, "copy", snap)
+    assert dst.count == 25 and dst.dim == 16
+    assert dst.collection == collection_name("copy")
+    np.testing.assert_array_equal(np.asarray(dst.vectors()),
+                                  np.asarray(src.vectors()))
+    assert dst.payloads([0, 24]) == src.payloads([0, 24])
+    # fresh identity: derived caches from any prior incarnation of
+    # "copy" must never alias the import
+    assert dst.data_version != src.data_version
+    # the imported store is fully functional (search + append)
+    idx = DeviceIndex(np.asarray(dst.vectors()), dtype="float32")
+    s_, i_ = jax.device_get(idx.search(vecs[7], 3))
+    assert i_[0, 0] == 7
+    with VectorStore.open(root, "copy", writable=True) as w:
+        w.append(random_unit(rng, 2, 16), make_payloads(2, 25))
+    assert VectorStore.open(root, "copy").count == 27
+
+
+def test_snapshot_excludes_uncommitted_tail(tmp_path, rng):
+    """A torn append (bytes past the committed count) must not leak
+    into the archive: the snapshot cut is the committed row count."""
+    root = str(tmp_path / "dbs")
+    with VectorStore.create(root, "torn", 8) as s:
+        s.append(random_unit(rng, 10, 8), make_payloads(10))
+    with open(os.path.join(root, "torn", "vectors.bin"), "ab") as f:
+        f.write(b"\0" * 13)          # torn partial row
+    store = VectorStore.open(root, "torn")
+    snap = str(tmp_path / "torn.snapshot")
+    store.export_snapshot(snap)
+    dst = VectorStore.import_snapshot(root, "torn2", snap)
+    assert dst.count == 10
+    assert os.path.getsize(os.path.join(root, "torn2", "vectors.bin")) \
+        == 10 * 4 * 8
+
+
+def test_snapshot_import_guards(tmp_path, rng):
+    root = str(tmp_path / "dbs")
+    with VectorStore.create(root, "a", 8) as s:
+        s.append(random_unit(rng, 4, 8), make_payloads(4))
+    snap = str(tmp_path / "a.snapshot")
+    VectorStore.open(root, "a").export_snapshot(snap)
+
+    # refuse to clobber an existing database without overwrite
+    with pytest.raises(StoreError):
+        VectorStore.import_snapshot(root, "a", snap)
+    # refuse to overwrite a locked (live) database
+    live = VectorStore.open(root, "a", writable=True)
+    with pytest.raises(StoreLockedError):
+        VectorStore.import_snapshot(root, "a", snap, overwrite=True)
+    live.close()
+    dst = VectorStore.import_snapshot(root, "a", snap, overwrite=True)
+    assert dst.count == 4
+
+    # reject arbitrary tars (member names validated before extraction)
+    import tarfile, io
+    evil = str(tmp_path / "evil.tar")
+    with tarfile.open(evil, "w") as tar:
+        data = b"x"
+        info = tarfile.TarInfo("../../escape.txt")
+        info.size = len(data)
+        tar.addfile(info, io.BytesIO(data))
+    with pytest.raises(StoreError):
+        VectorStore.import_snapshot(root, "evil", snap_path := evil)
+
+    # corrupt size mismatch
+    bad = str(tmp_path / "bad.tar")
+    with tarfile.open(snap, "r") as src_tar, tarfile.open(bad, "w") as out:
+        for m in src_tar.getmembers():
+            data = src_tar.extractfile(m).read()
+            if m.name == "vectors.bin":
+                data = data[:-4]
+            info = tarfile.TarInfo(m.name)
+            info.size = len(data)
+            out.addfile(info, io.BytesIO(data))
+    with pytest.raises(StoreError):
+        VectorStore.import_snapshot(root, "bad", bad)
+    assert not os.path.isdir(os.path.join(root, "bad"))
+
+
+def test_snapshot_cli_round_trip(tmp_path, rng):
+    from reverso_tpu.cli import main
+    root = str(tmp_path / "dbs")
+    with VectorStore.create(root, "clidb", 8) as s:
+        s.append(random_unit(rng, 6, 8), make_payloads(6))
+    snap = str(tmp_path / "clidb.snapshot")
+    assert main(["--db-root", root, "export", "clidb", snap]) == 0
+    assert main(["--db-root", root, "import", snap, "--name", "clidb2"]) == 0
+    assert VectorStore.open(root, "clidb2").count == 6
+    assert main(["--db-root", root, "import", snap, "--name", "clidb2"]) == 1

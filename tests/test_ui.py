@@ -102,6 +102,22 @@ def test_full_ui_flow(server, tmp_path):
     assert res["results"][0]["filename"] == "img_002.jpg"
     assert res["results"][0]["image"]    # thumbnail present
 
+    # payload-filtered search: direct-PE rows carry detected_class
+    # "full_image"; a matching filter keeps results, a non-matching one
+    # yields none, a malformed clause is a 400 (not a 500)
+    code, res = post(base, "/api/query/search",
+                     {"threshold": 0.5, "max_results": 5,
+                      "filter": "detected_class=full_image"})
+    assert code == 200 and res["results"], res
+    code, res = post(base, "/api/query/search",
+                     {"threshold": 0.5, "max_results": 5,
+                      "filter": "detected_class=unicorn"})
+    assert code == 200 and not res["results"], res
+    code, res = post(base, "/api/query/search",
+                     {"threshold": 0.5, "max_results": 5,
+                      "filter": "not a clause"})
+    assert code == 400 and "filter" in res["error"], res
+
     # direct-PE query path
     code, det2 = post(base, "/api/query/detect",
                       {"image": img_b64(files[0]), "direct_pe": True})
