@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 from .config import EngineConfig, MODEL_PRESETS, default_config
@@ -223,6 +224,72 @@ def cmd_unlock(args) -> int:
     msg = engine.unlock_database(args.name)
     print(msg)
     return 0 if not msg.startswith("❌") else 1
+
+
+def cmd_prune(args) -> int:
+    """Delete rows matching a payload filter (store compaction; no
+    model load). --dry-run reports the match count and changes nothing."""
+    from .store import VectorStore, StoreError, StoreLockedError, payload_mask
+
+    cfg = _make_config(args)
+    from .store.filter import parse_filter
+    try:
+        if parse_filter(args.filter).is_empty():
+            print("❌ Refusing to prune with an empty filter "
+                  "(use `delete` to drop the whole database)",
+                  file=sys.stderr)
+            return 1
+        if args.dry_run:
+            store = VectorStore.open(cfg.store.root_dir, args.name)
+            n = int(payload_mask(store, args.filter).sum())
+            print(f"🔎 {n} of {store.count} rows match (dry run; nothing deleted)")
+            return 0
+        with VectorStore.open(cfg.store.root_dir, args.name,
+                              writable=True) as w:
+            removed = w.compact(~payload_mask(w, args.filter))
+            remaining = w.count
+    except StoreLockedError as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    except StoreError as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    print(f"✅ Deleted {removed} rows from {args.name} ({remaining} remain)")
+    return 0
+
+
+def cmd_info(args) -> int:
+    """Database stats without loading a model."""
+    from .store import VectorStore, StoreError
+    from .store.persist import LOCK_FILE
+
+    cfg = _make_config(args)
+    try:
+        store = VectorStore.open(cfg.store.root_dir, args.name)
+    except StoreError as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    root = os.path.join(cfg.store.root_dir, args.name)
+    size = sum(os.path.getsize(os.path.join(root, f))
+               for f in os.listdir(root)
+               if os.path.isfile(os.path.join(root, f)))
+    locked = os.path.exists(os.path.join(root, LOCK_FILE))
+    info = {"name": store.name, "collection": store.collection,
+            "rows": store.count, "dim": store.dim,
+            "disk_bytes": size, "locked": locked,
+            "data_version": store.data_version}
+    if args.classes and store.count:
+        from collections import Counter
+        hist = Counter()
+        for p in store.payloads():
+            hist[p.get("detected_class", "?")] += 1
+        info["classes"] = dict(hist.most_common())
+    if args.json:
+        print(json.dumps(info, indent=2))
+    else:
+        for k, v in info.items():
+            print(f"{k}: {v}")
+    return 0
 
 
 def cmd_export(args) -> int:
@@ -574,6 +641,23 @@ def build_parser() -> argparse.ArgumentParser:
     u = sub.add_parser("unlock", help="remove a stale database lock")
     u.add_argument("name")
     u.set_defaults(fn=cmd_unlock)
+
+    pr = sub.add_parser("prune",
+                        help="delete rows matching a payload filter "
+                             "(crash-safe compaction)")
+    pr.add_argument("name")
+    pr.add_argument("--filter", action="append", required=True,
+                    help="payload filter clause(s), as in `search`")
+    pr.add_argument("--dry-run", action="store_true")
+    pr.set_defaults(fn=cmd_prune)
+
+    inf = sub.add_parser("info", help="database stats (rows, dim, size)")
+    inf.add_argument("name")
+    inf.add_argument("--classes", action="store_true",
+                     help="include a detected_class histogram (reads "
+                          "all payloads)")
+    inf.add_argument("--json", action="store_true")
+    inf.set_defaults(fn=cmd_info)
 
     ex = sub.add_parser("export",
                         help="snapshot a database to one portable file")

@@ -223,6 +223,39 @@ class Reverso:
             return f"✅ Removed lock file from database: {database_name}"
         return f"ℹ️ No lock file found for database: {database_name}"
 
+    def delete_points(self, filter) -> str:
+        """Delete every row whose payload matches `filter` (see
+        `store.filter` for the spec) — the delete-by-filter role of
+        qdrant's points API. Rewrites the store via the crash-safe
+        compaction pass (`VectorStore.compact`); the loaded handle and
+        device index refresh to the compacted data."""
+        from .store.filter import parse_filter, payload_mask
+
+        if self._store is None:
+            return "❌ No database loaded. Please create or load a database first."
+        name = self.current_database
+        try:
+            if parse_filter(filter).is_empty():
+                return "❌ Refusing to delete with an empty filter (use delete_database to drop everything)"
+        except Exception as e:
+            return f"❌ Bad filter: {e}"
+        self._set_store(None)     # release the read handle before locking
+        try:
+            with VectorStore.open(self.db_root, name, writable=True) as w:
+                mask = payload_mask(w, filter)
+                removed = w.compact(~mask)
+        except StoreLockedError:
+            return (f"❌ Database '{name}' is locked (a build may be "
+                    f"running); unlock it first")
+        except StoreError as e:
+            return f"❌ {e}"
+        finally:
+            try:
+                self._set_store(VectorStore.open(self.db_root, name))
+            except StoreError:
+                pass
+        return f"✅ Deleted {removed} points from {name}"
+
     def _set_store(self, store: Optional[VectorStore]) -> None:
         with self._index_lock:
             self._store = store

@@ -37,6 +37,7 @@ PAYLOAD_FILE = "payloads.jsonl"
 # costs tens of seconds per process). Legacy stores without one are
 # scanned once and upgraded in place.
 PAYLOAD_IDX_FILE = "payloads.idx"
+COMPACT_MARKER = "compact.commit"
 LOCK_FILE = ".lock"
 COLLECTION_PREFIX = "simple_reverso_"   # reference core_system.py:101,597
 
@@ -188,6 +189,13 @@ class VectorStore:
         meta_path = os.path.join(path, META_FILE)
         if not os.path.isdir(path):
             raise StoreError(f"Database not found: {name}")
+        try:
+            # roll forward (or sweep) an interrupted compaction BEFORE
+            # meta is read: post-marker, the marker's meta is the truth
+            # and the old meta's count exceeds the compacted files
+            VectorStore._recover_compact(path)
+        except OSError:
+            pass                  # read-only filesystem: stale stage
         if not os.path.exists(meta_path):
             raise StoreError(f"Collection not found in database: {name}")
         try:
@@ -546,6 +554,141 @@ class VectorStore:
         if self._idx_f is not None:
             self._idx_f.close()
             self._idx_f = None
+
+    # -- compaction (delete points) ------------------------------------
+
+    def compact(self, keep_mask) -> int:
+        """Rewrite the store keeping only rows where `keep_mask` is True
+        — the delete-points/delete-by-filter role of qdrant's API
+        (the reference's store could delete ids; an append-only layout
+        needs a compaction pass for it). Returns rows removed.
+
+        Crash-safe via a roll-forward journal: compacted files are
+        staged as `.compact` siblings, a commit marker holding the new
+        meta is fsynced, and only then do renames happen; `open()`
+        completes an interrupted compaction from the marker (stage
+        files without a marker are inert). The data_version AND
+        mutation_epoch bump invalidates every derived cache (device
+        index, IVF k-means, payload columns)."""
+        if not self._locked:
+            raise StoreError("store opened read-only")
+        keep = np.asarray(keep_mask, bool)
+        if keep.shape != (self.count,):
+            raise StoreError(
+                f"keep_mask must be [{self.count}], got {keep.shape}")
+        removed = int(self.count - keep.sum())
+        if removed == 0:
+            return 0
+        self.flush()
+        self.close_files_for_truncate()
+        new_count = int(keep.sum())
+
+        vec_path = os.path.join(self.path, VEC_FILE)
+        stage_vec = vec_path + ".compact"
+        row_bytes = 4 * self.dim
+        mm = np.memmap(vec_path, dtype=np.float32, mode="r",
+                       shape=(self.count, self.dim)) if self.count else None
+        with open(stage_vec, "wb") as out:
+            for lo in range(0, self.count, 65536):     # bounded memory
+                hi = min(lo + 65536, self.count)
+                sel = keep[lo:hi]
+                if sel.any():
+                    out.write(np.ascontiguousarray(mm[lo:hi][sel]).tobytes())
+            out.flush()
+            os.fsync(out.fileno())
+        del mm
+
+        pay_path = os.path.join(self.path, PAYLOAD_FILE)
+        stage_pay = pay_path + ".compact"
+        stage_idx = os.path.join(self.path, PAYLOAD_IDX_FILE) + ".compact"
+        offsets = np.empty(new_count, "<i8")
+        with open(pay_path, "rb") as src, open(stage_pay, "wb") as out:
+            pos = row = 0
+            for i, line in enumerate(src):
+                if i >= self.count:
+                    break
+                if keep[i]:
+                    offsets[row] = pos
+                    out.write(line)
+                    pos += len(line)
+                    row += 1
+            out.flush()
+            os.fsync(out.fileno())
+        with open(stage_idx, "wb") as out:
+            out.write(offsets[: row].tobytes())
+            out.flush()
+            os.fsync(out.fileno())
+
+        now_meta = {"name": self.name, "collection": self.collection,
+                    "dim": self.dim, "count": new_count,
+                    "data_version": self.data_version + 1,
+                    "mutation_epoch": self.mutation_epoch + 1,
+                    "dtype": "float32", "version": 1}
+        marker = os.path.join(self.path, COMPACT_MARKER)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(now_meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)      # <- commit point (roll forward)
+
+        for fname in (VEC_FILE, PAYLOAD_FILE, PAYLOAD_IDX_FILE):
+            full = os.path.join(self.path, fname)
+            os.replace(full + ".compact", full)
+        self.count = new_count
+        self.data_version = now_meta["data_version"]
+        self.mutation_epoch = now_meta["mutation_epoch"]
+        self._offsets_cache = None
+        self._pay_pos = 0
+        self._write_meta()
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass      # a concurrent reader's open() already rolled forward
+        return removed
+
+    @staticmethod
+    def _recover_compact(path: str) -> None:
+        """Complete a compaction interrupted after its commit marker
+        landed: finish the staged-file renames (idempotent), install
+        the marker's meta, drop the marker. Without a marker, stage
+        files are leftovers of a pre-commit crash — removed
+        best-effort; the original files are untouched and authoritative."""
+        marker = os.path.join(path, COMPACT_MARKER)
+        staged = [os.path.join(path, f) + ".compact"
+                  for f in (VEC_FILE, PAYLOAD_FILE, PAYLOAD_IDX_FILE)]
+        if not os.path.exists(marker):
+            for s in staged:
+                if os.path.exists(s):
+                    try:
+                        os.remove(s)
+                    except OSError:
+                        pass
+            return
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            # torn marker write can't happen (tmp+rename), but a
+            # half-written legacy one must not brick the store
+            os.remove(marker)
+            return
+        for s in staged:
+            if os.path.exists(s):
+                try:
+                    os.replace(s, s[: -len(".compact")])
+                except FileNotFoundError:
+                    pass        # another opener won the rename race
+        tmp = os.path.join(path, META_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(path, META_FILE))
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
 
     # -- snapshots (export / import) -----------------------------------
 

@@ -457,3 +457,157 @@ def test_snapshot_cli_round_trip(tmp_path, rng):
     assert main(["--db-root", root, "import", snap, "--name", "clidb2"]) == 0
     assert VectorStore.open(root, "clidb2").count == 6
     assert main(["--db-root", root, "import", snap, "--name", "clidb2"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# compaction (delete points)
+# ---------------------------------------------------------------------------
+
+def test_compact_basic(tmp_path, rng):
+    root = str(tmp_path)
+    vecs = random_unit(rng, 30, 16)
+    with VectorStore.create(root, "c1", 16) as s:
+        s.append(vecs, make_payloads(30))
+        keep = np.ones(30, bool)
+        keep[[3, 7, 8, 29]] = False
+        old_dv, old_me = s.data_version, s.mutation_epoch
+        assert s.compact(keep) == 4
+        assert s.count == 26
+        assert s.data_version == old_dv + 1 and s.mutation_epoch == old_me + 1
+        # writable handle keeps working after the rewrite
+        s.append(random_unit(rng, 1, 16), make_payloads(1, 30))
+    s2 = VectorStore.open(root, "c1")
+    assert s2.count == 27
+    kept_ids = [i for i in range(30) if i not in (3, 7, 8, 29)] + [30]
+    np.testing.assert_array_equal(
+        np.asarray(s2.vectors()),
+        np.concatenate([vecs[[i for i in kept_ids[:-1]]],
+                        np.asarray(s2.vectors())[-1:]]))
+    pays = s2.payloads()
+    assert [p["detection_index"] for p in pays] == kept_ids
+    # O(k) joins against the rebuilt sidecar
+    assert s2.payloads([0, 25])[0]["detection_index"] == 0
+    assert s2.payloads([25])[0]["detection_index"] == 28
+    # no stage/marker leftovers
+    assert not any(f.endswith(".compact") or f == "compact.commit"
+                   for f in os.listdir(os.path.join(root, "c1")))
+
+
+def test_compact_guards(tmp_path, rng):
+    root = str(tmp_path)
+    with VectorStore.create(root, "c2", 8) as s:
+        s.append(random_unit(rng, 5, 8), make_payloads(5))
+        assert s.compact(np.ones(5, bool)) == 0      # no-op
+        with pytest.raises(StoreError):
+            s.compact(np.ones(4, bool))              # wrong shape
+    ro = VectorStore.open(root, "c2")
+    with pytest.raises(StoreError):
+        ro.compact(np.zeros(5, bool))                # read-only
+
+
+def test_compact_crash_rolls_forward(tmp_path, rng):
+    """Marker committed + stage files present == compaction happened:
+    open() must finish the renames and install the marker meta."""
+    import json as _json
+    root = str(tmp_path)
+    vecs = random_unit(rng, 10, 8)
+    with VectorStore.create(root, "c3", 8) as s:
+        s.append(vecs, make_payloads(10))
+    path = os.path.join(root, "c3")
+    # hand-stage a compaction that kept rows 0,2,4,6,8 and "crashed"
+    # right after the marker rename (no real file renamed yet)
+    keep = np.arange(10) % 2 == 0
+    kept = vecs[keep]
+    with open(os.path.join(path, "vectors.bin.compact"), "wb") as f:
+        f.write(np.ascontiguousarray(kept).tobytes())
+    lines, offs, pos = [], [], 0
+    with open(os.path.join(path, "payloads.jsonl"), "rb") as f:
+        for i, line in enumerate(f):
+            if keep[i]:
+                lines.append(line)
+                offs.append(pos)
+                pos += len(line)
+    with open(os.path.join(path, "payloads.jsonl.compact"), "wb") as f:
+        f.writelines(lines)
+    with open(os.path.join(path, "payloads.idx.compact"), "wb") as f:
+        f.write(np.asarray(offs, "<i8").tobytes())
+    meta = _json.load(open(os.path.join(path, "meta.json")))
+    meta.update(count=5, data_version=meta["data_version"] + 1,
+                mutation_epoch=meta["mutation_epoch"] + 1)
+    with open(os.path.join(path, "compact.commit"), "w") as f:
+        _json.dump(meta, f)
+
+    s2 = VectorStore.open(root, "c3")
+    assert s2.count == 5
+    np.testing.assert_array_equal(np.asarray(s2.vectors()), kept)
+    assert [p["detection_index"] for p in s2.payloads()] == [0, 2, 4, 6, 8]
+    assert not os.path.exists(os.path.join(path, "compact.commit"))
+
+
+def test_compact_precrash_stage_is_inert(tmp_path, rng):
+    """Stage files WITHOUT a marker (crash before commit) must be
+    swept; the original data stays authoritative."""
+    root = str(tmp_path)
+    vecs = random_unit(rng, 6, 8)
+    with VectorStore.create(root, "c4", 8) as s:
+        s.append(vecs, make_payloads(6))
+    path = os.path.join(root, "c4")
+    with open(os.path.join(path, "vectors.bin.compact"), "wb") as f:
+        f.write(b"garbage")
+    s2 = VectorStore.open(root, "c4")
+    assert s2.count == 6
+    np.testing.assert_array_equal(np.asarray(s2.vectors()), vecs)
+    assert not os.path.exists(os.path.join(path, "vectors.bin.compact"))
+
+
+def test_engine_delete_points(tmp_path, rng):
+    import dataclasses
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.models.pe import PerceptionEncoder
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store, root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg, encoder=PerceptionEncoder(model))
+    d = engine.encoder.embed_dim
+    vecs = random_unit(rng, 20, d)
+    with VectorStore.create(str(tmp_path / "db"), "pts", d) as s:
+        s.append(vecs, [{"region_id": f"r{i}", "filename": f"f{i}.jpg",
+                         "detected_class": "person" if i < 8 else "car"}
+                        for i in range(20)])
+    engine.load_database("pts")
+    # searches see 20 rows, then 12 after the delete
+    scores, ids = engine.search_batch(vecs[:1], k=32)
+    assert (ids >= 0).sum() == 20
+    msg = engine.delete_points({"detected_class": "person"})
+    assert msg.startswith("✅") and "8" in msg, msg
+    scores, ids = engine.search_batch(vecs[:1], k=32)
+    assert (ids >= 0).sum() == 12
+    _, items = engine.search_similar(similarity_threshold=-1.0,
+                                     embeddings=vecs[10:11])
+    assert items and all(it["payload"]["detected_class"] == "car"
+                         for it in items)
+    assert engine.delete_points("").startswith("❌")
+    assert engine.delete_points({"detected_class": "unicorn"}) \
+        .startswith("✅ Deleted 0")
+
+
+def test_prune_and_info_cli(tmp_path, rng):
+    from reverso_tpu.cli import main
+    root = str(tmp_path / "dbs")
+    with VectorStore.create(root, "p1", 8) as s:
+        s.append(random_unit(rng, 9, 8),
+                 [{"region_id": f"r{i}",
+                   "detected_class": "person" if i % 3 == 0 else "car"}
+                  for i in range(9)])
+    assert main(["--db-root", root, "prune", "p1",
+                 "--filter", "detected_class=person", "--dry-run"]) == 0
+    assert VectorStore.open(root, "p1").count == 9
+    assert main(["--db-root", root, "prune", "p1",
+                 "--filter", "detected_class=person"]) == 0
+    assert VectorStore.open(root, "p1").count == 6
+    assert main(["--db-root", root, "info", "p1", "--classes",
+                 "--json"]) == 0
