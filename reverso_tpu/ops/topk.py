@@ -180,14 +180,25 @@ def _sort_state_desc(S, I, k: int):
     return out_S, out_I
 
 
-def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out,
-                        idx_out,
-                        q_vmem, bufs, s_scr, i_scr, col_scr, sp_scr,
-                        db_sems, q_sem,
-                        *, k: int, kpad: int, db_tile: int, q_tile: int,
+def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, *rest,
+                        k: int, kpad: int, db_tile: int, q_tile: int,
                         n_tiles: int, n_bufs: int, group: int,
                         defer: bool = False, int8_mode: bool = False,
-                        state_mode: str = "sorted"):
+                        state_mode: str = "sorted", masked: bool = False):
+    if masked:
+        # row-mask mode (payload-filtered search): a [n_tiles, 4, db_tile]
+        # int8 mask streams through its own tiny buffer ring in lockstep
+        # with the db tiles; masked rows score -inf before the k-select.
+        # The 4 identical sublane rows exist because int8 VMEM tiling is
+        # (4, 128): a 1-sublane slice can't be DMA'd, a 4-sublane one can
+        (mask_hbm, scores_out, idx_out,
+         q_vmem, bufs, mbufs, s_scr, i_scr, col_scr, sp_scr,
+         db_sems, m_sems, q_sem) = rest
+    else:
+        (scores_out, idx_out,
+         q_vmem, bufs, s_scr, i_scr, col_scr, sp_scr,
+         db_sems, q_sem) = rest
+        mask_hbm = mbufs = m_sems = None
     # Queries HBM -> VMEM once; they stay resident for the whole scan.
     # int8 mode: q_vmem is [2, qp, d] — the query's two int8 digits
     # (q ~= c1*hi + c2*lo with c1 = 254*c2), giving ~15-bit effective
@@ -230,9 +241,15 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out,
             db_sems.at[slot],
         )
 
+    def mask_dma(slot, i):
+        return pltpu.make_async_copy(
+            mask_hbm.at[i], mbufs.at[slot], m_sems.at[slot])
+
     # Warm the buffer ring.
     for i in range(min(n_bufs - 1, n_tiles)):
         db_dma(i, i).start()
+        if masked:
+            mask_dma(i, i).start()
 
     # The tile loop is unrolled by the ring depth so every buffer-slot
     # index is STATIC: with a traced `slot`, Mosaic cannot prove the
@@ -352,8 +369,12 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out,
         @pl.when(prefetch < n_tiles)
         def _():
             db_dma((j + n_bufs - 1) % n_bufs, prefetch).start()
+            if masked:
+                mask_dma((j + n_bufs - 1) % n_bufs, prefetch).start()
 
         db_dma(j, i).wait()
+        if masked:
+            mask_dma(j, i).wait()
         base = i * db_tile
         sp_ref = sp_scr if not defer else sp_scr.at[par]
 
@@ -397,6 +418,13 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, scores_out,
 
             s = jax.lax.cond(base + db_tile > n_valid, mask_tail,
                              lambda s: s, s)
+            if masked:
+                # filtered rows score -inf (one wide select pass per
+                # tile — the cost of exact filtering at kernel speed);
+                # the 4 sublane rows are identical, max collapses them
+                m = jnp.max(mbufs[j].astype(jnp.int32), axis=0,
+                            keepdims=True)
+                s = jnp.where(m != 0, s, -jnp.inf)
             # Stage this tile's scores into its slice of the group buffer;
             # extraction runs once per GROUP of tiles.
             sp_ref[lo:lo + q_tile, g * db_tile:(g + 1) * db_tile] = s
@@ -443,7 +471,8 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
                      k: int, kpad: int, q_tile: int, db_tile: int,
                      interpret: bool, q_out: int, n_bufs: int,
                      group: int = 2, defer: bool = False,
-                     db_scale=None, state_mode: str = "sorted"):
+                     db_scale=None, state_mode: str = "sorted",
+                     db_mask=None):
     """Jit-cached core of cosine_topk_pallas (tracing a pallas_call per call
     would dominate runtime otherwise).
 
@@ -484,19 +513,49 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
         qs_p = _pad_dim(_pad_dim(queries, 1, d_p), 0, q_p)
     n_valid = jnp.asarray(n_valid, jnp.int32).reshape(1)
     n_tiles = n_p // db_tile
+    masked = db_mask is not None
 
     kernel = functools.partial(
         _topk_stream_kernel, k=k, kpad=kpad, db_tile=db_tile, q_tile=q_tile,
         n_tiles=n_tiles, n_bufs=n_bufs, group=group, defer=defer,
-        int8_mode=int8_mode, state_mode=state_mode)
+        int8_mode=int8_mode, state_mode=state_mode, masked=masked)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [n_valid, qs_p, db_p]
+    scratch_shapes = [
+        pltpu.VMEM(((2, q_p, d_p) if int8_mode else (q_p, d_p)),
+                   db_p.dtype),
+        pltpu.VMEM((n_bufs, db_tile, d_p), db_p.dtype),
+    ]
+    if masked:
+        # [n_tiles, 4, db_tile] int8 (sublanes replicated to satisfy the
+        # (4, 128) int8 tiling), DMA'd tile-by-tile beside the db ring
+        mask_p = _pad_dim(jnp.asarray(db_mask, jnp.int8), 0, n_p)
+        inputs.append(jnp.broadcast_to(
+            mask_p.reshape(n_tiles, 1, db_tile),
+            (n_tiles, 4, db_tile)) + jnp.int8(0))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch_shapes.append(pltpu.VMEM((n_bufs, 4, db_tile), jnp.int8))
+    scratch_shapes += [
+        pltpu.VMEM((q_p, kpad), jnp.float32),
+        pltpu.VMEM((q_p, kpad), jnp.int32),
+        pltpu.VMEM((q_tile, group * db_tile), jnp.int32),  # col iota
+        pltpu.VMEM(((2, q_p, group * db_tile) if defer
+                    else (q_p, group * db_tile)),
+                   jnp.float32),                            # group scores
+        pltpu.SemaphoreType.DMA((n_bufs,)),
+    ]
+    if masked:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_bufs,)))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
 
     scores, idx = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -505,19 +564,7 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
             jax.ShapeDtypeStruct((q_p, kpad), jnp.float32),
             jax.ShapeDtypeStruct((q_p, kpad), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM(((2, q_p, d_p) if int8_mode else (q_p, d_p)),
-                       db_p.dtype),
-            pltpu.VMEM((n_bufs, db_tile, d_p), db_p.dtype),
-            pltpu.VMEM((q_p, kpad), jnp.float32),
-            pltpu.VMEM((q_p, kpad), jnp.int32),
-            pltpu.VMEM((q_tile, group * db_tile), jnp.int32),  # col iota
-            pltpu.VMEM(((2, q_p, group * db_tile) if defer
-                        else (q_p, group * db_tile)),
-                       jnp.float32),                            # group scores
-            pltpu.SemaphoreType.DMA((n_bufs,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=2 * q_p * n_p * d_p,
             bytes_accessed=(n_p * d_p + q_p * d_p) * db.dtype.itemsize
@@ -525,7 +572,7 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_valid, qs_p, db_p)
+    )(*inputs)
     scores, idx = scores[:q_out, :k], idx[:q_out, :k]
     if int8_mode:
         # restore true cosine scale per query (-inf stays -inf)
@@ -541,7 +588,8 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
                        interpret: Optional[bool] = None,
                        defer: Optional[bool] = None,
                        state_mode: str = "sorted",
-                       group: Optional[int] = None):
+                       group: Optional[int] = None,
+                       row_mask=None):
     """Fused exact cosine top-k. Same contract as `cosine_topk_xla`.
 
     k must be <= 128 (use impl="xla" in `sharded_cosine_topk` for more).
@@ -550,6 +598,10 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     hits; for best performance pass a db whose rows are already a multiple
     of db_tile (otherwise the jit pads = copies it every call). Slots beyond
     the number of valid rows come back as (score=-inf, idx=-1).
+    `row_mask` ([N] bool, payload-filtered search) excludes rows exactly —
+    it streams through its own tiny DMA ring beside the db tiles, costing
+    one wide select pass per tile (~7% at d=1024), so filtered searches
+    keep kernel speed instead of falling back to the XLA scan.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -609,19 +661,25 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     while q_chunk > q_tile and _vmem_total(q_chunk) > 14 * 2 ** 20:
         q_chunk -= q_tile
 
+    if row_mask is not None:
+        row_mask = jnp.asarray(row_mask, jnp.int8)
+        if row_mask.shape[0] < n:
+            row_mask = _pad_dim(row_mask, 0, n)
+        row_mask = row_mask[:n]
     if q <= q_chunk:
         return _topk_pallas_jit(db, queries, n_valid, k=k, kpad=kpad,
                                 q_tile=q_tile, db_tile=db_tile,
                                 interpret=interpret, q_out=q, n_bufs=n_bufs,
                                 group=group, defer=defer,
-                                state_mode=state_mode)
+                                state_mode=state_mode, db_mask=row_mask)
     # Chunk large query batches; each chunk streams the database once.
     outs = [
         _topk_pallas_jit(db, queries[lo:lo + q_chunk], n_valid,
                          k=k, kpad=kpad, q_tile=q_tile, db_tile=db_tile,
                          interpret=interpret,
                          q_out=min(q_chunk, q - lo), n_bufs=n_bufs,
-                         group=group, defer=defer, state_mode=state_mode)
+                         group=group, defer=defer, state_mode=state_mode,
+                         db_mask=row_mask)
         for lo in range(0, q, q_chunk)
     ]
     return (jnp.concatenate([s for s, _ in outs], axis=0),
@@ -632,9 +690,11 @@ def cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int, **kw):
     """Dispatch: Pallas kernel when possible, XLA fallback otherwise."""
     if k <= 128:
         return cosine_topk_pallas(db, queries, k, **kw)
-    # the XLA path must keep honoring n_valid: dropping it would score
-    # tile-padding rows at 0.0 and surface their indices as results
-    return cosine_topk_xla(db, queries, k, n_valid=kw.get("n_valid"))
+    # the XLA path must keep honoring n_valid (dropping it would score
+    # tile-padding rows at 0.0 and surface their indices) and row_mask
+    # (dropping it would silently un-filter a filtered search)
+    return cosine_topk_xla(db, queries, k, n_valid=kw.get("n_valid"),
+                           row_mask=kw.get("row_mask"))
 
 
 # ---------------------------------------------------------------------------
@@ -748,7 +808,7 @@ def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
                            queries: jnp.ndarray,
                            k: int, *, q_tile: int = 256, db_tile: int = 1024,
                            n_valid=None, interpret: Optional[bool] = None,
-                           state_mode: str = "sorted"):
+                           state_mode: str = "sorted", row_mask=None):
     """Exact cosine top-k over an int8-stored database.
 
     Same contract as `cosine_topk_pallas`, with the database held as
@@ -803,13 +863,19 @@ def cosine_topk_int8_exact(db_i8: jnp.ndarray, db_scale,
     while q_chunk > q_tile and _vmem_total(q_chunk) > 14 * 2 ** 20:
         q_chunk -= q_tile
 
+    if row_mask is not None:
+        row_mask = jnp.asarray(row_mask, jnp.int8)
+        if row_mask.shape[0] < n:
+            row_mask = _pad_dim(row_mask, 0, n)
+        row_mask = row_mask[:n]
+
     def launch(qs, q_out):
         return _topk_pallas_jit(db_i8, qs, n_valid, k=k, kpad=kpad,
                                 q_tile=q_tile, db_tile=db_tile,
                                 interpret=interpret, q_out=q_out,
                                 n_bufs=n_bufs, group=group,
                                 db_scale=jnp.asarray(db_scale, jnp.float32),
-                                state_mode=state_mode)
+                                state_mode=state_mode, db_mask=row_mask)
 
     if q <= q_chunk:
         return launch(queries, q)
@@ -848,10 +914,11 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
     int8 = jnp.dtype(db.dtype) == jnp.int8
     # auto respects the int8-exact kernel's d <= 1040 exactness bound
     # (wider dims use the chunked int8 XLA scan per shard); the fused
-    # kernels don't take a row mask, so filtered scans use XLA
-    use_pallas = row_mask is None and (impl == "pallas" or (
+    # kernels stream a row mask beside the db tiles, so filtered scans
+    # stay on the kernel path
+    use_pallas = impl == "pallas" or (
         impl == "auto" and k <= 128
-        and not (int8 and d * 127 * 127 >= 2 ** 24)))
+        and not (int8 and d * 127 * 127 >= 2 ** 24))
     assert not int8 or db_scale is not None
     if n_valid is None:
         n_valid = n
@@ -863,14 +930,16 @@ def sharded_cosine_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
         local_valid = jnp.clip(jnp.asarray(n_valid) - shard_id * local_n, 0, local_n)
         if int8 and use_pallas:
             s, i = cosine_topk_int8_exact(db_shard, db_scale, qs, k,
-                                          n_valid=local_valid)
+                                          n_valid=local_valid,
+                                          row_mask=mask_shard)
         elif int8:
             # chunked: never dequantizes the whole shard at once
             s, i = cosine_topk_int8_xla(db_shard, db_scale, qs, k,
                                         n_valid=local_valid,
                                         row_mask=mask_shard)
         elif use_pallas:
-            s, i = cosine_topk_pallas(db_shard, qs, k, n_valid=local_valid)
+            s, i = cosine_topk_pallas(db_shard, qs, k, n_valid=local_valid,
+                                      row_mask=mask_shard)
         else:
             s, i = cosine_topk_xla(db_shard, qs, k, n_valid=local_valid,
                                    row_mask=mask_shard)

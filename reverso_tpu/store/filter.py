@@ -20,6 +20,8 @@ Filter spec (dict form, qdrant-shaped):
 with each condition one of
 
     {"key": K, "match": v}              # payload[K] == v
+    {"key": K, "match": {"value": v}}   # qdrant's canonical wrapper
+    {"key": K, "match": {"any": [...]}} # qdrant's set-match wrapper
     {"key": K, "any": [v1, v2, ...]}    # payload[K] in {v1, v2, ...}
     {"key": K, "range": {"gt"|"gte"|"lt"|"lte": x, ...}}
     {"key": K, "exists": True|False}
@@ -97,6 +99,18 @@ def _parse_condition(spec: Any) -> "Condition | Filter":
                 f"match/any/range/exists, got {sorted(spec)}")
         op = ops[0]
         value = spec[op]
+        if op == "match" and isinstance(value, dict):
+            # qdrant's canonical wrappers: {"match": {"value": v}} and
+            # {"match": {"any": [...]}} — unwrap rather than comparing
+            # the wrapper dict itself (which would silently match nothing)
+            if set(value) == {"value"}:
+                value = value["value"]
+            elif set(value) == {"any"}:
+                op, value = "any", value["any"]
+            else:
+                raise FilterError(
+                    f"match for key {key!r} must be a scalar, "
+                    f"{{'value': v}}, or {{'any': [...]}}, got {value!r}")
         if op == "range":
             if not isinstance(value, dict) or not value or \
                     not set(value) <= set(_RANGE_OPS):

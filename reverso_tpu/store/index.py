@@ -144,9 +144,11 @@ class DeviceIndex:
         marks slots beyond the number of valid rows. `row_mask`
         ([n_valid] bool, host) restricts the scan to matching rows
         (payload-filtered search): exact w.r.t. the subset, same
-        (-score, idx) order. Masked scans run the XLA paths (the fused
-        streaming kernel does not take a mask); per-query-chunk score
-        materialization bounds memory for the bf16 case.
+        (-score, idx) order. The fused kernel streams the mask beside
+        the db tiles, so filtered searches keep kernel speed; k > 128
+        (or a too-wide int8 dim) falls back to the masked XLA scans,
+        with per-query-chunk score materialization bounding memory in
+        the bf16 case.
         """
         int8 = self._dtype == jnp.int8
         q = jnp.asarray(queries, jnp.float32 if int8 else self._dtype)
@@ -164,23 +166,7 @@ class DeviceIndex:
                                        n_valid=self.n_valid,
                                        db_scale=self.scale,
                                        row_mask=mask)
-        if row_mask is not None:
-            mask = self._padded_mask(row_mask)
-            if int8:
-                return cosine_topk_int8_xla(self.matrix, self.scale,
-                                            q.astype(jnp.float32), k,
-                                            n_valid=self.n_valid,
-                                            row_mask=mask)
-            # chunk queries so the [Qc, N_padded] f32 score block stays
-            # bounded (~256 MB at 1M rows) regardless of batch size
-            qc = 64
-            outs = [cosine_topk_xla(self.matrix, q[lo:lo + qc], k,
-                                    n_valid=self.n_valid, row_mask=mask)
-                    for lo in range(0, q.shape[0], qc)]
-            if len(outs) == 1:
-                return outs[0]
-            return (jnp.concatenate([s for s, _ in outs], axis=0),
-                    jnp.concatenate([i for _, i in outs], axis=0))
+        mask = self._padded_mask(row_mask) if row_mask is not None else None
         # the int8-exact kernel's f32-partial exactness bounds d <= 1040;
         # "auto" routes wider embeddings to the chunked int8 XLA scan
         # (any d, exact f32-HIGHEST dots) instead of crashing
@@ -191,12 +177,27 @@ class DeviceIndex:
                 # chunked scan: never dequantizes the whole matrix (a
                 # full f32 copy is 4x the int8 footprint — OOM at the
                 # capacity int8 exists for)
-                return cosine_topk_int8_xla(self.matrix, self.scale, q, k,
-                                            n_valid=self.n_valid)
+                return cosine_topk_int8_xla(self.matrix, self.scale,
+                                            q.astype(jnp.float32), k,
+                                            n_valid=self.n_valid,
+                                            row_mask=mask)
+            if mask is not None:
+                # chunk queries so the [Qc, N_padded] f32 score block
+                # stays bounded (~256 MB at 1M rows) regardless of batch
+                qc = 64
+                outs = [cosine_topk_xla(self.matrix, q[lo:lo + qc], k,
+                                        n_valid=self.n_valid, row_mask=mask)
+                        for lo in range(0, q.shape[0], qc)]
+                if len(outs) == 1:
+                    return outs[0]
+                return (jnp.concatenate([s for s, _ in outs], axis=0),
+                        jnp.concatenate([i for _, i in outs], axis=0))
             return cosine_topk_xla(self.matrix, q, k, n_valid=self.n_valid)
         if int8:
             return cosine_topk_int8_exact(self.matrix, self.scale, q, k,
                                           db_tile=self.db_tile,
-                                          n_valid=self.n_valid)
+                                          n_valid=self.n_valid,
+                                          row_mask=mask)
         return cosine_topk_pallas(self.matrix, q, k,
-                                  db_tile=self.db_tile, n_valid=self.n_valid)
+                                  db_tile=self.db_tile, n_valid=self.n_valid,
+                                  row_mask=mask)

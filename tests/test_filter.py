@@ -56,6 +56,20 @@ def test_parse_qdrant_form():
                         "filename"}
 
 
+def test_parse_qdrant_match_wrappers():
+    # qdrant's canonical JSON wraps match values: {"match": {"value": v}}
+    # and {"match": {"any": [...]}} — both must unwrap, not compare the
+    # wrapper dict itself (which silently matches nothing)
+    f = parse_filter({"must": [
+        {"key": "detected_class", "match": {"value": "person"}},
+        {"key": "filename", "match": {"any": ["a.jpg", "b.jpg"]}},
+    ]})
+    assert f.must[0] == Condition("detected_class", "match", "person")
+    assert f.must[1] == Condition("filename", "any", ("a.jpg", "b.jpg"))
+    with pytest.raises(FilterError):
+        parse_filter({"key": "a", "match": {"text": "substring"}})
+
+
 def test_parse_string_clauses():
     f = parse_filter("detected_class=person, confidence>=0.5, filename!=x.jpg")
     assert [c.op for c in f.must] == ["match", "range"]
@@ -385,3 +399,72 @@ def test_engine_filtered_search(tmp_path):
     scores, ids = engine.search_batch(vecs[:1], k=40,
                                       filter={"detected_class": "person"})
     assert (ids >= 0).sum() == 12          # 10 old + 2 new persons
+
+
+# ---------------------------------------------------------------------------
+# fused-kernel mask path (streams the mask beside the db tiles)
+# ---------------------------------------------------------------------------
+
+def test_topk_pallas_row_mask(masked_case):
+    from reverso_tpu.ops.topk import cosine_topk_pallas
+    db, qs, mask = masked_case
+    s, i = jax.device_get(cosine_topk_pallas(
+        jnp.asarray(db, jnp.float32), jnp.asarray(qs, jnp.float32), 10,
+        db_tile=256, row_mask=mask))
+    assert_masked_equiv(db, qs, mask, s, i, 10, tol=1e-5)
+    # bitwise-identical to the masked XLA scan (f32 everywhere)
+    s2, i2 = jax.device_get(cosine_topk_xla(
+        jnp.asarray(db, jnp.float32), jnp.asarray(qs, jnp.float32), 10,
+        row_mask=jnp.asarray(mask)))
+    np.testing.assert_array_equal(i, i2)
+
+
+def test_topk_pallas_row_mask_sparse_and_empty(masked_case):
+    from reverso_tpu.ops.topk import cosine_topk_pallas
+    db, qs, _ = masked_case
+    mask = np.zeros(len(db), bool)
+    s, i = jax.device_get(cosine_topk_pallas(
+        jnp.asarray(db, jnp.float32), jnp.asarray(qs, jnp.float32), 5,
+        db_tile=256, row_mask=mask))
+    assert (i == -1).all() and np.isneginf(s).all()
+    mask[[17, 1234, 2999]] = True     # fewer matches than k
+    s, i = jax.device_get(cosine_topk_pallas(
+        jnp.asarray(db, jnp.float32), jnp.asarray(qs, jnp.float32), 5,
+        db_tile=256, row_mask=mask))
+    assert ((i >= 0).sum(axis=1) == 3).all()
+    assert set(i[i >= 0].tolist()) == {17, 1234, 2999}
+
+
+def test_topk_int8_exact_row_mask(masked_case):
+    from reverso_tpu.ops.topk import cosine_topk_int8_exact
+    db, qs, mask = masked_case
+    db_i8, scale = quantize_db_int8(jnp.asarray(db))
+    s, i = jax.device_get(cosine_topk_int8_exact(
+        db_i8, scale, jnp.asarray(qs, jnp.float32), 10, db_tile=256,
+        row_mask=mask))
+    # bitwise equal ids/scores vs the masked chunked int8 XLA scan is
+    # not guaranteed (different combine), but id sets at clear margins
+    # and exactness vs the dequantized matrix are
+    deq = np.asarray(db_i8, np.float32) * float(scale)
+    assert_masked_equiv(deq, qs, mask, s, i, 10, tol=2e-4)
+
+
+def test_sharded_pallas_row_mask(masked_case):
+    """Masked sharded scan on the kernel path == single-device kernel."""
+    from reverso_tpu.ops.topk import cosine_topk_pallas
+    db, qs, mask = masked_case
+    mesh = make_mesh()
+    n = (len(db) // (8 * 64)) * 8 * 64
+    db8, mask8 = np.asarray(db[:n], np.float32), mask[:n]
+    s1, i1 = jax.device_get(cosine_topk_pallas(
+        jnp.asarray(db8), jnp.asarray(qs, jnp.float32), 10, db_tile=64,
+        row_mask=mask8))
+    s2, i2 = jax.device_get(sharded_cosine_topk(
+        shard_rows(jnp.asarray(db8), mesh),
+        replicate(jnp.asarray(qs, jnp.float32), mesh),
+        10, mesh, impl="pallas", row_mask=jax.device_put(
+            jnp.asarray(mask8),
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec("data")))))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
