@@ -85,7 +85,9 @@ def _make_engine(args, *, need_detector: bool = False):
     elif pe_ckpt:
         encoder = PerceptionEncoder.from_torch(pe_ckpt, cfg.model)
     else:
-        encoder = PerceptionEncoder(cfg.model)
+        # None -> the engine builds it lazily on first embed; store-only
+        # commands (recommend by ids, points) never pay the model init
+        encoder = None
     text_embedder = None
     tckpt = _os.environ.get("REVERSO_CLIP_TEXT_CKPT")
     tvocab = _os.environ.get("REVERSO_CLIP_VOCAB")
@@ -203,6 +205,62 @@ def cmd_search_text(args) -> int:
     else:
         print(text)
     return 0 if items else 2
+
+
+def cmd_recommend(args) -> int:
+    """Search by positive/negative example point ids (qdrant's recommend
+    API role). Point ids are the row ids search results report; no
+    model load — only the store and the device index."""
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    text, items = engine.recommend(
+        args.positive, args.negative or None, args.top_k, args.threshold,
+        strategy=args.strategy, filter=args.filter or None)
+    if args.json:
+        print(json.dumps([
+            {"id": it["id"], "filename": it["filename"], "score": it["score"],
+             "bbox": it["bbox"], "source": it["payload"].get("image_source")}
+            for it in items], indent=2))
+    else:
+        print(text)
+    return 0 if items else 2
+
+
+def cmd_points(args) -> int:
+    """Page through stored points (ids + payloads), optionally filtered —
+    qdrant's scroll API role. No model load."""
+    from .store import VectorStore, StoreError
+    from .store.filter import FilterError, parse_filter, payload_mask
+
+    cfg = _make_config(args)
+    try:
+        store = VectorStore.open(cfg.store.root_dir, args.name)
+        mask = None
+        if args.filter and not parse_filter(args.filter).is_empty():
+            mask = payload_mask(store, args.filter)
+    except (StoreError, FilterError) as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    import numpy as np
+    ids = (np.nonzero(mask)[0] if mask is not None
+           else np.arange(store.count))
+    ids = ids[ids >= args.offset][:args.limit + 1]
+    next_offset = int(ids[args.limit]) if len(ids) > args.limit else None
+    page = [int(i) for i in ids[:args.limit]]
+    payloads = store.payloads(page)
+    if args.json:
+        print(json.dumps({"points": [{"id": i, "payload": p}
+                                     for i, p in zip(page, payloads)],
+                          "next_offset": next_offset}, indent=2))
+    else:
+        for i, p in zip(page, payloads):
+            print(f"{i}\t{json.dumps(p)}")
+        if next_offset is not None:
+            print(f"… next: --offset {next_offset}", file=sys.stderr)
+    return 0
 
 
 def cmd_list(args) -> int:
@@ -630,6 +688,35 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--filter", action="append", default=[],
                     help="payload filter clause(s), as in `search`")
     st.set_defaults(fn=cmd_search_text)
+
+    rc = sub.add_parser("recommend",
+                        help="search by positive/negative example point ids "
+                             "(qdrant recommend)")
+    rc.add_argument("--name", required=True)
+    rc.add_argument("--positive", action="append", type=int, required=True,
+                    help="example point id to move toward (repeatable)")
+    rc.add_argument("--negative", action="append", type=int, default=[],
+                    help="example point id to move away from (repeatable)")
+    rc.add_argument("--strategy", choices=("average", "best_score"),
+                    default="average")
+    rc.add_argument("--threshold", type=float, default=None)
+    rc.add_argument("--top-k", type=int, default=None)
+    rc.add_argument("--json", action="store_true")
+    rc.add_argument("--filter", action="append", default=[],
+                    help="payload filter clause(s), as in `search`")
+    rc.set_defaults(fn=cmd_recommend)
+
+    pt = sub.add_parser("points",
+                        help="page through stored points (ids + payloads), "
+                             "optionally filtered (qdrant scroll)")
+    pt.add_argument("name")
+    pt.add_argument("--filter", action="append", default=[],
+                    help="payload filter clause(s), as in `search`")
+    pt.add_argument("--offset", type=int, default=0,
+                    help="row id to start from (use the printed next offset)")
+    pt.add_argument("--limit", type=int, default=50)
+    pt.add_argument("--json", action="store_true")
+    pt.set_defaults(fn=cmd_points)
 
     l = sub.add_parser("list", help="list databases")
     l.set_defaults(fn=cmd_list)

@@ -146,7 +146,9 @@ class Reverso:
                  encoder: Optional[PerceptionEncoder] = None,
                  detector=None, text_embedder=None, use_mesh: bool = False):
         self.config = config or default_config()
-        self.encoder = encoder or PerceptionEncoder(self.config.model)
+        # encoder is LAZY: store-only flows (recommend by ids, scroll,
+        # CLI points) never pay the model build/compile
+        self._encoder = encoder
         self.detector = detector
         self.text_embedder = text_embedder
         self.mesh = make_mesh(self.config.mesh) if use_mesh else None
@@ -174,6 +176,12 @@ class Reverso:
         # callers, and two simultaneous rebuilds would transiently hold
         # 2x the index's HBM footprint
         self._index_lock = threading.Lock()
+
+    @property
+    def encoder(self) -> PerceptionEncoder:
+        if self._encoder is None:
+            self._encoder = PerceptionEncoder(self.config.model)
+        return self._encoder
 
     # -- database management (reference core_system.py:74-154) ----------
 
@@ -534,11 +542,15 @@ class Reverso:
                 if i >= 0 and s >= threshold]
         if not hits:
             return (f"❌ No similar regions found above threshold {threshold}", [])
+        return self._render_hits(hits, store)
 
+    def _render_hits(self, hits, store):
+        """[(score, row_id)] -> the (text, items) result shape the UI
+        renders (reference core_system.py:684-714)."""
         payloads = store.payloads([i for _, i in hits])
         text = f"🎯 Found {len(hits)} similar regions:\n\n"
         items = []
-        for rank, ((score, _), payload) in enumerate(zip(hits, payloads)):
+        for rank, ((score, row_id), payload) in enumerate(zip(hits, payloads)):
             payload = payload or {}
             filename = payload.get("filename", "Unknown")
             image_path = payload.get("image_source", "")
@@ -547,7 +559,7 @@ class Reverso:
             text += f"   Source: {image_path}\n"
             text += f"   📍 Bounding box: {bbox}\n\n"
             thumb = render_result_thumbnail(image_path, score) if image_path else None
-            items.append({"image": thumb, "score": score,
+            items.append({"image": thumb, "score": score, "id": row_id,
                           "filename": filename, "bbox": bbox,
                           "payload": payload})
         return text, items
@@ -582,6 +594,125 @@ class Reverso:
         return self.search_similar(similarity_threshold, max_results,
                                    embeddings=emb, use_batcher=use_batcher,
                                    filter=filter)
+
+    def _resolve_examples(self, examples) -> Optional[np.ndarray]:
+        """Recommend inputs -> [M, d] f32. Accepts stored point ids
+        (ints), [d] vectors, [M, d] arrays, or a mixed list of those."""
+        if examples is None:
+            return None
+        if not isinstance(examples, (list, tuple)):
+            examples = [examples]
+        rows: list[np.ndarray] = []
+        for e in examples:
+            if isinstance(e, (int, np.integer)):
+                store = self._store
+                if store is None:
+                    raise StoreError("no database loaded")
+                i = int(e)
+                if not 0 <= i < store.count:
+                    raise ValueError(
+                        f"point id {i} out of range (store has "
+                        f"{store.count} points)")
+                rows.append(np.asarray(store.vectors()[i], np.float32))
+            else:
+                v = np.asarray(e, np.float32)
+                if v.ndim == 1:
+                    rows.append(v)
+                elif v.ndim == 2:
+                    rows.extend(v)
+                else:
+                    raise ValueError(f"bad example shape {v.shape}")
+        return np.stack(rows) if rows else None
+
+    def recommend(self, positive, negative=None,
+                  max_results: Optional[int] = None,
+                  similarity_threshold: Optional[float] = None, *,
+                  strategy: str = "average", filter=None):
+        """Search by positive/negative example points — the role of
+        qdrant's recommend API over the reference's store
+        (core_system.py:659-664 is the search it feeds). Examples are
+        stored point ids (row ids as returned in search results) or raw
+        embedding vectors; `strategy` is "average" (ONE composed query
+        through the fused kernel; works on every index incl. IVF) or
+        "best_score" (every row ranked against every example via
+        qdrant's best-score combine; exact index only). Returns
+        (text, items) like search_similar. Unlike search_similar there
+        is no default score threshold (qdrant's recommend has none, and
+        best_score values are not plain cosines once negatives bite).
+        """
+        import jax
+        from .ops.recommend import average_query
+
+        store = self._store
+        if store is None:
+            return ("❌ No database loaded. Please create or load a database first.", [])
+        k = self.config.search.top_k if max_results is None else int(max_results)
+        threshold = (-np.inf if similarity_threshold is None
+                     else float(similarity_threshold))
+        # example points never recommend themselves (qdrant semantics);
+        # over-fetch so exclusion cannot shrink the page below k
+        exclude = set()
+        for group in (positive, negative):
+            if group is None:
+                continue
+            for e in (group if isinstance(group, (list, tuple)) else [group]):
+                if isinstance(e, (int, np.integer)):
+                    exclude.add(int(e))
+        k_fetch = k + len(exclude)
+        try:
+            pos = self._resolve_examples(positive)
+            neg = self._resolve_examples(negative)
+            if pos is None or not len(pos):
+                return ("❌ Recommend needs at least one positive example.", [])
+            mask = self._filter_mask(filter) if filter is not None else None
+            if strategy == "average":
+                q = average_query(pos, neg)
+                scores, ids = jax.device_get(
+                    self._get_index().search(q[None], k_fetch, row_mask=mask))
+            elif strategy == "best_score":
+                index = self._get_index()
+                if not hasattr(index, "best_score"):
+                    return ("❌ strategy='best_score' needs the exact index "
+                            "(the IVF index only supports strategy='average').", [])
+                scores, ids = jax.device_get(
+                    index.best_score(pos, neg, k_fetch, row_mask=mask))
+            else:
+                return (f"❌ Unknown strategy '{strategy}' "
+                        "(use 'average' or 'best_score').", [])
+        except (StoreError, ValueError) as e:
+            return (f"❌ {e}", [])
+        hits = [(float(s), int(i)) for s, i in zip(scores[0], ids[0])
+                if i >= 0 and s >= threshold and int(i) not in exclude][:k]
+        if not hits:
+            return ("❌ No recommendations found.", [])
+        return self._render_hits(hits, store)
+
+    def scroll(self, filter=None, *, offset: int = 0, limit: int = 100,
+               with_payload: bool = True):
+        """Page through stored points (ids + payloads), optionally
+        filtered — the role of qdrant's scroll API. Returns
+        (points, next_offset): `points` is a list of {"id", "payload"}
+        dicts ordered by row id; `next_offset` is the row id to pass as
+        `offset` for the next page, or None when exhausted. Offsets are
+        row ids, so pages stay stable under concurrent appends."""
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        limit = max(0, int(limit))
+        mask = self._filter_mask(filter) if filter is not None else None
+        store.refresh()
+        if mask is None:
+            ids = np.arange(max(0, int(offset)),
+                            min(store.count, max(0, int(offset)) + limit + 1))
+        else:
+            ids = np.nonzero(mask)[0]
+            ids = ids[ids >= int(offset)][:limit + 1]
+        next_offset = int(ids[limit]) if len(ids) > limit else None
+        page = [int(i) for i in ids[:limit]]
+        payloads = (store.payloads(page) if with_payload
+                    else [None] * len(page))
+        points = [{"id": i, "payload": p} for i, p in zip(page, payloads)]
+        return points, next_offset
 
     # -- index build ------------------------------------------------------
 

@@ -10,6 +10,11 @@ from .topk import (
 )
 from .ivf_scan import ivf_probe_scan
 from .norm import l2_normalize
+from .recommend import (
+    average_query,
+    best_score_topk,
+    sharded_best_score_topk,
+)
 # NOTE: `ops.topk_int8` (two-stage overfetch+rescore int8) is a retained
 # experiment superseded by `cosine_topk_int8_exact` — same capacity win,
 # exact scores, no recall parameter. Import it by module path if needed;

@@ -18,6 +18,11 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..config import SearchConfig, StoreConfig
+from ..ops.recommend import (
+    best_score_topk,
+    best_score_topk_host,
+    sharded_best_score_topk,
+)
 from ..ops.topk import (
     cosine_topk_int8_exact,
     cosine_topk_int8_xla,
@@ -74,6 +79,14 @@ class HostIndex:
         if remap is not None:
             idx = np.where(idx >= 0, remap.astype(np.int32)[np.clip(idx, 0, None)], -1)
         return scores, idx
+
+    def best_score(self, positives, negatives=None, k: int = 10, *,
+                   row_mask=None):
+        """qdrant best_score recommend combine over the host matrix."""
+        if row_mask is not None:
+            row_mask = np.asarray(row_mask, bool)[:self.n_valid]
+        return best_score_topk_host(self.matrix, positives, negatives, k,
+                                    row_mask=row_mask)
 
 
 class DeviceIndex:
@@ -201,3 +214,38 @@ class DeviceIndex:
         return cosine_topk_pallas(self.matrix, q, k,
                                   db_tile=self.db_tile, n_valid=self.n_valid,
                                   row_mask=mask)
+
+    def best_score(self, positives, negatives=None, k: int = 10, *,
+                   row_mask=None):
+        """qdrant best_score recommend: rank rows by their best positive
+        example score unless some negative example scores higher, in
+        which case they sink to -(best_neg^2). Exact over the whole
+        matrix (int8 dequantizes chunk-by-chunk); same (-score, idx)
+        contract as `search`. `row_mask` filters rows like `search`.
+        """
+        int8 = self._dtype == jnp.int8
+        ex_dtype = jnp.float32 if int8 else self._dtype
+        pos = np.atleast_2d(np.asarray(positives, np.float32))
+        n_pos = len(pos)
+        if n_pos == 0:
+            raise ValueError("best_score needs at least one positive example")
+        parts = [pos]
+        if negatives is not None:
+            neg = np.atleast_2d(np.asarray(negatives, np.float32))
+            if len(neg):
+                parts.append(neg)
+        ex = jnp.asarray(np.concatenate(parts), ex_dtype)
+        if self.n_valid == 0:
+            return (jnp.full((1, k), -jnp.inf, jnp.float32),
+                    jnp.full((1, k), -1, jnp.int32))
+        mask = self._padded_mask(row_mask) if row_mask is not None else None
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            ex = jax.device_put(ex, replicated_sharding(self.mesh))
+            return sharded_best_score_topk(self.matrix, ex, n_pos, k,
+                                           self.mesh, axis=self.axis,
+                                           n_valid=self.n_valid,
+                                           db_scale=self.scale,
+                                           row_mask=mask)
+        return best_score_topk(self.matrix, ex, n_pos, k,
+                               db_scale=self.scale, n_valid=self.n_valid,
+                               row_mask=mask)

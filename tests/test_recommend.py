@@ -1,0 +1,349 @@
+"""Recommend-by-example search (qdrant's recommend API role over the
+reference's store, core_system.py:659-664) and scroll-style point
+listing: the average_vector query composition, the best_score combine
+vs fp64 truth on every index path (f32 / bf16 / int8 / sharded / host),
+and the engine/CLI surfaces.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reverso_tpu.ops.recommend import (
+    average_query, best_score_topk, best_score_topk_host,
+    sharded_best_score_topk,
+)
+from reverso_tpu.ops.topk import quantize_db_int8
+from reverso_tpu.store import VectorStore, DeviceIndex, HostIndex
+from reverso_tpu.parallel import make_mesh, shard_rows, replicate
+
+from test_topk import random_unit
+
+
+# ---------------------------------------------------------------------------
+# fp64 truth
+# ---------------------------------------------------------------------------
+
+def numpy_best_score64(db, pos, neg=None, mask=None):
+    """[N] combined best-score values in fp64 (qdrant's combine)."""
+    db64 = db.astype(np.float64)
+    bp = (np.atleast_2d(pos).astype(np.float64) @ db64.T).max(axis=0)
+    if neg is not None and len(np.atleast_2d(neg)):
+        bn = (np.atleast_2d(neg).astype(np.float64) @ db64.T).max(axis=0)
+        combined = np.where(bp > bn, bp, -(bn * bn))
+    else:
+        combined = bp
+    if mask is not None:
+        combined = np.where(np.asarray(mask, bool), combined, -np.inf)
+    return combined
+
+
+def assert_best_equiv(db, pos, neg, s, i, k, mask=None, tol=2e-3):
+    """s, i: [1, k] results; checks fp64-truth equivalence with tie
+    tolerance (same style as tests.test_topk.assert_topk_equiv)."""
+    combined = numpy_best_score64(db, pos, neg, mask)
+    order = np.lexsort((np.arange(len(combined)), -combined))
+    ts = combined[order][:k]
+    ti = order[:k].astype(np.int32)
+    ti = np.where(np.isneginf(ts), -1, ti)
+    s, i = np.asarray(s)[0], np.asarray(i)[0]
+    valid = ti >= 0
+    np.testing.assert_array_equal(i[:len(ti)] < 0, ~valid)
+    np.testing.assert_allclose(np.where(valid, s[:len(ts)], 0.0),
+                               np.where(valid, ts, 0.0), atol=tol)
+    clear = np.ones_like(valid)
+    clear[:-1] &= (ts[:-1] - ts[1:]) > tol
+    clear[1:] &= (ts[:-1] - ts[1:]) > tol
+    np.testing.assert_array_equal(np.where(clear & valid, i[:len(ti)], -1),
+                                  np.where(clear & valid, ti, -1))
+
+
+@pytest.fixture(scope="module")
+def case():
+    rng = np.random.default_rng(11)
+    db = random_unit(rng, 3000, 64)
+    pos = random_unit(rng, 3, 64)
+    neg = random_unit(rng, 2, 64)
+    return db, pos, neg
+
+
+# ---------------------------------------------------------------------------
+# average_vector composition
+# ---------------------------------------------------------------------------
+
+def test_average_query_formula():
+    rng = np.random.default_rng(0)
+    pos = rng.standard_normal((3, 16)).astype(np.float32)
+    neg = rng.standard_normal((2, 16)).astype(np.float32)
+
+    def unit_mean(x):
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        return x.mean(axis=0)
+
+    ap, an = unit_mean(pos), unit_mean(neg)
+    want = ap + (ap - an)
+    want /= np.linalg.norm(want)
+    np.testing.assert_allclose(average_query(pos, neg), want, atol=1e-6)
+    # no negatives -> normalized positive centroid
+    ap_unit = ap / np.linalg.norm(ap)
+    np.testing.assert_allclose(average_query(pos), ap_unit, atol=1e-6)
+    # a single 1-D positive recommends itself
+    np.testing.assert_allclose(average_query(pos[0]),
+                               pos[0] / np.linalg.norm(pos[0]), atol=1e-6)
+    # scaling an example must not change the result (normalize-first)
+    scaled = pos.copy()
+    scaled[0] *= 100.0
+    np.testing.assert_allclose(average_query(scaled, neg),
+                               average_query(pos, neg), atol=1e-5)
+    with pytest.raises(ValueError):
+        average_query(np.zeros((0, 16), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# best_score op
+# ---------------------------------------------------------------------------
+
+def test_best_score_f32(case):
+    db, pos, neg = case
+    ex = jnp.asarray(np.concatenate([pos, neg]))
+    s, i = jax.device_get(best_score_topk(jnp.asarray(db), ex, 3, 10))
+    assert_best_equiv(db, pos, neg, s, i, 10, tol=1e-5)
+
+
+def test_best_score_no_negatives(case):
+    db, pos, _ = case
+    s, i = jax.device_get(best_score_topk(jnp.asarray(db),
+                                          jnp.asarray(pos), 3, 10))
+    assert_best_equiv(db, pos, None, s, i, 10, tol=1e-5)
+    # with no negatives the combine is max-over-positives cosine
+    assert (np.asarray(s) <= 1.0 + 1e-5).all()
+
+
+def test_best_score_negative_sinks(case):
+    db, pos, _ = case
+    # a db row used AS the negative must sink to -(1.0^2) ~ -1
+    neg = db[42:43]
+    ex = jnp.asarray(np.concatenate([pos, neg]))
+    s, i = jax.device_get(best_score_topk(jnp.asarray(db), ex, 3,
+                                          db.shape[0]))
+    flat_i = np.asarray(i)[0]
+    pos42 = int(np.nonzero(flat_i == 42)[0][0])
+    assert np.asarray(s)[0, pos42] <= -0.99
+    assert pos42 > db.shape[0] // 2       # ranked deep in the tail
+
+
+def test_best_score_mask_and_n_valid(case):
+    db, pos, neg = case
+    mask = np.random.default_rng(3).random(3000) < 0.2
+    ex = jnp.asarray(np.concatenate([pos, neg]))
+    s, i = jax.device_get(best_score_topk(
+        jnp.asarray(db), ex, 3, 10, row_mask=jnp.asarray(mask)))
+    assert_best_equiv(db, pos, neg, s, i, 10, mask=mask, tol=1e-5)
+    # n_valid trims trailing rows
+    s, i = jax.device_get(best_score_topk(jnp.asarray(db), ex, 3, 10,
+                                          n_valid=100))
+    assert (np.asarray(i) < 100).all()
+    assert_best_equiv(db[:100], pos, neg, s, i, 10, tol=1e-5)
+    # k > n pads with (-inf, -1)
+    s, i = jax.device_get(best_score_topk(jnp.asarray(db[:4]),
+                                          ex, 3, 10))
+    assert (np.asarray(i)[0, 4:] == -1).all()
+    assert np.isneginf(np.asarray(s)[0, 4:]).all()
+
+
+def test_best_score_int8(case):
+    db, pos, neg = case
+    db_i8, scale = quantize_db_int8(jnp.asarray(db))
+    ex = jnp.asarray(np.concatenate([pos, neg]))
+    s, i = jax.device_get(best_score_topk(db_i8, ex, 3, 10,
+                                          db_scale=scale))
+    deq = np.asarray(db_i8, np.float32) * float(scale)
+    assert_best_equiv(deq, pos, neg, s, i, 10, tol=1e-5)
+
+
+def test_sharded_best_score_matches_single(case):
+    db, pos, neg = case
+    mesh = make_mesh()
+    n = (len(db) // (8 * 8)) * 8 * 8
+    ex = jnp.asarray(np.concatenate([pos, neg]))
+    s1, i1 = jax.device_get(best_score_topk(jnp.asarray(db[:n]), ex, 3, 10))
+    s2, i2 = jax.device_get(sharded_best_score_topk(
+        shard_rows(jnp.asarray(db[:n]), mesh), replicate(ex, mesh),
+        3, 10, mesh))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    # masked sharded == masked single
+    mask = np.random.default_rng(5).random(n) < 0.3
+    s1, i1 = jax.device_get(best_score_topk(
+        jnp.asarray(db[:n]), ex, 3, 10, row_mask=jnp.asarray(mask)))
+    s2, i2 = jax.device_get(sharded_best_score_topk(
+        shard_rows(jnp.asarray(db[:n]), mesh), replicate(ex, mesh),
+        3, 10, mesh, row_mask=jax.device_put(
+            jnp.asarray(mask),
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec("data")))))
+    np.testing.assert_array_equal(i1, i2)
+
+
+# ---------------------------------------------------------------------------
+# index layer
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dtype,tol", [("float32", 1e-5),
+                                       ("bfloat16", 2e-2),
+                                       ("int8", 1e-5)])
+def test_device_index_best_score(case, dtype, tol):
+    db, pos, neg = case
+    idx = DeviceIndex(db, dtype=dtype, db_tile=256)
+    s, i = jax.device_get(idx.best_score(pos, neg, 10))
+    if dtype == "float32":
+        truth = db
+    else:
+        # truth against the stored (rounded) matrix
+        truth = (np.asarray(idx.matrix[:len(db)], np.float32)
+                 * (idx.scale or 1.0))
+    assert_best_equiv(truth, pos, neg, s, i, 10, tol=tol)
+    # masked
+    mask = np.random.default_rng(4).random(len(db)) < 0.2
+    s, i = jax.device_get(idx.best_score(pos, neg, 10, row_mask=mask))
+    assert mask[np.asarray(i)[0][np.asarray(i)[0] >= 0]].all()
+    assert_best_equiv(truth, pos, neg, s, i, 10, mask=mask, tol=tol)
+
+
+def test_host_index_best_score(case):
+    db, pos, neg = case
+    s, i = HostIndex(db).best_score(pos, neg, 10)
+    assert_best_equiv(db, pos, neg, s, i, 10, tol=1e-5)
+    s, i = best_score_topk_host(db, pos, None, 10)
+    assert_best_equiv(db, pos, None, s, i, 10, tol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# engine surface
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def engine_store(tmp_path):
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg)
+    rng = np.random.default_rng(0)
+    d = 64
+    vecs = random_unit(rng, 40, d)
+    payloads = [{"filename": f"f{i}.jpg", "region_id": f"r{i}",
+                 "detected_class": "person" if i % 4 == 0 else "car",
+                 "confidence": i / 40}
+                for i in range(40)]
+    with VectorStore.create(str(tmp_path / "db"), "rec", d) as s:
+        s.append(vecs, payloads)
+    engine.load_database("rec")
+    return engine, vecs
+
+
+def test_engine_recommend_average(engine_store):
+    engine, vecs = engine_store
+    text, items = engine.recommend([3, 7], max_results=5)
+    assert items and text.startswith("🎯")
+    ids = [it["id"] for it in items]
+    assert 3 not in ids and 7 not in ids       # examples excluded
+    assert len(items) == 5                     # over-fetch keeps the page full
+    # matches the composed-query search directly
+    q = average_query(vecs[[3, 7]])
+    s, i = engine.search_batch(q, k=7)
+    want = [int(x) for x in i[0] if int(x) not in (3, 7)][:5]
+    assert ids == want
+    # vectors (not ids) work and are not excluded
+    text, items = engine.recommend(vecs[3], max_results=3)
+    assert items[0]["id"] == 3
+
+
+def test_engine_recommend_best_score_and_filters(engine_store):
+    engine, vecs = engine_store
+    text, items = engine.recommend([1], negative=[2], max_results=6,
+                                   strategy="best_score",
+                                   filter={"detected_class": "person"})
+    assert items
+    assert all(it["payload"]["detected_class"] == "person" for it in items)
+    combined = numpy_best_score64(vecs, vecs[1:2], vecs[2:3])
+    persons = np.array([i % 4 == 0 for i in range(40)])
+    combined = np.where(persons, combined, -np.inf)
+    order = [i for i in np.argsort(-combined, kind="stable") if i != 1][:6]
+    got = [it["id"] for it in items]
+    assert got == [int(i) for i in order if combined[i] > -np.inf][:len(got)]
+
+
+def test_engine_recommend_errors(engine_store):
+    engine, vecs = engine_store
+    text, items = engine.recommend([])
+    assert text.startswith("❌") and not items
+    text, items = engine.recommend([999])
+    assert "out of range" in text
+    text, items = engine.recommend([1], strategy="bogus")
+    assert "Unknown strategy" in text
+
+
+def test_engine_scroll(engine_store):
+    engine, _ = engine_store
+    points, nxt = engine.scroll(limit=15)
+    assert [p["id"] for p in points] == list(range(15))
+    assert points[0]["payload"]["filename"] == "f0.jpg"
+    assert nxt == 15
+    points, nxt = engine.scroll(offset=nxt, limit=100)
+    assert [p["id"] for p in points] == list(range(15, 40))
+    assert nxt is None
+    # filtered pages: persons are every 4th row
+    points, nxt = engine.scroll(filter={"detected_class": "person"}, limit=4)
+    assert [p["id"] for p in points] == [0, 4, 8, 12]
+    assert nxt == 16
+    points, nxt = engine.scroll(filter={"detected_class": "person"},
+                                offset=nxt, limit=100)
+    assert [p["id"] for p in points] == [16, 20, 24, 28, 32, 36]
+    assert nxt is None
+    points, _ = engine.scroll(limit=2, with_payload=False)
+    assert points[0]["payload"] is None
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def test_cli_recommend_and_points(tmp_path, capsys):
+    from reverso_tpu.cli import main
+
+    rng = np.random.default_rng(1)
+    vecs = random_unit(rng, 20, 32)
+    payloads = [{"filename": f"f{i}.jpg", "region_id": f"r{i}",
+                 "detected_class": "person" if i < 5 else "car"}
+                for i in range(20)]
+    root = str(tmp_path / "db")
+    with VectorStore.create(root, "clirec", 32) as s:
+        s.append(vecs, payloads)
+
+    rc = main(["--db-root", root, "--model", "test-tiny",
+               "recommend", "--name", "clirec",
+               "--positive", "2", "--negative", "9",
+               "--top-k", "4", "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    import json as _json
+    items = _json.loads(out)
+    assert len(items) == 4 and all(it["id"] not in (2, 9) for it in items)
+
+    rc = main(["--db-root", root, "--model", "test-tiny",
+               "points", "clirec",
+               "--filter", "detected_class=person", "--limit", "3",
+               "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    data = _json.loads(out)
+    assert [p["id"] for p in data["points"]] == [0, 1, 2]
+    assert data["next_offset"] == 3
