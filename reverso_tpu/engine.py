@@ -627,7 +627,8 @@ class Reverso:
     def recommend(self, positive, negative=None,
                   max_results: Optional[int] = None,
                   similarity_threshold: Optional[float] = None, *,
-                  strategy: str = "average", filter=None):
+                  strategy: str = "average", filter=None,
+                  use_batcher: bool = False):
         """Search by positive/negative example points — the role of
         qdrant's recommend API over the reference's store
         (core_system.py:659-664 is the search it feeds). Examples are
@@ -667,8 +668,15 @@ class Reverso:
             mask = self._filter_mask(filter) if filter is not None else None
             if strategy == "average":
                 q = average_query(pos, neg)
-                scores, ids = jax.device_get(
-                    self._get_index().search(q[None], k_fetch, row_mask=mask))
+                if mask is None and use_batcher and k_fetch <= 128:
+                    # coalesce with in-flight searches: the composed
+                    # query is just one more row in the launch batch
+                    scores, ids = self.searcher.search(q, k_fetch)
+                    scores, ids = scores[None], ids[None]
+                else:
+                    scores, ids = jax.device_get(
+                        self._get_index().search(q[None], k_fetch,
+                                                 row_mask=mask))
             elif strategy == "best_score":
                 index = self._get_index()
                 if not hasattr(index, "best_score"):

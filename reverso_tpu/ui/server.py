@@ -34,6 +34,7 @@ from typing import Any, Optional
 from urllib.parse import urlparse
 
 from ..serve import OverloadedError
+from ..store import StoreError
 from ..store.filter import FilterError
 from ..utils.logging import get_logger
 
@@ -151,6 +152,17 @@ def _img_to_b64(pil_img) -> Optional[str]:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def _result_json(items) -> list:
+    """Engine result items -> the JSON shape every search endpoint
+    returns. `id` is the stored point id — the SPA feeds it back into
+    /api/query/recommend ("more like this")."""
+    return [{
+        "id": it.get("id"), "filename": it["filename"],
+        "score": it["score"], "bbox": it["bbox"],
+        "image": _img_to_b64(it["image"]),
+    } for it in items]
+
+
 def _b64_to_pil(data: str):
     from PIL import Image
     return Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
@@ -237,6 +249,8 @@ def make_handler(state: UIState):
                     "/api/query/visualize": self._visualize,
                     "/api/query/search": self._search,
                     "/api/query/search_text": self._search_text,
+                    "/api/query/recommend": self._recommend,
+                    "/api/points": self._points,
                     "/api/video/local": self._video_local,
                     "/api/video/urls": self._video_urls,
                 }.get(path)
@@ -249,6 +263,9 @@ def make_handler(state: UIState):
             except FilterError as e:
                 # malformed payload-filter spec: caller error, not a bug
                 self._json({"error": f"bad filter: {e}"}, 400)
+            except StoreError as e:
+                # e.g. scroll/recommend before any database is loaded
+                self._json({"error": str(e)}, 400)
             except OverloadedError as e:
                 # the batcher's explicit load-shed signal: a retryable
                 # 429, NOT a server bug — no stack trace in the log
@@ -379,14 +396,31 @@ def make_handler(state: UIState):
                         body.get("threshold"), body.get("max_results"),
                         query_index=int(body.get("region_index", 0)),
                         filter=body.get("filter") or None)
-            self._json({
-                "summary": text,
-                "results": [{
-                    "filename": it["filename"], "score": it["score"],
-                    "bbox": it["bbox"],
-                    "image": _img_to_b64(it["image"]),
-                } for it in items],
-            })
+            self._json({"summary": text, "results": _result_json(items)})
+
+        def _recommend(self, body: dict) -> None:
+            """Search by stored point ids (qdrant recommend). Stateless
+            read over store + index; the average strategy coalesces with
+            in-flight searches via the batcher."""
+            pos = [int(i) for i in body.get("positive") or []]
+            neg = [int(i) for i in body.get("negative") or []]
+            text, items = state.check_no_build_overlap(
+                lambda: engine.recommend(
+                    pos, neg or None, body.get("max_results"),
+                    body.get("threshold"),
+                    strategy=body.get("strategy") or "average",
+                    filter=body.get("filter") or None,
+                    use_batcher=True))
+            self._json({"summary": text, "results": _result_json(items)})
+
+        def _points(self, body: dict) -> None:
+            """Page through the loaded database's points (qdrant scroll)."""
+            points, next_offset = state.check_no_build_overlap(
+                lambda: engine.scroll(
+                    body.get("filter") or None,
+                    offset=int(body.get("offset") or 0),
+                    limit=int(body.get("limit") or 50)))
+            self._json({"points": points, "next_offset": next_offset})
 
         def _search_text(self, body: dict) -> None:
             # stateless: never clobbers another session's query state;
@@ -397,14 +431,7 @@ def make_handler(state: UIState):
                     body.get("max_results"), stateless=True,
                     use_batcher=True,
                     filter=body.get("filter") or None))
-            self._json({
-                "summary": text,
-                "results": [{
-                    "filename": it["filename"], "score": it["score"],
-                    "bbox": it["bbox"],
-                    "image": _img_to_b64(it["image"]),
-                } for it in items],
-            })
+            self._json({"summary": text, "results": _result_json(items)})
 
         # -- video -------------------------------------------------------
         def _video_local(self, body: dict) -> None:
@@ -546,6 +573,13 @@ img.viz{max-width:100%;border-radius:6px;margin-top:12px}
 <div><label>🎚️ Text Threshold (text-image scores peak ~0.2-0.35)</label>
 <input type="text" id="s-text-thresh" value=""></div>
 <button class="primary" onclick="searchByText()">🔤 Search by Text</button>
+<h3>…or recommend by stored point ids</h3>
+<div class="row">
+<div><label>➕ Positive ids (comma-separated)</label><input type="text" id="s-rec-pos" placeholder="12, 40"></div>
+<div><label>➖ Negative ids (optional)</label><input type="text" id="s-rec-neg" placeholder="7"></div>
+<div><label>Strategy</label><select id="s-rec-strat"><option selected>average</option><option>best_score</option></select></div>
+</div>
+<button class="primary" onclick="recommendByIds()">✨ Recommend</button>
 <pre id="s-summary">No search yet.</pre>
 <div class="grid" id="s-results"></div>
 </div>
@@ -558,6 +592,14 @@ img.viz{max-width:100%;border-radius:6px;margin-top:12px}
 <button class="primary" onclick="dbOp('unlock')">🔓 Unlock</button>
 <button class="primary" onclick="reloadDbs()">🔄 Reload List</button>
 <pre id="m-status">-</pre>
+<h3>Browse points (loaded database)</h3>
+<div class="row">
+<div><label>🧮 Payload filter (optional)</label><input type="text" id="m-pts-filter" placeholder="detected_class=person"></div>
+<div><label>Page size</label><select id="m-pts-limit"><option>10</option><option selected>25</option><option>50</option><option>100</option></select></div>
+</div>
+<button class="primary" onclick="browsePoints(0)">📋 Browse</button>
+<button class="primary" id="m-pts-next" style="display:none" onclick="browsePoints(nextPointsOffset)">⏭️ Next page</button>
+<pre id="m-points">-</pre>
 </div>
 
 <div class="tab" id="tab-about">
@@ -628,31 +670,40 @@ $('s-region').onchange=async()=>{
   const r=await api('/api/query/visualize',{image:lastQueryB64,token:queryToken,region_index:+$('s-region').value||0});
   if(r.visualization){$('s-viz').src='data:image/jpeg;base64,'+r.visualization;$('s-viz').style.display='block';}
 };
-async function searchDb(){
-  if(!queryReady){alert('detect/process a query image first');return;}
-  const r=await api('/api/query/search',{token:queryToken,threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0,filter:$('s-filter').value.trim()});
+function renderResults(r){
   if(r.error){$('s-summary').textContent=r.error;return;}
   $('s-summary').textContent=r.summary;
   const g=$('s-results');g.innerHTML='';
   (r.results||[]).forEach(it=>{
     const d=document.createElement('div');
     if(it.image){const i=document.createElement('img');i.src='data:image/jpeg;base64,'+it.image;d.appendChild(i);}
-    const c=document.createElement('div');c.textContent=it.filename+' — '+it.score.toFixed(3);d.appendChild(c);
+    const c=document.createElement('div');
+    c.textContent=(it.id!=null?'#'+it.id+' ':'')+it.filename+' — '+it.score.toFixed(3);
+    d.appendChild(c);
+    if(it.id!=null){
+      const m=document.createElement('button');
+      m.textContent='✨ more like this';
+      m.style.cssText='margin-top:4px;font-size:12px;cursor:pointer';
+      m.onclick=()=>{$('s-rec-pos').value=String(it.id);recommendByIds();};
+      d.appendChild(m);
+    }
     g.appendChild(d);});
+}
+async function searchDb(){
+  if(!queryReady){alert('detect/process a query image first');return;}
+  renderResults(await api('/api/query/search',{token:queryToken,threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0,filter:$('s-filter').value.trim()}));
 }
 async function searchByText(){
   const txt=$('s-text').value;
   if(!txt){alert('enter a description');return;}
   const tt=$('s-text-thresh').value.trim();
-  const r=await api('/api/query/search_text',{text:txt,threshold:tt?+tt:null,max_results:+$('s-max').value,filter:$('s-filter').value.trim()});
-  if(r.error){$('s-summary').textContent=r.error;return;}
-  $('s-summary').textContent=r.summary;
-  const g=$('s-results');g.innerHTML='';
-  (r.results||[]).forEach(it=>{
-    const d=document.createElement('div');
-    if(it.image){const i=document.createElement('img');i.src='data:image/jpeg;base64,'+it.image;d.appendChild(i);}
-    const c=document.createElement('div');c.textContent=it.filename+' — '+it.score.toFixed(3);d.appendChild(c);
-    g.appendChild(d);});
+  renderResults(await api('/api/query/search_text',{text:txt,threshold:tt?+tt:null,max_results:+$('s-max').value,filter:$('s-filter').value.trim()}));
+}
+function parseIds(s){return s.split(/[\\s,]+/).filter(x=>x).map(Number).filter(Number.isInteger);}
+async function recommendByIds(){
+  const pos=parseIds($('s-rec-pos').value);
+  if(!pos.length){alert('enter at least one positive point id');return;}
+  renderResults(await api('/api/query/recommend',{positive:pos,negative:parseIds($('s-rec-neg').value),strategy:$('s-rec-strat').value,max_results:+$('s-max').value,filter:$('s-filter').value.trim()}));
 }
 async function reloadDbs(){
   const r=await api('/api/databases');
@@ -663,6 +714,14 @@ async function dbOp(op){
   const r=await api('/api/db/'+op,{name:$('m-db').value});
   $('m-status').textContent=r.message||JSON.stringify(r);
   reloadDbs();
+}
+let nextPointsOffset=0;
+async function browsePoints(offset){
+  const r=await api('/api/points',{filter:$('m-pts-filter').value.trim(),offset:offset||0,limit:+$('m-pts-limit').value});
+  if(r.error){$('m-points').textContent=r.error;return;}
+  $('m-points').textContent=(r.points||[]).map(p=>'#'+p.id+'  '+JSON.stringify(p.payload)).join('\\n')||'(no points)';
+  nextPointsOffset=r.next_offset;
+  $('m-pts-next').style.display=r.next_offset==null?'none':'inline-block';
 }
 async function loadStats(){
   const r=await api('/api/stats');

@@ -229,3 +229,53 @@ def test_stats_endpoint(server, tmp_path):
     assert stats["search"]["served"] >= 1
     assert stats["search"]["launches"] >= 1
     assert "latency_p50_ms" in stats["search"]
+
+
+def test_recommend_and_points_endpoints(server, tmp_path):
+    base, tmp = server
+    files = make_corpus(tmp / "rec_imgs", n=6)
+    code, r = post(base, "/api/build",
+                   {"folder": str(tmp / "rec_imgs"), "name": "recdb",
+                    "direct_pe": True})
+    assert code == 200
+    for _ in range(100):
+        s = get(base, "/api/build/status")
+        if s["state"] in ("done", "error"):
+            break
+        time.sleep(0.2)
+    assert s["state"] == "done", s
+
+    # scroll-style paging with a stable next_offset
+    code, r = post(base, "/api/points", {"limit": 4})
+    assert code == 200, r
+    assert [p["id"] for p in r["points"]] == [0, 1, 2, 3]
+    assert r["points"][0]["payload"]["detected_class"] == "full_image"
+    assert r["next_offset"] == 4
+    code, r = post(base, "/api/points", {"offset": 4, "limit": 10})
+    assert code == 200 and r["next_offset"] is None
+    assert [p["id"] for p in r["points"]] == [4, 5]
+    # malformed filter is a 400, not a 500
+    code, r = post(base, "/api/points", {"filter": "not a clause"})
+    assert code == 400 and "filter" in r["error"], r
+
+    # recommend by stored point id: results carry ids, example excluded
+    code, r = post(base, "/api/query/recommend",
+                   {"positive": [2], "max_results": 3})
+    assert code == 200, r
+    assert r["results"], r
+    ids = [it["id"] for it in r["results"]]
+    assert 2 not in ids and all(isinstance(i, int) for i in ids)
+    assert r["results"][0]["image"]            # thumbnails render
+
+    # best_score strategy + filter through the same endpoint
+    code, r = post(base, "/api/query/recommend",
+                   {"positive": [0], "negative": [5],
+                    "strategy": "best_score", "max_results": 3,
+                    "filter": "detected_class=full_image"})
+    assert code == 200 and r["results"], r
+
+    # caller errors surface as messages, not 500s
+    code, r = post(base, "/api/query/recommend", {"positive": []})
+    assert code == 200 and r["summary"].startswith("❌"), r
+    code, r = post(base, "/api/query/recommend", {"positive": [999]})
+    assert code == 200 and "out of range" in r["summary"], r
