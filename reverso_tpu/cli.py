@@ -136,9 +136,27 @@ def cmd_search(args) -> int:
         print(msg, file=sys.stderr)
         return 1
     if len(args.image) > 1:
+        if args.group_by:
+            print("❌ --group-by works with a single query image",
+                  file=sys.stderr)
+            return 1
         return _search_bulk(engine, args)
     with trace(args.trace_dir):
         engine.process_image_direct_pe(args.image[0])
+        if args.group_by:
+            text, groups = engine.search_groups(
+                args.threshold, args.top_k, group_by=args.group_by,
+                group_size=args.group_size, filter=args.filter or None)
+            if args.json:
+                print(json.dumps([
+                    {"key": g["key"],
+                     "hits": [{"id": it["id"], "filename": it["filename"],
+                               "score": it["score"], "bbox": it["bbox"]}
+                              for it in g["hits"]]}
+                    for g in groups], indent=2))
+            else:
+                print(text)
+            return 0 if groups else 2
         text, items = engine.search_similar(args.threshold, args.top_k,
                                             filter=args.filter or None)
     if args.json:
@@ -219,6 +237,35 @@ def cmd_recommend(args) -> int:
     text, items = engine.recommend(
         args.positive, args.negative or None, args.top_k, args.threshold,
         strategy=args.strategy, filter=args.filter or None)
+    if args.json:
+        print(json.dumps([
+            {"id": it["id"], "filename": it["filename"], "score": it["score"],
+             "bbox": it["bbox"], "source": it["payload"].get("image_source")}
+            for it in items], indent=2))
+    else:
+        print(text)
+    return 0 if items else 2
+
+
+def cmd_discover(args) -> int:
+    """Discovery search: a target point steered by (positive, negative)
+    context pairs (qdrant's discovery API role). No model load."""
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    pairs = []
+    for spec in args.pair or []:
+        try:
+            p, n = spec.split(":", 1)
+            pairs.append((int(p), int(n)))
+        except ValueError:
+            print(f"❌ bad --pair '{spec}' (expected POS_ID:NEG_ID)",
+                  file=sys.stderr)
+            return 1
+    text, items = engine.discover(args.target, pairs or None, args.top_k,
+                                  filter=args.filter or None)
     if args.json:
         print(json.dumps([
             {"id": it["id"], "filename": it["filename"], "score": it["score"],
@@ -336,6 +383,16 @@ def cmd_info(args) -> int:
             "rows": store.count, "dim": store.dim,
             "disk_bytes": size, "locked": locked,
             "data_version": store.data_version}
+    if args.filter:
+        # filtered point count (qdrant count API role), no model load
+        from .store.filter import FilterError, parse_filter, payload_mask
+        try:
+            spec = parse_filter(args.filter)
+            info["matching"] = (store.count if spec.is_empty() else
+                                int(payload_mask(store, args.filter).sum()))
+        except FilterError as e:
+            print(f"❌ {e}", file=sys.stderr)
+            return 1
     if args.classes and store.count:
         from collections import Counter
         hist = Counter()
@@ -676,6 +733,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="payload filter clause(s): key=value, key!=value, "
                         "key>=N, key<=N (repeatable; all must hold), or a "
                         "JSON object with must/should/must_not")
+    s.add_argument("--group-by", default=None, metavar="KEY",
+                   help="group results by a payload key (qdrant "
+                        "search_groups): --top-k counts groups, each "
+                        "reporting its best --group-size hits")
+    s.add_argument("--group-size", type=int, default=3)
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("search-text",
@@ -705,6 +767,22 @@ def build_parser() -> argparse.ArgumentParser:
     rc.add_argument("--filter", action="append", default=[],
                     help="payload filter clause(s), as in `search`")
     rc.set_defaults(fn=cmd_recommend)
+
+    dc = sub.add_parser("discover",
+                        help="discovery search: target point id steered "
+                             "by positive:negative context pairs "
+                             "(qdrant discover)")
+    dc.add_argument("--name", required=True)
+    dc.add_argument("--target", type=int, default=None,
+                    help="target point id (omit for pure context search)")
+    dc.add_argument("--pair", action="append", default=[],
+                    metavar="POS_ID:NEG_ID",
+                    help="context pair of point ids (repeatable)")
+    dc.add_argument("--top-k", type=int, default=None)
+    dc.add_argument("--json", action="store_true")
+    dc.add_argument("--filter", action="append", default=[],
+                    help="payload filter clause(s), as in `search`")
+    dc.set_defaults(fn=cmd_discover)
 
     pt = sub.add_parser("points",
                         help="page through stored points (ids + payloads), "
@@ -743,6 +821,9 @@ def build_parser() -> argparse.ArgumentParser:
     inf.add_argument("--classes", action="store_true",
                      help="include a detected_class histogram (reads "
                           "all payloads)")
+    inf.add_argument("--filter", action="append", default=[],
+                     help="also report the count of points matching "
+                          "these payload clause(s) (qdrant count)")
     inf.add_argument("--json", action="store_true")
     inf.set_defaults(fn=cmd_info)
 

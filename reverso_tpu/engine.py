@@ -20,6 +20,7 @@ surfaces them verbatim.
 """
 from __future__ import annotations
 
+import json
 import os
 import threading
 from typing import Optional, Sequence
@@ -319,19 +320,14 @@ class Reverso:
             self._index_key = key
             return index
 
-    def _filter_mask(self, filter_spec) -> Optional[np.ndarray]:
-        """Evaluate a payload filter (dict/string/Filter; see
-        `store.filter`) against the loaded store -> [count] bool mask.
+    def _payload_columns(self):
+        """Cached columnar payload view for the loaded store.
 
-        The payload-column extraction (one streaming JSONL pass) is
-        cached per (count, data_version); repeated filtered searches
-        against an unchanged store evaluate in vectorized numpy with
-        no IO. Returns None for an empty filter."""
-        from .store.filter import PayloadColumns, evaluate_filter, parse_filter
+        The extraction (one streaming JSONL pass per key set) is cached
+        per (count, data_version); filters and group-by lookups against
+        an unchanged store evaluate in vectorized numpy with no IO."""
+        from .store.filter import PayloadColumns
 
-        filt = parse_filter(filter_spec)
-        if filt.is_empty():
-            return None
         store = self._store
         if store is None:
             raise StoreError("no database loaded")
@@ -341,9 +337,31 @@ class Reverso:
             if self._filter_cols is None or self._filter_cols_key != key:
                 self._filter_cols = PayloadColumns(store)
                 self._filter_cols_key = key
-            cols = self._filter_cols
+            return self._filter_cols
+
+    def _filter_mask(self, filter_spec) -> Optional[np.ndarray]:
+        """Evaluate a payload filter (dict/string/Filter; see
+        `store.filter`) against the loaded store -> [count] bool mask.
+        Returns None for an empty filter."""
+        from .store.filter import evaluate_filter, parse_filter
+
+        filt = parse_filter(filter_spec)
+        if filt.is_empty():
+            return None
+        cols = self._payload_columns()
         cols.ensure(sorted(filt.keys()))
         return evaluate_filter(filt, cols)
+
+    def count(self, filter=None) -> int:
+        """Number of stored points, optionally restricted to a payload
+        filter (qdrant's count API role over the reference's store,
+        core_system.py:659-664)."""
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        store.refresh()
+        mask = self._filter_mask(filter) if filter is not None else None
+        return store.count if mask is None else int(mask.sum())
 
     # -- serving ----------------------------------------------------------
 
@@ -595,6 +613,115 @@ class Reverso:
                                    embeddings=emb, use_batcher=use_batcher,
                                    filter=filter)
 
+    def search_groups(self, similarity_threshold: Optional[float] = None,
+                      max_groups: Optional[int] = None,
+                      query_index: int = 0, *,
+                      group_by: str = "filename", group_size: int = 3,
+                      embeddings=_USE_ENGINE_STATE, filter=None):
+        """Grouped similarity search — qdrant's search_groups API role
+        over the reference's store (core_system.py:659-664): results
+        are bucketed by a payload field and each bucket reports its top
+        `group_size` hits, so e.g. one image with many matching regions
+        fills ONE group instead of the whole result page.
+
+        Groups are ranked by their best hit; hits within a group keep
+        global score order. Exact: the scan deepens (doubling k) until
+        every selected group is full or candidates above the threshold
+        are exhausted, so the output equals a brute-force group-by over
+        the full masked scan. Rows without the `group_by` key are
+        skipped (qdrant semantics). Returns (text, groups) where groups
+        is a list of {"key", "hits"} with hits shaped like
+        search_similar items."""
+        import jax
+
+        cfg = self.config.search
+        threshold = (cfg.score_threshold if similarity_threshold is None
+                     else similarity_threshold)
+        n_groups = cfg.top_k if max_groups is None else int(max_groups)
+        group_size = max(1, int(group_size))
+        embs = (self.region_embeddings
+                if embeddings is Reverso._USE_ENGINE_STATE
+                else (None if embeddings is None else np.asarray(embeddings)))
+        if embs is None or len(embs) == 0:
+            return ("❌ No query embeddings available. Please detect/process an image first.", [])
+        store = self._store
+        if store is None:
+            return ("❌ No database loaded. Please create or load a database first.", [])
+        query = embs[min(query_index, len(embs) - 1)]
+
+        try:
+            fmask = self._filter_mask(filter) if filter is not None else None
+            cols = self._payload_columns()
+            key_col = cols.column(group_by)
+            present = cols.present(group_by)
+        except StoreError as e:
+            return (f"❌ {e}", [])
+        mask = present if fmask is None else (present & fmask)
+        n_avail = int(mask.sum())
+        if n_avail == 0:
+            return (f"❌ No points carry payload key '{group_by}'"
+                    + (" and match the filter" if fmask is not None else "")
+                    + ".", [])
+        index = self._get_index()
+
+        k = min(n_avail, max(n_groups * group_size, 32))
+        while True:
+            scores, ids = jax.device_get(
+                index.search(query[None], k, row_mask=mask))
+            scores, ids = scores[0], ids[0]
+            sel: dict = {}
+            complete = False
+            exhausted = True          # flips if we stop at k with room left
+            for s, i in zip(scores, ids):
+                s, i = float(s), int(i)
+                if i < 0 or s < threshold:
+                    break             # scores are sorted: nothing below counts
+                kv = key_col[i]
+                if not isinstance(kv, (str, int, float, bool)):
+                    kv = json.dumps(kv, sort_keys=True)   # lists/dicts
+                hits = sel.get(kv)
+                if hits is None:
+                    if len(sel) >= n_groups:
+                        continue      # group set is final (best-hit order)
+                    sel[kv] = [(s, i)]
+                elif len(hits) < group_size:
+                    hits.append((s, i))
+                if (len(sel) == n_groups
+                        and all(len(v) >= group_size for v in sel.values())):
+                    complete = True
+                    break
+            else:
+                # consumed all k rows without finishing: deeper rows may
+                # still fill groups unless the scan already covered
+                # every masked row
+                exhausted = k >= n_avail
+            if complete or exhausted or k >= n_avail:
+                break
+            k = min(n_avail, k * 2)
+
+        if not sel:
+            return (f"❌ No similar regions found above threshold {threshold}", [])
+        all_ids = [i for hits in sel.values() for _, i in hits]
+        payloads = dict(zip(all_ids, store.payloads(all_ids)))
+        text = f"🎯 Found {len(sel)} groups (by {group_by}):\n\n"
+        groups = []
+        for rank, (kv, hits) in enumerate(sel.items()):
+            text += f"{rank + 1}. {group_by}={kv} — best {hits[0][0]:.3f}, {len(hits)} hit(s)\n"
+            items = []
+            for s, i in hits:
+                payload = payloads.get(i) or {}
+                image_path = payload.get("image_source", "")
+                thumb = (render_result_thumbnail(image_path, s)
+                         if image_path else None)
+                items.append({"image": thumb, "score": s, "id": i,
+                              "filename": payload.get("filename", "Unknown"),
+                              "bbox": payload.get("bbox", [0, 0, 0, 0]),
+                              "payload": payload})
+                text += f"     {payload.get('filename', 'Unknown')} (Similarity: {s:.3f})\n"
+            text += "\n"
+            groups.append({"key": kv, "hits": items})
+        return text, groups
+
     def _resolve_examples(self, examples) -> Optional[np.ndarray]:
         """Recommend inputs -> [M, d] f32. Accepts stored point ids
         (ints), [d] vectors, [M, d] arrays, or a mixed list of those."""
@@ -693,6 +820,67 @@ class Reverso:
                 if i >= 0 and s >= threshold and int(i) not in exclude][:k]
         if not hits:
             return ("❌ No recommendations found.", [])
+        return self._render_hits(hits, store)
+
+    def discover(self, target=None, context=None,
+                 max_results: Optional[int] = None, *, filter=None):
+        """qdrant's discovery API role over the reference's store
+        (core_system.py:659-664 is the search it feeds). `context` is a
+        list of (positive, negative) example pairs — stored point ids or
+        raw vectors; each pair votes per row (+1 when the row sides with
+        the pair's positive), and rows rank by vote total with target
+        similarity breaking ties (`ops.recommend.discover_topk`). With
+        `target=None` this is a pure context search (rank by summed
+        pair loss; 0 = inside every positive zone). Example point ids
+        never return themselves. Scores in the items are the composite
+        ranking keys, not cosines. Exact index only (like
+        strategy='best_score')."""
+        import jax
+
+        store = self._store
+        if store is None:
+            return ("❌ No database loaded. Please create or load a database first.", [])
+        k = self.config.search.top_k if max_results is None else int(max_results)
+        pairs = list(context) if context else []
+        if target is None and not pairs:
+            return ("❌ Discover needs a target and/or context pairs.", [])
+        exclude = set()
+        for e in [target, *(x for p in pairs for x in p)]:
+            if isinstance(e, (int, np.integer)):
+                exclude.add(int(e))
+        k_fetch = k + len(exclude)
+        try:
+            tgt = self._resolve_examples(target) if target is not None else None
+            if tgt is not None and len(tgt) != 1:
+                raise ValueError("discover takes exactly one target")
+            pos = neg = None
+            if pairs:
+                if not all(isinstance(p, (list, tuple)) and len(p) == 2
+                           for p in pairs):
+                    raise ValueError(
+                        "context must be (positive, negative) pairs")
+                pos = self._resolve_examples([p[0] for p in pairs])
+                neg = self._resolve_examples([p[1] for p in pairs])
+                if len(pos) != len(pairs) or len(neg) != len(pairs):
+                    raise ValueError(
+                        "each context pair needs exactly one positive and "
+                        "one negative example")
+            mask = self._filter_mask(filter) if filter is not None else None
+            index = self._get_index()
+            if not hasattr(index, "discover"):
+                return ("❌ discover needs the exact index (not IVF).", [])
+            if tgt is not None:
+                scores, ids = jax.device_get(
+                    index.discover(tgt[0], pos, neg, k_fetch, row_mask=mask))
+            else:
+                scores, ids = jax.device_get(
+                    index.context(pos, neg, k_fetch, row_mask=mask))
+        except (StoreError, ValueError) as e:
+            return (f"❌ {e}", [])
+        hits = [(float(s), int(i)) for s, i in zip(scores[0], ids[0])
+                if i >= 0 and int(i) not in exclude][:k]
+        if not hits:
+            return ("❌ No discovery results found.", [])
         return self._render_hits(hits, store)
 
     def scroll(self, filter=None, *, offset: int = 0, limit: int = 100,

@@ -13,7 +13,11 @@ from .norm import l2_normalize
 from .recommend import (
     average_query,
     best_score_topk,
+    context_topk,
+    discover_topk,
     sharded_best_score_topk,
+    sharded_context_topk,
+    sharded_discover_topk,
 )
 # NOTE: `ops.topk_int8` (two-stage overfetch+rescore int8) is a retained
 # experiment superseded by `cosine_topk_int8_exact` — same capacity win,

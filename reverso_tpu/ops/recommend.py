@@ -21,6 +21,21 @@ the TPU store:
     inside a ``lax.scan`` so the full f32 copy never exists — the same
     memory discipline as ``cosine_topk_int8_xla``.
 
+qdrant's discovery API (the same points surface) is rebuilt here too:
+
+  * ``discover`` — a target vector plus (positive, negative) context
+    PAIRS. Each pair votes per row: +1 when the row scores higher
+    against the pair's positive than its negative, else -1; rows are
+    ranked by vote total first, target similarity second. The
+    lexicographic order is exact as one f32 key: ``votes * 4 + sim``
+    (votes are integers, ``|sim| <= 1 < 2``, and ``4 * n_pairs`` stays
+    far inside the f32 24-bit integer range).
+
+  * ``context`` — pairs only, no target: rows are ranked by
+    ``sum_i min(0, s_pos_i - s_neg_i)`` (0 = inside every pair's
+    positive zone; ties break to the lower row id, deterministic where
+    qdrant's zero-loss zone is unordered).
+
 Result contract matches the rest of the repo: ordered by
 ``(-score, idx)``, ties to the lower row id, ``-1`` marks absent slots.
 """
@@ -75,22 +90,14 @@ def _combine(s: jnp.ndarray, n_pos: int) -> jnp.ndarray:
     return jnp.where(bp > bn, bp, -(bn * bn))
 
 
-@functools.partial(jax.jit, static_argnames=("n_pos", "k"))
-def best_score_topk(db: jnp.ndarray, examples: jnp.ndarray, n_pos: int,
-                    k: int, db_scale=None, n_valid=None, row_mask=None):
-    """Exact best-score top-k over db [N, d].
-
-    ``examples``: [E, d] L2-normalized, positives in rows [:n_pos],
-    negatives after. ``db_scale`` marks an int8 database (scanned in
-    dequantizing chunks). Returns (scores [1, k] f32, idx [1, k] int32).
-    """
+def _combined_scan(db: jnp.ndarray, examples: jnp.ndarray, combine,
+                   db_scale=None) -> jnp.ndarray:
+    """[N] combined scores: ``combine([E, C] example dots) -> [C]``
+    applied over the whole db. An int8 db (``db_scale`` set) is
+    dequantized chunk-by-chunk inside a ``lax.scan`` so the full f32
+    copy never exists; only the per-row combined scalar survives."""
     n, d = db.shape
-    int8 = jnp.dtype(db.dtype) == jnp.int8
-    if n_valid is None:
-        n_valid = n
-    n_valid = jnp.asarray(n_valid, jnp.int32)
-
-    if int8:
+    if jnp.dtype(db.dtype) == jnp.int8:
         ex32 = examples.astype(jnp.float32)
         scale = jnp.asarray(db_scale, jnp.float32)
         chunk = min(65536, _round_up(n, 128))
@@ -103,20 +110,27 @@ def best_score_topk(db: jnp.ndarray, examples: jnp.ndarray, n_pos: int,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-            return None, _combine(s, n_pos)
+            return None, combine(s)
 
         _, comb = jax.lax.scan(body, None, db_p)
-        combined = comb.reshape(-1)[:n]
-    else:
-        ex = examples.astype(db.dtype)
-        s = jax.lax.dot_general(
-            ex, db, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_dot_precision(db.dtype))       # [E, N]
-        combined = _combine(s, n_pos)
+        return comb.reshape(-1)[:n]
+    ex = examples.astype(db.dtype)
+    s = jax.lax.dot_general(
+        ex, db, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(db.dtype))       # [E, N]
+    return combine(s)
 
+
+def _finalize_topk(combined: jnp.ndarray, k: int, n_valid, row_mask):
+    """[N] combined scores -> ((1, k) f32 scores, (1, k) i32 idx) with
+    the repo-wide (-score, idx) tie order and -1/-inf padding."""
+    n = combined.shape[0]
+    if n_valid is None:
+        n_valid = n
     col = jax.lax.iota(jnp.int32, n)
-    combined = jnp.where(col < n_valid, combined, -jnp.inf)
+    combined = jnp.where(col < jnp.asarray(n_valid, jnp.int32),
+                         combined, -jnp.inf)
     if row_mask is not None:
         combined = jnp.where(row_mask, combined, -jnp.inf)
     k_eff = min(k, n)
@@ -130,16 +144,71 @@ def best_score_topk(db: jnp.ndarray, examples: jnp.ndarray, n_pos: int,
     return top_s.astype(jnp.float32), top_i.astype(jnp.int32)
 
 
-def sharded_best_score_topk(db: jnp.ndarray, examples: jnp.ndarray,
-                            n_pos: int, k: int, mesh: Mesh,
-                            axis: str = "data", n_valid=None,
-                            db_scale=None, row_mask=None):
-    """best_score_topk over a database row-sharded across `axis` of `mesh`.
+@functools.partial(jax.jit, static_argnames=("n_pos", "k"))
+def best_score_topk(db: jnp.ndarray, examples: jnp.ndarray, n_pos: int,
+                    k: int, db_scale=None, n_valid=None, row_mask=None):
+    """Exact best-score top-k over db [N, d].
 
-    Per-shard combined-score top-k, then one all_gather + lexsort merge
-    — the same shape as `sharded_cosine_topk`. Result replicated and
-    identical to the single-device scan (ties by global row id).
+    ``examples``: [E, d] L2-normalized, positives in rows [:n_pos],
+    negatives after. ``db_scale`` marks an int8 database (scanned in
+    dequantizing chunks). Returns (scores [1, k] f32, idx [1, k] int32).
     """
+    combined = _combined_scan(db, examples, lambda s: _combine(s, n_pos),
+                              db_scale)
+    return _finalize_topk(combined, k, n_valid, row_mask)
+
+
+def _discover_combine(s: jnp.ndarray, n_pairs: int) -> jnp.ndarray:
+    """[1 + 2P, C] scores (target; pair positives; pair negatives) ->
+    [C] discover keys: pair votes lexicographically over target sim."""
+    if n_pairs == 0:
+        return s[0]
+    sp = s[1:1 + n_pairs]
+    sn = s[1 + n_pairs:1 + 2 * n_pairs]
+    votes = jnp.sum(jnp.where(sp > sn, jnp.float32(1), jnp.float32(-1)),
+                    axis=0)
+    return votes * 4.0 + s[0]
+
+
+def _context_combine(s: jnp.ndarray, n_pairs: int) -> jnp.ndarray:
+    """[2P, C] pair scores -> [C] context loss (<= 0, 0 = in-zone)."""
+    sp, sn = s[:n_pairs], s[n_pairs:2 * n_pairs]
+    return jnp.sum(jnp.minimum(sp - sn, 0.0), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pairs", "k"))
+def discover_topk(db: jnp.ndarray, examples: jnp.ndarray, n_pairs: int,
+                  k: int, db_scale=None, n_valid=None, row_mask=None):
+    """qdrant-discovery top-k: ``examples`` rows are [target;
+    pair positives (P); pair negatives (P)]. Rows rank by pair-vote
+    total (+1 per pair won, -1 per pair lost), target similarity
+    breaking ties within a vote level. With ``n_pairs == 0`` this is a
+    plain target search. Same result contract as ``best_score_topk``;
+    scores are the composite ``votes * 4 + sim`` keys."""
+    combined = _combined_scan(db, examples,
+                              lambda s: _discover_combine(s, n_pairs),
+                              db_scale)
+    return _finalize_topk(combined, k, n_valid, row_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pairs", "k"))
+def context_topk(db: jnp.ndarray, examples: jnp.ndarray, n_pairs: int,
+                 k: int, db_scale=None, n_valid=None, row_mask=None):
+    """qdrant context search: no target, rows rank by
+    ``sum_i min(0, s_pos_i - s_neg_i)`` (0 = inside every pair's
+    positive zone). ``examples``: [2P, d], positives first."""
+    combined = _combined_scan(db, examples,
+                              lambda s: _context_combine(s, n_pairs),
+                              db_scale)
+    return _finalize_topk(combined, k, n_valid, row_mask)
+
+
+def _sharded_merge(local_topk, db: jnp.ndarray, examples: jnp.ndarray,
+                   k: int, mesh: Mesh, axis: str, n_valid, row_mask):
+    """Run ``local_topk(db_shard, ex, local_valid, mask_shard)`` per
+    shard of a row-sharded database, then one all_gather + lexsort
+    merge — the same shape as `sharded_cosine_topk`. Result replicated
+    and identical to the single-device scan (ties by global row id)."""
     n, d = db.shape
     n_shards = mesh.shape[axis]
     assert n % n_shards == 0, (n, n_shards)
@@ -153,8 +222,7 @@ def sharded_best_score_topk(db: jnp.ndarray, examples: jnp.ndarray,
         shard_id = jax.lax.axis_index(axis)
         local_valid = jnp.clip(jnp.asarray(n_valid) - shard_id * local_n,
                                0, local_n)
-        s, i = best_score_topk(db_shard, ex, n_pos, k, db_scale=db_scale,
-                               n_valid=local_valid, row_mask=mask_shard)
+        s, i = local_topk(db_shard, ex, local_valid, mask_shard)
         i = jnp.where(i >= 0, i + shard_id * local_n, i)
         all_s = jax.lax.all_gather(s, axis)
         all_i = jax.lax.all_gather(i, axis)
@@ -177,6 +245,54 @@ def sharded_best_score_topk(db: jnp.ndarray, examples: jnp.ndarray,
     return fn(db, examples, jnp.asarray(row_mask, jnp.bool_))
 
 
+def sharded_best_score_topk(db: jnp.ndarray, examples: jnp.ndarray,
+                            n_pos: int, k: int, mesh: Mesh,
+                            axis: str = "data", n_valid=None,
+                            db_scale=None, row_mask=None):
+    """best_score_topk over a database row-sharded across `axis`."""
+    return _sharded_merge(
+        lambda dbs, ex, lv, ms: best_score_topk(
+            dbs, ex, n_pos, k, db_scale=db_scale, n_valid=lv, row_mask=ms),
+        db, examples, k, mesh, axis, n_valid, row_mask)
+
+
+def sharded_discover_topk(db: jnp.ndarray, examples: jnp.ndarray,
+                          n_pairs: int, k: int, mesh: Mesh,
+                          axis: str = "data", n_valid=None,
+                          db_scale=None, row_mask=None):
+    """discover_topk over a database row-sharded across `axis`."""
+    return _sharded_merge(
+        lambda dbs, ex, lv, ms: discover_topk(
+            dbs, ex, n_pairs, k, db_scale=db_scale, n_valid=lv, row_mask=ms),
+        db, examples, k, mesh, axis, n_valid, row_mask)
+
+
+def sharded_context_topk(db: jnp.ndarray, examples: jnp.ndarray,
+                         n_pairs: int, k: int, mesh: Mesh,
+                         axis: str = "data", n_valid=None,
+                         db_scale=None, row_mask=None):
+    """context_topk over a database row-sharded across `axis`."""
+    return _sharded_merge(
+        lambda dbs, ex, lv, ms: context_topk(
+            dbs, ex, n_pairs, k, db_scale=db_scale, n_valid=lv, row_mask=ms),
+        db, examples, k, mesh, axis, n_valid, row_mask)
+
+
+def _finalize_topk_host(combined: np.ndarray, k: int, row_mask):
+    """Numpy twin of `_finalize_topk` (same contract, full lexsort)."""
+    if row_mask is not None:
+        combined = np.where(np.asarray(row_mask, bool), combined, -np.inf)
+    order = np.lexsort((np.arange(len(combined)), -combined))[:k]
+    scores = combined[order].astype(np.float32)
+    idx = order.astype(np.int32)
+    idx = np.where(np.isneginf(scores), -1, idx)
+    pad = k - len(order)
+    if pad > 0:
+        scores = np.concatenate([scores, np.full(pad, -np.inf, np.float32)])
+        idx = np.concatenate([idx, np.full(pad, -1, np.int32)])
+    return scores[None], idx[None]
+
+
 def best_score_topk_host(matrix: np.ndarray, positives, negatives,
                          k: int, row_mask=None):
     """Numpy best-score top-k for the host index (no accelerator).
@@ -193,14 +309,30 @@ def best_score_topk_host(matrix: np.ndarray, positives, negatives,
         combined = np.where(bp > bn, bp, -(bn * bn))
     else:
         combined = bp
-    if row_mask is not None:
-        combined = np.where(np.asarray(row_mask, bool), combined, -np.inf)
-    order = np.lexsort((np.arange(len(combined)), -combined))[:k]
-    scores = combined[order].astype(np.float32)
-    idx = order.astype(np.int32)
-    idx = np.where(np.isneginf(scores), -1, idx)
-    pad = k - len(order)
-    if pad > 0:
-        scores = np.concatenate([scores, np.full(pad, -np.inf, np.float32)])
-        idx = np.concatenate([idx, np.full(pad, -1, np.int32)])
-    return scores[None], idx[None]
+    return _finalize_topk_host(combined, k, row_mask)
+
+
+def discover_topk_host(matrix: np.ndarray, target, pairs_pos, pairs_neg,
+                       k: int, row_mask=None):
+    """Numpy discover top-k (votes * 4 + target sim; see discover_topk)."""
+    t = np.asarray(target, np.float32).reshape(-1)
+    sim = (matrix @ t).astype(np.float32)
+    pos = np.atleast_2d(np.asarray(pairs_pos, np.float32)) if pairs_pos is not None else np.zeros((0, len(t)), np.float32)
+    if len(pos):
+        neg = np.atleast_2d(np.asarray(pairs_neg, np.float32))
+        sp = pos @ matrix.T
+        sn = neg @ matrix.T
+        votes = np.where(sp > sn, np.float32(1), np.float32(-1)).sum(axis=0)
+        combined = votes * 4.0 + sim
+    else:
+        combined = sim
+    return _finalize_topk_host(combined, k, row_mask)
+
+
+def context_topk_host(matrix: np.ndarray, pairs_pos, pairs_neg,
+                      k: int, row_mask=None):
+    """Numpy context top-k (sum of min(0, s_pos - s_neg) per pair)."""
+    sp = np.atleast_2d(np.asarray(pairs_pos, np.float32)) @ matrix.T
+    sn = np.atleast_2d(np.asarray(pairs_neg, np.float32)) @ matrix.T
+    combined = np.minimum(sp - sn, 0.0).sum(axis=0)
+    return _finalize_topk_host(combined, k, row_mask)

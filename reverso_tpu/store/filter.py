@@ -286,6 +286,10 @@ class PayloadColumns:
         self.ensure([key])
         return self._cols[key]
 
+    def present(self, key: str) -> np.ndarray:
+        """[count] bool: rows whose payload carries `key` at all."""
+        return self.column(key) != _MISSING
+
 
 def _numeric(col: np.ndarray) -> np.ndarray:
     """Object column -> float64 with NaN for missing/non-numeric values

@@ -21,7 +21,13 @@ from ..config import SearchConfig, StoreConfig
 from ..ops.recommend import (
     best_score_topk,
     best_score_topk_host,
+    context_topk,
+    context_topk_host,
+    discover_topk,
+    discover_topk_host,
     sharded_best_score_topk,
+    sharded_context_topk,
+    sharded_discover_topk,
 )
 from ..ops.topk import (
     cosine_topk_int8_exact,
@@ -87,6 +93,21 @@ class HostIndex:
             row_mask = np.asarray(row_mask, bool)[:self.n_valid]
         return best_score_topk_host(self.matrix, positives, negatives, k,
                                     row_mask=row_mask)
+
+    def discover(self, target, pairs_pos=None, pairs_neg=None,
+                 k: int = 10, *, row_mask=None):
+        """qdrant discovery search over the host matrix."""
+        if row_mask is not None:
+            row_mask = np.asarray(row_mask, bool)[:self.n_valid]
+        return discover_topk_host(self.matrix, target, pairs_pos, pairs_neg,
+                                  k, row_mask=row_mask)
+
+    def context(self, pairs_pos, pairs_neg, k: int = 10, *, row_mask=None):
+        """qdrant context search over the host matrix."""
+        if row_mask is not None:
+            row_mask = np.asarray(row_mask, bool)[:self.n_valid]
+        return context_topk_host(self.matrix, pairs_pos, pairs_neg, k,
+                                 row_mask=row_mask)
 
 
 class DeviceIndex:
@@ -215,6 +236,26 @@ class DeviceIndex:
                                   db_tile=self.db_tile, n_valid=self.n_valid,
                                   row_mask=mask)
 
+    def _combined_search(self, parts, n_static: int, k: int, row_mask,
+                         single_fn, sharded_fn):
+        """Shared launch path for the example-combine searches
+        (best_score / discover / context): stack example rows, pick the
+        sharded or single-device op, apply the padded row mask."""
+        int8 = self._dtype == jnp.int8
+        ex_dtype = jnp.float32 if int8 else self._dtype
+        ex = jnp.asarray(np.concatenate(parts), ex_dtype)
+        if self.n_valid == 0:
+            return (jnp.full((1, k), -jnp.inf, jnp.float32),
+                    jnp.full((1, k), -1, jnp.int32))
+        mask = self._padded_mask(row_mask) if row_mask is not None else None
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            ex = jax.device_put(ex, replicated_sharding(self.mesh))
+            return sharded_fn(self.matrix, ex, n_static, k,
+                              self.mesh, axis=self.axis,
+                              n_valid=self.n_valid, db_scale=self.scale,
+                              row_mask=mask)
+        return single_fn(ex, n_static, k, mask)
+
     def best_score(self, positives, negatives=None, k: int = 10, *,
                    row_mask=None):
         """qdrant best_score recommend: rank rows by their best positive
@@ -223,8 +264,6 @@ class DeviceIndex:
         matrix (int8 dequantizes chunk-by-chunk); same (-score, idx)
         contract as `search`. `row_mask` filters rows like `search`.
         """
-        int8 = self._dtype == jnp.int8
-        ex_dtype = jnp.float32 if int8 else self._dtype
         pos = np.atleast_2d(np.asarray(positives, np.float32))
         n_pos = len(pos)
         if n_pos == 0:
@@ -234,18 +273,49 @@ class DeviceIndex:
             neg = np.atleast_2d(np.asarray(negatives, np.float32))
             if len(neg):
                 parts.append(neg)
-        ex = jnp.asarray(np.concatenate(parts), ex_dtype)
-        if self.n_valid == 0:
-            return (jnp.full((1, k), -jnp.inf, jnp.float32),
-                    jnp.full((1, k), -1, jnp.int32))
-        mask = self._padded_mask(row_mask) if row_mask is not None else None
-        if self.mesh is not None and self.mesh.devices.size > 1:
-            ex = jax.device_put(ex, replicated_sharding(self.mesh))
-            return sharded_best_score_topk(self.matrix, ex, n_pos, k,
-                                           self.mesh, axis=self.axis,
-                                           n_valid=self.n_valid,
-                                           db_scale=self.scale,
-                                           row_mask=mask)
-        return best_score_topk(self.matrix, ex, n_pos, k,
-                               db_scale=self.scale, n_valid=self.n_valid,
-                               row_mask=mask)
+        return self._combined_search(
+            parts, n_pos, k, row_mask,
+            lambda ex, n, kk, mask: best_score_topk(
+                self.matrix, ex, n, kk, db_scale=self.scale,
+                n_valid=self.n_valid, row_mask=mask),
+            sharded_best_score_topk)
+
+    def discover(self, target, pairs_pos=None, pairs_neg=None,
+                 k: int = 10, *, row_mask=None):
+        """qdrant discovery search: rank by context-pair votes, target
+        similarity breaking ties (ops.recommend.discover_topk). With no
+        pairs this degrades to a plain target search. Same contracts as
+        `best_score`."""
+        t = np.asarray(target, np.float32).reshape(1, -1)
+        pos = (np.atleast_2d(np.asarray(pairs_pos, np.float32))
+               if pairs_pos is not None else np.zeros((0, t.shape[1]),
+                                                      np.float32))
+        neg = (np.atleast_2d(np.asarray(pairs_neg, np.float32))
+               if pairs_neg is not None else np.zeros((0, t.shape[1]),
+                                                      np.float32))
+        if len(pos) != len(neg):
+            raise ValueError(
+                f"discover pairs must match: {len(pos)} positives vs "
+                f"{len(neg)} negatives")
+        return self._combined_search(
+            [t, pos, neg], len(pos), k, row_mask,
+            lambda ex, n, kk, mask: discover_topk(
+                self.matrix, ex, n, kk, db_scale=self.scale,
+                n_valid=self.n_valid, row_mask=mask),
+            sharded_discover_topk)
+
+    def context(self, pairs_pos, pairs_neg, k: int = 10, *, row_mask=None):
+        """qdrant context search: rank by sum of min(0, s_pos - s_neg)
+        over the pairs (ops.recommend.context_topk)."""
+        pos = np.atleast_2d(np.asarray(pairs_pos, np.float32))
+        neg = np.atleast_2d(np.asarray(pairs_neg, np.float32))
+        if len(pos) != len(neg) or len(pos) == 0:
+            raise ValueError(
+                f"context needs matching non-empty pairs: {len(pos)} "
+                f"positives vs {len(neg)} negatives")
+        return self._combined_search(
+            [pos, neg], len(pos), k, row_mask,
+            lambda ex, n, kk, mask: context_topk(
+                self.matrix, ex, n, kk, db_scale=self.scale,
+                n_valid=self.n_valid, row_mask=mask),
+            sharded_context_topk)

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 from reverso_tpu.ops.recommend import (
     average_query, best_score_topk, best_score_topk_host,
-    sharded_best_score_topk,
+    context_topk, context_topk_host, discover_topk, discover_topk_host,
+    sharded_best_score_topk, sharded_context_topk, sharded_discover_topk,
 )
 from reverso_tpu.ops.topk import quantize_db_int8
 from reverso_tpu.store import VectorStore, DeviceIndex, HostIndex
@@ -40,10 +41,35 @@ def numpy_best_score64(db, pos, neg=None, mask=None):
     return combined
 
 
-def assert_best_equiv(db, pos, neg, s, i, k, mask=None, tol=2e-3):
-    """s, i: [1, k] results; checks fp64-truth equivalence with tie
-    tolerance (same style as tests.test_topk.assert_topk_equiv)."""
-    combined = numpy_best_score64(db, pos, neg, mask)
+def numpy_discover64(db, target, pos=None, neg=None, mask=None):
+    """[N] discover keys in fp64: pair votes * 4 + target similarity."""
+    db64 = db.astype(np.float64)
+    combined = db64 @ np.asarray(target, np.float64).reshape(-1)
+    if pos is not None and len(np.atleast_2d(pos)):
+        sp = np.atleast_2d(pos).astype(np.float64) @ db64.T
+        sn = np.atleast_2d(neg).astype(np.float64) @ db64.T
+        votes = np.where(sp > sn, 1.0, -1.0).sum(axis=0)
+        combined = votes * 4.0 + combined
+    if mask is not None:
+        combined = np.where(np.asarray(mask, bool), combined, -np.inf)
+    return combined
+
+
+def numpy_context64(db, pos, neg, mask=None):
+    """[N] context losses in fp64: sum of min(0, s_pos - s_neg)."""
+    db64 = db.astype(np.float64)
+    sp = np.atleast_2d(pos).astype(np.float64) @ db64.T
+    sn = np.atleast_2d(neg).astype(np.float64) @ db64.T
+    combined = np.minimum(sp - sn, 0.0).sum(axis=0)
+    if mask is not None:
+        combined = np.where(np.asarray(mask, bool), combined, -np.inf)
+    return combined
+
+
+def assert_combined_equiv(combined, s, i, k, tol=2e-3):
+    """s, i: [1, k] results; checks equivalence against a [N] fp64
+    combined-score truth with tie tolerance (same style as
+    tests.test_topk.assert_topk_equiv)."""
     order = np.lexsort((np.arange(len(combined)), -combined))
     ts = combined[order][:k]
     ti = order[:k].astype(np.int32)
@@ -58,6 +84,12 @@ def assert_best_equiv(db, pos, neg, s, i, k, mask=None, tol=2e-3):
     clear[1:] &= (ts[:-1] - ts[1:]) > tol
     np.testing.assert_array_equal(np.where(clear & valid, i[:len(ti)], -1),
                                   np.where(clear & valid, ti, -1))
+
+
+def assert_best_equiv(db, pos, neg, s, i, k, mask=None, tol=2e-3):
+    """fp64-truth equivalence for the best_score combine."""
+    assert_combined_equiv(numpy_best_score64(db, pos, neg, mask),
+                          s, i, k, tol=tol)
 
 
 @pytest.fixture(scope="module")
@@ -188,6 +220,105 @@ def test_sharded_best_score_matches_single(case):
 
 
 # ---------------------------------------------------------------------------
+# discover / context ops
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def disc_case():
+    rng = np.random.default_rng(17)
+    db = random_unit(rng, 3000, 64)
+    target = random_unit(rng, 1, 64)[0]
+    pos = random_unit(rng, 3, 64)
+    neg = random_unit(rng, 3, 64)
+    return db, target, pos, neg
+
+
+def _disc_ex(target, pos, neg):
+    return jnp.asarray(np.concatenate([target[None], pos, neg]))
+
+
+def test_discover_f32(disc_case):
+    db, target, pos, neg = disc_case
+    s, i = jax.device_get(discover_topk(
+        jnp.asarray(db), _disc_ex(target, pos, neg), 3, 10))
+    assert_combined_equiv(numpy_discover64(db, target, pos, neg),
+                          s, i, 10, tol=1e-5)
+    # keys decompose: vote level is an exact integer band
+    votes = np.round((np.asarray(s)[0] - 0.0) / 4.0)
+    assert (np.abs(np.asarray(s)[0] - votes * 4.0) <= 1.0 + 1e-5).all()
+
+
+def test_discover_no_pairs_is_target_search(disc_case):
+    db, target, _, _ = disc_case
+    s, i = jax.device_get(discover_topk(
+        jnp.asarray(db), jnp.asarray(target[None]), 0, 10))
+    assert_combined_equiv(numpy_discover64(db, target), s, i, 10, tol=1e-5)
+    assert (np.asarray(s)[0] <= 1.0 + 1e-5).all()
+
+
+def test_discover_mask_and_int8(disc_case):
+    db, target, pos, neg = disc_case
+    mask = np.random.default_rng(6).random(3000) < 0.2
+    ex = _disc_ex(target, pos, neg)
+    s, i = jax.device_get(discover_topk(
+        jnp.asarray(db), ex, 3, 10, row_mask=jnp.asarray(mask)))
+    assert_combined_equiv(numpy_discover64(db, target, pos, neg, mask),
+                          s, i, 10, tol=1e-5)
+    db_i8, scale = quantize_db_int8(jnp.asarray(db))
+    s, i = jax.device_get(discover_topk(db_i8, ex, 3, 10, db_scale=scale))
+    deq = np.asarray(db_i8, np.float32) * float(scale)
+    assert_combined_equiv(numpy_discover64(deq, target, pos, neg),
+                          s, i, 10, tol=1e-5)
+
+
+def test_context_f32_and_zero_loss(disc_case):
+    db, _, pos, neg = disc_case
+    ex = jnp.asarray(np.concatenate([pos, neg]))
+    s, i = jax.device_get(context_topk(jnp.asarray(db), ex, 3, 10))
+    assert_combined_equiv(numpy_context64(db, pos, neg), s, i, 10, tol=1e-5)
+    assert (np.asarray(s)[0] <= 1e-6).all()     # context loss is <= 0
+    # a db row equal to a positive is inside that pair's zone for sure
+    db2 = db.copy()
+    db2[7] = pos[0]
+    s, i = jax.device_get(context_topk(
+        jnp.asarray(db2), jnp.asarray(np.concatenate([pos[:1], neg[:1]])),
+        1, 10))
+    top = np.asarray(i)[0]
+    assert 7 in top[np.asarray(s)[0] >= -1e-6]
+
+
+def test_sharded_discover_context_match_single(disc_case):
+    db, target, pos, neg = disc_case
+    mesh = make_mesh()
+    n = (len(db) // (8 * 8)) * 8 * 8
+    ex_d = _disc_ex(target, pos, neg)
+    s1, i1 = jax.device_get(discover_topk(jnp.asarray(db[:n]), ex_d, 3, 10))
+    s2, i2 = jax.device_get(sharded_discover_topk(
+        shard_rows(jnp.asarray(db[:n]), mesh), replicate(ex_d, mesh),
+        3, 10, mesh))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    ex_c = jnp.asarray(np.concatenate([pos, neg]))
+    s1, i1 = jax.device_get(context_topk(jnp.asarray(db[:n]), ex_c, 3, 10))
+    s2, i2 = jax.device_get(sharded_context_topk(
+        shard_rows(jnp.asarray(db[:n]), mesh), replicate(ex_c, mesh),
+        3, 10, mesh))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_discover_context_host(disc_case):
+    db, target, pos, neg = disc_case
+    s, i = discover_topk_host(db, target, pos, neg, 10)
+    assert_combined_equiv(numpy_discover64(db, target, pos, neg),
+                          s, i, 10, tol=1e-5)
+    s, i = discover_topk_host(db, target, None, None, 10)
+    assert_combined_equiv(numpy_discover64(db, target), s, i, 10, tol=1e-5)
+    s, i = context_topk_host(db, pos, neg, 10)
+    assert_combined_equiv(numpy_context64(db, pos, neg), s, i, 10, tol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # index layer
 # ---------------------------------------------------------------------------
 
@@ -210,6 +341,47 @@ def test_device_index_best_score(case, dtype, tol):
     s, i = jax.device_get(idx.best_score(pos, neg, 10, row_mask=mask))
     assert mask[np.asarray(i)[0][np.asarray(i)[0] >= 0]].all()
     assert_best_equiv(truth, pos, neg, s, i, 10, mask=mask, tol=tol)
+
+
+@pytest.mark.parametrize("dtype,tol", [("float32", 1e-5),
+                                       ("bfloat16", 2e-2),
+                                       ("int8", 1e-5)])
+def test_device_index_discover_context(disc_case, dtype, tol):
+    db, target, pos, neg = disc_case
+    idx = DeviceIndex(db, dtype=dtype, db_tile=256)
+    if dtype == "float32":
+        truth = db
+    else:
+        truth = (np.asarray(idx.matrix[:len(db)], np.float32)
+                 * (idx.scale or 1.0))
+    s, i = jax.device_get(idx.discover(target, pos, neg, 10))
+    # bf16 flips near-tie votes: only check vote-stable cases tightly
+    if dtype != "bfloat16":
+        assert_combined_equiv(numpy_discover64(truth, target, pos, neg),
+                              s, i, 10, tol=tol)
+    s, i = jax.device_get(idx.discover(target, k=10))
+    assert_combined_equiv(numpy_discover64(truth, target), s, i, 10, tol=tol)
+    s, i = jax.device_get(idx.context(pos, neg, 10))
+    if dtype != "bfloat16":
+        assert_combined_equiv(numpy_context64(truth, pos, neg),
+                              s, i, 10, tol=tol)
+    with pytest.raises(ValueError):
+        idx.discover(target, pos, neg[:2], 10)
+    with pytest.raises(ValueError):
+        idx.context(np.zeros((0, db.shape[1])), np.zeros((0, db.shape[1])),
+                    10)
+
+
+def test_host_index_discover_context(disc_case):
+    db, target, pos, neg = disc_case
+    hidx = HostIndex(db)
+    s, i = hidx.discover(target, pos, neg, 10)
+    assert_combined_equiv(numpy_discover64(db, target, pos, neg),
+                          s, i, 10, tol=1e-5)
+    mask = np.random.default_rng(9).random(len(db)) < 0.2
+    s, i = hidx.context(pos, neg, 10, row_mask=mask)
+    assert_combined_equiv(numpy_context64(db, pos, neg, mask),
+                          s, i, 10, tol=1e-5)
 
 
 def test_host_index_best_score(case):
@@ -291,6 +463,49 @@ def test_engine_recommend_errors(engine_store):
     assert "Unknown strategy" in text
 
 
+def test_engine_discover(engine_store):
+    engine, vecs = engine_store
+    text, items = engine.discover(3, [(5, 6)], max_results=5)
+    assert items and text.startswith("🎯")
+    ids = [it["id"] for it in items]
+    assert not {3, 5, 6} & set(ids)            # target + pair ids excluded
+    combined = numpy_discover64(vecs, vecs[3], vecs[5:6], vecs[6:7])
+    order = [int(i) for i in np.argsort(-combined, kind="stable")
+             if int(i) not in (3, 5, 6)][:5]
+    assert ids == order
+    # pure context search (no target)
+    text, items = engine.discover(context=[(5, 6)], max_results=5)
+    assert items
+    ids = [it["id"] for it in items]
+    assert not {5, 6} & set(ids)
+    combined = numpy_context64(vecs, vecs[5:6], vecs[6:7])
+    order = [int(i) for i in np.lexsort((np.arange(40), -combined))
+             if int(i) not in (5, 6)][:5]
+    assert ids == order
+    # raw-vector target + filtered
+    text, items = engine.discover(vecs[8], [(1, 2)],
+                                  filter={"detected_class": "person"})
+    assert items
+    assert all(it["payload"]["detected_class"] == "person" for it in items)
+
+
+def test_engine_discover_errors(engine_store):
+    engine, vecs = engine_store
+    text, items = engine.discover()
+    assert text.startswith("❌") and not items
+    text, items = engine.discover(3, [(1,)])
+    assert text.startswith("❌")
+    text, items = engine.discover(999, [(1, 2)])
+    assert "out of range" in text
+
+
+def test_engine_count(engine_store):
+    engine, _ = engine_store
+    assert engine.count() == 40
+    assert engine.count({"detected_class": "person"}) == 10
+    assert engine.count("confidence>=0.5") == 20
+
+
 def test_engine_scroll(engine_store):
     engine, _ = engine_store
     points, nxt = engine.scroll(limit=15)
@@ -347,3 +562,17 @@ def test_cli_recommend_and_points(tmp_path, capsys):
     data = _json.loads(out)
     assert [p["id"] for p in data["points"]] == [0, 1, 2]
     assert data["next_offset"] == 3
+
+    rc = main(["--db-root", root, "--model", "test-tiny",
+               "discover", "--name", "clirec", "--target", "2",
+               "--pair", "5:9", "--top-k", "4", "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    items = _json.loads(out)
+    assert len(items) == 4 and all(it["id"] not in (2, 5, 9) for it in items)
+
+    rc = main(["--db-root", root, "--model", "test-tiny",
+               "discover", "--name", "clirec", "--target", "2",
+               "--pair", "bogus"])
+    assert rc == 1
+    assert "bad --pair" in capsys.readouterr().err
