@@ -250,6 +250,8 @@ def make_handler(state: UIState):
                     "/api/query/search": self._search,
                     "/api/query/search_text": self._search_text,
                     "/api/query/recommend": self._recommend,
+                    "/api/query/discover": self._discover,
+                    "/api/query/search_groups": self._search_groups,
                     "/api/points": self._points,
                     "/api/video/local": self._video_local,
                     "/api/video/urls": self._video_urls,
@@ -413,6 +415,46 @@ def make_handler(state: UIState):
                     use_batcher=True))
             self._json({"summary": text, "results": _result_json(items)})
 
+        def _discover(self, body: dict) -> None:
+            """Discovery search: a target point steered by (positive,
+            negative) context pairs (qdrant discover). Stateless read
+            over store + index."""
+            target = body.get("target")
+            if target is not None:
+                target = int(target)
+            pairs = [(int(p), int(n)) for p, n in body.get("pairs") or []]
+            text, items = state.check_no_build_overlap(
+                lambda: engine.discover(
+                    target, pairs or None, body.get("max_results"),
+                    filter=body.get("filter") or None))
+            self._json({"summary": text, "results": _result_json(items)})
+
+        def _search_groups(self, body: dict) -> None:
+            """Grouped similarity search (qdrant search_groups): results
+            bucketed by a payload key, each bucket reporting its best
+            few hits."""
+            sess = state.get_session(body.get("token"))
+            kwargs = dict(
+                group_by=body.get("group_by") or "filename",
+                group_size=int(body.get("group_size") or 3),
+                filter=body.get("filter") or None)
+            if sess is not None:
+                text, groups = state.check_no_build_overlap(
+                    lambda: engine.search_groups(
+                        body.get("threshold"), body.get("max_results"),
+                        query_index=int(body.get("region_index", 0)),
+                        embeddings=sess.embeddings, **kwargs))
+            else:
+                with state.engine_guard():
+                    text, groups = engine.search_groups(
+                        body.get("threshold"), body.get("max_results"),
+                        query_index=int(body.get("region_index", 0)),
+                        **kwargs)
+            self._json({"summary": text,
+                        "groups": [{"key": g["key"],
+                                    "results": _result_json(g["hits"])}
+                                   for g in groups]})
+
         def _points(self, body: dict) -> None:
             """Page through the loaded database's points (qdrant scroll)."""
             points, next_offset = state.check_no_build_overlap(
@@ -566,6 +608,10 @@ img.viz{max-width:100%;border-radius:6px;margin-top:12px}
 </div>
 <label>🧮 Payload filter (optional: key=value, key!=value, key&gt;=N — comma-separated)</label>
 <input type="text" id="s-filter" placeholder="detected_class=person, confidence>=0.5">
+<div class="row">
+<div><label>🗂️ Group by payload key (optional — max results counts groups)</label><input type="text" id="s-group" placeholder="filename"></div>
+<div><label>Hits per group</label><select id="s-group-size"><option>1</option><option>2</option><option selected>3</option><option>5</option></select></div>
+</div>
 <button class="primary" onclick="searchDb()">🎯 Search Database</button>
 <h3>…or search by description</h3>
 <label>📝 Text query (needs the CLIP/PE text tower configured)</label>
@@ -580,6 +626,12 @@ img.viz{max-width:100%;border-radius:6px;margin-top:12px}
 <div><label>Strategy</label><select id="s-rec-strat"><option selected>average</option><option>best_score</option></select></div>
 </div>
 <button class="primary" onclick="recommendByIds()">✨ Recommend</button>
+<h3>…or discover with context pairs</h3>
+<div class="row">
+<div><label>🎯 Target point id (optional)</label><input type="text" id="s-disc-target" placeholder="12"></div>
+<div><label>↔️ Context pairs pos:neg (comma-separated)</label><input type="text" id="s-disc-pairs" placeholder="40:7, 3:9"></div>
+</div>
+<button class="primary" onclick="discoverByIds()">🧭 Discover</button>
 <pre id="s-summary">No search yet.</pre>
 <div class="grid" id="s-results"></div>
 </div>
@@ -674,7 +726,17 @@ function renderResults(r){
   if(r.error){$('s-summary').textContent=r.error;return;}
   $('s-summary').textContent=r.summary;
   const g=$('s-results');g.innerHTML='';
-  (r.results||[]).forEach(it=>{
+  (r.groups||[]).forEach(grp=>{
+    const h=document.createElement('div');
+    h.style.cssText='grid-column:1/-1;font-weight:bold;margin-top:8px';
+    h.textContent='🗂️ '+grp.key;
+    g.appendChild(h);
+    renderHits(g, grp.results);
+  });
+  renderHits(g, r.results);
+}
+function renderHits(g, items){
+  (items||[]).forEach(it=>{
     const d=document.createElement('div');
     if(it.image){const i=document.createElement('img');i.src='data:image/jpeg;base64,'+it.image;d.appendChild(i);}
     const c=document.createElement('div');
@@ -691,7 +753,10 @@ function renderResults(r){
 }
 async function searchDb(){
   if(!queryReady){alert('detect/process a query image first');return;}
-  renderResults(await api('/api/query/search',{token:queryToken,threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0,filter:$('s-filter').value.trim()}));
+  const base={token:queryToken,threshold:+$('s-thresh').value,max_results:+$('s-max').value,region_index:+$('s-region').value||0,filter:$('s-filter').value.trim()};
+  const grp=$('s-group').value.trim();
+  if(grp){renderResults(await api('/api/query/search_groups',{...base,group_by:grp,group_size:+$('s-group-size').value}));return;}
+  renderResults(await api('/api/query/search',base));
 }
 async function searchByText(){
   const txt=$('s-text').value;
@@ -704,6 +769,13 @@ async function recommendByIds(){
   const pos=parseIds($('s-rec-pos').value);
   if(!pos.length){alert('enter at least one positive point id');return;}
   renderResults(await api('/api/query/recommend',{positive:pos,negative:parseIds($('s-rec-neg').value),strategy:$('s-rec-strat').value,max_results:+$('s-max').value,filter:$('s-filter').value.trim()}));
+}
+async function discoverByIds(){
+  const t=$('s-disc-target').value.trim();
+  const pairs=$('s-disc-pairs').value.split(',').map(s=>s.trim()).filter(s=>s)
+    .map(s=>s.split(':').map(Number)).filter(p=>p.length===2&&p.every(Number.isInteger));
+  if(!t&&!pairs.length){alert('enter a target id and/or pos:neg pairs');return;}
+  renderResults(await api('/api/query/discover',{target:t?+t:null,pairs:pairs,max_results:+$('s-max').value,filter:$('s-filter').value.trim()}));
 }
 async function reloadDbs(){
   const r=await api('/api/databases');

@@ -279,3 +279,54 @@ def test_recommend_and_points_endpoints(server, tmp_path):
     assert code == 200 and r["summary"].startswith("❌"), r
     code, r = post(base, "/api/query/recommend", {"positive": [999]})
     assert code == 200 and "out of range" in r["summary"], r
+
+    # discovery search: target + context pair, examples excluded
+    code, r = post(base, "/api/query/discover",
+                   {"target": 2, "pairs": [[0, 5]], "max_results": 3})
+    assert code == 200, r
+    assert r["results"], r
+    ids = [it["id"] for it in r["results"]]
+    assert not {0, 2, 5} & set(ids)
+    # pure context (no target)
+    code, r = post(base, "/api/query/discover",
+                   {"pairs": [[0, 5]], "max_results": 3})
+    assert code == 200 and r["results"], r
+    # neither target nor pairs -> message, not 500
+    code, r = post(base, "/api/query/discover", {})
+    assert code == 200 and r["summary"].startswith("❌"), r
+
+
+def test_search_groups_endpoint(server, tmp_path):
+    base, tmp = server
+    files = make_corpus(tmp / "grp_imgs", n=6)
+    code, r = post(base, "/api/build",
+                   {"folder": str(tmp / "grp_imgs"), "name": "grpdb",
+                    "direct_pe": True})
+    assert code == 200
+    for _ in range(100):
+        s = get(base, "/api/build/status")
+        if s["state"] in ("done", "error"):
+            break
+        time.sleep(0.2)
+    assert s["state"] == "done", s
+
+    # stateless token-free grouped search needs a query first
+    img = img_b64(files[0])
+    code, r = post(base, "/api/query/detect",
+                   {"image": img, "direct_pe": True})
+    assert code == 200, r
+    token = r.get("token")
+    code, r = post(base, "/api/query/search_groups",
+                   {"token": token, "threshold": -1.0, "max_results": 3,
+                    "group_by": "filename", "group_size": 2})
+    assert code == 200, r
+    assert r["groups"], r
+    keys = [g["key"] for g in r["groups"]]
+    assert len(set(keys)) == len(keys) <= 3
+    for g in r["groups"]:
+        assert 1 <= len(g["results"]) <= 2
+        assert all(it["filename"] == g["key"] for it in g["results"])
+    # missing payload key -> message, not 500
+    code, r = post(base, "/api/query/search_groups",
+                   {"token": token, "group_by": "nope"})
+    assert code == 200 and r["summary"].startswith("❌"), r
