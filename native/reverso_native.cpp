@@ -16,8 +16,11 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <string_view>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <fcntl.h>
@@ -189,6 +192,277 @@ void reverso_mmap_close(void* handle) {
   if (mf->addr && mf->size > 0) munmap(mf->addr, mf->size);
   close(mf->fd);
   delete mf;
+}
+
+// ---------------------------------------------------------------------------
+// Payload JSONL column scan
+// ---------------------------------------------------------------------------
+// One multithreaded pass over payloads.jsonl extracting the top-level
+// values of selected keys per row — the native engine behind
+// store/filter.py::PayloadColumns (the payload-index role of the
+// reference's embedded qdrant, core_system.py:608-622). The Python
+// path json-parses every full line; this walker touches each byte
+// once and only materializes the requested keys.
+//
+// Per (row, key) output: a type tag in `types` plus either a number in
+// `numbers` or a byte span (str_off/str_len into `buf`):
+//   0 missing   1 null   2 false   3 true
+//   4 int    -> numbers (exact while |v| < 2^53)
+//   5 float  -> numbers
+//   6 string, no escapes -> span excludes the quotes (raw UTF-8)
+//   7 string with escapes -> span excludes the quotes (caller decodes)
+//   8 object/array -> raw token span (caller json-parses)
+// A line that fails to parse end-to-end commits NOTHING (every key
+// stays missing) — the Python path's torn-line semantics.
+
+namespace {
+
+struct Span {
+  int64_t off = 0, len = 0;
+};
+
+inline const char* skip_ws(const char* p, const char* end) {
+  while (p < end &&
+         (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n')) ++p;
+  return p;
+}
+
+// p at the opening quote; returns past the closing quote or nullptr.
+const char* scan_string(const char* p, const char* end, const char* base,
+                        Span* s, bool* esc) {
+  ++p;
+  const char* start = p;
+  *esc = false;
+  while (p < end) {
+    if (*p == '\\') {
+      *esc = true;
+      p += 2;
+      continue;
+    }
+    if (*p == '"') {
+      s->off = start - base;
+      s->len = p - start;
+      return p + 1;
+    }
+    ++p;
+  }
+  return nullptr;
+}
+
+// Any JSON value; returns past it or nullptr. tag/num/span per header.
+const char* scan_value(const char* p, const char* end, const char* base,
+                       uint8_t* tag, double* num, Span* span) {
+  p = skip_ws(p, end);
+  if (p >= end) return nullptr;
+  const char c = *p;
+  if (c == '"') {
+    bool esc;
+    const char* q = scan_string(p, end, base, span, &esc);
+    if (!q) return nullptr;
+    *tag = esc ? 7 : 6;
+    return q;
+  }
+  if (c == '{' || c == '[') {
+    const char* start = p;
+    int depth = 0;
+    bool in_str = false;
+    while (p < end) {
+      const char d = *p;
+      if (in_str) {
+        if (d == '\\') {
+          p += 2;
+          continue;
+        }
+        if (d == '"') in_str = false;
+      } else if (d == '"') {
+        in_str = true;
+      } else if (d == '{' || d == '[') {
+        ++depth;
+      } else if (d == '}' || d == ']') {
+        if (--depth == 0) {
+          ++p;
+          *tag = 8;
+          span->off = start - base;
+          span->len = p - start;
+          return p;
+        }
+      }
+      ++p;
+    }
+    return nullptr;
+  }
+  if (c == 't')
+    return (end - p >= 4 && !memcmp(p, "true", 4)) ? (*tag = 3, p + 4)
+                                                   : nullptr;
+  if (c == 'f')
+    return (end - p >= 5 && !memcmp(p, "false", 5)) ? (*tag = 2, p + 5)
+                                                    : nullptr;
+  if (c == 'n')
+    return (end - p >= 4 && !memcmp(p, "null", 4)) ? (*tag = 1, p + 4)
+                                                   : nullptr;
+  // Python's json emits/accepts the non-standard NaN/Infinity literals
+  if (c == 'N')
+    return (end - p >= 3 && !memcmp(p, "NaN", 3))
+               ? (*tag = 5, *num = NAN, p + 3)
+               : nullptr;
+  if (c == 'I')
+    return (end - p >= 8 && !memcmp(p, "Infinity", 8))
+               ? (*tag = 5, *num = INFINITY, p + 8)
+               : nullptr;
+  // number: scan the token, validate with strtod on a bounded copy
+  const char* start = p;
+  bool is_float = false;
+  if (*p == '-') ++p;
+  if (p < end && *p == 'I')
+    return (end - p >= 8 && !memcmp(p, "Infinity", 8))
+               ? (*tag = 5, *num = -INFINITY, p + 8)
+               : nullptr;
+  while (p < end) {
+    const char d = *p;
+    if (d >= '0' && d <= '9') {
+      ++p;
+    } else if (d == '.' || d == 'e' || d == 'E') {
+      is_float = true;
+      ++p;
+    } else if (d == '-' || d == '+') {
+      ++p;  // exponent signs; strtod validates placement
+    } else {
+      break;
+    }
+  }
+  const int64_t len = p - start;
+  char tmp[64];
+  if (len <= 0 || len >= (int64_t)sizeof(tmp)) return nullptr;
+  memcpy(tmp, start, len);
+  tmp[len] = 0;
+  char* endp = nullptr;
+  const double v = strtod(tmp, &endp);
+  if (endp != tmp + len) return nullptr;
+  *tag = is_float ? 5 : 4;
+  *num = v;
+  return p;
+}
+
+// Parse one top-level JSON object line into per-key scratch slots.
+// Returns true only when the whole object parses cleanly.
+bool parse_line(const char* line, const char* end, const char* base,
+                const char* const* keys, const int* key_lens, int n_keys,
+                uint8_t* types, double* numbers, Span* spans) {
+  const char* p = skip_ws(line, end);
+  if (p >= end || *p != '{') return false;
+  p = skip_ws(p + 1, end);
+  if (p < end && *p == '}')  // {} — valid only if nothing trails it
+    return skip_ws(p + 1, end) == end;
+  for (;;) {
+    p = skip_ws(p, end);
+    if (p >= end || *p != '"') return false;
+    Span kspan;
+    bool kesc;
+    p = scan_string(p, end, base, &kspan, &kesc);
+    if (!p) return false;
+    p = skip_ws(p, end);
+    if (p >= end || *p != ':') return false;
+    uint8_t tag = 0;
+    double num = 0;
+    Span vspan;
+    p = scan_value(p + 1, end, base, &tag, &num, &vspan);
+    if (!p) return false;
+    if (!kesc) {  // payload keys are plain identifiers; escaped = no match
+      for (int j = 0; j < n_keys; ++j) {
+        if (key_lens[j] == (int)kspan.len &&
+            !memcmp(base + kspan.off, keys[j], key_lens[j])) {
+          types[j] = tag;  // duplicate key: last wins, like json.loads
+          numbers[j] = num;
+          spans[j] = vspan;
+        }
+      }
+    }
+    p = skip_ws(p, end);
+    if (p >= end) return false;
+    if (*p == '}') return skip_ws(p + 1, end) == end;  // no trailing junk
+    if (*p != ',') return false;
+    ++p;
+  }
+}
+
+}  // namespace
+
+// buf: the whole payloads.jsonl. offsets/ends: [rows] line byte ranges.
+// Outputs are [rows, n_keys] row-major, caller-zeroed (0 = missing).
+void reverso_payload_scan(const char* buf, int64_t buf_size,
+                          const int64_t* offsets, const int64_t* ends,
+                          int64_t rows, const char* const* keys,
+                          const int* key_lens, int n_keys, uint8_t* types,
+                          double* numbers, int64_t* str_off, int64_t* str_len,
+                          int n_threads) {
+  if (rows < 1 || n_keys < 1) return;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  n_threads = std::max(1, n_threads);
+  const int64_t kBlock = 4096;
+  std::atomic<int64_t> next_block{0};
+  auto worker = [&]() {
+    std::vector<uint8_t> t(n_keys);
+    std::vector<double> nm(n_keys);
+    std::vector<Span> sp(n_keys);
+    for (;;) {
+      const int64_t lo = next_block.fetch_add(1) * kBlock;
+      if (lo >= rows) break;
+      const int64_t hi = std::min(rows, lo + kBlock);
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t b = offsets[i];
+        const int64_t e = std::min(ends[i], buf_size);
+        if (b < 0 || b >= e) continue;
+        std::fill(t.begin(), t.end(), (uint8_t)0);
+        if (!parse_line(buf + b, buf + e, buf, keys, key_lens, n_keys,
+                        t.data(), nm.data(), sp.data()))
+          continue;  // malformed line -> all keys missing
+        uint8_t* trow = types + i * n_keys;
+        double* nrow = numbers + i * n_keys;
+        int64_t* orow = str_off + i * n_keys;
+        int64_t* lrow = str_len + i * n_keys;
+        for (int j = 0; j < n_keys; ++j) {
+          trow[j] = t[j];
+          nrow[j] = nm[j];
+          orow[j] = sp[j].off;
+          lrow[j] = sp[j].len;
+        }
+      }
+    }
+  };
+  const int workers =
+      (int)std::min<int64_t>(n_threads, (rows + kBlock - 1) / kBlock);
+  std::vector<std::thread> threads;
+  for (int w = 1; w < workers; ++w) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+}
+
+// Dictionary-encode byte spans (the string values a payload_scan pass
+// produced for one key): rows with identical bytes share a dense code,
+// first-occurrence order. The Python side then decodes each UNIQUE
+// value once and gathers — O(unique) decodes instead of O(rows).
+// codes[i] receives the span's code. Returns the number of unique
+// values; uniq_off/uniq_len (caller-sized to `rows`) hold one
+// representative span per code.
+int64_t reverso_intern_spans(const char* buf, const int64_t* offs,
+                             const int64_t* lens, int64_t rows,
+                             int32_t* codes, int64_t* uniq_off,
+                             int64_t* uniq_len) {
+  std::unordered_map<std::string_view, int32_t> seen;
+  seen.reserve(1024);
+  int64_t n_uniq = 0;
+  for (int64_t i = 0; i < rows; ++i) {
+    const std::string_view sv(buf + offs[i], (size_t)lens[i]);
+    auto it = seen.find(sv);
+    if (it == seen.end()) {
+      it = seen.emplace(sv, (int32_t)n_uniq).first;
+      uniq_off[n_uniq] = offs[i];
+      uniq_len[n_uniq] = lens[i];
+      ++n_uniq;
+    }
+    codes[i] = it->second;
+  }
+  return n_uniq;
 }
 
 // ---------------------------------------------------------------------------

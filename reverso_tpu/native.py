@@ -71,6 +71,20 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.reverso_f32_to_bf16.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int]
+        lib.reverso_payload_scan.argtypes = [
+            ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int]
+        lib.reverso_intern_spans.restype = ctypes.c_int64
+        lib.reverso_intern_spans.argtypes = [
+            ctypes.POINTER(ctypes.c_char), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         _LIB = lib
         return _LIB
 
@@ -165,6 +179,85 @@ class MappedVectors:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# Type tags emitted by reverso_payload_scan (see reverso_native.cpp).
+PAYLOAD_MISSING = 0
+PAYLOAD_NULL = 1
+PAYLOAD_FALSE = 2
+PAYLOAD_TRUE = 3
+PAYLOAD_INT = 4
+PAYLOAD_FLOAT = 5
+PAYLOAD_STR = 6        # span excludes quotes, no escapes (raw UTF-8)
+PAYLOAD_STR_ESC = 7    # span excludes quotes, contains JSON escapes
+PAYLOAD_COMPLEX = 8    # raw object/array token
+
+
+def payload_scan(buf: np.ndarray, offsets: np.ndarray, ends: np.ndarray,
+                 keys: list, n_threads: int = 0):
+    """Native columnar scan of a payloads.jsonl byte buffer.
+
+    buf: uint8 array of the whole file (e.g. np.frombuffer over an
+    mmap — never copied). offsets/ends: [rows] int64 line byte ranges.
+    Returns (types u8, numbers f64, str_off i64, str_len i64), each
+    [rows, n_keys]; type semantics per the PAYLOAD_* tags. Returns None
+    when the native library is unavailable (caller falls back to the
+    Python json pass). Ints are exact while |v| < 2**53.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    rows, n_keys = len(offsets), len(keys)
+    types = np.zeros((rows, n_keys), np.uint8)
+    numbers = np.zeros((rows, n_keys), np.float64)
+    str_off = np.zeros((rows, n_keys), np.int64)
+    str_len = np.zeros((rows, n_keys), np.int64)
+    if rows == 0 or n_keys == 0:
+        return types, numbers, str_off, str_len
+    buf = np.ascontiguousarray(buf, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    key_bytes = [k.encode("utf-8") for k in keys]
+    key_arr = (ctypes.c_char_p * n_keys)(*key_bytes)
+    len_arr = (ctypes.c_int * n_keys)(*[len(b) for b in key_bytes])
+    lib.reverso_payload_scan(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), buf.size,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rows, key_arr, len_arr, n_keys,
+        types.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        numbers.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        str_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        str_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_threads)
+    return types, numbers, str_off, str_len
+
+
+def intern_spans(buf: np.ndarray, offs: np.ndarray, lens: np.ndarray):
+    """Dictionary-encode byte spans of `buf`: returns (codes int32
+    [rows], uniq_off, uniq_len int64 [n_unique]) — identical spans share
+    a dense first-occurrence code. None when the native lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = len(offs)
+    buf = np.ascontiguousarray(buf, np.uint8)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    codes = np.empty((rows,), np.int32)
+    uniq_off = np.empty((rows,), np.int64)
+    uniq_len = np.empty((rows,), np.int64)
+    if rows == 0:
+        return codes, uniq_off, uniq_len
+    n = lib.reverso_intern_spans(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rows,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        uniq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        uniq_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return codes, uniq_off[:n], uniq_len[:n]
 
 
 def f32_to_bf16_bits(x: np.ndarray, n_threads: int = 0) -> np.ndarray:

@@ -242,15 +242,33 @@ def _parse_filter_string(text: str) -> Filter:
 _MISSING = object()
 
 
+def _assign(col: np.ndarray, idx: np.ndarray, values: list) -> None:
+    """col[idx] = values, element-wise — a plain fancy assignment would
+    let numpy coerce a list of equal-length lists into a 2-D block."""
+    tmp = np.asarray(values, object)
+    if tmp.ndim != 1:               # equal-length list values: keep 1-D
+        tmp = np.empty((len(values),), object)
+        for m, v in enumerate(values):
+            tmp[m] = v
+    col[idx] = tmp
+
+
 class PayloadColumns:
     """Columnar view of selected payload keys.
 
-    Built by ONE streaming pass over `payloads.jsonl` (never holding
-    all payload dicts at once); each requested key becomes an object
-    ndarray of length `count` with `_MISSING` for absent keys. A
-    second `ensure` call with new keys re-streams once for the union.
-    Freshness is the owner's job: cache instances keyed on
-    (count, data_version) — see `Reverso._filter_mask`.
+    Built by ONE pass over `payloads.jsonl` (never holding all payload
+    dicts at once); each requested key becomes an object ndarray of
+    length `count` with `_MISSING` for absent keys. A second `ensure`
+    call with new keys re-streams once for the union. Freshness is the
+    owner's job: cache instances keyed on (count, data_version) — see
+    `Reverso._filter_mask`.
+
+    The pass runs through the native C++ JSONL walker when available
+    (`native.payload_scan`: multithreaded, touches each byte once,
+    materializes only the requested keys — the scaling path for 10M+
+    row stores), falling back to the Python `json` reference pass. The
+    two are semantically identical except that the native path rounds
+    integers beyond 2**53 to float precision.
     """
 
     def __init__(self, store):
@@ -264,11 +282,23 @@ class PayloadColumns:
             for k in missing:
                 self._cols[k] = np.empty((0,), object)
             return
+        self._store.flush()
+        cols = None
+        if os.environ.get("REVERSO_NATIVE", "1") != "0":
+            try:
+                cols = self._extract_native(missing)
+            except Exception:
+                cols = None           # any native hiccup -> json pass
+        if cols is None:
+            cols = self._extract_python(missing)
+        self._cols.update(cols)
+
+    def _extract_python(self, missing: Sequence[str]) -> dict:
+        """Reference implementation: json-parse every line."""
         from .persist import PAYLOAD_FILE
         cols = {k: np.full((self.count,), _MISSING, object)
                 for k in missing}
         path = os.path.join(self._store.path, PAYLOAD_FILE)
-        self._store.flush()
         with open(path, "rb") as f:
             for i, line in enumerate(f):
                 if i >= self.count:
@@ -280,7 +310,120 @@ class PayloadColumns:
                 for k in missing:
                     if k in payload:
                         cols[k][i] = payload[k]
-        self._cols.update(cols)
+        return cols
+
+    def _extract_native(self, missing: Sequence[str]) -> Optional[dict]:
+        """One multithreaded C++ byte pass; only complex values
+        (lists/objects) and escaped strings json-parse per cell.
+        Returns None when the native library or offsets can't serve."""
+        import mmap as mmap_mod
+
+        from ..native import (PAYLOAD_COMPLEX, PAYLOAD_FALSE, PAYLOAD_FLOAT,
+                              PAYLOAD_INT, PAYLOAD_NULL, PAYLOAD_STR,
+                              PAYLOAD_STR_ESC, PAYLOAD_TRUE, intern_spans,
+                              payload_scan)
+        from .persist import PAYLOAD_FILE
+
+        store = self._store
+        offsets = np.asarray(store._payload_offsets(), np.int64)
+        if len(offsets) < self.count:
+            return None          # sidecar trails the JSONL: json pass
+        path = os.path.join(store.path, PAYLOAD_FILE)
+        size = os.path.getsize(path)
+        if size == 0:
+            return None
+        n = self.count
+        with open(path, "rb") as f:
+            mm = mmap_mod.mmap(f.fileno(), 0, access=mmap_mod.ACCESS_READ)
+        buf = mv = None
+        try:
+            buf = np.frombuffer(mm, np.uint8)
+            ends = np.empty(n, np.int64)
+            ends[:-1] = offsets[1:n]
+            ends[-1] = int(offsets[n]) if len(offsets) > n else size
+            res = payload_scan(buf, offsets[:n], ends, list(missing))
+            if res is None:
+                return None
+            types, numbers, str_off, str_len = res
+            mv = memoryview(mm)
+            cols = {}
+            for j, key in enumerate(missing):
+                col = np.full((n,), _MISSING, object)
+                t = types[:, j]
+                col[t == PAYLOAD_NULL] = None
+                col[t == PAYLOAD_FALSE] = False
+                col[t == PAYLOAD_TRUE] = True
+                ii = np.nonzero(t == PAYLOAD_INT)[0]
+                if len(ii):
+                    # tolist() boxes to Python ints/floats at C speed
+                    _assign(col, ii,
+                            numbers[ii, j].astype(np.int64).tolist())
+                ii = np.nonzero(t == PAYLOAD_FLOAT)[0]
+                if len(ii):
+                    _assign(col, ii, numbers[ii, j].tolist())
+                ii = np.nonzero(t == PAYLOAD_STR)[0]
+                if len(ii):
+                    col[ii] = self._decode_strings(
+                        buf, mv, str_off[ii, j], str_len[ii, j])
+                for tag, wrap in ((PAYLOAD_STR_ESC, b'"%s"'),
+                                  (PAYLOAD_COMPLEX, b"%s")):
+                    ii = np.nonzero(t == tag)[0]
+                    if len(ii):
+                        vals = []
+                        for o, ln in zip(str_off[ii, j].tolist(),
+                                         str_len[ii, j].tolist()):
+                            try:
+                                vals.append(json.loads(
+                                    wrap % bytes(mv[o:o + ln])))
+                            except ValueError:
+                                vals.append(_MISSING)
+                        _assign(col, ii, vals)
+                cols[key] = col
+            return cols
+        finally:
+            # the mmap can't close while numpy/memoryview exports exist
+            # (NB: probing via locals() would cache a frame-locals dict
+            # that itself keeps `buf` exported past the rebind)
+            if mv is not None:
+                mv.release()
+            buf = None
+            mm.close()
+
+    @staticmethod
+    def _decode_strings(buf, mv, offs, lens) -> np.ndarray:
+        """Clean-string spans -> object array of Python strings.
+
+        Low-cardinality columns (detected_class & friends — the usual
+        filter keys) dictionary-encode natively so each UNIQUE value
+        decodes once, then one vectorized object gather. A sample pass
+        decides: when the column is mostly unique (region_id-like ids),
+        interning buys nothing, so rows decode directly."""
+        from ..native import intern_spans
+
+        sample = 65536
+        enc = (intern_spans(buf, offs[:sample], lens[:sample])
+               if len(offs) > sample else None)
+        mostly_unique = (enc is not None
+                         and len(enc[1]) > 0.5 * min(sample, len(offs)))
+        if not mostly_unique:
+            enc = intern_spans(buf, offs, lens)
+        if enc is not None and not mostly_unique:
+            codes, u_off, u_len = enc
+            uniq = np.empty((len(u_off),), object)
+            for m, (o, ln) in enumerate(zip(u_off.tolist(),
+                                            u_len.tolist())):
+                uniq[m] = bytes(mv[o:o + ln]).decode("utf-8")
+            return uniq[codes]
+        # direct per-row decode (native lib absent, or mostly unique)
+        interned: dict = {}
+        vals = np.empty((len(offs),), object)
+        for m, (o, ln) in enumerate(zip(offs.tolist(), lens.tolist())):
+            b = bytes(mv[o:o + ln])
+            v = interned.get(b)
+            if v is None:
+                v = interned[b] = b.decode("utf-8")
+            vals[m] = v
+        return vals
 
     def column(self, key: str) -> np.ndarray:
         self.ensure([key])

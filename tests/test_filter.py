@@ -163,6 +163,80 @@ def test_payload_columns_reuse(tmp_path):
     assert len(cols.column("confidence")) == store.count
 
 
+def test_payload_columns_native_parity(tmp_path):
+    """The C++ JSONL walker (native.payload_scan) must produce columns
+    element- and type-identical to the Python json pass across every
+    JSON value shape, including escaped/unicode strings, non-standard
+    Infinity/NaN literals (json.dumps emits them), nested decoy keys,
+    duplicate keys, corrupt lines, and trailing junk."""
+    from reverso_tpu.native import native_available
+    from reverso_tpu.store.filter import _MISSING
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    payloads = [
+        {"filename": "a.jpg", "conf": 0.5, "n": 3, "tag": True},
+        {"filename": "b.jpg", "conf": -1.25e-3, "n": -7, "tag": False,
+         "x": None},
+        {"filename": "céçà 😀.jpg", "quote": 'said "hi"\n\ttab', "n": 2**40},
+        {"bbox": [1, 2, 3.5, 4], "meta": {"a": [1, {"filename": "decoy"}]},
+         "conf": float("inf")},
+        {"conf": float("-inf"), "weird": float("nan"), "empty": "",
+         "filename": "d.jpg"},
+        {},
+        {"filename": "keep", "n": 1},
+        {"filename": "corrupt-me", "n": 2},
+        {"filename": "junk-me", "n": 3},
+    ]
+    d = 8
+    vecs = random_unit(np.random.default_rng(0), len(payloads), d)
+    with VectorStore.create(str(tmp_path), "nat", d) as s:
+        s.append(vecs, payloads)
+    store = VectorStore.open(str(tmp_path), "nat")
+    # in-place surgery preserving line lengths (offsets stay valid):
+    # row 7 -> unparseable, row 8 -> valid object + trailing junk
+    import os as _os
+    jsonl = _os.path.join(store.path, "payloads.jsonl")
+    offs = np.append(np.asarray(store._payload_offsets()),
+                     _os.path.getsize(jsonl))
+    with open(jsonl, "r+b") as f:
+        for row, patch in ((7, b"x"), (8, b'{"n":9}')):
+            ln = int(offs[row + 1] - offs[row]) - 1
+            f.seek(int(offs[row]))
+            f.write((patch + b"y" * ln)[:ln])
+
+    keys = ["filename", "conf", "n", "tag", "x", "bbox", "meta", "weird",
+            "empty", "quote", "nope"]
+    pc = PayloadColumns(store)
+    cols_py = pc._extract_python(keys)
+    cols_nat = pc._extract_native(keys)
+    assert cols_nat is not None
+    for k in keys:
+        a, b = cols_py[k], cols_nat[k]
+        assert len(a) == len(b) == len(payloads)
+        for i in range(len(a)):
+            va, vb = a[i], b[i]
+            if isinstance(va, float) and np.isnan(va):
+                assert isinstance(vb, float) and np.isnan(vb), (k, i)
+                continue
+            assert (va is _MISSING) == (vb is _MISSING), (k, i, va, vb)
+            assert va is _MISSING or va == vb, (k, i, repr(va), repr(vb))
+            assert va is _MISSING or type(va) == type(vb), (k, i)
+    # both surgically-altered rows are all-missing on both paths
+    for row in (7, 8):
+        assert all(cols_py[k][row] is _MISSING for k in keys)
+        assert all(cols_nat[k][row] is _MISSING for k in keys)
+
+    # the ensure() dispatch produces identical masks either way
+    mask_nat = payload_mask(store, "conf>=0, filename!=a.jpg")
+    _os.environ["REVERSO_NATIVE"] = "0"
+    try:
+        mask_py = payload_mask(store, "conf>=0, filename!=a.jpg")
+    finally:
+        _os.environ.pop("REVERSO_NATIVE")
+    np.testing.assert_array_equal(mask_nat, mask_py)
+
+
 # ---------------------------------------------------------------------------
 # masked top-k exactness (every index path)
 # ---------------------------------------------------------------------------
