@@ -340,7 +340,17 @@ class PayloadColumns:
             buf = np.frombuffer(mm, np.uint8)
             ends = np.empty(n, np.int64)
             ends[:-1] = offsets[1:n]
-            ends[-1] = int(offsets[n]) if len(offsets) > n else size
+            if len(offsets) > n:
+                ends[-1] = int(offsets[n])
+            else:
+                # The sidecar holds exactly n offsets, so the last row's
+                # span would otherwise run to EOF — which can include a
+                # TORN TAIL (crash between the jsonl append and the
+                # sidecar append). parse_line rejects trailing bytes, so
+                # that would silently drop the last committed row from
+                # every filter. Bound the span at the row's own newline.
+                nl = mm.find(b"\n", int(offsets[n - 1]))
+                ends[-1] = size if nl < 0 else nl + 1
             res = payload_scan(buf, offsets[:n], ends, list(missing))
             if res is None:
                 return None

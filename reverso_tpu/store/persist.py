@@ -95,7 +95,11 @@ def lock_holder_alive(root: str, name: str) -> Optional[bool]:
     Crash-resume uses this to distinguish a stale lock left by a dead
     build (safe to take over) from a live concurrent writer.
     """
-    lock = os.path.join(root, name, LOCK_FILE)
+    return _lock_holder_alive_at(os.path.join(root, name))
+
+
+def _lock_holder_alive_at(path: str) -> Optional[bool]:
+    lock = os.path.join(path, LOCK_FILE)
     if not os.path.exists(lock):
         return None
     try:
@@ -634,7 +638,10 @@ class VectorStore:
 
         for fname in (VEC_FILE, PAYLOAD_FILE, PAYLOAD_IDX_FILE):
             full = os.path.join(self.path, fname)
-            os.replace(full + ".compact", full)
+            try:
+                os.replace(full + ".compact", full)
+            except FileNotFoundError:
+                pass    # a recovery pass (stale-lock takeover) won the race
         self.count = new_count
         self.data_version = now_meta["data_version"]
         self.mutation_epoch = now_meta["mutation_epoch"]
@@ -653,7 +660,16 @@ class VectorStore:
         landed: finish the staged-file renames (idempotent), install
         the marker's meta, drop the marker. Without a marker, stage
         files are leftovers of a pre-commit crash — removed
-        best-effort; the original files are untouched and authoritative."""
+        best-effort; the original files are untouched and authoritative.
+
+        A LIVE lock holder means a compaction may be in flight in that
+        process right now: pre-marker stage files are its work product
+        (sweeping them would make its post-marker renames fail), and
+        post-marker roll-forward is its job — so recovery backs off
+        entirely and lets the writer finish. Only a lock-free or
+        stale-lock (dead PID) store is recovered here."""
+        if _lock_holder_alive_at(path):
+            return
         marker = os.path.join(path, COMPACT_MARKER)
         staged = [os.path.join(path, f) + ".compact"
                   for f in (VEC_FILE, PAYLOAD_FILE, PAYLOAD_IDX_FILE)]

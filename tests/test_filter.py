@@ -237,6 +237,37 @@ def test_payload_columns_native_parity(tmp_path):
     np.testing.assert_array_equal(mask_nat, mask_py)
 
 
+def test_native_columns_survive_torn_tail(tmp_path):
+    """Crash between the jsonl append and the sidecar append leaves
+    torn bytes after the last committed row with a sidecar of exactly
+    `count` offsets. The native extraction must bound the last row's
+    span at its own newline — not EOF — or parse_line rejects the
+    trailing junk and the last row silently vanishes from filters."""
+    from reverso_tpu.native import native_available
+    from reverso_tpu.store.filter import _MISSING
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    payloads = [{"filename": f"f{i}.jpg", "n": i} for i in range(5)]
+    d = 8
+    vecs = random_unit(np.random.default_rng(0), len(payloads), d)
+    with VectorStore.create(str(tmp_path), "torn", d) as s:
+        s.append(vecs, payloads)
+    store = VectorStore.open(str(tmp_path), "torn")
+    store._payload_offsets()          # sidecar now holds exactly 5 offsets
+    import os as _os
+    jsonl = _os.path.join(store.path, "payloads.jsonl")
+    with open(jsonl, "ab") as f:      # torn partial line, no sidecar entry
+        f.write(b'{"filename": "torn')
+    pc = PayloadColumns(store)
+    cols = pc._extract_native(["filename", "n"])
+    assert cols is not None
+    assert cols["filename"][4] == "f4.jpg"
+    assert cols["n"][4] == 4
+    mask = payload_mask(store, "n>=4")
+    np.testing.assert_array_equal(mask, [False] * 4 + [True])
+
+
 # ---------------------------------------------------------------------------
 # masked top-k exactness (every index path)
 # ---------------------------------------------------------------------------

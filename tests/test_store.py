@@ -560,6 +560,45 @@ def test_compact_precrash_stage_is_inert(tmp_path, rng):
     assert not os.path.exists(os.path.join(path, "vectors.bin.compact"))
 
 
+def test_compact_stage_survives_live_writer(tmp_path, rng):
+    """A concurrent read-only open() while a LIVE writer is mid-compact
+    (stage files present, marker not yet committed) must not sweep the
+    writer's stage files — and must not roll a committed marker forward
+    either (that's the live writer's job). Only a stale lock (dead PID)
+    re-enables recovery."""
+    import json as _json
+    root = str(tmp_path)
+    vecs = random_unit(rng, 6, 8)
+    s = VectorStore.create(root, "c5", 8)
+    s.append(vecs, make_payloads(6))
+    s.flush()
+    path = os.path.join(root, "c5")
+    stage = os.path.join(path, "vectors.bin.compact")
+    with open(stage, "wb") as f:
+        f.write(b"writer work product")
+    # live lock (this process): reader backs off entirely
+    ro = VectorStore.open(root, "c5")
+    assert os.path.exists(stage)
+    assert ro.count == 6
+    # even a committed marker is left for the live writer to finish
+    meta = _json.load(open(os.path.join(path, "meta.json")))
+    marker_meta = dict(meta, count=3)
+    with open(os.path.join(path, "compact.commit"), "w") as f:
+        _json.dump(marker_meta, f)
+    ro2 = VectorStore.open(root, "c5")
+    assert ro2.count == 6              # old meta still authoritative
+    assert os.path.exists(os.path.join(path, "compact.commit"))
+    os.remove(os.path.join(path, "compact.commit"))
+    s.close()                          # releases the lock
+    # stale-lock case: dead PID re-enables the sweep
+    with open(os.path.join(path, ".lock"), "w") as f:
+        f.write("999999999")           # no such PID
+    ro3 = VectorStore.open(root, "c5")
+    assert not os.path.exists(stage)
+    assert ro3.count == 6
+    os.remove(os.path.join(path, ".lock"))
+
+
 def test_engine_delete_points(tmp_path, rng):
     import dataclasses
     from reverso_tpu.config import MODEL_PRESETS, default_config
