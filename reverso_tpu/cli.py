@@ -276,38 +276,187 @@ def cmd_discover(args) -> int:
     return 0 if items else 2
 
 
-def cmd_points(args) -> int:
-    """Page through stored points (ids + payloads), optionally filtered —
-    qdrant's scroll API role. No model load."""
-    from .store import VectorStore, StoreError
-    from .store.filter import FilterError, parse_filter, payload_mask
+def cmd_query(args) -> int:
+    """Universal query (qdrant query_points role): prefetch branches
+    fused by RRF/DBSF, or exact rescoring of their candidate union
+    against --target. No model load."""
+    from .store import StoreError
+    from .store.filter import FilterError
 
-    cfg = _make_config(args)
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    prefetch = []
+    for spec in args.prefetch or []:
+        try:
+            prefetch.append(json.loads(spec))
+        except ValueError:
+            prefetch.append(spec)          # region_id string operand
+    target = None
+    if args.target is not None:
+        target = (int(args.target) if args.target.lstrip("-").isdigit()
+                  else args.target)
     try:
-        store = VectorStore.open(cfg.store.root_dir, args.name)
-        mask = None
-        if args.filter and not parse_filter(args.filter).is_empty():
-            mask = payload_mask(store, args.filter)
+        hits = engine.query(target, prefetch=prefetch or None,
+                            fusion=args.fusion, k=args.top_k,
+                            filter=args.filter or None)
+    except (StoreError, FilterError, ValueError) as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    if args.json:
+        print(json.dumps({"hits": hits}, indent=2))
+    else:
+        for h in hits:
+            print(f"{h['id']}\t{h['score']:.6f}\t"
+                  f"{json.dumps(h['payload'])}")
+    return 0 if hits else 2
+
+
+def cmd_points(args) -> int:
+    """Page through stored points (ids + payloads), optionally filtered
+    and/or ordered by a numeric payload key — qdrant's scroll API role.
+    No model load."""
+    from .store import StoreError
+    from .store.filter import FilterError
+
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    offset = 0
+    if args.offset:
+        if args.order_by:
+            try:
+                v, i = args.offset.rsplit(":", 1)
+                offset = (float(v), int(i))
+            except ValueError:
+                print(f"❌ with --order-by, --offset is the printed "
+                      f"VALUE:ID token, got '{args.offset}'",
+                      file=sys.stderr)
+                return 1
+        else:
+            offset = int(args.offset)
+    try:
+        points, next_offset = engine.scroll(
+            args.filter or None, offset=offset, limit=args.limit,
+            order_by=args.order_by,
+            direction="desc" if args.desc else "asc")
+    except (StoreError, FilterError, ValueError) as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    next_tok = (None if next_offset is None
+                else (f"{next_offset[0]!r}:{next_offset[1]}"
+                      if args.order_by else next_offset))
+    if args.json:
+        print(json.dumps({"points": points, "next_offset": next_tok},
+                         indent=2))
+    else:
+        for pt in points:
+            print(f"{pt['id']}\t{json.dumps(pt['payload'])}")
+        if next_tok is not None:
+            print(f"… next: --offset {next_tok}", file=sys.stderr)
+    return 0
+
+
+def cmd_facet(args) -> int:
+    """Value histogram of one payload key (qdrant facet API role).
+    No model load."""
+    from .store import StoreError
+    from .store.filter import FilterError
+
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    try:
+        rows = engine.facet(args.key, args.filter or None,
+                            limit=args.limit)
     except (StoreError, FilterError) as e:
         print(f"❌ {e}", file=sys.stderr)
         return 1
-    import numpy as np
-    ids = (np.nonzero(mask)[0] if mask is not None
-           else np.arange(store.count))
-    ids = ids[ids >= args.offset][:args.limit + 1]
-    next_offset = int(ids[args.limit]) if len(ids) > args.limit else None
-    page = [int(i) for i in ids[:args.limit]]
-    payloads = store.payloads(page)
     if args.json:
-        print(json.dumps({"points": [{"id": i, "payload": p}
-                                     for i, p in zip(page, payloads)],
-                          "next_offset": next_offset}, indent=2))
+        print(json.dumps({"key": args.key, "facets": rows}, indent=2))
     else:
-        for i, p in zip(page, payloads):
-            print(f"{i}\t{json.dumps(p)}")
-        if next_offset is not None:
-            print(f"… next: --offset {next_offset}", file=sys.stderr)
+        for r in rows:
+            print(f"{r['count']:>8}  {r['value']}")
     return 0
+
+
+def cmd_get(args) -> int:
+    """Fetch points by row id or region_id (qdrant retrieve API role).
+    No model load."""
+    from .store import StoreError
+
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    ids = [int(i) if i.lstrip("-").isdigit() else i for i in args.ids]
+    try:
+        points = engine.retrieve(ids, with_vectors=args.vectors)
+    except StoreError as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    for pt in points:
+        if "vector" in pt:
+            pt["vector"] = [round(float(x), 6) for x in pt["vector"]]
+    if args.json:
+        print(json.dumps({"points": points}, indent=2))
+    else:
+        for pt in points:
+            line = f"{pt['id']}\t{json.dumps(pt['payload'])}"
+            if "vector" in pt:
+                line += f"\t{json.dumps(pt['vector'])}"
+            print(line)
+    return 0 if points else 2
+
+
+def cmd_payload(args) -> int:
+    """Mutate point payloads in place (qdrant set_payload /
+    overwrite / delete_payload / clear_payload). Vectors and the
+    device index are untouched. No model load."""
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    points = [int(i) if i.lstrip("-").isdigit() else i
+              for i in (args.points or [])]
+    filt = args.filter or None
+    if args.action in ("set", "overwrite"):
+        patch = {}
+        for kv in args.kv or []:
+            if "=" not in kv:
+                print(f"❌ bad --kv '{kv}' (expected KEY=VALUE)",
+                      file=sys.stderr)
+                return 1
+            k, v = kv.split("=", 1)
+            try:
+                patch[k] = json.loads(v)
+            except ValueError:
+                patch[k] = v
+        if not patch:
+            print("❌ set/overwrite need at least one --kv KEY=VALUE",
+                  file=sys.stderr)
+            return 1
+        fn = (engine.set_payload if args.action == "set"
+              else engine.overwrite_payload)
+        msg = fn(patch, points=points, filter=filt)
+    elif args.action == "delete":
+        if not args.keys:
+            print("❌ delete needs --keys", file=sys.stderr)
+            return 1
+        msg = engine.delete_payload(args.keys, points=points, filter=filt)
+    else:
+        msg = engine.clear_payload(points=points, filter=filt)
+    out = sys.stdout if msg.startswith("✅") else sys.stderr
+    print(msg, file=out)
+    return 0 if msg.startswith("✅") else 1
 
 
 def cmd_list(args) -> int:
@@ -784,17 +933,84 @@ def build_parser() -> argparse.ArgumentParser:
                     help="payload filter clause(s), as in `search`")
     dc.set_defaults(fn=cmd_discover)
 
+    qr = sub.add_parser("query",
+                        help="universal query: prefetch + RRF/DBSF "
+                             "fusion or exact rescore (qdrant "
+                             "query_points)")
+    qr.add_argument("name")
+    qr.add_argument("--prefetch", action="append", default=[],
+                    metavar="SPEC",
+                    help="branch: a point id, a region_id, or a JSON "
+                         "object {\"query\": id, \"limit\": n, "
+                         "\"filter\": ...}; repeatable")
+    qr.add_argument("--target", default=None,
+                    help="rescoring query point (row id or region_id); "
+                         "mutually exclusive with --fusion")
+    qr.add_argument("--fusion", choices=["rrf", "dbsf"], default=None)
+    qr.add_argument("--top-k", type=int, default=None)
+    qr.add_argument("--filter", action="append", default=[],
+                    help="global payload filter, applied inside every "
+                         "branch")
+    qr.add_argument("--json", action="store_true")
+    qr.set_defaults(fn=cmd_query)
+
     pt = sub.add_parser("points",
                         help="page through stored points (ids + payloads), "
                              "optionally filtered (qdrant scroll)")
     pt.add_argument("name")
     pt.add_argument("--filter", action="append", default=[],
                     help="payload filter clause(s), as in `search`")
-    pt.add_argument("--offset", type=int, default=0,
-                    help="row id to start from (use the printed next offset)")
+    pt.add_argument("--offset", default="",
+                    help="row id to start from, or the printed VALUE:ID "
+                         "token when using --order-by")
     pt.add_argument("--limit", type=int, default=50)
+    pt.add_argument("--order-by", default=None, metavar="KEY",
+                    help="sort by a numeric payload key instead of row id "
+                         "(qdrant order_by; non-numeric rows excluded)")
+    pt.add_argument("--desc", action="store_true",
+                    help="descending order (with --order-by)")
     pt.add_argument("--json", action="store_true")
     pt.set_defaults(fn=cmd_points)
+
+    fc = sub.add_parser("facet",
+                        help="value histogram of one payload key "
+                             "(qdrant facet API)")
+    fc.add_argument("name")
+    fc.add_argument("key", help="payload key to count values of")
+    fc.add_argument("--filter", action="append", default=[],
+                    help="payload filter clause(s), as in `search`")
+    fc.add_argument("--limit", type=int, default=10)
+    fc.add_argument("--json", action="store_true")
+    fc.set_defaults(fn=cmd_facet)
+
+    gt = sub.add_parser("get",
+                        help="fetch points by row id or region_id "
+                             "(qdrant retrieve API)")
+    gt.add_argument("name")
+    gt.add_argument("ids", nargs="+",
+                    help="row ids (ints) and/or region_id strings")
+    gt.add_argument("--vectors", action="store_true",
+                    help="include the stored vectors")
+    gt.add_argument("--json", action="store_true")
+    gt.set_defaults(fn=cmd_get)
+
+    py = sub.add_parser("payload",
+                        help="mutate point payloads in place (qdrant "
+                             "set/overwrite/delete/clear payload)")
+    py.add_argument("name")
+    py.add_argument("action", choices=["set", "overwrite", "delete",
+                                       "clear"])
+    py.add_argument("--kv", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="payload entry for set/overwrite (VALUE parsed "
+                         "as JSON, else string); repeatable")
+    py.add_argument("--keys", nargs="+", default=[],
+                    help="payload keys to remove (delete)")
+    py.add_argument("--points", nargs="+", default=[],
+                    help="row ids (ints) and/or region_id strings")
+    py.add_argument("--filter", action="append", default=[],
+                    help="payload filter clause(s), as in `search`")
+    py.set_defaults(fn=cmd_payload)
 
     l = sub.add_parser("list", help="list databases")
     l.set_defaults(fn=cmd_list)

@@ -265,6 +265,92 @@ class Reverso:
                 pass
         return f"✅ Deleted {removed} points from {name}"
 
+    def _mutate_payloads(self, mode: str, patch=None, keys=None, *,
+                         points=None, filter=None) -> str:
+        """Shared body of the payload mutation APIs: resolve the point
+        selection (ids/region_ids and/or a payload filter), reopen the
+        store writable, and run the crash-safe staged rewrite
+        (`VectorStore.update_payloads`). Vectors and the device index
+        are untouched."""
+        from .store.filter import parse_filter, payload_mask
+
+        if self._store is None:
+            return ("❌ No database loaded. Please create or load a "
+                    "database first.")
+        name = self.current_database
+        has_filter = False
+        try:
+            if filter is not None and not parse_filter(filter).is_empty():
+                has_filter = True
+        except Exception as e:
+            return f"❌ Bad filter: {e}"
+        rows: set[int] = set()
+        if points:
+            rows.update(p["id"] for p in
+                        self.retrieve(list(points), with_payload=False))
+        if not rows and not has_filter:
+            return ("❌ Nothing selected: pass point ids and/or a "
+                    "non-empty filter")
+        # payload edits leave vectors untouched (vector_version holds
+        # still), so the possibly multi-GB device index survives the
+        # handle swap instead of re-uploading
+        with self._index_lock:
+            saved_index = self._index
+            saved_key = getattr(self, "_index_key", None)
+        self._set_store(None)     # release the read handle before locking
+        try:
+            with VectorStore.open(self.db_root, name, writable=True) as w:
+                if has_filter:
+                    mask = payload_mask(w, filter)
+                    rows.update(np.nonzero(mask)[0].tolist())
+                touched = w.update_payloads(sorted(rows), patch=patch,
+                                            keys=keys, mode=mode)
+        except StoreLockedError:
+            return (f"❌ Database '{name}' is locked (a build may be "
+                    f"running); unlock it first")
+        except StoreError as e:
+            return f"❌ {e}"
+        finally:
+            try:
+                store = VectorStore.open(self.db_root, name)
+                self._set_store(store)
+                if saved_index is not None and saved_key == (
+                        store.count, store.vector_version):
+                    with self._index_lock:
+                        self._index = saved_index
+                        self._index_key = saved_key
+            except StoreError:
+                pass
+        verb = {"set": "Updated", "overwrite": "Overwrote",
+                "delete": "Deleted keys on", "clear": "Cleared"}[mode]
+        return f"✅ {verb} payload of {touched} points in {name}"
+
+    def set_payload(self, patch: dict, *, points=None, filter=None) -> str:
+        """Merge `patch` keys into the payloads of the selected points —
+        qdrant's set_payload API role. Select via `points` (row ids
+        and/or region_id strings) and/or a payload `filter`."""
+        return self._mutate_payloads("set", patch=patch, points=points,
+                                     filter=filter)
+
+    def overwrite_payload(self, patch: dict, *, points=None,
+                          filter=None) -> str:
+        """Replace the whole payload of the selected points with `patch`
+        — qdrant's overwrite payload API role."""
+        return self._mutate_payloads("overwrite", patch=patch,
+                                     points=points, filter=filter)
+
+    def delete_payload(self, keys: Sequence[str], *, points=None,
+                       filter=None) -> str:
+        """Remove `keys` from the payloads of the selected points —
+        qdrant's delete_payload API role."""
+        return self._mutate_payloads("delete", keys=list(keys),
+                                     points=points, filter=filter)
+
+    def clear_payload(self, *, points=None, filter=None) -> str:
+        """Empty the payloads of the selected points — qdrant's
+        clear_payload API role."""
+        return self._mutate_payloads("clear", points=points, filter=filter)
+
     def _set_store(self, store: Optional[VectorStore]) -> None:
         with self._index_lock:
             self._store = store
@@ -282,12 +368,14 @@ class Reverso:
         if store is None:
             raise StoreError("no database loaded")
         scfg = self.config.search
-        # Key on (count, data_version), not count alone: a truncate-then-
-        # reappend to the same size (resume) or an overwrite-same-name
-        # must not serve stale device vectors. refresh() makes external
+        # Key on (count, vector_version), not count alone: a truncate-
+        # then-reappend to the same size (resume) or an overwrite-same-
+        # name must not serve stale device vectors — but payload-only
+        # edits (set_payload) leave vector_version still, so they never
+        # trigger a multi-GB HBM re-upload. refresh() makes external
         # mutations visible through this read-only handle.
         store.refresh()
-        key = (store.count, store.data_version)
+        key = (store.count, store.vector_version)
         if self._index is not None and getattr(self, "_index_key", None) == key:
             return self._index
         with self._index_lock:
@@ -883,32 +971,257 @@ class Reverso:
             return ("❌ No discovery results found.", [])
         return self._render_hits(hits, store)
 
-    def scroll(self, filter=None, *, offset: int = 0, limit: int = 100,
-               with_payload: bool = True):
+    def _resolve_query_vector(self, q) -> np.ndarray:
+        """A query operand -> [d] fp32 vector: int row id, region_id
+        string, or an explicit vector."""
+        store = self._store
+        if isinstance(q, (int, np.integer)):
+            if not 0 <= int(q) < store.count:
+                raise StoreError(f"point id {int(q)} out of range "
+                                 f"[0, {store.count})")
+            return np.asarray(store.vectors()[int(q)], np.float32)
+        if isinstance(q, str):
+            pts = self.retrieve([q], with_payload=False, with_vectors=True)
+            if not pts:
+                raise StoreError(f"no point with region_id {q!r}")
+            return pts[0]["vector"]
+        v = np.asarray(q, np.float32).reshape(-1)
+        if v.shape != (store.dim,):
+            raise StoreError(f"query vector must be [{store.dim}], "
+                             f"got {v.shape}")
+        return v
+
+    def query(self, query=None, *, prefetch=None,
+              fusion: Optional[str] = None, k: Optional[int] = None,
+              filter=None, with_payload: bool = True):
+        """Universal query API — the role of qdrant's query_points
+        with prefetch + fusion / multi-stage rescoring (the modern
+        face of the store the reference drove via plain `search`,
+        core_system.py:659-664).
+
+        Three shapes:
+          * `query` alone — plain top-k search (vector, row id, or
+            region_id string).
+          * `prefetch=[...]` + `fusion` ("rrf" default, or "dbsf") —
+            each branch is a sub-search (`{"query": ..., "filter": ...,
+            "limit": n}`, or just the query operand); branch result
+            lists fuse by reciprocal rank (RRF, k=60) or by
+            distribution-normalized score sum (DBSF: each branch's
+            scores min-max scaled inside mean±3σ before summing).
+          * `prefetch=[...]` + `query` — multi-stage: the union of
+            branch candidates is rescored EXACTLY (fp32 dot, ties to
+            the lower row id) against `query`; e.g. a cheap IVF/int8
+            prefetch feeding an exact rerank.
+
+        A top-level `filter` applies inside every branch scan (so
+        branches return their full limit of valid candidates), exactly
+        like qdrant's global filter. Returns a list of
+        {"id", "score", "payload"} dicts, best first."""
+        import jax
+
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        k = self.config.search.top_k if k is None else int(k)
+        store.refresh()
+        gmask = self._filter_mask(filter) if filter is not None else None
+
+        def hits_out(pairs):
+            ids = [pid for _, pid in pairs]
+            payloads = (store.payloads(ids) if with_payload
+                        else [None] * len(ids))
+            return [{"id": pid, "score": float(sc), "payload": p}
+                    for (sc, pid), p in zip(pairs, payloads)]
+
+        if prefetch is None:
+            if query is None:
+                raise ValueError("query() needs a query operand and/or "
+                                 "prefetch branches")
+            qv = self._resolve_query_vector(query)
+            s, i = jax.device_get(
+                self._get_index().search(qv[None], k, row_mask=gmask))
+            return hits_out([(float(sv), int(iv))
+                             for sv, iv in zip(s[0], i[0]) if iv >= 0])
+        if query is not None and fusion is not None:
+            raise ValueError("pass either a rescoring query or fusion, "
+                             "not both")
+
+        branches = []
+        for spec in prefetch:
+            if isinstance(spec, dict) and (
+                    "query" in spec or "filter" in spec or "limit" in spec):
+                bq = spec.get("query")
+                bf = spec.get("filter")
+                bl = int(spec.get("limit", max(2 * k, 20)))
+            else:
+                bq, bf, bl = spec, None, max(2 * k, 20)
+            if bq is None:
+                raise ValueError("every prefetch branch needs a query")
+            qv = self._resolve_query_vector(bq)
+            bmask = self._filter_mask(bf) if bf is not None else None
+            if gmask is not None:
+                bmask = gmask if bmask is None else (bmask & gmask)
+            s, i = jax.device_get(
+                self._get_index().search(qv[None], bl, row_mask=bmask))
+            valid = i[0] >= 0
+            branches.append(([int(x) for x in i[0][valid]],
+                             [float(x) for x in s[0][valid]]))
+
+        if query is None:
+            fusion = fusion or "rrf"
+            fused: dict[int, float] = {}
+            if fusion == "rrf":
+                for ids, _ in branches:
+                    for r, pid in enumerate(ids):
+                        fused[pid] = fused.get(pid, 0.0) + 1.0 / (60.0 + r + 1)
+            elif fusion == "dbsf":
+                for ids, scores in branches:
+                    if not ids:
+                        continue
+                    a = np.asarray(scores, np.float64)
+                    lo = a.mean() - 3.0 * a.std()
+                    hi = a.mean() + 3.0 * a.std()
+                    norm = ((a - lo) / (hi - lo) if hi > lo
+                            else np.ones_like(a))
+                    for pid, ns in zip(ids, norm):
+                        fused[pid] = fused.get(pid, 0.0) + float(ns)
+            else:
+                raise ValueError(f"unknown fusion {fusion!r} "
+                                 f"(expected rrf|dbsf)")
+            top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            return hits_out([(sc, pid) for pid, sc in top])
+
+        # multi-stage: exact rescore of the candidate union
+        qv = self._resolve_query_vector(query)
+        cand = sorted({pid for ids, _ in branches for pid in ids})
+        if not cand:
+            return []
+        vecs = np.asarray(store.vectors()[cand], np.float32)
+        scores = vecs @ qv
+        order = np.lexsort((np.asarray(cand), -scores))[:k]
+        return hits_out([(float(scores[j]), int(cand[j])) for j in order])
+
+    def scroll(self, filter=None, *, offset=0, limit: int = 100,
+               with_payload: bool = True, order_by: Optional[str] = None,
+               direction: str = "asc"):
         """Page through stored points (ids + payloads), optionally
         filtered — the role of qdrant's scroll API. Returns
         (points, next_offset): `points` is a list of {"id", "payload"}
-        dicts ordered by row id; `next_offset` is the row id to pass as
-        `offset` for the next page, or None when exhausted. Offsets are
-        row ids, so pages stay stable under concurrent appends."""
+        dicts; `next_offset` is the token to pass as `offset` for the
+        next page, or None when exhausted.
+
+        Default order is by row id; `offset` is then a row id, so pages
+        stay stable under concurrent appends. With `order_by=<payload
+        key>` points come sorted by that key's NUMERIC value (missing /
+        non-numeric rows are excluded — qdrant's order_by is likewise
+        integer/float only), ties broken by row id ascending; `offset`
+        is then the opaque `(value, id)` token the previous page
+        returned (pass 0/None to start)."""
         store = self._store
         if store is None:
             raise StoreError("no database loaded")
         limit = max(0, int(limit))
         mask = self._filter_mask(filter) if filter is not None else None
         store.refresh()
-        if mask is None:
+        if order_by is not None:
+            from .store.filter import _numeric
+
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"direction must be asc|desc, got "
+                                 f"{direction!r}")
+            cols = self._payload_columns()
+            vals_all = _numeric(cols.column(str(order_by)))
+            keep = ~np.isnan(vals_all)
+            if mask is not None:
+                keep &= mask[:len(vals_all)]
+            ids = np.nonzero(keep)[0]
+            vals = vals_all[ids]
+            sign = 1.0 if direction == "asc" else -1.0
+            order = np.lexsort((ids, sign * vals))
+            ids, vals = ids[order], vals[order]
+            if offset not in (None, 0):
+                o_val, o_id = offset
+                after = (sign * vals > sign * float(o_val)) | (
+                    (vals == float(o_val)) & (ids >= int(o_id)))
+                ids, vals = ids[after], vals[after]
+            next_offset = ((float(vals[limit]), int(ids[limit]))
+                           if len(ids) > limit else None)
+            ids = ids[:limit + 1]
+        elif mask is None:
             ids = np.arange(max(0, int(offset)),
                             min(store.count, max(0, int(offset)) + limit + 1))
+            next_offset = int(ids[limit]) if len(ids) > limit else None
         else:
             ids = np.nonzero(mask)[0]
             ids = ids[ids >= int(offset)][:limit + 1]
-        next_offset = int(ids[limit]) if len(ids) > limit else None
+            next_offset = int(ids[limit]) if len(ids) > limit else None
         page = [int(i) for i in ids[:limit]]
         payloads = (store.payloads(page) if with_payload
                     else [None] * len(page))
         points = [{"id": i, "payload": p} for i, p in zip(page, payloads)]
         return points, next_offset
+
+    def retrieve(self, ids, *, with_payload: bool = True,
+                 with_vectors: bool = False):
+        """Fetch specific points — qdrant's retrieve API role. `ids`
+        mixes integer row ids and `region_id` payload strings (the
+        reference's per-point UUIDs, core_system.py:608-609). Unknown
+        ids are silently skipped (qdrant semantics). Returns a list of
+        {"id", "payload"[, "vector"]} dicts in request order."""
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        store.refresh()
+        rows: list[int] = []
+        str_ids = [i for i in ids if isinstance(i, str)]
+        by_region: dict[str, int] = {}
+        if str_ids:
+            cols = self._payload_columns()
+            col = cols.column("region_id")
+            hits = np.nonzero(np.isin(col, str_ids))[0]
+            # keep-first on duplicate region_ids (store is append-only)
+            for r in hits.tolist():
+                by_region.setdefault(col[r], r)
+        for i in ids:
+            if isinstance(i, str):
+                r = by_region.get(i)
+                if r is not None:
+                    rows.append(r)
+            elif 0 <= int(i) < store.count:
+                rows.append(int(i))
+        payloads = (store.payloads(rows) if with_payload
+                    else [None] * len(rows))
+        points = [{"id": r, "payload": p} for r, p in zip(rows, payloads)]
+        if with_vectors and rows:
+            vecs = np.asarray(store.vectors()[rows], np.float32)
+            for pt, v in zip(points, vecs):
+                pt["vector"] = v
+        return points
+
+    def facet(self, key: str, filter=None, *, limit: int = 10):
+        """Value histogram of one payload key over (optionally
+        filtered) points — qdrant's facet API role. Returns a list of
+        {"value", "count"} dicts, count-descending (ties by value).
+        Only hashable scalar values (str/int/float/bool) are counted;
+        rows missing the key or holding lists/objects are skipped."""
+        from collections import Counter
+
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        store.refresh()
+        cols = self._payload_columns()
+        col = cols.column(str(key))
+        keep = cols.present(str(key))
+        mask = self._filter_mask(filter) if filter is not None else None
+        if mask is not None:
+            keep = keep & mask[:len(col)]
+        counts = Counter(
+            v for v in col[keep].tolist()
+            if isinstance(v, (str, int, float, bool)))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        return [{"value": v, "count": int(n)}
+                for v, n in top[:max(0, int(limit))]]
 
     # -- index build ------------------------------------------------------
 

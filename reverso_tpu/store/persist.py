@@ -139,11 +139,16 @@ class VectorStore:
     collection: str
     count: int = 0
     # Monotonic content-version: seeded from the wall clock at create()
-    # and bumped by every append/truncate, so two stores that happen to
-    # hold the same row count never alias (a device index keyed on
-    # (count, data_version) can detect truncate-then-reappend-same-size
-    # and overwrite-same-name mutations).
+    # and bumped by EVERY mutation (append/truncate/compact/payload
+    # edit), so two stores that happen to hold the same row count never
+    # alias — host-side caches (payload columns, offset tables) key on
+    # (count, data_version).
     data_version: int = 0
+    # Bumped only when VECTOR content changes (append/truncate/compact),
+    # NOT by payload edits: the device index keys on (count,
+    # vector_version) so a set_payload on a 4 GB corpus doesn't trigger
+    # a full HBM re-upload of unchanged vectors.
+    vector_version: int = 0
     # Bumped ONLY by truncate (the one mutation that rewrites existing
     # rows). While it holds still, the row prefix is immutable, so
     # derived structures built over the first N rows (the IVF k-means
@@ -178,7 +183,8 @@ class VectorStore:
         now = time.time_ns()
         store = VectorStore(path=path, name=name, dim=dim,
                             collection=collection_name(name), count=0,
-                            data_version=now, mutation_epoch=now)
+                            data_version=now, vector_version=now,
+                            mutation_epoch=now)
         store._acquire_lock()
         store._write_meta()
         # touch data files
@@ -210,9 +216,14 @@ class VectorStore:
                 f"Corrupt store {name}: unreadable meta.json ({e})")
         # legacy-name fallback (reference core_system.py:107)
         coll = meta.get("collection", collection_name(name))
+        dv = int(meta.get("data_version", 0))
         store = VectorStore(path=path, name=name, dim=int(meta["dim"]),
                             collection=coll, count=int(meta["count"]),
-                            data_version=int(meta.get("data_version", 0)),
+                            data_version=dv,
+                            # legacy stores (pre payload-edit support):
+                            # vectors changed whenever data did
+                            vector_version=int(meta.get("vector_version",
+                                                        dv)),
                             mutation_epoch=int(meta.get("mutation_epoch",
                                                         0)))
         vec_path = os.path.join(path, VEC_FILE)
@@ -250,6 +261,7 @@ class VectorStore:
         if count != self.count or version != self.data_version:
             self.count = count
             self.data_version = version
+            self.vector_version = int(meta.get("vector_version", version))
             self.mutation_epoch = int(meta.get("mutation_epoch",
                                                self.mutation_epoch))
             self._offsets_cache = None
@@ -300,6 +312,7 @@ class VectorStore:
             json.dump({"name": self.name, "collection": self.collection,
                        "dim": self.dim, "count": self.count,
                        "data_version": self.data_version,
+                       "vector_version": self.vector_version,
                        "mutation_epoch": self.mutation_epoch,
                        "dtype": "float32", "version": 1}, f, indent=2)
             # fsync BEFORE the rename: os.replace is atomic in the
@@ -336,6 +349,7 @@ class VectorStore:
         self._idx_f.write(offsets.tobytes())
         self.count += vectors.shape[0]
         self.data_version += 1
+        self.vector_version += 1
         self._offsets_cache = None
 
     def _repair_sidecar(self) -> None:
@@ -533,6 +547,7 @@ class VectorStore:
         cut = self._payload_cut(count)
         self.count = count
         self.data_version += 1
+        self.vector_version += 1
         self.mutation_epoch += 1     # rows beyond count may be replaced:
         self._offsets_cache = None   # larger-prefix caches are invalid
         self._write_meta()
@@ -626,6 +641,7 @@ class VectorStore:
         now_meta = {"name": self.name, "collection": self.collection,
                     "dim": self.dim, "count": new_count,
                     "data_version": self.data_version + 1,
+                    "vector_version": self.vector_version + 1,
                     "mutation_epoch": self.mutation_epoch + 1,
                     "dtype": "float32", "version": 1}
         marker = os.path.join(self.path, COMPACT_MARKER)
@@ -644,6 +660,7 @@ class VectorStore:
                 pass    # a recovery pass (stale-lock takeover) won the race
         self.count = new_count
         self.data_version = now_meta["data_version"]
+        self.vector_version = now_meta["vector_version"]
         self.mutation_epoch = now_meta["mutation_epoch"]
         self._offsets_cache = None
         self._pay_pos = 0
@@ -653,6 +670,114 @@ class VectorStore:
         except FileNotFoundError:
             pass      # a concurrent reader's open() already rolled forward
         return removed
+
+    def update_payloads(self, rows, *, patch: Optional[dict] = None,
+                        keys: Optional[Sequence[str]] = None,
+                        mode: str = "set") -> int:
+        """Rewrite the payloads of specific rows in place — the
+        set_payload / overwrite_payload / delete_payload / clear_payload
+        role of qdrant's points API (the reference's qdrant store had
+        these; an append-only JSONL needs a rewrite pass for them).
+
+        Modes: "set" merges `patch` keys into each payload,
+        "overwrite" replaces the whole payload with `patch`, "delete"
+        removes `keys`, "clear" empties the payload. Returns rows
+        touched.
+
+        Vectors are untouched, so only payloads.jsonl/.idx are staged —
+        through the same `.compact` + commit-marker journal as
+        `compact()` (the marker's roll-forward renames whichever stage
+        files exist). `data_version` bumps (payload-column caches must
+        refresh); `vector_version` and `mutation_epoch` do NOT (the
+        device index and the IVF k-means cache stay valid)."""
+        if not self._locked:
+            raise StoreError("store opened read-only")
+        if mode not in ("set", "overwrite", "delete", "clear"):
+            raise StoreError(f"unknown payload update mode: {mode!r}")
+        if mode in ("set", "overwrite") and not isinstance(patch, dict):
+            raise StoreError(f"mode {mode!r} needs a dict patch")
+        if mode == "delete" and not keys:
+            raise StoreError("mode 'delete' needs keys to remove")
+        sel = np.zeros(self.count, bool)
+        rows = np.asarray(list(rows), np.int64).reshape(-1)
+        if len(rows) and (rows.min() < 0 or rows.max() >= self.count):
+            raise StoreError(
+                f"row ids must be in [0, {self.count}), got "
+                f"[{rows.min()}, {rows.max()}]")
+        sel[rows] = True
+        touched = int(sel.sum())
+        if touched == 0:
+            return 0
+        self.flush()
+        self.close_files_for_truncate()
+
+        kset = set(keys or ())
+
+        def rewrite(payload: dict) -> dict:
+            if mode == "set":
+                return {**payload, **patch}
+            if mode == "overwrite":
+                return dict(patch)
+            if mode == "delete":
+                return {k: v for k, v in payload.items() if k not in kset}
+            return {}                                   # clear
+
+        pay_path = os.path.join(self.path, PAYLOAD_FILE)
+        stage_pay = pay_path + ".compact"
+        stage_idx = os.path.join(self.path, PAYLOAD_IDX_FILE) + ".compact"
+        with open(pay_path, "rb") as src, open(stage_pay, "wb") as out, \
+                open(stage_idx, "wb") as idx_out:
+            pos = 0
+            obuf: list[int] = []              # bounded memory at 100M rows
+            for i, line in enumerate(src):
+                if i >= self.count:
+                    break
+                if sel[i]:
+                    line = (json.dumps(rewrite(json.loads(line)),
+                                       separators=(",", ":"))
+                            + "\n").encode()
+                obuf.append(pos)
+                if len(obuf) == 65536:
+                    idx_out.write(np.asarray(obuf, "<i8").tobytes())
+                    obuf.clear()
+                out.write(line)
+                pos += len(line)
+            if obuf:
+                idx_out.write(np.asarray(obuf, "<i8").tobytes())
+            out.flush()
+            os.fsync(out.fileno())
+            idx_out.flush()
+            os.fsync(idx_out.fileno())
+
+        now_meta = {"name": self.name, "collection": self.collection,
+                    "dim": self.dim, "count": self.count,
+                    "data_version": self.data_version + 1,
+                    "vector_version": self.vector_version,
+                    "mutation_epoch": self.mutation_epoch,
+                    "dtype": "float32", "version": 1}
+        marker = os.path.join(self.path, COMPACT_MARKER)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(now_meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)      # <- commit point (roll forward)
+
+        for fname in (PAYLOAD_FILE, PAYLOAD_IDX_FILE):
+            full = os.path.join(self.path, fname)
+            try:
+                os.replace(full + ".compact", full)
+            except FileNotFoundError:
+                pass    # a recovery pass (stale-lock takeover) won the race
+        self.data_version = now_meta["data_version"]
+        self._offsets_cache = None
+        self._pay_pos = 0
+        self._write_meta()
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass      # a concurrent reader's open() already rolled forward
+        return touched
 
     @staticmethod
     def _recover_compact(path: str) -> None:
@@ -729,6 +854,7 @@ class VectorStore:
         meta = {"name": self.name, "collection": self.collection,
                 "dim": self.dim, "count": count,
                 "data_version": self.data_version,
+                "vector_version": self.vector_version,
                 "mutation_epoch": self.mutation_epoch,
                 "dtype": "float32", "version": 1}
         tmp = out_path + ".tmp"
@@ -822,7 +948,8 @@ class VectorStore:
                     f"{count * 4 * dim} vector bytes, archive has {vec_size}")
             now = time.time_ns()
             meta.update({"name": name, "collection": collection_name(name),
-                         "data_version": now, "mutation_epoch": now})
+                         "data_version": now, "vector_version": now,
+                         "mutation_epoch": now})
             with open(os.path.join(tmp_dir, META_FILE), "w") as f:
                 json.dump(meta, f, indent=2)
                 f.flush()

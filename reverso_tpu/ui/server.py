@@ -253,6 +253,9 @@ def make_handler(state: UIState):
                     "/api/query/discover": self._discover,
                     "/api/query/search_groups": self._search_groups,
                     "/api/points": self._points,
+                    "/api/query/universal": self._query,
+                    "/api/points/facet": self._facet,
+                    "/api/points/get": self._retrieve,
                     "/api/video/local": self._video_local,
                     "/api/video/urls": self._video_urls,
                 }.get(path)
@@ -267,6 +270,10 @@ def make_handler(state: UIState):
                 self._json({"error": f"bad filter: {e}"}, 400)
             except StoreError as e:
                 # e.g. scroll/recommend before any database is loaded
+                self._json({"error": str(e)}, 400)
+            except ValueError as e:
+                # malformed query shape (bad fusion name, query+fusion
+                # together, empty query): caller error, not a bug
                 self._json({"error": str(e)}, 400)
             except OverloadedError as e:
                 # the batcher's explicit load-shed signal: a retryable
@@ -456,13 +463,55 @@ def make_handler(state: UIState):
                                    for g in groups]})
 
         def _points(self, body: dict) -> None:
-            """Page through the loaded database's points (qdrant scroll)."""
+            """Page through the loaded database's points (qdrant scroll).
+            With `order_by`, `offset`/`next_offset` are [value, id]
+            tokens instead of row ids."""
+            order_by = body.get("order_by") or None
+            offset = body.get("offset") or 0
+            if order_by and offset:
+                offset = (float(offset[0]), int(offset[1]))
+            elif not order_by:
+                offset = int(offset)
             points, next_offset = state.check_no_build_overlap(
                 lambda: engine.scroll(
                     body.get("filter") or None,
-                    offset=int(body.get("offset") or 0),
-                    limit=int(body.get("limit") or 50)))
+                    offset=offset,
+                    limit=int(body.get("limit") or 50),
+                    order_by=order_by,
+                    direction=body.get("direction") or "asc"))
+            if order_by and next_offset is not None:
+                next_offset = list(next_offset)
             self._json({"points": points, "next_offset": next_offset})
+
+        def _query(self, body: dict) -> None:
+            """Universal query: prefetch + fusion / exact rescore
+            (qdrant query_points role)."""
+            target = body.get("target")
+            if isinstance(target, float):
+                target = int(target)
+            hits = state.check_no_build_overlap(
+                lambda: engine.query(
+                    target, prefetch=body.get("prefetch") or None,
+                    fusion=body.get("fusion") or None,
+                    k=body.get("max_results"),
+                    filter=body.get("filter") or None))
+            self._json({"hits": hits})
+
+        def _facet(self, body: dict) -> None:
+            """Value histogram of one payload key (qdrant facet API)."""
+            rows = state.check_no_build_overlap(
+                lambda: engine.facet(
+                    body.get("key", ""), body.get("filter") or None,
+                    limit=int(body.get("limit") or 10)))
+            self._json({"key": body.get("key", ""), "facets": rows})
+
+        def _retrieve(self, body: dict) -> None:
+            """Fetch points by row id / region_id (qdrant retrieve)."""
+            ids = [int(i) if isinstance(i, (int, float)) else str(i)
+                   for i in (body.get("ids") or [])]
+            points = state.check_no_build_overlap(
+                lambda: engine.retrieve(ids))
+            self._json({"points": points})
 
         def _search_text(self, body: dict) -> None:
             # stateless: never clobbers another session's query state;
@@ -648,10 +697,19 @@ img.viz{max-width:100%;border-radius:6px;margin-top:12px}
 <div class="row">
 <div><label>🧮 Payload filter (optional)</label><input type="text" id="m-pts-filter" placeholder="detected_class=person"></div>
 <div><label>Page size</label><select id="m-pts-limit"><option>10</option><option selected>25</option><option>50</option><option>100</option></select></div>
+<div><label>↕️ Order by (numeric key, optional)</label><input type="text" id="m-pts-order" placeholder="confidence"></div>
+<div><label>Direction</label><select id="m-pts-dir"><option value="asc" selected>asc</option><option value="desc">desc</option></select></div>
 </div>
 <button class="primary" onclick="browsePoints(0)">📋 Browse</button>
 <button class="primary" id="m-pts-next" style="display:none" onclick="browsePoints(nextPointsOffset)">⏭️ Next page</button>
 <pre id="m-points">-</pre>
+<h3>Facet (payload value counts)</h3>
+<div class="row">
+<div><label>Payload key</label><input type="text" id="m-facet-key" placeholder="detected_class"></div>
+<div><label>🧮 Filter (optional)</label><input type="text" id="m-facet-filter" placeholder="confidence>=0.5"></div>
+</div>
+<button class="primary" onclick="loadFacet()">📊 Count values</button>
+<pre id="m-facet">-</pre>
 </div>
 
 <div class="tab" id="tab-about">
@@ -789,11 +847,19 @@ async function dbOp(op){
 }
 let nextPointsOffset=0;
 async function browsePoints(offset){
-  const r=await api('/api/points',{filter:$('m-pts-filter').value.trim(),offset:offset||0,limit:+$('m-pts-limit').value});
+  const order=$('m-pts-order').value.trim();
+  const body={filter:$('m-pts-filter').value.trim(),offset:offset||0,limit:+$('m-pts-limit').value};
+  if(order){body.order_by=order;body.direction=$('m-pts-dir').value;}
+  const r=await api('/api/points',body);
   if(r.error){$('m-points').textContent=r.error;return;}
   $('m-points').textContent=(r.points||[]).map(p=>'#'+p.id+'  '+JSON.stringify(p.payload)).join('\\n')||'(no points)';
   nextPointsOffset=r.next_offset;
   $('m-pts-next').style.display=r.next_offset==null?'none':'inline-block';
+}
+async function loadFacet(){
+  const r=await api('/api/points/facet',{key:$('m-facet-key').value.trim(),filter:$('m-facet-filter').value.trim(),limit:50});
+  if(r.error){$('m-facet').textContent=r.error;return;}
+  $('m-facet').textContent=(r.facets||[]).map(f=>f.count+'\\t'+f.value).join('\\n')||'(no values)';
 }
 async function loadStats(){
   const r=await api('/api/stats');

@@ -527,6 +527,198 @@ def test_engine_scroll(engine_store):
     assert points[0]["payload"] is None
 
 
+def test_engine_scroll_order_by(engine_store):
+    """qdrant order_by semantics: numeric payload key, (value, id)
+    resume tokens, filters compose, desc direction."""
+    engine, _ = engine_store
+    points, nxt = engine.scroll(order_by="confidence", limit=10)
+    assert [p["id"] for p in points] == list(range(10))   # asc = row order here
+    assert nxt == (10 / 40, 10)
+    points, nxt = engine.scroll(order_by="confidence", offset=nxt, limit=100)
+    assert [p["id"] for p in points] == list(range(10, 40))
+    assert nxt is None
+    # desc: highest confidence first
+    points, nxt = engine.scroll(order_by="confidence", direction="desc",
+                                limit=3)
+    assert [p["id"] for p in points] == [39, 38, 37]
+    points, _ = engine.scroll(order_by="confidence", direction="desc",
+                              offset=nxt, limit=100)
+    assert [p["id"] for p in points] == list(range(36, -1, -1))
+    # filter composes
+    points, _ = engine.scroll(filter={"detected_class": "person"},
+                              order_by="confidence", direction="desc",
+                              limit=4)
+    assert [p["id"] for p in points] == [36, 32, 28, 24]
+    # ties (same value) break by ascending row id and never dup/skip
+    # across pages: walk 1-by-1 and reassemble
+    seen = []
+    tok = 0
+    while True:
+        pts, tok = engine.scroll(order_by="confidence", offset=tok, limit=1)
+        seen += [p["id"] for p in pts]
+        if tok is None:
+            break
+    assert seen == list(range(40))
+    with pytest.raises(ValueError):
+        engine.scroll(order_by="confidence", direction="sideways")
+
+
+def test_scroll_order_by_ties_and_nonnumeric(tmp_path):
+    """Tied values page without dup/skip (ties break by ascending row
+    id in BOTH directions); rows missing the key or holding strings
+    are excluded, matching qdrant's numeric-only order_by."""
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"],
+                                dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg)
+    vecs = random_unit(np.random.default_rng(1), 9, 16)
+    # scores: ties everywhere; row 6 missing; row 7 non-numeric
+    payloads = [{"filename": f"f{i}.jpg", "score": s} for i, s in
+                enumerate([2.0, 1.0, 2.0, 1.0, 2.0, 1.0])]
+    payloads += [{"filename": "f6.jpg"},
+                 {"filename": "f7.jpg", "score": "high"},
+                 {"filename": "f8.jpg", "score": 0.5}]
+    with VectorStore.create(str(tmp_path / "db"), "ties", 16) as s:
+        s.append(vecs, payloads)
+    engine.load_database("ties")
+    want_asc = [8, 1, 3, 5, 0, 2, 4]
+    for page in (1, 2, 3, 7):
+        seen, tok = [], 0
+        while True:
+            pts, tok = engine.scroll(order_by="score", offset=tok,
+                                     limit=page)
+            seen += [p["id"] for p in pts]
+            if tok is None:
+                break
+        assert seen == want_asc, (page, seen)
+        seen, tok = [], 0
+        while True:
+            pts, tok = engine.scroll(order_by="score", offset=tok,
+                                     direction="desc", limit=page)
+            seen += [p["id"] for p in pts]
+            if tok is None:
+                break
+        assert seen == [0, 2, 4, 1, 3, 5, 8], (page, seen)
+
+
+def test_engine_query_plain_and_rescore(engine_store):
+    """Universal query API: plain shape matches search_batch; the
+    multi-stage shape rescores the union of prefetch candidates
+    EXACTLY (fp32 dot, ties to lower id) against the query."""
+    engine, vecs = engine_store
+    # plain: vector / point-id / region_id operands agree
+    hits = engine.query(vecs[3], k=5)
+    s, i = engine.search_batch(vecs[3], k=5)
+    assert [h["id"] for h in hits] == [int(x) for x in i[0]]
+    np.testing.assert_allclose([h["score"] for h in hits], s[0], atol=1e-6)
+    assert hits[0]["payload"]["filename"] == "f3.jpg"
+    assert [h["id"] for h in engine.query(3, k=5)] == \
+        [h["id"] for h in engine.query("r3", k=5)] == \
+        [h["id"] for h in hits]
+
+    # multi-stage: two branches, exact rescore of the union
+    hits = engine.query(vecs[0],
+                        prefetch=[{"query": 5, "limit": 8},
+                                  {"query": 9, "limit": 8,
+                                   "filter": "detected_class=car"}],
+                        k=6)
+    s5, i5 = engine.search_batch(vecs[5], k=8)
+    s9, i9 = engine.search_batch(vecs[9], k=8)
+    mask = np.array([p % 4 != 0 for p in range(40)])
+    order = np.lexsort((np.arange(40),
+                        -np.where(mask, vecs @ vecs[9], -np.inf)))
+    want9 = order[:8]
+    cand = sorted(set(int(x) for x in i5[0]) | set(int(x) for x in want9))
+    resc = np.asarray(vecs[cand], np.float32) @ vecs[0].astype(np.float32)
+    best = np.lexsort((np.asarray(cand), -resc))[:6]
+    assert [h["id"] for h in hits] == [int(cand[j]) for j in best]
+    np.testing.assert_allclose([h["score"] for h in hits],
+                               resc[best], atol=1e-6)
+
+    # errors
+    with pytest.raises(ValueError):
+        engine.query()
+    with pytest.raises(ValueError):
+        engine.query(vecs[0], prefetch=[3], fusion="rrf")
+    from reverso_tpu.store import StoreError
+    with pytest.raises(StoreError):
+        engine.query(999)
+    with pytest.raises(StoreError):
+        engine.query(np.zeros(7))
+
+
+def test_engine_query_fusion(engine_store):
+    """RRF and DBSF fusion vs hand-computed references."""
+    engine, vecs = engine_store
+    k = 6
+    b1, b2 = engine.search_batch(vecs[2], k=10), \
+        engine.search_batch(vecs[11], k=10)
+    ids1 = [int(x) for x in b1[1][0]]
+    ids2 = [int(x) for x in b2[1][0]]
+    fused = {}
+    for ids in (ids1, ids2):
+        for r, pid in enumerate(ids):
+            fused[pid] = fused.get(pid, 0.0) + 1.0 / (61.0 + r)
+    want = [pid for pid, _ in
+            sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+    hits = engine.query(prefetch=[{"query": 2, "limit": 10},
+                                  {"query": 11, "limit": 10}], k=k)
+    assert [h["id"] for h in hits] == want            # rrf is the default
+    hits2 = engine.query(prefetch=[{"query": 2, "limit": 10},
+                                   {"query": 11, "limit": 10}],
+                         fusion="rrf", k=k)
+    assert hits2 == hits
+
+    fused = {}
+    for ids, scores in ((ids1, b1[0][0]), (ids2, b2[0][0])):
+        a = np.asarray(scores, np.float64)
+        lo, hi = a.mean() - 3 * a.std(), a.mean() + 3 * a.std()
+        for pid, ns in zip(ids, (a - lo) / (hi - lo)):
+            fused[pid] = fused.get(pid, 0.0) + float(ns)
+    want = [pid for pid, _ in
+            sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+    hits = engine.query(prefetch=[{"query": 2, "limit": 10},
+                                  {"query": 11, "limit": 10}],
+                        fusion="dbsf", k=k)
+    assert [h["id"] for h in hits] == want
+    with pytest.raises(ValueError):
+        engine.query(prefetch=[2], fusion="mean")
+    # global filter applies INSIDE branches: all results match it
+    hits = engine.query(prefetch=[{"query": 2, "limit": 10}],
+                        filter={"detected_class": "person"}, k=5)
+    assert hits and all(h["id"] % 4 == 0 for h in hits)
+
+
+def test_engine_retrieve(engine_store):
+    engine, vecs = engine_store
+    pts = engine.retrieve([5, "r7", 999, "nope", 0])
+    assert [p["id"] for p in pts] == [5, 7, 0]     # unknown ids skipped
+    assert pts[1]["payload"]["region_id"] == "r7"
+    pts = engine.retrieve([3], with_vectors=True)
+    np.testing.assert_allclose(pts[0]["vector"], vecs[3], atol=1e-6)
+    assert engine.retrieve([]) == []
+
+
+def test_engine_facet(engine_store):
+    engine, _ = engine_store
+    rows = engine.facet("detected_class")
+    assert rows == [{"value": "car", "count": 30},
+                    {"value": "person", "count": 10}]
+    rows = engine.facet("detected_class", filter="confidence>=0.5")
+    assert rows == [{"value": "car", "count": 15},
+                    {"value": "person", "count": 5}]
+    assert engine.facet("detected_class", limit=1) == [
+        {"value": "car", "count": 30}]
+    assert engine.facet("missing_key") == []
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -576,3 +768,141 @@ def test_cli_recommend_and_points(tmp_path, capsys):
                "--pair", "bogus"])
     assert rc == 1
     assert "bad --pair" in capsys.readouterr().err
+
+
+def test_cli_facet_get_ordered_points(tmp_path, capsys):
+    import json as _json
+    from reverso_tpu.cli import main
+
+    rng = np.random.default_rng(2)
+    vecs = random_unit(rng, 12, 32)
+    payloads = [{"filename": f"f{i}.jpg", "region_id": f"r{i}",
+                 "detected_class": "person" if i % 3 == 0 else "car",
+                 "confidence": (i % 4) / 4}
+                for i in range(12)]
+    root = str(tmp_path / "db")
+    with VectorStore.create(root, "clif", 32) as s:
+        s.append(vecs, payloads)
+    base = ["--db-root", root, "--model", "test-tiny"]
+
+    rc = main(base + ["facet", "clif", "detected_class", "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert _json.loads(out)["facets"] == [
+        {"value": "car", "count": 8}, {"value": "person", "count": 4}]
+
+    rc = main(base + ["get", "clif", "3", "r5", "77", "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    pts = _json.loads(out)["points"]
+    assert [p["id"] for p in pts] == [3, 5]
+    rc = main(base + ["get", "clif", "99"])
+    capsys.readouterr()
+    assert rc == 2                       # nothing found
+
+    # ordered paging through the VALUE:ID token round-trip
+    seen, tok = [], None
+    while True:
+        cmd = base + ["points", "clif", "--order-by", "confidence",
+                      "--desc", "--limit", "5", "--json"]
+        if tok:
+            cmd += ["--offset", tok]
+        assert main(cmd) == 0
+        data = _json.loads(capsys.readouterr().out)
+        seen += [p["id"] for p in data["points"]]
+        tok = data["next_offset"]
+        if tok is None:
+            break
+    assert seen == [3, 7, 11, 2, 6, 10, 1, 5, 9, 0, 4, 8]
+
+    rc = main(base + ["points", "clif", "--order-by", "confidence",
+                      "--offset", "banana"])
+    assert rc == 1
+    assert "VALUE:ID" in capsys.readouterr().err
+
+
+def test_cli_query(tmp_path, capsys):
+    import json as _json
+    from reverso_tpu.cli import main
+
+    vecs = random_unit(np.random.default_rng(4), 15, 16)
+    payloads = [{"region_id": f"r{i}", "filename": f"f{i}.jpg",
+                 "detected_class": "person" if i % 3 == 0 else "car"}
+                for i in range(15)]
+    root = str(tmp_path / "db")
+    with VectorStore.create(root, "cliq", 16) as s:
+        s.append(vecs, payloads)
+    base = ["--db-root", root, "--model", "test-tiny"]
+
+    # fusion of two branches (one with its own filter, as JSON)
+    rc = main(base + ["query", "cliq", "--prefetch", "2",
+                      "--prefetch",
+                      '{"query": 7, "limit": 6, '
+                      '"filter": "detected_class=car"}',
+                      "--fusion", "rrf", "--top-k", "4", "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    hits = _json.loads(out)["hits"]
+    assert len(hits) == 4 and hits[0]["payload"]["filename"]
+
+    # multi-stage rescore against --target
+    rc = main(base + ["query", "cliq", "--prefetch", "2",
+                      "--target", "r0", "--top-k", "3", "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    hits = _json.loads(out)["hits"]
+    assert len(hits) == 3
+    # caller errors are a clean exit code, not a traceback
+    rc = main(base + ["query", "cliq", "--prefetch", "2",
+                      "--target", "1", "--fusion", "rrf"])
+    assert rc == 1
+    assert "not both" in capsys.readouterr().err
+    rc = main(base + ["query", "cliq"])
+    assert rc == 1
+
+
+def test_cli_payload_mutation(tmp_path, capsys):
+    import json as _json
+    from reverso_tpu.cli import main
+
+    vecs = random_unit(np.random.default_rng(3), 6, 16)
+    payloads = [{"region_id": f"r{i}", "detected_class": "car",
+                 "confidence": i / 6} for i in range(6)]
+    root = str(tmp_path / "db")
+    with VectorStore.create(root, "clip", 16) as s:
+        s.append(vecs, payloads)
+    base = ["--db-root", root, "--model", "test-tiny"]
+
+    rc = main(base + ["payload", "clip", "set", "--kv", "reviewed=true",
+                      "--kv", "note=checked twice",
+                      "--filter", "confidence>=0.5"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "3 points" in out
+    rc = main(base + ["get", "clip", "4", "--json"])
+    pt = _json.loads(capsys.readouterr().out)["points"][0]
+    assert pt["payload"]["reviewed"] is True            # JSON-parsed value
+    assert pt["payload"]["note"] == "checked twice"
+
+    rc = main(base + ["payload", "clip", "delete", "--keys", "note",
+                      "--points", "4", "r5"])
+    assert rc == 0
+    capsys.readouterr()
+    main(base + ["get", "clip", "4", "5", "3", "--json"])
+    pts = _json.loads(capsys.readouterr().out)["points"]
+    assert all("note" not in p["payload"] for p in pts[:2])
+    assert pts[2]["payload"]["note"] == "checked twice"
+
+    rc = main(base + ["payload", "clip", "clear", "--points", "0"])
+    assert rc == 0
+    capsys.readouterr()
+    main(base + ["get", "clip", "0", "--json"])
+    assert _json.loads(capsys.readouterr().out)["points"][0]["payload"] \
+        == {}
+
+    rc = main(base + ["payload", "clip", "set", "--points", "0"])
+    assert rc == 1 and "--kv" in capsys.readouterr().err
+    rc = main(base + ["payload", "clip", "set", "--kv", "nonsense"])
+    assert rc == 1 and "KEY=VALUE" in capsys.readouterr().err
+    rc = main(base + ["payload", "clip", "delete", "--keys", "x"])
+    assert rc == 1                      # nothing selected
+    assert "Nothing selected" in capsys.readouterr().err

@@ -599,6 +599,150 @@ def test_compact_stage_survives_live_writer(tmp_path, rng):
     os.remove(os.path.join(path, ".lock"))
 
 
+def test_update_payloads_modes(tmp_path, rng):
+    """set/overwrite/delete/clear rewrite only the selected payload
+    lines; vectors are bit-identical, vector_version and mutation_epoch
+    hold still (no device re-upload, IVF cache stays valid), and
+    data_version bumps (payload caches refresh)."""
+    root = str(tmp_path)
+    vecs = random_unit(rng, 8, 16)
+    s = VectorStore.create(root, "up", 16)
+    s.append(vecs, make_payloads(8))
+    s.flush()
+    vv, me, dv = s.vector_version, s.mutation_epoch, s.data_version
+
+    assert s.update_payloads([1, 3], patch={"note": "x", "bbox": [1, 1]},
+                             mode="set") == 2
+    pays = s.payloads()
+    assert pays[1]["note"] == "x" and pays[1]["bbox"] == [1, 1]
+    assert pays[1]["region_id"] == "r1"          # merge keeps other keys
+    assert "note" not in pays[0] and pays[0]["bbox"] == [0, 0, 10, 10]
+    assert s.data_version == dv + 1
+    assert s.vector_version == vv and s.mutation_epoch == me
+    np.testing.assert_array_equal(np.asarray(s.vectors()), vecs)
+
+    assert s.update_payloads([2], patch={"only": 1}, mode="overwrite") == 1
+    assert s.payloads([2])[0] == {"only": 1}
+    assert s.update_payloads([1], keys=["note", "ghost"],
+                             mode="delete") == 1
+    assert "note" not in s.payloads([1])[0]
+    assert s.update_payloads([0], mode="clear") == 1
+    assert s.payloads([0])[0] == {}
+    # empty selection is a no-op with no version churn
+    dv2 = s.data_version
+    assert s.update_payloads([], patch={"a": 1}, mode="set") == 0
+    assert s.data_version == dv2
+
+    with pytest.raises(StoreError):
+        s.update_payloads([0], mode="nonsense")
+    with pytest.raises(StoreError):
+        s.update_payloads([0], mode="set")             # no patch
+    with pytest.raises(StoreError):
+        s.update_payloads([0], mode="delete")          # no keys
+    with pytest.raises(StoreError):
+        s.update_payloads([99], patch={}, mode="overwrite")
+    s.close()
+
+    # sidecar stayed in lockstep: O(k) joins on a fresh handle
+    s2 = VectorStore.open(root, "up")
+    assert s2.payloads([2, 0, 7]) == [{"only": 1}, {},
+                                      make_payloads(1, 7)[0]]
+    with pytest.raises(StoreError):
+        s2.update_payloads([0], mode="clear")          # read-only
+
+
+def test_update_payloads_crash_rolls_forward(tmp_path, rng):
+    """A crash after the commit marker lands (stage files present,
+    renames not yet done) must roll forward on the next open — same
+    journal as compact, but payload-only staging leaves vectors.bin
+    alone."""
+    import json as _json
+    root = str(tmp_path)
+    vecs = random_unit(rng, 4, 8)
+    s = VectorStore.create(root, "upc", 8)
+    s.append(vecs, make_payloads(4))
+    s.flush()
+    path = os.path.join(root, "upc")
+    # build the staged rewrite by hand (row 2 cleared)
+    lines = []
+    with open(os.path.join(path, "payloads.jsonl"), "rb") as f:
+        lines = f.read().splitlines(keepends=True)
+    lines[2] = b"{}\n"
+    offs, pos = [], 0
+    for ln in lines:
+        offs.append(pos)
+        pos += len(ln)
+    with open(os.path.join(path, "payloads.jsonl.compact"), "wb") as f:
+        f.write(b"".join(lines))
+    with open(os.path.join(path, "payloads.idx.compact"), "wb") as f:
+        f.write(np.asarray(offs, "<i8").tobytes())
+    meta = _json.load(open(os.path.join(path, "meta.json")))
+    marker = dict(meta, data_version=meta["data_version"] + 1)
+    with open(os.path.join(path, "compact.commit"), "w") as f:
+        _json.dump(marker, f)
+    s.close()                                # crash: lock released
+
+    s2 = VectorStore.open(root, "upc")
+    assert s2.count == 4
+    assert s2.payloads([2])[0] == {}
+    assert s2.payloads([1])[0]["region_id"] == "r1"
+    assert s2.data_version == meta["data_version"] + 1
+    assert s2.vector_version == meta["vector_version"]
+    np.testing.assert_array_equal(np.asarray(s2.vectors()), vecs)
+    assert not os.path.exists(os.path.join(path, "compact.commit"))
+    assert not os.path.exists(
+        os.path.join(path, "payloads.jsonl.compact"))
+
+
+def test_engine_payload_mutation(tmp_path, rng):
+    """Engine facade: selection by ids/region_ids/filter, device index
+    survives the mutation (vectors unchanged), filters see the new
+    payload values."""
+    import dataclasses
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"],
+                                dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg)
+    vecs = random_unit(rng, 10, 32)
+    payloads = [{"region_id": f"r{i}", "filename": f"f{i}.jpg",
+                 "detected_class": "person" if i < 4 else "car"}
+                for i in range(10)]
+    with VectorStore.create(str(tmp_path / "db"), "mut", 32) as s:
+        s.append(vecs, payloads)
+    engine.load_database("mut")
+    idx_before = engine._get_index()
+
+    msg = engine.set_payload({"reviewed": True},
+                             points=[0, "r2"], filter="detected_class=car")
+    assert msg.startswith("✅") and "8 points" in msg
+    assert engine.count({"reviewed": True}) == 8
+    assert engine._get_index() is idx_before       # no re-upload
+
+    msg = engine.delete_payload(["reviewed"], points=[0])
+    assert msg.startswith("✅")
+    assert engine.count({"reviewed": True}) == 7
+    msg = engine.clear_payload(filter="detected_class=person")
+    assert msg.startswith("✅")
+    assert engine.retrieve([1])[0]["payload"] == {}
+    msg = engine.overwrite_payload({"fresh": 1}, points=[5])
+    assert engine.retrieve([5])[0]["payload"] == {"fresh": 1}
+
+    # guard rails
+    assert engine.set_payload({"a": 1}).startswith("❌")
+    assert engine.set_payload({"a": 1},
+                              filter="bad syntax((").startswith("❌")
+    # search still exact against the untouched vectors
+    s_, i_ = engine.search_batch(vecs[3], k=1)
+    assert int(i_[0, 0]) == 3
+
+
 def test_engine_delete_points(tmp_path, rng):
     import dataclasses
     from reverso_tpu.config import MODEL_PRESETS, default_config

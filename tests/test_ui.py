@@ -134,8 +134,10 @@ def test_full_ui_flow(server, tmp_path):
 
 def test_error_paths(server):
     base, _ = server
+    # undecodable image payload is a CALLER error (binascii.Error is a
+    # ValueError): 400, not a 500 with a stack trace in the log
     code, r = post(base, "/api/query/detect", {"image": "!!!notb64"})
-    assert code == 500 and "error" in r
+    assert code == 400 and "error" in r
     code, r = post(base, "/api/nonexistent", {})
     assert code == 404
     code, r = post(base, "/api/video/local",
@@ -294,6 +296,48 @@ def test_recommend_and_points_endpoints(server, tmp_path):
     # neither target nor pairs -> message, not 500
     code, r = post(base, "/api/query/discover", {})
     assert code == 200 and r["summary"].startswith("❌"), r
+
+    # facet histogram (qdrant facet API)
+    code, r = post(base, "/api/points/facet", {"key": "detected_class"})
+    assert code == 200, r
+    assert r["facets"] == [{"value": "full_image", "count": 6}]
+
+    # retrieve by id / region_id, unknown ids skipped
+    rid = None
+    code, r = post(base, "/api/points", {"limit": 1})
+    rid = r["points"][0]["payload"]["region_id"]
+    code, r = post(base, "/api/points/get", {"ids": [3, rid, 999]})
+    assert code == 200, r
+    assert [p["id"] for p in r["points"]] == [3, 0]
+
+    # universal query: fusion of two prefetch branches
+    code, r = post(base, "/api/query/universal",
+                   {"prefetch": [0, {"query": 1, "limit": 3}],
+                    "fusion": "rrf", "max_results": 3})
+    assert code == 200, r
+    assert len(r["hits"]) == 3 and "score" in r["hits"][0]
+    # multi-stage rescore; bad shapes are 400s
+    code, r = post(base, "/api/query/universal",
+                   {"target": 0, "prefetch": [1], "max_results": 2})
+    assert code == 200 and r["hits"], r
+    code, r = post(base, "/api/query/universal",
+                   {"target": 0, "prefetch": [1], "fusion": "rrf"})
+    assert code == 400 and "not both" in r["error"], r
+    code, r = post(base, "/api/query/universal", {})
+    assert code == 400, r
+
+    # ordered scroll with [value, id] tokens (all confidences tie at
+    # 1.0, so order falls back to row id and paging must not dup/skip)
+    code, r = post(base, "/api/points",
+                   {"order_by": "confidence", "limit": 4})
+    assert code == 200, r
+    assert [p["id"] for p in r["points"]] == [0, 1, 2, 3]
+    assert r["next_offset"] == [1.0, 4]
+    code, r = post(base, "/api/points",
+                   {"order_by": "confidence", "offset": r["next_offset"],
+                    "limit": 10})
+    assert code == 200 and r["next_offset"] is None
+    assert [p["id"] for p in r["points"]] == [4, 5]
 
 
 def test_search_groups_endpoint(server, tmp_path):
