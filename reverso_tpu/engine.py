@@ -1124,13 +1124,11 @@ class Reverso:
         mask = self._filter_mask(filter) if filter is not None else None
         store.refresh()
         if order_by is not None:
-            from .store.filter import _numeric
-
             if direction not in ("asc", "desc"):
                 raise ValueError(f"direction must be asc|desc, got "
                                  f"{direction!r}")
             cols = self._payload_columns()
-            vals_all = _numeric(cols.column(str(order_by)))
+            vals_all = cols.view(str(order_by)).num
             keep = ~np.isnan(vals_all)
             if mask is not None:
                 keep &= mask[:len(vals_all)]
@@ -1177,8 +1175,11 @@ class Reverso:
         by_region: dict[str, int] = {}
         if str_ids:
             cols = self._payload_columns()
+            view = cols.view("region_id")
             col = cols.column("region_id")
-            hits = np.nonzero(np.isin(col, str_ids))[0]
+            want = [c for c in (view.uindex.get(s, -2) for s in str_ids)
+                    if c >= 0]
+            hits = np.nonzero(np.isin(view.codes, want))[0]
             # keep-first on duplicate region_ids (store is append-only)
             for r in hits.tolist():
                 by_region.setdefault(col[r], r)

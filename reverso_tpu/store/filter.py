@@ -275,6 +275,7 @@ class PayloadColumns:
         self._store = store
         self.count = store.count
         self._cols: dict[str, np.ndarray] = {}
+        self._views: dict[str, "TypedView"] = {}
 
     def ensure(self, keys: Sequence[str]) -> None:
         missing = [k for k in keys if k not in self._cols]
@@ -439,15 +440,85 @@ class PayloadColumns:
         self.ensure([key])
         return self._cols[key]
 
+    def view(self, key: str) -> "TypedView":
+        """Memoized typed view (see `TypedView`) — derived once per
+        (store version, key), then every filter/order_by/lookup is
+        vectorized numpy. Treat the arrays as read-only."""
+        v = self._views.get(key)
+        if v is None:
+            v = self._views[key] = TypedView(self.column(key))
+        return v
+
     def present(self, key: str) -> np.ndarray:
-        """[count] bool: rows whose payload carries `key` at all."""
-        return self.column(key) != _MISSING
+        """[count] bool: rows whose payload carries `key` at all.
+        Treat as read-only (shared with the memoized view)."""
+        return self.view(key).present
+
+
+class TypedView:
+    """Exactness-preserving typed views of one object column.
+
+    Derived in ONE python pass per (store version, key) and memoized on
+    the owning `PayloadColumns`, so every later filter evaluation,
+    order_by sort, and region_id lookup is pure vectorized numpy — the
+    per-query python loop over 1M+ rows that the object column forces
+    otherwise. The exactness contract vs the python reference
+    semantics is kept by a sparse `odd` row list (values float64
+    equality can't represent: ints beyond 2^53, lists, dicts) that
+    match/any re-check with python `==`."""
+
+    __slots__ = ("present", "num", "numb", "codes", "uniq", "uindex",
+                 "is_null", "odd")
+
+    def __init__(self, col: np.ndarray):
+        n = len(col)
+        self.present = np.zeros(n, np.bool_)
+        # numbers excluding bools (the `range` operand, matching the
+        # old _numeric); big ints round to f64 exactly as before
+        self.num = np.full(n, np.nan, np.float64)
+        # numbers INCLUDING bools as 1/0 (the `match` operand: python
+        # equality says True == 1)
+        self.numb = np.full(n, np.nan, np.float64)
+        self.codes = np.full(n, -1, np.int32)      # clean-string dict codes
+        self.is_null = np.zeros(n, np.bool_)
+        uniq: list[str] = []
+        uindex: dict[str, int] = {}
+        odd: list[int] = []
+        big = 2 ** 53
+        for i, v in enumerate(col):
+            if v is _MISSING:
+                continue
+            self.present[i] = True
+            t = type(v)
+            if t is str:
+                c = uindex.get(v)
+                if c is None:
+                    c = uindex[v] = len(uniq)
+                    uniq.append(v)
+                self.codes[i] = c
+            elif t is bool:
+                self.numb[i] = 1.0 if v else 0.0
+            elif t is int:
+                self.num[i] = self.numb[i] = v
+                if not -big <= v <= big:
+                    odd.append(i)          # f64-inexact: python-check ==
+            elif t is float:
+                self.num[i] = self.numb[i] = v
+            elif v is None:
+                self.is_null[i] = True
+            else:
+                odd.append(i)              # lists/dicts/exotic types
+        self.uniq = np.asarray(uniq, object)
+        self.uindex = uindex
+        self.odd = np.asarray(odd, np.int64)
 
 
 def _numeric(col: np.ndarray) -> np.ndarray:
     """Object column -> float64 with NaN for missing/non-numeric values
     (NaN compares False under every ordered operator, which is exactly
-    the 'missing never matches a range' semantics we want)."""
+    the 'missing never matches a range' semantics we want).
+    Kept as the reference implementation; hot paths use
+    `PayloadColumns.view(key).num` instead."""
     out = np.full(col.shape, np.nan, np.float64)
     for i, v in enumerate(col):
         if isinstance(v, (int, float)) and not isinstance(v, bool):
@@ -455,25 +526,50 @@ def _numeric(col: np.ndarray) -> np.ndarray:
     return out
 
 
+def _match_mask(view: TypedView, col: np.ndarray, value) -> np.ndarray:
+    """Vectorized `payload[key] == value` with python-equality
+    semantics (True == 1, exact big-int compares)."""
+    if isinstance(value, str):
+        m = view.codes == view.uindex.get(value, -2)
+    elif value is None:
+        m = view.is_null.copy()
+    elif isinstance(value, bool) or (isinstance(value, int)
+                                     and -2**53 <= value <= 2**53) \
+            or isinstance(value, float):
+        m = view.numb == float(value)
+    else:
+        # non-scalar or f64-inexact match value: python reference path
+        return np.fromiter((v is not _MISSING and v == value
+                            for v in col), np.bool_, count=len(col))
+    for i in view.odd:                     # sparse python re-check
+        m[i] = col[i] == value
+    return m
+
+
 def _eval_condition(cond: "Condition | Filter",
                     columns: PayloadColumns) -> np.ndarray:
     if isinstance(cond, Filter):
         return evaluate_filter(cond, columns)
-    col = columns.column(cond.key)
+    view = columns.view(cond.key)
     if cond.op == "exists":
-        present = col != _MISSING
-        return present if cond.value else ~present
+        return view.present if cond.value else ~view.present
     if cond.op == "match":
-        return np.fromiter((v is not _MISSING and v == cond.value
-                            for v in col), np.bool_, count=len(col))
+        return _match_mask(view, columns.column(cond.key), cond.value)
     if cond.op == "any":
-        allowed = set(cond.value)
-        return np.fromiter(
-            (v is not _MISSING and not isinstance(v, (list, dict))
-             and v in allowed for v in col), np.bool_, count=len(col))
+        # python semantics preserved: short-circuit excludes list/dict
+        # payloads before the `in allowed` membership test, and a list
+        # payload never equals a scalar in the odd-row recheck either
+        col = columns.column(cond.key)
+        m = np.zeros(len(col), np.bool_)
+        for value in cond.value:
+            m |= _match_mask(view, col, value)
+        return m
     if cond.op == "range":
-        num = _numeric(col)
-        ok = np.ones(col.shape, np.bool_)
+        num = view.num
+        # ones, not `present`: every op below compares NaN→False for
+        # missing/non-numeric rows, and a (pathological) empty range
+        # matched everything in the reference implementation
+        ok = np.ones(len(num), np.bool_)
         r = cond.value
         if "gt" in r:
             ok &= num > r["gt"]

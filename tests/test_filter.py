@@ -237,6 +237,72 @@ def test_payload_columns_native_parity(tmp_path):
     np.testing.assert_array_equal(mask_nat, mask_py)
 
 
+def _reference_eval(cond, col):
+    """Python-semantics reference for one condition over an object
+    column (the pre-vectorization implementation, kept verbatim)."""
+    from reverso_tpu.store.filter import _MISSING, _numeric
+    if cond.op == "exists":
+        present = col != _MISSING
+        return present if cond.value else ~present
+    if cond.op == "match":
+        return np.fromiter((v is not _MISSING and v == cond.value
+                            for v in col), np.bool_, count=len(col))
+    if cond.op == "any":
+        allowed = set(cond.value)
+        return np.fromiter(
+            (v is not _MISSING and not isinstance(v, (list, dict))
+             and v in allowed for v in col), np.bool_, count=len(col))
+    num = _numeric(col)
+    ok = np.ones(col.shape, np.bool_)
+    r = cond.value
+    for op, fn in (("gt", np.greater), ("gte", np.greater_equal),
+                   ("lt", np.less), ("lte", np.less_equal)):
+        if op in r:
+            ok &= fn(num, r[op])
+    return ok
+
+
+def test_typed_view_vectorized_parity(tmp_path):
+    """The memoized TypedView fast path must match python-equality
+    semantics exactly over an adversarial value mix: bools vs 1/0,
+    big ints beyond 2^53, None, NaN, lists, dicts, unicode strings."""
+    from reverso_tpu.store.filter import Condition
+
+    values = ["person", "café ❤", "", "1", True, False, 1, 0, -3,
+              2**53 + 1, -(2**60) - 7, 0.5, 1.0, float("nan"),
+              None, [1, 2], {"a": 1}, 3.5, "person", 2**53 + 1]
+    payloads = [{"v": v, "i": i} for i, v in enumerate(values)]
+    payloads.append({"i": len(values)})            # row missing "v"
+    d = 8
+    vecs = random_unit(np.random.default_rng(0), len(payloads), d)
+    with VectorStore.create(str(tmp_path), "tv", d) as s:
+        s.append(vecs, payloads)
+    store = VectorStore.open(str(tmp_path), "tv")
+    cols = PayloadColumns(store)
+    col = cols.column("v")
+
+    conds = [Condition("v", "match", m) for m in
+             ["person", "café ❤", "", "1", "nope", True, False,
+              1, 0, 1.0, 0.5, 2**53 + 1, 2**53 + 2, -(2**60) - 7,
+              None, [1, 2], {"a": 1}, 3.5, float("nan")]]
+    conds += [Condition("v", "any", a) for a in
+              [["person", 1], [True, 0.5], [None, ""],
+               [2**53 + 1, "1"], []]]
+    conds += [Condition("v", "range", r) for r in
+              [{"gte": 0}, {"gt": 0.5, "lte": 1}, {"lt": -1},
+               {"gte": 2**53}, {}]]
+    conds += [Condition("v", "exists", True),
+              Condition("v", "exists", False)]
+    from reverso_tpu.store.filter import _eval_condition
+    for cond in conds:
+        got = _eval_condition(cond, cols)
+        want = _reference_eval(cond, col)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"{cond.op} {cond.value!r}")
+    # memoization: second evaluation reuses the view object
+    assert cols.view("v") is cols.view("v")
+
+
 def test_native_columns_survive_torn_tail(tmp_path):
     """Crash between the jsonl append and the sidecar append leaves
     torn bytes after the last committed row with a sidecar of exactly
