@@ -459,6 +459,21 @@ def cmd_payload(args) -> int:
     return 0 if msg.startswith("✅") else 1
 
 
+def cmd_index_payload(args) -> int:
+    """Persist typed payload-column views (qdrant create_payload_index
+    role): later processes skip the JSONL stream for these keys. No
+    model load."""
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    msg = engine.index_payload(args.keys)
+    out = sys.stdout if msg.startswith("✅") else sys.stderr
+    print(msg, file=out)
+    return 0 if msg.startswith("✅") else 1
+
+
 def cmd_list(args) -> int:
     engine = _make_engine(args)
     for name in engine.list_databases():
@@ -1011,6 +1026,14 @@ def build_parser() -> argparse.ArgumentParser:
     py.add_argument("--filter", action="append", default=[],
                     help="payload filter clause(s), as in `search`")
     py.set_defaults(fn=cmd_payload)
+
+    ip = sub.add_parser("index-payload",
+                        help="persist typed payload-column views for "
+                             "instant cold filters (qdrant "
+                             "create_payload_index)")
+    ip.add_argument("name")
+    ip.add_argument("keys", nargs="+", help="payload keys to index")
+    ip.set_defaults(fn=cmd_index_payload)
 
     l = sub.add_parser("list", help="list databases")
     l.set_defaults(fn=cmd_list)

@@ -440,6 +440,27 @@ class Reverso:
         cols.ensure(sorted(filt.keys()))
         return evaluate_filter(filt, cols)
 
+    def index_payload(self, keys: Sequence[str]) -> str:
+        """Extract + persist typed column views for `keys` — the
+        create_payload_index role of qdrant's API. Later processes
+        mmap-load the arrays instead of streaming the whole JSONL, so
+        their first filtered search / facet / order_by is instant.
+        (Big stores auto-persist keys on first use; this is the
+        explicit, guard-free version.)"""
+        if self._store is None:
+            return ("❌ No database loaded. Please create or load a "
+                    "database first.")
+        keys = [str(k) for k in keys]
+        if not keys:
+            return "❌ No payload keys given"
+        cols = self._payload_columns()
+        cols.ensure(keys)
+        path = cols.persist(keys, force=True)
+        if path is None:
+            return "❌ Could not write the column cache (read-only dir?)"
+        return (f"✅ Indexed payload keys {', '.join(keys)} "
+                f"({os.path.basename(path)})")
+
     def count(self, filter=None) -> int:
         """Number of stored points, optionally restricted to a payload
         filter (qdrant's count API role over the reference's store,

@@ -276,12 +276,19 @@ class PayloadColumns:
         self.count = store.count
         self._cols: dict[str, np.ndarray] = {}
         self._views: dict[str, "TypedView"] = {}
+        # cache-loaded keys whose object column hasn't been asked for
+        # yet: key -> odd values (column() materializes on demand)
+        self._pending: dict[str, list] = {}
 
     def ensure(self, keys: Sequence[str]) -> None:
-        missing = [k for k in keys if k not in self._cols]
+        missing = [k for k in keys
+                   if k not in self._cols and k not in self._pending]
         if not missing or self.count == 0:
             for k in missing:
                 self._cols[k] = np.empty((0,), object)
+            return
+        missing = self._load_persisted(missing)
+        if not missing:
             return
         self._store.flush()
         cols = None
@@ -293,6 +300,97 @@ class PayloadColumns:
         if cols is None:
             cols = self._extract_python(missing)
         self._cols.update(cols)
+        self._maybe_persist(list(cols))
+
+    def _load_persisted(self, missing: Sequence[str]) -> list:
+        """Install any of `missing` available in the on-disk column
+        cache for this exact store version; returns the keys still
+        missing. Any corruption falls back to re-extraction."""
+        if os.environ.get("REVERSO_PAYCOL_CACHE", "1") == "0":
+            return list(missing)
+        path = _paycols_path(self._store)
+        if not os.path.exists(path):
+            return list(missing)
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                have = {name.split("::", 1)[0] for name in z.files}
+                still = []
+                for k in missing:
+                    if k not in have:
+                        still.append(k)
+                        continue
+                    view, odd_vals = _view_from_arrays(z, k, self.count)
+                    self._views[k] = view
+                    self._pending[k] = odd_vals
+            return still
+        except Exception:
+            return list(missing)
+
+    def persist(self, keys: Optional[Sequence[str]] = None, *,
+                force: bool = True) -> Optional[str]:
+        """Write a typed-column cache file for this store version — the
+        payload-index role of qdrant's create_payload_index: later
+        processes load these arrays (an mmap-speed npz read) instead of
+        re-streaming the whole JSONL and re-deriving views. Returns the
+        path, or None when nothing qualified / the filesystem refused.
+
+        `force=False` applies the auto-persist size guard per key
+        (skips e.g. all-unique id columns whose dictionary would dwarf
+        the data). Existing cached keys for the same version are
+        preserved (merge-on-write); stale versions are swept."""
+        if keys is None:
+            keys = list(self._cols) + [k for k in self._pending
+                                       if k not in self._cols]
+        keys = list(keys)
+        if not keys or self.count == 0:
+            return None
+        path = _paycols_path(self._store)
+        arrays: dict = {}
+        try:
+            if os.path.exists(path):       # merge with already-cached keys
+                with np.load(path, allow_pickle=False) as z:
+                    arrays.update({name: z[name] for name in z.files})
+        except Exception:
+            arrays = {}
+        budget = _PERSIST_MAX_BYTES_PER_ROW * self.count
+        wrote = False
+        for k in keys:
+            member = _view_to_arrays(k, self.view(k), self.column(k))
+            if not force and sum(a.nbytes for a in member.values()) > budget:
+                continue
+            arrays.update(member)
+            wrote = True
+        if not wrote:
+            return None
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.savez(f, **arrays)
+            os.replace(tmp, path)
+            for fname in os.listdir(os.path.dirname(path)):
+                if fname.startswith(_PAYCOL_PREFIX) and \
+                        fname != os.path.basename(path):
+                    try:
+                        os.remove(os.path.join(os.path.dirname(path),
+                                               fname))
+                    except OSError:
+                        pass
+            return path
+        except OSError:
+            return None               # read-only filesystem etc.
+
+    def _maybe_persist(self, new_keys: Sequence[str]) -> None:
+        """Auto-persist freshly extracted keys on big stores, so the
+        NEXT process's first filtered search skips the JSONL stream
+        and the view derivation entirely."""
+        if self.count < _PERSIST_MIN_ROWS or \
+                os.environ.get("REVERSO_PAYCOL_CACHE", "1") == "0":
+            return
+        try:
+            self.persist(new_keys, force=False)
+        except Exception:
+            pass                      # cache write must never fail a query
 
     def _extract_python(self, missing: Sequence[str]) -> dict:
         """Reference implementation: json-parse every line."""
@@ -438,6 +536,9 @@ class PayloadColumns:
 
     def column(self, key: str) -> np.ndarray:
         self.ensure([key])
+        if key in self._pending:        # cache-loaded: materialize now
+            self._cols[key] = _column_from_view(
+                self._views[key], self._pending.pop(key), self.count)
         return self._cols[key]
 
     def view(self, key: str) -> "TypedView":
@@ -468,7 +569,7 @@ class TypedView:
     match/any re-check with python `==`."""
 
     __slots__ = ("present", "num", "numb", "codes", "uniq", "uindex",
-                 "is_null", "odd")
+                 "is_null", "isint", "odd")
 
     def __init__(self, col: np.ndarray):
         n = len(col)
@@ -481,6 +582,7 @@ class TypedView:
         self.numb = np.full(n, np.nan, np.float64)
         self.codes = np.full(n, -1, np.int32)      # clean-string dict codes
         self.is_null = np.zeros(n, np.bool_)
+        self.isint = np.zeros(n, np.bool_)   # int (vs float) numeric rows
         uniq: list[str] = []
         uindex: dict[str, int] = {}
         odd: list[int] = []
@@ -500,6 +602,7 @@ class TypedView:
                 self.numb[i] = 1.0 if v else 0.0
             elif t is int:
                 self.num[i] = self.numb[i] = v
+                self.isint[i] = True
                 if not -big <= v <= big:
                     odd.append(i)          # f64-inexact: python-check ==
             elif t is float:
@@ -511,6 +614,95 @@ class TypedView:
         self.uniq = np.asarray(uniq, object)
         self.uindex = uindex
         self.odd = np.asarray(odd, np.int64)
+
+
+_PAYCOL_PREFIX = "paycols_"
+_PERSIST_MIN_ROWS = 100_000        # auto-persist threshold (rows)
+_PERSIST_MAX_BYTES_PER_ROW = 40    # per-key auto-persist size guard
+
+
+def _paycols_path(store) -> str:
+    """Persisted-column file for the store's CURRENT version. The
+    (count, data_version) key in the name is the whole invalidation
+    story: any mutation bumps data_version, so a stale file simply
+    never matches again (and is swept on the next persist)."""
+    return os.path.join(
+        store.path, "index",
+        f"{_PAYCOL_PREFIX}{store.count}_{store.data_version}.npz")
+
+
+def _view_to_arrays(key: str, view: "TypedView",
+                    col: np.ndarray) -> dict:
+    """TypedView -> plain typed arrays (npz-safe, no pickle). Unique
+    strings ship as one utf-8 blob + lengths; odd values (big ints,
+    lists, dicts) as their exact JSON."""
+    enc = [u.encode("utf-8") for u in view.uniq.tolist()]
+    blob = (np.frombuffer(b"".join(enc), np.uint8).copy() if enc
+            else np.zeros(0, np.uint8))
+    lens = np.asarray([len(e) for e in enc], np.int64)
+    odd_json = (np.asarray([json.dumps(col[i])
+                            for i in view.odd.tolist()])
+                if len(view.odd) else np.zeros(0, "U1"))
+    return {f"{key}::present": view.present, f"{key}::num": view.num,
+            f"{key}::numb": view.numb, f"{key}::codes": view.codes,
+            f"{key}::is_null": view.is_null, f"{key}::isint": view.isint,
+            f"{key}::odd": view.odd, f"{key}::odd_json": odd_json,
+            f"{key}::uniq_blob": blob, f"{key}::uniq_lens": lens}
+
+
+def _view_from_arrays(z, key: str, n: int):
+    """Inverse of `_view_to_arrays`: (TypedView, odd values)."""
+    view = TypedView.__new__(TypedView)
+    for slot in ("present", "num", "numb", "codes", "is_null", "isint",
+                 "odd"):
+        arr = np.asarray(z[f"{key}::{slot}"])
+        setattr(view, slot, arr)
+    if len(view.present) != n:
+        raise ValueError(f"persisted column {key!r} has "
+                         f"{len(view.present)} rows, store has {n}")
+    blob = bytes(np.asarray(z[f"{key}::uniq_blob"], np.uint8))
+    lens = np.asarray(z[f"{key}::uniq_lens"], np.int64).tolist()
+    uniq, pos = [], 0
+    for ln in lens:
+        uniq.append(blob[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    view.uniq = np.asarray(uniq, object)
+    view.uindex = {u: i for i, u in enumerate(uniq)}
+    odd_vals = [json.loads(s) for s in
+                np.asarray(z[f"{key}::odd_json"]).tolist()]
+    return view, odd_vals
+
+
+def _column_from_view(view: "TypedView", odd_vals, n: int) -> np.ndarray:
+    """Object column reconstructed from a loaded view — each cell with
+    its exact python type (ints via isint, bools via numb-without-num,
+    NaN floats, odd rows from their JSON), so facet/group-by/python-
+    fallback paths behave identically to a freshly extracted column.
+    Deferred until someone actually asks for the object view: filter
+    evaluation runs on the typed arrays alone."""
+    col = np.full(n, _MISSING, object)
+    srows = np.nonzero(view.codes >= 0)[0]
+    if len(srows):
+        col[srows] = view.uniq[view.codes[srows]]
+    has_num = ~np.isnan(view.num)
+    irows = np.nonzero(view.isint)[0]
+    if len(irows):
+        col[irows] = view.num[irows].astype(np.int64).tolist()
+    frows = np.nonzero(has_num & ~view.isint)[0]
+    if len(frows):
+        col[frows] = view.num[frows].tolist()
+    brows = np.nonzero(~has_num & ~np.isnan(view.numb))[0]
+    if len(brows):
+        col[brows] = (view.numb[brows] > 0.5).tolist()
+    col[view.is_null] = None
+    # NaN-float payloads: present but in no typed class above
+    nanrows = (view.present & np.isnan(view.numb) & (view.codes < 0)
+               & ~view.is_null)
+    nanrows[view.odd] = False
+    col[nanrows] = float("nan")
+    for i, v in zip(view.odd.tolist(), odd_vals):
+        col[i] = v
+    return col
 
 
 def _numeric(col: np.ndarray) -> np.ndarray:
@@ -526,9 +718,12 @@ def _numeric(col: np.ndarray) -> np.ndarray:
     return out
 
 
-def _match_mask(view: TypedView, col: np.ndarray, value) -> np.ndarray:
+def _match_mask(view: TypedView, col_fn, value) -> np.ndarray:
     """Vectorized `payload[key] == value` with python-equality
-    semantics (True == 1, exact big-int compares)."""
+    semantics (True == 1, exact big-int compares). `col_fn` supplies
+    the object column lazily — it is only touched for odd rows (big
+    ints, lists, dicts) or non-scalar match values, so cache-loaded
+    columns usually never materialize."""
     if isinstance(value, str):
         m = view.codes == view.uindex.get(value, -2)
     elif value is None:
@@ -539,10 +734,13 @@ def _match_mask(view: TypedView, col: np.ndarray, value) -> np.ndarray:
         m = view.numb == float(value)
     else:
         # non-scalar or f64-inexact match value: python reference path
+        col = col_fn()
         return np.fromiter((v is not _MISSING and v == value
                             for v in col), np.bool_, count=len(col))
-    for i in view.odd:                     # sparse python re-check
-        m[i] = col[i] == value
+    if len(view.odd):
+        col = col_fn()
+        for i in view.odd:                 # sparse python re-check
+            m[i] = col[i] == value
     return m
 
 
@@ -551,18 +749,18 @@ def _eval_condition(cond: "Condition | Filter",
     if isinstance(cond, Filter):
         return evaluate_filter(cond, columns)
     view = columns.view(cond.key)
+    col_fn = lambda: columns.column(cond.key)   # noqa: E731 — lazy
     if cond.op == "exists":
         return view.present if cond.value else ~view.present
     if cond.op == "match":
-        return _match_mask(view, columns.column(cond.key), cond.value)
+        return _match_mask(view, col_fn, cond.value)
     if cond.op == "any":
         # python semantics preserved: short-circuit excludes list/dict
         # payloads before the `in allowed` membership test, and a list
         # payload never equals a scalar in the odd-row recheck either
-        col = columns.column(cond.key)
-        m = np.zeros(len(col), np.bool_)
+        m = np.zeros(len(view.present), np.bool_)
         for value in cond.value:
-            m |= _match_mask(view, col, value)
+            m |= _match_mask(view, col_fn, value)
         return m
     if cond.op == "range":
         num = view.num

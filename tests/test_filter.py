@@ -303,6 +303,120 @@ def test_typed_view_vectorized_parity(tmp_path):
     assert cols.view("v") is cols.view("v")
 
 
+def test_paycols_persist_roundtrip(tmp_path, monkeypatch):
+    """The on-disk column cache must reconstruct columns element- AND
+    type-identically (ints vs floats vs bools vs NaN vs big ints vs
+    lists), and a fresh process must serve filters from it without
+    touching the JSONL."""
+    from reverso_tpu.store import filter as fmod
+
+    values = ["person", "café ❤", "", True, False, 1, 0, -3,
+              2**53 + 1, 0.5, 1.0, float("nan"), None, [1, 2],
+              {"a": 1}, "person"]
+    payloads = [{"v": v, "n": float(i)} for i, v in enumerate(values)]
+    payloads.append({"n": 99.0})                  # missing "v"
+    vecs = random_unit(np.random.default_rng(0), len(payloads), 8)
+    with VectorStore.create(str(tmp_path), "pc", 8) as s:
+        s.append(vecs, payloads)
+    store = VectorStore.open(str(tmp_path), "pc")
+    cols = PayloadColumns(store)
+    cols.ensure(["v", "n"])
+    path = cols.persist(["v", "n"])
+    assert path and path.endswith(".npz")
+
+    # fresh instance: loads from the cache — extraction is forbidden
+    cols2 = PayloadColumns(store)
+    monkeypatch.setattr(
+        PayloadColumns, "_extract_python",
+        lambda self, m: (_ for _ in ()).throw(AssertionError("streamed")))
+    monkeypatch.setattr(
+        PayloadColumns, "_extract_native",
+        lambda self, m: (_ for _ in ()).throw(AssertionError("streamed")))
+    cols2.ensure(["v", "n"])
+    a, b = cols.column("v"), cols2.column("v")
+    for x, y in zip(a.tolist(), b.tolist()):
+        if isinstance(x, float) and np.isnan(x):
+            assert isinstance(y, float) and np.isnan(y)
+        else:
+            assert x == y and type(x) is type(y), (x, y)
+    # filters evaluate identically through the loaded views
+    for spec in [{"v": "person"}, {"v": True}, {"v": 1},
+                 {"v": {"gte": 0}}, {"v": 2**53 + 1},
+                 "n>=3, n<10", {"v": ["person", 0.5]}]:
+        np.testing.assert_array_equal(
+            evaluate_filter(parse_filter(spec), cols2),
+            evaluate_filter(parse_filter(spec), cols), err_msg=str(spec))
+
+    # mutation invalidates by filename: the stale cache never matches
+    w = VectorStore.open(str(tmp_path), "pc", writable=True)
+    w.update_payloads([0], patch={"v": "edited"}, mode="set")
+    w.close()
+    store2 = VectorStore.open(str(tmp_path), "pc")
+    cols3 = PayloadColumns(store2)
+    monkeypatch.undo()
+    cols3.ensure(["v"])
+    assert cols3.column("v")[0] == "edited"
+    # persist for the new version sweeps the stale file
+    new_path = cols3.persist(["v"])
+    assert new_path != path
+    import os as _os
+    assert not _os.path.exists(path) and _os.path.exists(new_path)
+
+
+def test_paycols_auto_persist_and_guard(tmp_path, monkeypatch):
+    from reverso_tpu.store import filter as fmod
+
+    n = 64
+    payloads = [{"detected_class": "person" if i % 2 else "car",
+                 "region_id": "u" * 200 + str(i)}    # huge unique strings
+                for i in range(n)]
+    vecs = random_unit(np.random.default_rng(1), n, 8)
+    with VectorStore.create(str(tmp_path), "ap", 8) as s:
+        s.append(vecs, payloads)
+    store = VectorStore.open(str(tmp_path), "ap")
+    monkeypatch.setattr(fmod, "_PERSIST_MIN_ROWS", 10)
+    mask = payload_mask(store, {"detected_class": "person"})
+    assert mask.sum() == 32
+    import glob as _glob
+    files = _glob.glob(str(tmp_path / "ap" / "index" / "paycols_*.npz"))
+    assert len(files) == 1                      # auto-persisted
+    with np.load(files[0]) as z:
+        keys = {nm.split("::")[0] for nm in z.files}
+    assert keys == {"detected_class"}
+    # the guard skips the dictionary-heavy unique column on auto...
+    cols = PayloadColumns(store)
+    cols.ensure(["region_id"])
+    assert cols.persist(["region_id"], force=False) is None
+    # ...but explicit indexing takes it
+    assert cols.persist(["region_id"], force=True)
+    with np.load(_glob.glob(
+            str(tmp_path / "ap" / "index" / "paycols_*.npz"))[0]) as z:
+        keys = {nm.split("::")[0] for nm in z.files}
+    assert keys == {"detected_class", "region_id"}  # merge-on-write
+    # kill switch
+    monkeypatch.setenv("REVERSO_PAYCOL_CACHE", "0")
+    cols4 = PayloadColumns(store)
+    cols4.ensure(["detected_class"])            # streams, doesn't load
+    assert cols4.column("detected_class")[0] == "car"
+
+
+def test_cli_index_payload(tmp_path, capsys):
+    from reverso_tpu.cli import main
+
+    vecs = random_unit(np.random.default_rng(2), 12, 8)
+    payloads = [{"detected_class": "car", "confidence": i / 12}
+                for i in range(12)]
+    root = str(tmp_path / "db")
+    with VectorStore.create(root, "clidx", 8) as s:
+        s.append(vecs, payloads)
+    rc = main(["--db-root", root, "--model", "test-tiny",
+               "index-payload", "clidx", "detected_class", "confidence"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Indexed payload keys" in out
+    import glob as _glob
+    assert _glob.glob(root + "/clidx/index/paycols_*.npz")
+
+
 def test_native_columns_survive_torn_tail(tmp_path):
     """Crash between the jsonl append and the sidecar append leaves
     torn bytes after the last committed row with a sidecar of exactly
