@@ -1043,6 +1043,8 @@ class Reverso:
         store = self._store
         if store is None:
             raise StoreError("no database loaded")
+        if prefetch is not None:
+            prefetch = list(prefetch) or None  # empty = plain search
         k = self.config.search.top_k if k is None else int(k)
         store.refresh()
         gmask = self._filter_mask(filter) if filter is not None else None

@@ -319,7 +319,15 @@ class PayloadColumns:
                     if k not in have:
                         still.append(k)
                         continue
-                    view, odd_vals = _view_from_arrays(z, k, self.count)
+                    # per-key isolation: a corrupt/wrong-size member
+                    # must fall back to extraction WITHOUT leaving a
+                    # half-installed view behind for that key
+                    try:
+                        view, odd_vals = _view_from_arrays(z, k,
+                                                           self.count)
+                    except Exception:
+                        still.append(k)
+                        continue
                     self._views[k] = view
                     self._pending[k] = odd_vals
             return still

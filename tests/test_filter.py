@@ -400,6 +400,36 @@ def test_paycols_auto_persist_and_guard(tmp_path, monkeypatch):
     assert cols4.column("detected_class")[0] == "car"
 
 
+def test_paycols_wrong_size_cache_falls_back(tmp_path):
+    """A cache file whose arrays don't match the store's row count
+    (e.g. copied from elsewhere under the right name) must fall back to
+    extraction for that key — and must NOT leave a half-installed
+    wrong-size view behind."""
+    import os as _os
+    vecs6 = random_unit(np.random.default_rng(0), 6, 8)
+    with VectorStore.create(str(tmp_path), "a", 8) as s:
+        s.append(vecs6, [{"c": "x"}] * 6)
+    store_a = VectorStore.open(str(tmp_path), "a")
+    ca = PayloadColumns(store_a)
+    ca.ensure(["c"])
+    src = ca.persist(["c"])
+    with VectorStore.create(str(tmp_path), "b", 8) as s:
+        s.append(random_unit(np.random.default_rng(1), 4, 8),
+                 [{"c": f"v{i}"} for i in range(4)])
+    store_b = VectorStore.open(str(tmp_path), "b")
+    from reverso_tpu.store.filter import _paycols_path
+    dst = _paycols_path(store_b)
+    _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+    import shutil as _shutil
+    _shutil.copy(src, dst)                  # 6-row arrays, 4-row store
+    cb = PayloadColumns(store_b)
+    cb.ensure(["c"])
+    assert cb.column("c").tolist() == ["v0", "v1", "v2", "v3"]
+    assert len(cb.view("c").present) == 4
+    mask = payload_mask(store_b, {"c": "v2"})
+    np.testing.assert_array_equal(mask, [False, False, True, False])
+
+
 def test_cli_index_payload(tmp_path, capsys):
     from reverso_tpu.cli import main
 
