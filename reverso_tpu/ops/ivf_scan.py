@@ -84,8 +84,16 @@ def _ivf_scan_kernel(base_ref, cnt_ref, q_hbm, mat_hbm,
     col_scr[:] = jax.lax.broadcasted_iota(jnp.int32, col_scr.shape, 1)
 
     def dma(slot, it, c):
+        # multiple_of: cluster starts are 8-aligned BY LAYOUT
+        # (store/ivf.py::_aligned_layout) and db_tile is a multiple of
+        # 8, but Mosaic cannot derive that from a runtime SMEM value —
+        # current toolchains refuse any dynamic memref slice whose
+        # dim-0 offset is not PROVABLY divisible by the (8, 128)
+        # tiling (small matrices get promoted to VMEM where the rule
+        # always held; newer compilers enforce it for HBM too).
+        start = pl.multiple_of(base_ref[it] + c * db_tile, 8)
         return pltpu.make_async_copy(
-            mat_hbm.at[pl.ds(base_ref[it] + c * db_tile, db_tile), :],
+            mat_hbm.at[pl.ds(start, db_tile), :],
             bufs.at[slot],
             db_sems.at[slot],
         )

@@ -237,6 +237,35 @@ def _plan_entries(n: int, n_clusters: int, assign, second, margin,
     return order, counts, n_spill
 
 
+def _aligned_layout(counts):
+    """Cluster-aligned matrix layout: every cluster starts at a
+    multiple of 8 rows. Mosaic will only compile a dynamic-offset HBM
+    slice when the runtime start is PROVABLY divisible by the sublane
+    tiling (8) — the probed-scan kernel slices
+    `mat[base + c*db_tile :][:db_tile]` with base read from SMEM
+    (ops/ivf_scan.py), so unaligned cluster starts fail the whole
+    Pallas IVF path at compile time (current toolchains enforce this;
+    the prototype measurements predate that). Gap rows (<= 7 per
+    cluster) are zero, carry row_id -1, and sit past each cluster's
+    count, so every scan masks them exactly like beyond-count pad
+    columns.
+
+    Returns (dest [sum(counts)] int64 — layout position of each entry
+    of the compact cluster-grouped order —, starts [C] int64 aligned
+    cluster starts, m_lay total layout rows)."""
+    counts = np.asarray(counts, np.int64)
+    spans = (counts + 7) // 8 * 8
+    starts = np.zeros(len(counts), np.int64)
+    if len(counts) > 1:
+        np.cumsum(spans[:-1], out=starts[1:])
+    m_lay = int(spans.sum())
+    begins = np.cumsum(counts) - counts
+    total = int(counts.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(begins, counts)
+    dest = np.repeat(starts, counts) + within
+    return dest, starts, m_lay
+
+
 def _shard_tables(offsets, counts, n_entries: int, n_shards: int,
                   local_n: int):
     """Per-shard cluster-intersection tables: each cluster's contiguous
@@ -378,25 +407,29 @@ class IVFIndex:
                 cent_d = jnp.asarray(cent_np, self._dtype)
             order, counts, n_spill = _plan_entries(
                 n, n_clusters, assign, second, margin, spill, cap)
-        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        dest, starts, m_lay = _aligned_layout(counts)
+        offsets = starts
         self.cmax = int(counts.max())
         cmax_pad = _round_up(max(self.cmax, 8), 8)
 
-        m = len(order)                 # matrix entries (n + spilled copies)
+        m = m_lay                  # layout rows (entries + align gaps)
         self.n = n
         self.m = m
+        self.n_entries = len(order)    # real entries (n + spilled copies)
         self.n_spill = int(n_spill)
         self.dim = d
         self.n_clusters = n_clusters
         self.centroids = cent_d
-        self.row_ids = jnp.asarray(order.astype(np.int32))   # entry -> orig
+        row_ids = np.full(m_lay, -1, np.int64)
+        row_ids[dest] = order                      # gaps stay -1
+        self.row_ids = jnp.asarray(row_ids.astype(np.int32))
         self.offsets = jnp.asarray(offsets.astype(np.int32))
         self.counts = jnp.asarray(counts.astype(np.int32))
         self._cmax_pad = cmax_pad
         # sorted matrix, padded with an extra cmax_pad zero rows so
         # dynamic slices near the end never clamp into valid data
         sorted_m = np.zeros((m + cmax_pad, d), np.float32)
-        sorted_m[:m] = vec32[order]
+        sorted_m[dest] = vec32[order]
         self.mesh = mesh
         self.axis = axis
         if self._int8:
@@ -500,22 +533,31 @@ class IVFIndex:
             order, counts, n_spill = _plan_entries(
                 n, n_clusters, assign, second, margin, spill, cap)
 
-        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        dest, starts, m_lay = _aligned_layout(counts)
+        offsets = starts
         self.cmax = int(counts.max())
         cmax_pad = _round_up(max(self.cmax, 8), 8)
-        m = len(order)
+        m = m_lay                  # layout rows (entries + align gaps)
         self.n = n
         self.m = m
+        self.n_entries = len(order)    # real entries (n + spilled copies)
         self.n_spill = int(n_spill)
         self.dim = d
         self.n_clusters = n_clusters
         self.centroids = cent_d
-        self.row_ids = jnp.asarray(order.astype(np.int32))
+        row_ids = np.full(m_lay, -1, np.int64)
+        row_ids[dest] = order
+        self.row_ids = jnp.asarray(row_ids.astype(np.int32))
         self.offsets = jnp.asarray(offsets.astype(np.int32))
         self.counts = jnp.asarray(counts.astype(np.int32))
         self._cmax_pad = cmax_pad
         self.mesh = mesh
         self.axis = axis
+        # gather index per layout row: gaps index row n, which
+        # mode="fill" maps to zero rows (matching the host path's
+        # zero gap rows bit-for-bit)
+        lay = np.full(m_lay, n, np.int64)
+        lay[dest] = order
 
         inv = None
         if self._int8:
@@ -540,7 +582,7 @@ class IVFIndex:
             gchunk = min(65536, _round_up(m + cmax_pad, 8))
             total = _round_up(m + cmax_pad, gchunk)
             ord_pad = np.full(total, n, np.int64)
-            ord_pad[:m] = order
+            ord_pad[:m] = lay
             ord_chunks = jnp.asarray(
                 ord_pad.reshape(-1, gchunk).astype(np.int32))
             self.matrix = _gather_cluster_sorted(
@@ -550,12 +592,14 @@ class IVFIndex:
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
             n_shards = mesh.shape[axis]
-            local_n = -(-m // n_shards)
+            # local_n multiple of 8 keeps shard-local cluster starts
+            # (global_start - p*local_n) 8-aligned for the kernel
+            local_n = _round_up(-(-m // n_shards), 8)
             ord_pad = np.full((n_shards, local_n + cmax_pad), n, np.int64)
             for p in range(n_shards):
                 r0, r1 = p * local_n, min((p + 1) * local_n, m)
                 if r1 > r0:
-                    ord_pad[p, :r1 - r0] = order[r0:r1]
+                    ord_pad[p, :r1 - r0] = lay[r0:r1]
             mats = _gather_cluster_sorted(
                 emb, jnp.asarray(ord_pad.astype(np.int32)),
                 jnp.float32(0.0 if inv is None else inv),
@@ -606,10 +650,14 @@ class IVFIndex:
         duplicated; the cache is O(N) int32 + O(C*d)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp.npz"         # savez appends .npz if absent
+        rid = np.asarray(self.row_ids, np.int32)
         np.savez_compressed(
             tmp,
             centroids=np.asarray(self.centroids, np.float32),
-            order=np.asarray(self.row_ids, np.int32),
+            # compact entry order (alignment gaps dropped: the aligned
+            # layout is re-derived from counts at load, and the cache
+            # format predates it)
+            order=rid[rid >= 0],
             counts=np.asarray(self.counts, np.int32),
             meta=np.asarray([self.n, self.dim, self.n_clusters,
                              self.n_spill]))
@@ -719,9 +767,10 @@ class IVFIndex:
 
         offsets = np.asarray(offsets)
         counts = np.asarray(counts)
-        n, d = self.m, self.dim              # shard ENTRIES incl. spills
+        n, d = self.m, self.dim          # layout rows (entries + gaps)
         n_shards = mesh.shape[axis]
-        local_n = -(-n // n_shards)          # ceil
+        # multiple of 8: shard-local cluster starts stay 8-aligned
+        local_n = _round_up(-(-n // n_shards), 8)
         pad = self._cmax_pad
         mats = np.zeros((n_shards, local_n + pad, d), sorted_m.dtype)
         for p in range(n_shards):

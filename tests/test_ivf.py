@@ -149,8 +149,9 @@ def test_ivf_int8_recall_and_exact_scores(corpus):
     # scores must equal f64 cosine vs the DEQUANTIZED stored rows
     deq = np.zeros_like(corpus)
     order = np.asarray(idx.row_ids)
-    mat = np.asarray(idx.matrix[: len(corpus)]).astype(np.float64)
-    deq[order] = mat * idx.db_scale
+    mat = np.asarray(idx.matrix[: idx.m]).astype(np.float64)
+    valid = order >= 0                 # skip 8-alignment gap rows
+    deq[order[valid]] = mat[valid] * idx.db_scale
     got = np.take_along_axis(
         queries.astype(np.float64) @ deq.T, i, axis=1)
     np.testing.assert_allclose(s, got, rtol=2e-5, atol=2e-5)
@@ -171,8 +172,9 @@ def test_ivf_int8_full_probe_matches_int8_exact_kernel(corpus):
     # computed on the cluster-sorted matrix => identical values)
     deq = np.zeros_like(db)
     order = np.asarray(idx.row_ids)
-    deq[order] = np.asarray(idx.matrix[: len(db)]).astype(np.float32) \
-        * idx.db_scale
+    valid = order >= 0                 # skip 8-alignment gap rows
+    deq[order[valid]] = np.asarray(
+        idx.matrix[: idx.m]).astype(np.float32)[valid] * idx.db_scale
     true_s, true_i = numpy_topk64(deq, queries, 10)
     assert recall_at_k(i_ivf, true_i) == 1.0
     np.testing.assert_allclose(s_ivf, true_s, rtol=2e-5, atol=2e-5)
@@ -276,9 +278,9 @@ def test_spill_unique_ids_and_recall_gain(corpus):
     plain = IVFIndex(corpus, n_clusters=32, dtype="float32", seed=0)
     spill = IVFIndex(corpus, n_clusters=32, dtype="float32", seed=0,
                      spill=0.25)
-    assert plain.n_spill == 0 and plain.m == plain.n
+    assert plain.n_spill == 0 and plain.n_entries == plain.n
     assert spill.n_spill == pytest.approx(0.25 * len(corpus), rel=0.05)
-    assert spill.m == spill.n + spill.n_spill
+    assert spill.n_entries == spill.n + spill.n_spill
 
     rec = {}
     for name, idx in (("plain", plain), ("spill", spill)):
@@ -342,8 +344,9 @@ def test_spill_int8_full_probe_matches_exact(corpus):
     s_ivf, i_ivf = jax.device_get(idx.search(queries, 10, nprobe=8))
     deq = np.zeros_like(db)
     order = np.asarray(idx.row_ids)
-    deq[order] = np.asarray(idx.matrix[: idx.m]).astype(np.float32) \
-        * idx.db_scale
+    valid = order >= 0                 # skip 8-alignment gap rows
+    deq[order[valid]] = np.asarray(
+        idx.matrix[: idx.m]).astype(np.float32)[valid] * idx.db_scale
     true_s, true_i = numpy_topk64(deq, queries, 10)
     assert recall_at_k(i_ivf, true_i) == 1.0
     np.testing.assert_allclose(s_ivf, true_s, rtol=2e-5, atol=2e-5)
@@ -379,7 +382,7 @@ def test_extend_cache_full_probe_exact(tmp_path, corpus):
 
     ext = IVFIndex.extend_cache(new, path, dtype="float32")
     assert ext is not None
-    assert ext.n == 7500 and ext.m == 7500 and ext.n_spill == 0
+    assert ext.n == 7500 and ext.n_entries == 7500 and ext.n_spill == 0
     rng = np.random.default_rng(12)
     queries = new[rng.choice(7500, 16, replace=False)]
     _, true_i = numpy_topk64(new, queries, 10)
@@ -406,7 +409,7 @@ def test_extend_cache_spill_and_int8(tmp_path, corpus):
     ext = IVFIndex.extend_cache(new, path, dtype="int8")
     assert ext is not None
     assert ext.n_spill > idx.n_spill        # new rows spilled too
-    assert ext.m == 6800 + ext.n_spill
+    assert ext.n_entries == 6800 + ext.n_spill
     rng = np.random.default_rng(13)
     queries = new[rng.choice(6800, 8, replace=False)]
     s, i = jax.device_get(ext.search(queries, 10, nprobe=16))
@@ -414,8 +417,10 @@ def test_extend_cache_spill_and_int8(tmp_path, corpus):
         v = row[row >= 0]
         assert len(set(v.tolist())) == len(v), row
     deq = np.zeros_like(new)
-    deq[np.asarray(ext.row_ids)] = \
-        np.asarray(ext.matrix[: ext.m]).astype(np.float32) * ext.db_scale
+    order = np.asarray(ext.row_ids)
+    valid = order >= 0                 # skip 8-alignment gap rows
+    deq[order[valid]] = np.asarray(
+        ext.matrix[: ext.m]).astype(np.float32)[valid] * ext.db_scale
     _, true_i = numpy_topk64(deq, queries, 10)
     assert recall_at_k(i, true_i) == 1.0
 
@@ -604,8 +609,9 @@ def test_balance_caps_cmax_by_splitting():
     assert bal.cmax < plain.cmax
     assert bal.n_clusters > plain.n_clusters == 24
     assert len(np.asarray(bal.centroids)) == bal.n_clusters
-    # every row present exactly once
-    ids = np.sort(np.asarray(bal.row_ids))
+    # every row present exactly once (gaps carry -1)
+    rid_all = np.asarray(bal.row_ids)
+    ids = np.sort(rid_all[rid_all >= 0])
     np.testing.assert_array_equal(ids, np.arange(n))
     # rows land close to their stored centroid: each row's cluster
     # scores within the top-4 of the expanded table (children are
@@ -638,7 +644,8 @@ def test_balance_hard_cap_on_point_mass():
                    balance=1.1)
     cap = int(np.ceil(1.1 * len(db) / 12))
     assert bal.cmax <= cap, (bal.cmax, cap)
-    ids = np.sort(np.asarray(bal.row_ids))
+    rid_all = np.asarray(bal.row_ids)
+    ids = np.sort(rid_all[rid_all >= 0])
     np.testing.assert_array_equal(ids, np.arange(len(db)))
     # siblings share the parent's exact centroid -> tie-adjacent ranks
     # -> probing enough slots finds the mass members at score ~1.0
@@ -808,7 +815,8 @@ def test_extend_cache_after_balance(tmp_path, corpus):
     ext = IVFIndex.extend_cache(new, path, dtype="float32")
     assert ext is not None
     assert ext.n_clusters == idx.n_clusters     # table reused, no split
-    ids = np.sort(np.asarray(ext.row_ids))
+    rid_all = np.asarray(ext.row_ids)
+    ids = np.sort(rid_all[rid_all >= 0])
     np.testing.assert_array_equal(ids, np.arange(6500))
     rng = np.random.default_rng(21)
     q = new[rng.choice(6500, 8, replace=False)]
@@ -928,9 +936,9 @@ def test_spill_respects_balance_cap():
     assert counts.max() <= cap, (int(counts.max()), cap)
     assert idx.cmax <= cap
     rid = np.asarray(idx.row_ids)
-    copies = np.bincount(rid, minlength=n)
+    copies = np.bincount(rid[rid >= 0], minlength=n)
     assert copies.min() >= 1 and copies.max() <= 2
-    assert idx.n_spill == len(rid) - n <= int(0.25 * n) + 1
+    assert idx.n_spill == idx.n_entries - n <= int(0.25 * n) + 1
     s, i = jax.device_get(idx.search(db[5], 10, nprobe=8))
     assert i[0, 0] == 5
     assert len(set(i[0].tolist())) == 10      # dedup intact
