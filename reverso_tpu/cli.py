@@ -295,9 +295,14 @@ def cmd_query(args) -> int:
         except ValueError:
             prefetch.append(spec)          # region_id string operand
     target = None
+    if args.target is not None and args.text:
+        print("❌ pass --target or --text, not both", file=sys.stderr)
+        return 1
     if args.target is not None:
         target = (int(args.target) if args.target.lstrip("-").isdigit()
                   else args.target)
+    elif args.text:
+        target = {"text": args.text}
     try:
         hits = engine.query(target, prefetch=prefetch or None,
                             fusion=args.fusion, k=args.top_k,
@@ -961,6 +966,9 @@ def build_parser() -> argparse.ArgumentParser:
     qr.add_argument("--target", default=None,
                     help="rescoring query point (row id or region_id); "
                          "mutually exclusive with --fusion")
+    qr.add_argument("--text", default=None,
+                    help="rescoring query as natural language (needs "
+                         "the CLIP/PE text tower configured)")
     qr.add_argument("--fusion", choices=["rrf", "dbsf"], default=None)
     qr.add_argument("--top-k", type=int, default=None)
     qr.add_argument("--filter", action="append", default=[],

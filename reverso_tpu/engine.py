@@ -994,8 +994,16 @@ class Reverso:
 
     def _resolve_query_vector(self, q) -> np.ndarray:
         """A query operand -> [d] fp32 vector: int row id, region_id
-        string, or an explicit vector."""
+        string, `{"text": ...}` (CLIP/PE text tower), or an explicit
+        vector."""
         store = self._store
+        if isinstance(q, dict) and "text" in q:
+            if self.text_embedder is None:
+                raise StoreError("no text encoder configured; load "
+                                 "CLIP/PE text weights for text queries")
+            emb = np.asarray(self.text_embedder.embed(str(q["text"])),
+                             np.float32)
+            return emb.reshape(-1)
         if isinstance(q, (int, np.integer)):
             if not 0 <= int(q) < store.count:
                 raise StoreError(f"point id {int(q)} out of range "

@@ -606,6 +606,11 @@ def cosine_topk_pallas(db: jnp.ndarray, queries: jnp.ndarray, k: int, *,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, d = db.shape
+    # queries must match the db dtype: the resident query block is a
+    # straight HBM->VMEM DMA and current toolchains VERIFY element-type
+    # equality (the old implicit f32->bf16 DMA conversion is rejected).
+    # DeviceIndex casts before calling; this covers direct op users.
+    queries = jnp.asarray(queries, db.dtype)
     q, dq = queries.shape
     assert d == dq, (db.shape, queries.shape)
     if k > 128:

@@ -696,6 +696,44 @@ def test_engine_query_fusion(engine_store):
     assert hits and all(h["id"] % 4 == 0 for h in hits)
 
 
+def test_engine_query_text_operand(tmp_path):
+    """`{"text": ...}` operands embed through the text tower — usable
+    as prefetch branches or the rescoring query."""
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    from reverso_tpu.store import StoreError
+
+    d = 16
+    vecs = random_unit(np.random.default_rng(5), 12, d)
+
+    class FakeTextEmbedder:
+        def embed(self, text):
+            return vecs[3][None]           # always "matches" row 3
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"],
+                                dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg, text_embedder=FakeTextEmbedder())
+    with VectorStore.create(str(tmp_path / "db"), "txq", d) as s:
+        s.append(vecs, [{"filename": f"f{i}.jpg"} for i in range(12)])
+    engine.load_database("txq")
+    hits = engine.query({"text": "whatever"}, k=3)
+    assert hits[0]["id"] == 3
+    hits = engine.query({"text": "x"}, prefetch=[0, 5], k=4)
+    assert hits                                   # rescore path
+    hits = engine.query(prefetch=[{"query": {"text": "x"}, "limit": 4}],
+                        k=2)
+    assert hits[0]["id"] == 3                     # branch operand
+    engine2 = Reverso(cfg)                        # no text tower
+    engine2.load_database("txq")
+    with pytest.raises(StoreError):
+        engine2.query({"text": "x"})
+
+
 def test_engine_retrieve(engine_store):
     engine, vecs = engine_store
     pts = engine.retrieve([5, "r7", 999, "nope", 0])
