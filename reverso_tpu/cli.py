@@ -464,6 +464,32 @@ def cmd_payload(args) -> int:
     return 0 if msg.startswith("✅") else 1
 
 
+def cmd_update_vectors(args) -> int:
+    """Overwrite stored vectors by id from an .npz file with `ids`
+    (ints and/or region_id strings) and `vectors` [m, d] (qdrant
+    update_vectors role). No model load."""
+    import numpy as np
+
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    try:
+        with np.load(args.npz, allow_pickle=False) as z:
+            ids_raw = z["ids"]
+            vecs = np.asarray(z["vectors"], np.float32)
+    except (OSError, KeyError, ValueError) as e:
+        print(f"❌ Cannot read {args.npz}: {e}", file=sys.stderr)
+        return 1
+    ids = [i if isinstance(i, str) else int(i)
+           for i in ids_raw.tolist()]
+    msg = engine.update_vectors(ids, vecs)
+    out = sys.stdout if msg.startswith("✅") else sys.stderr
+    print(msg, file=out)
+    return 0 if msg.startswith("✅") else 1
+
+
 def cmd_index_payload(args) -> int:
     """Persist typed payload-column views (qdrant create_payload_index
     role): later processes skip the JSONL stream for these keys. No
@@ -477,6 +503,39 @@ def cmd_index_payload(args) -> int:
     out = sys.stdout if msg.startswith("✅") else sys.stderr
     print(msg, file=out)
     return 0 if msg.startswith("✅") else 1
+
+
+def cmd_alias(args) -> int:
+    """Manage database aliases (qdrant collection-aliases role):
+    point a stable name at a database, flip it atomically after a
+    rebuild."""
+    from .store import StoreError, delete_alias, list_aliases, set_alias
+
+    cfg = _make_config(args)
+    root = cfg.store.root_dir
+    if args.action != "list" and not args.alias:
+        print(f"❌ alias {args.action} needs an alias name",
+              file=sys.stderr)
+        return 1
+    try:
+        if args.action == "set":
+            if not args.db:
+                print("❌ alias set needs ALIAS DB", file=sys.stderr)
+                return 1
+            set_alias(root, args.alias, args.db)
+            print(f"✅ Alias {args.alias} -> {args.db}")
+        elif args.action == "delete":
+            if delete_alias(root, args.alias):
+                print(f"✅ Deleted alias {args.alias}")
+            else:
+                print(f"ℹ️ No alias named {args.alias}")
+        else:
+            for a, n in sorted(list_aliases(root).items()):
+                print(f"{a}\t{n}")
+    except StoreError as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    return 0
 
 
 def cmd_list(args) -> int:
@@ -1035,6 +1094,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="payload filter clause(s), as in `search`")
     py.set_defaults(fn=cmd_payload)
 
+    uv = sub.add_parser("update-vectors",
+                        help="overwrite stored vectors by id from an "
+                             ".npz (ids + vectors; qdrant "
+                             "update_vectors)")
+    uv.add_argument("name")
+    uv.add_argument("npz", help=".npz with `ids` [m] and `vectors` "
+                                "[m, d] (normalized here)")
+    uv.set_defaults(fn=cmd_update_vectors)
+
     ip = sub.add_parser("index-payload",
                         help="persist typed payload-column views for "
                              "instant cold filters (qdrant "
@@ -1042,6 +1110,14 @@ def build_parser() -> argparse.ArgumentParser:
     ip.add_argument("name")
     ip.add_argument("keys", nargs="+", help="payload keys to index")
     ip.set_defaults(fn=cmd_index_payload)
+
+    al = sub.add_parser("alias",
+                        help="manage database aliases (qdrant "
+                             "collection aliases)")
+    al.add_argument("action", choices=["set", "delete", "list"])
+    al.add_argument("alias", nargs="?", default=None)
+    al.add_argument("db", nargs="?", default=None)
+    al.set_defaults(fn=cmd_alias)
 
     l = sub.add_parser("list", help="list databases")
     l.set_defaults(fn=cmd_list)

@@ -196,13 +196,18 @@ class Reverso:
     def load_database(self, database_name: str) -> str:
         if not database_name:
             return "❌ Please provide a database name"
+        from .store.persist import resolve_alias
+        resolved = resolve_alias(self.db_root, database_name)
         try:
-            store = VectorStore.open(self.db_root, database_name)
+            store = VectorStore.open(self.db_root, resolved)
         except StoreError:
-            if not os.path.isdir(os.path.join(self.db_root, database_name)):
+            if not os.path.isdir(os.path.join(self.db_root, resolved)):
                 return f"❌ Database not found: {database_name}"
             return f"❌ Collection not found in database: {database_name}"
         self._set_store(store)
+        if resolved != database_name:
+            return (f"✅ Loaded database: {resolved} "
+                    f"(alias {database_name})")
         return f"✅ Loaded database: {database_name}"
 
     def delete_database(self, database_name: str) -> str:
@@ -350,6 +355,51 @@ class Reverso:
         """Empty the payloads of the selected points — qdrant's
         clear_payload API role."""
         return self._mutate_payloads("clear", points=points, filter=filter)
+
+    def update_vectors(self, points, vectors) -> str:
+        """Overwrite the stored vectors of specific points — qdrant's
+        update_vectors API role. `points` mixes row ids and region_id
+        strings (order-aligned with `vectors` rows); vectors are
+        L2-normalized here (the store holds unit fp32 rows). The
+        device index refreshes on next search (vector content actually
+        changed), and the IVF cache retrains (prefix immutability is
+        broken by an in-place rewrite)."""
+        if self._store is None:
+            return ("❌ No database loaded. Please create or load a "
+                    "database first.")
+        name = self.current_database
+        points = list(points)
+        vecs = np.asarray(vectors, np.float32)
+        if vecs.ndim == 1:
+            vecs = vecs[None]
+        if len(points) != len(vecs):
+            return (f"❌ {len(points)} point ids but {len(vecs)} "
+                    f"vectors")
+        pts = self.retrieve(points, with_payload=False)
+        if len(pts) != len(points):
+            known = len(pts)
+            return (f"❌ Unknown point id(s): resolved {known} of "
+                    f"{len(points)}")
+        rows = [p["id"] for p in pts]
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        if not np.all(norms > 0):
+            return "❌ Zero vectors cannot be normalized"
+        vecs = vecs / norms
+        self._set_store(None)     # release the read handle before locking
+        try:
+            with VectorStore.open(self.db_root, name, writable=True) as w:
+                touched = w.update_vectors(rows, vecs)
+        except StoreLockedError:
+            return (f"❌ Database '{name}' is locked (a build may be "
+                    f"running); unlock it first")
+        except StoreError as e:
+            return f"❌ {e}"
+        finally:
+            try:
+                self._set_store(VectorStore.open(self.db_root, name))
+            except StoreError:
+                pass
+        return f"✅ Updated vectors of {touched} points in {name}"
 
     def _set_store(self, store: Optional[VectorStore]) -> None:
         with self._index_lock:

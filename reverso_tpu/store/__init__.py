@@ -6,6 +6,10 @@ from .persist import (
     delete_database,
     unlock_database,
     collection_name,
+    list_aliases,
+    set_alias,
+    delete_alias,
+    resolve_alias,
 )
 from .index import DeviceIndex, HostIndex, SearchResult
 from .ivf import IVFIndex

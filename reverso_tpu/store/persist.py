@@ -38,6 +38,7 @@ PAYLOAD_FILE = "payloads.jsonl"
 # scanned once and upgraded in place.
 PAYLOAD_IDX_FILE = "payloads.idx"
 COMPACT_MARKER = "compact.commit"
+VEC_PATCH = "vectors.patch"
 LOCK_FILE = ".lock"
 COLLECTION_PREFIX = "simple_reverso_"   # reference core_system.py:101,597
 
@@ -85,6 +86,80 @@ def delete_database(root: str, name: str) -> None:
             f"Database '{name}' is locked (a build may be running); "
             f"unlock it first")
     shutil.rmtree(path)
+    # aliases pointing at the deleted database die with it (qdrant
+    # drops a collection's aliases on deletion)
+    aliases = _read_aliases(root)
+    dangling = [a for a, n in aliases.items() if n == name]
+    if dangling:
+        for a in dangling:
+            del aliases[a]
+        try:
+            _write_aliases(root, aliases)
+        except OSError:
+            pass
+
+
+ALIASES_FILE = "aliases.json"
+
+
+def _read_aliases(root: str) -> dict:
+    path = os.path.join(root, ALIASES_FILE)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return {str(k): str(v) for k, v in data.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_aliases(root: str, aliases: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, ALIASES_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(aliases, f, indent=2, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, ALIASES_FILE))
+
+
+def list_aliases(root: str) -> dict:
+    """alias -> database name map (qdrant collection-aliases role)."""
+    return _read_aliases(root)
+
+
+def set_alias(root: str, alias: str, name: str) -> None:
+    """Point `alias` at database `name` (created or repointed
+    atomically — qdrant's alias switchover use case: build a new
+    index under a fresh name, then flip the alias)."""
+    if not alias or os.sep in alias or alias != os.path.basename(alias):
+        raise StoreError(f"Bad alias name: {alias!r}")
+    if os.path.isdir(os.path.join(root, alias)):
+        raise StoreError(
+            f"Alias '{alias}' collides with an existing database")
+    if not os.path.isdir(os.path.join(root, name)):
+        raise StoreError(f"Database not found: {name}")
+    aliases = _read_aliases(root)
+    aliases[alias] = name
+    _write_aliases(root, aliases)
+
+
+def delete_alias(root: str, alias: str) -> bool:
+    """Remove an alias; returns False when it did not exist."""
+    aliases = _read_aliases(root)
+    if alias not in aliases:
+        return False
+    del aliases[alias]
+    _write_aliases(root, aliases)
+    return True
+
+
+def resolve_alias(root: str, name: str) -> str:
+    """Database name or alias -> database name. A real database
+    directory always wins over a same-named alias (set_alias forbids
+    creating that collision, but a db created later shadows)."""
+    if os.path.isdir(os.path.join(root, name)):
+        return name
+    return _read_aliases(root).get(name, name)
 
 
 def lock_holder_alive(root: str, name: str) -> Optional[bool]:
@@ -204,6 +279,7 @@ class VectorStore:
             # meta is read: post-marker, the marker's meta is the truth
             # and the old meta's count exceeds the compacted files
             VectorStore._recover_compact(path)
+            VectorStore._recover_vec_patch(path)
         except OSError:
             pass                  # read-only filesystem: stale stage
         if not os.path.exists(meta_path):
@@ -778,6 +854,122 @@ class VectorStore:
         except FileNotFoundError:
             pass      # a concurrent reader's open() already rolled forward
         return touched
+
+    def update_vectors(self, rows, vectors) -> int:
+        """Overwrite the vectors of existing rows in place — qdrant's
+        update_vectors role (payloads untouched). Rows are fixed-width,
+        so the rewrite is a handful of seeks, not a file rewrite.
+
+        Crash safety: the full patch (row ids + new rows + the
+        post-apply meta) is committed to `vectors.patch` FIRST
+        (tmp+fsync+rename — the commit point), then applied to
+        vectors.bin; `open()` rolls an interrupted apply forward from
+        the patch (idempotent absolute writes). All three version
+        fields bump: data_version (host caches), vector_version (the
+        device index re-uploads — vectors actually changed), and
+        mutation_epoch (the IVF k-means cache's prefix-immutability
+        contract is broken by any in-place rewrite)."""
+        if not self._locked:
+            raise StoreError("store opened read-only")
+        rows = np.asarray(list(rows), np.int64).reshape(-1)
+        vecs = np.ascontiguousarray(vectors, np.float32)
+        if vecs.ndim != 2 or vecs.shape != (len(rows), self.dim):
+            raise StoreError(
+                f"expected [{len(rows)}, {self.dim}] vectors, got "
+                f"{vecs.shape}")
+        if len(rows) == 0:
+            return 0
+        if rows.min() < 0 or rows.max() >= self.count:
+            raise StoreError(
+                f"row ids must be in [0, {self.count}), got "
+                f"[{rows.min()}, {rows.max()}]")
+        if len(np.unique(rows)) != len(rows):
+            raise StoreError("duplicate row ids in update_vectors")
+        self.flush()
+        self.close_files_for_truncate()
+        new_meta = {"name": self.name, "collection": self.collection,
+                    "dim": self.dim, "count": self.count,
+                    "data_version": self.data_version + 1,
+                    "vector_version": self.vector_version + 1,
+                    "mutation_epoch": self.mutation_epoch + 1,
+                    "dtype": "float32", "version": 1}
+        patch = os.path.join(self.path, VEC_PATCH)
+        tmp = patch + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, rows=rows, vecs=vecs,
+                     meta=np.asarray(json.dumps(new_meta)))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, patch)         # <- commit point (roll forward)
+        self._apply_vec_patch(self.path, rows, vecs)
+        self.count = new_meta["count"]
+        self.data_version = new_meta["data_version"]
+        self.vector_version = new_meta["vector_version"]
+        self.mutation_epoch = new_meta["mutation_epoch"]
+        self._write_meta()
+        try:
+            os.remove(patch)
+        except FileNotFoundError:
+            pass    # a concurrent reader's open() already rolled forward
+        return len(rows)
+
+    @staticmethod
+    def _apply_vec_patch(path: str, rows, vecs) -> None:
+        """Idempotent absolute-offset writes of the patch rows."""
+        vec_path = os.path.join(path, VEC_FILE)
+        row_bytes = vecs.shape[1] * 4
+        with open(vec_path, "r+b") as f:
+            for r, v in zip(rows.tolist(), vecs):
+                f.seek(r * row_bytes)
+                f.write(v.tobytes())
+            f.flush()
+            os.fsync(f.fileno())
+
+    @staticmethod
+    def _recover_vec_patch(path: str) -> None:
+        """Roll an interrupted vector patch forward: the committed
+        `vectors.patch` holds everything needed (ids + rows + the
+        post-apply meta), and its writes are idempotent. A live lock
+        holder is applying it right now — back off (same contract as
+        `_recover_compact`). A corrupt/mismatched patch is dropped:
+        pre-commit crashes only ever leave a `.tmp`, so a named patch
+        that doesn't parse predates this code or lost its store."""
+        if _lock_holder_alive_at(path):
+            return
+        patch = os.path.join(path, VEC_PATCH)
+        if not os.path.exists(patch):
+            return
+        try:
+            with np.load(patch, allow_pickle=False) as z:
+                rows = np.asarray(z["rows"], np.int64)
+                vecs = np.asarray(z["vecs"], np.float32)
+                meta = json.loads(str(z["meta"]))
+            vec_path = os.path.join(path, VEC_FILE)
+            need = (int(rows.max()) + 1) * vecs.shape[1] * 4 \
+                if len(rows) else 0
+            if meta["dim"] != vecs.shape[1] or \
+                    os.path.getsize(vec_path) < need:
+                raise ValueError("patch does not match store")
+            # a patch older than the live meta is a leftover whose
+            # removal failed after later mutations landed — replaying
+            # it would roll newer data back
+            with open(os.path.join(path, META_FILE)) as f:
+                cur = json.load(f)
+            if int(cur.get("data_version", 0)) >= meta["data_version"]:
+                raise ValueError("stale patch")
+            VectorStore._apply_vec_patch(path, rows, vecs)
+            tmp = os.path.join(path, META_FILE + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f, indent=2)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(path, META_FILE))
+        except Exception:
+            pass
+        try:
+            os.remove(patch)
+        except OSError:
+            pass
 
     @staticmethod
     def _recover_compact(path: str) -> None:

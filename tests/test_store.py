@@ -694,6 +694,195 @@ def test_update_payloads_crash_rolls_forward(tmp_path, rng):
         os.path.join(path, "payloads.jsonl.compact"))
 
 
+def test_aliases(tmp_path, rng):
+    """qdrant collection-aliases role: stable names over databases,
+    atomic repointing, death with the target database."""
+    from reverso_tpu.store import (delete_alias, list_aliases,
+                                   resolve_alias, set_alias)
+
+    root = str(tmp_path)
+    for name in ("v1", "v2"):
+        with VectorStore.create(root, name, 8) as s:
+            s.append(random_unit(rng, 3, 8), make_payloads(3))
+    set_alias(root, "prod", "v1")
+    assert resolve_alias(root, "prod") == "v1"
+    assert resolve_alias(root, "v2") == "v2"        # real names pass through
+    assert resolve_alias(root, "ghost") == "ghost"
+    set_alias(root, "prod", "v2")                   # atomic flip
+    assert list_aliases(root) == {"prod": "v2"}
+    with pytest.raises(StoreError):
+        set_alias(root, "v1", "v2")                 # collides with a db
+    with pytest.raises(StoreError):
+        set_alias(root, "x", "ghost")               # target must exist
+    with pytest.raises(StoreError):
+        set_alias(root, "a/b", "v2")
+    # deleting the target drops its aliases
+    delete_database(root, "v2")
+    assert list_aliases(root) == {}
+    assert delete_alias(root, "prod") is False
+
+    # engine loads through an alias
+    import dataclasses
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=MODEL_PRESETS["test-tiny"],
+        store=dataclasses.replace(cfg.store, root_dir=root))
+    engine = Reverso(cfg)
+    set_alias(root, "prod", "v1")
+    msg = engine.load_database("prod")
+    assert msg.startswith("✅") and "alias prod" in msg
+    assert engine.current_database == "v1"
+    assert engine.count() == 3
+
+
+def test_cli_alias(tmp_path, rng, capsys):
+    from reverso_tpu.cli import main
+
+    root = str(tmp_path / "db")
+    with VectorStore.create(root, "base", 8) as s:
+        s.append(random_unit(rng, 2, 8), make_payloads(2))
+    base = ["--db-root", root, "--model", "test-tiny"]
+    assert main(base + ["alias", "set", "prod", "base"]) == 0
+    capsys.readouterr()
+    assert main(base + ["alias", "list"]) == 0
+    assert "prod\tbase" in capsys.readouterr().out
+    # store-only commands work through the alias
+    assert main(base + ["points", "prod", "--limit", "1"]) == 0
+    capsys.readouterr()
+    assert main(base + ["alias", "set", "prod", "ghost"]) == 1
+    capsys.readouterr()
+    assert main(base + ["alias", "delete", "prod"]) == 0
+    assert main(base + ["alias", "set"]) == 1
+
+
+def test_update_vectors_in_place(tmp_path, rng):
+    """In-place vector overwrite (qdrant update_vectors role): rows
+    rewritten at their byte offsets, payloads untouched, all three
+    version fields bump (device index re-uploads, IVF retrains)."""
+    root = str(tmp_path)
+    vecs = random_unit(rng, 6, 8)
+    s = VectorStore.create(root, "uv", 8)
+    s.append(vecs, make_payloads(6))
+    s.flush()
+    dv, vv, me = s.data_version, s.vector_version, s.mutation_epoch
+    new = random_unit(rng, 2, 8)
+    assert s.update_vectors([4, 1], new) == 2
+    got = np.asarray(s.vectors())
+    np.testing.assert_array_equal(got[4], new[0])
+    np.testing.assert_array_equal(got[1], new[1])
+    np.testing.assert_array_equal(got[[0, 2, 3, 5]], vecs[[0, 2, 3, 5]])
+    assert s.payloads([4])[0]["region_id"] == "r4"
+    assert (s.data_version, s.vector_version, s.mutation_epoch) == \
+        (dv + 1, vv + 1, me + 1)
+    assert not os.path.exists(os.path.join(root, "uv", "vectors.patch"))
+    with pytest.raises(StoreError):
+        s.update_vectors([0, 0], random_unit(rng, 2, 8))   # dup rows
+    with pytest.raises(StoreError):
+        s.update_vectors([99], random_unit(rng, 1, 8))
+    with pytest.raises(StoreError):
+        s.update_vectors([0], random_unit(rng, 1, 4))      # wrong dim
+    assert s.update_vectors([], np.zeros((0, 8), np.float32)) == 0
+    s.close()
+    ro = VectorStore.open(root, "uv")
+    with pytest.raises(StoreError):
+        ro.update_vectors([0], random_unit(rng, 1, 8))
+
+
+def test_update_vectors_crash_rolls_forward(tmp_path, rng):
+    """A committed vectors.patch with the apply interrupted must roll
+    forward on open; a STALE leftover patch (older data_version) must
+    be dropped, never replayed over newer data."""
+    import json as _json
+    root = str(tmp_path)
+    vecs = random_unit(rng, 4, 8)
+    s = VectorStore.create(root, "uvc", 8)
+    s.append(vecs, make_payloads(4))
+    s.flush()
+    path = os.path.join(root, "uvc")
+    new_row = random_unit(rng, 1, 8)
+    meta = _json.load(open(os.path.join(path, "meta.json")))
+    patch_meta = dict(meta, data_version=meta["data_version"] + 1,
+                      vector_version=meta["vector_version"] + 1,
+                      mutation_epoch=meta["mutation_epoch"] + 1)
+    with open(os.path.join(path, "vectors.patch"), "wb") as f:
+        np.savez(f, rows=np.asarray([2], np.int64),
+                 vecs=new_row.astype(np.float32),
+                 meta=np.asarray(_json.dumps(patch_meta)))
+    s.close()                               # crash: apply never ran
+
+    s2 = VectorStore.open(root, "uvc")
+    np.testing.assert_array_equal(np.asarray(s2.vectors())[2], new_row[0])
+    assert s2.data_version == patch_meta["data_version"]
+    assert s2.vector_version == patch_meta["vector_version"]
+    assert not os.path.exists(os.path.join(path, "vectors.patch"))
+
+    # stale patch: data_version not beyond current -> dropped unapplied
+    stale_row = random_unit(rng, 1, 8)
+    with open(os.path.join(path, "vectors.patch"), "wb") as f:
+        np.savez(f, rows=np.asarray([0], np.int64),
+                 vecs=stale_row.astype(np.float32),
+                 meta=np.asarray(_json.dumps(patch_meta)))  # same dv
+    s3 = VectorStore.open(root, "uvc")
+    np.testing.assert_array_equal(np.asarray(s3.vectors())[0], vecs[0])
+    assert not os.path.exists(os.path.join(path, "vectors.patch"))
+
+
+def test_engine_update_vectors(tmp_path, rng):
+    import dataclasses
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"],
+                                dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg)
+    vecs = random_unit(rng, 8, 16)
+    with VectorStore.create(str(tmp_path / "db"), "uve", 16) as s:
+        s.append(vecs, make_payloads(8))
+    engine.load_database("uve")
+    s_, i_ = engine.search_batch(vecs[5], k=1)
+    assert int(i_[0, 0]) == 5
+    # move point 5 onto point 0's direction (unnormalized input ok)
+    msg = engine.update_vectors([5, "r2"], np.stack([vecs[0] * 7.0,
+                                                     vecs[1] * 2.0]))
+    assert msg.startswith("✅") and "2 points" in msg
+    s_, i_ = engine.search_batch(vecs[0], k=2)
+    assert set(int(x) for x in i_[0]) == {0, 5}     # index refreshed
+    s_, i_ = engine.search_batch(vecs[1], k=2)
+    assert set(int(x) for x in i_[0]) == {1, 2}
+    assert engine.update_vectors([99], vecs[:1]).startswith("❌")
+    assert engine.update_vectors([1, 2], vecs[:1]).startswith("❌")
+    assert engine.update_vectors([1],
+                                 np.zeros((1, 16))).startswith("❌")
+
+
+def test_cli_update_vectors(tmp_path, rng, capsys):
+    from reverso_tpu.cli import main
+
+    vecs = random_unit(rng, 5, 8)
+    root = str(tmp_path / "db")
+    with VectorStore.create(root, "cliuv", 8) as s:
+        s.append(vecs, make_payloads(5))
+    new = random_unit(rng, 2, 8)
+    npz = str(tmp_path / "patch.npz")
+    np.savez(npz, ids=np.asarray([3, 0]), vectors=new)
+    rc = main(["--db-root", root, "--model", "test-tiny",
+               "update-vectors", "cliuv", npz])
+    assert rc == 0 and "2 points" in capsys.readouterr().out
+    got = np.asarray(VectorStore.open(root, "cliuv").vectors())
+    np.testing.assert_allclose(got[3], new[0], atol=1e-6)
+    np.testing.assert_allclose(got[0], new[1], atol=1e-6)
+    rc = main(["--db-root", root, "--model", "test-tiny",
+               "update-vectors", "cliuv", str(tmp_path / "nope.npz")])
+    assert rc == 1
+
+
 def test_engine_payload_mutation(tmp_path, rng):
     """Engine facade: selection by ids/region_ids/filter, device index
     survives the mutation (vectors unchanged), filters see the new
