@@ -464,6 +464,54 @@ def cmd_payload(args) -> int:
     return 0 if msg.startswith("✅") else 1
 
 
+def cmd_upsert(args) -> int:
+    """Append externally computed points: vectors from an .npz
+    (`vectors` [m, d], optional `payloads` as JSON strings), payloads
+    alternatively from a JSONL sidecar (qdrant upsert role). Creates
+    the database when missing. No model load."""
+    import numpy as np
+
+    from .store import StoreError, VectorStore
+
+    cfg = _make_config(args)
+    try:
+        with np.load(args.npz, allow_pickle=False) as z:
+            vecs = np.asarray(z["vectors"], np.float32)
+            pls = ([json.loads(s) for s in z["payloads"].tolist()]
+                   if "payloads" in z.files else None)
+    except (OSError, KeyError, ValueError) as e:
+        print(f"❌ Cannot read {args.npz}: {e}", file=sys.stderr)
+        return 1
+    if args.payloads:
+        try:
+            with open(args.payloads) as f:
+                pls = [json.loads(line) for line in f if line.strip()]
+        except (OSError, ValueError) as e:
+            print(f"❌ Cannot read {args.payloads}: {e}", file=sys.stderr)
+            return 1
+    root = cfg.store.root_dir
+    import os as _os
+    if not _os.path.isdir(_os.path.join(root, args.name)):
+        if vecs.ndim != 2 or len(vecs) == 0:
+            print("❌ Need [m, d] vectors to create a database",
+                  file=sys.stderr)
+            return 1
+        try:
+            VectorStore.create(root, args.name, int(vecs.shape[1])).close()
+        except StoreError as e:
+            print(f"❌ {e}", file=sys.stderr)
+            return 1
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    msg = engine.upsert_points(vecs, pls)
+    out = sys.stdout if msg.startswith("✅") else sys.stderr
+    print(msg, file=out)
+    return 0 if msg.startswith("✅") else 1
+
+
 def cmd_update_vectors(args) -> int:
     """Overwrite stored vectors by id from an .npz file with `ids`
     (ints and/or region_id strings) and `vectors` [m, d] (qdrant
@@ -1093,6 +1141,16 @@ def build_parser() -> argparse.ArgumentParser:
     py.add_argument("--filter", action="append", default=[],
                     help="payload filter clause(s), as in `search`")
     py.set_defaults(fn=cmd_payload)
+
+    up = sub.add_parser("upsert",
+                        help="append externally computed points "
+                             "(vectors + payloads; qdrant upsert)")
+    up.add_argument("name")
+    up.add_argument("npz", help=".npz with `vectors` [m, d] and "
+                                "optionally `payloads` (JSON strings)")
+    up.add_argument("--payloads", default=None,
+                    help="JSONL file of payloads (overrides the npz's)")
+    up.set_defaults(fn=cmd_upsert)
 
     uv = sub.add_parser("update-vectors",
                         help="overwrite stored vectors by id from an "

@@ -356,6 +356,51 @@ class Reverso:
         clear_payload API role."""
         return self._mutate_payloads("clear", points=points, filter=filter)
 
+    def upsert_points(self, vectors, payloads=None) -> str:
+        """Append raw points (vectors + payloads) to the loaded
+        database — qdrant's upsert role for externally computed
+        embeddings (the build pipeline is the model-driven path; this
+        is the bring-your-own-vectors path). Vectors are L2-normalized
+        here; dims must match the store. Row ids are assigned
+        sequentially (the store is append-only — use delete_points /
+        update_vectors / set_payload to mutate)."""
+        if self._store is None:
+            return ("❌ No database loaded. Please create or load a "
+                    "database first.")
+        name = self.current_database
+        vecs = np.asarray(vectors, np.float32)
+        if vecs.ndim == 1:
+            vecs = vecs[None]
+        if payloads is None:
+            payloads = [{} for _ in range(len(vecs))]
+        payloads = list(payloads)
+        if len(payloads) != len(vecs):
+            return (f"❌ {len(vecs)} vectors but {len(payloads)} "
+                    f"payloads")
+        if len(vecs) == 0:
+            return "✅ Upserted 0 points"
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        if not np.all(norms > 0):
+            return "❌ Zero vectors cannot be normalized"
+        vecs = vecs / norms
+        self._set_store(None)     # release the read handle before locking
+        try:
+            with VectorStore.open(self.db_root, name, writable=True) as w:
+                first = w.count
+                w.append(vecs, payloads)
+        except StoreLockedError:
+            return (f"❌ Database '{name}' is locked (a build may be "
+                    f"running); unlock it first")
+        except StoreError as e:
+            return f"❌ {e}"
+        finally:
+            try:
+                self._set_store(VectorStore.open(self.db_root, name))
+            except StoreError:
+                pass
+        return (f"✅ Upserted {len(vecs)} points into {name} "
+                f"(ids {first}..{first + len(vecs) - 1})")
+
     def update_vectors(self, points, vectors) -> str:
         """Overwrite the stored vectors of specific points — qdrant's
         update_vectors API role. `points` mixes row ids and region_id

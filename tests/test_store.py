@@ -862,6 +862,65 @@ def test_engine_update_vectors(tmp_path, rng):
                                  np.zeros((1, 16))).startswith("❌")
 
 
+def test_engine_upsert_points(tmp_path, rng):
+    import dataclasses
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=MODEL_PRESETS["test-tiny"],
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg)
+    vecs = random_unit(rng, 4, 16)
+    with VectorStore.create(str(tmp_path / "db"), "ups", 16) as s:
+        s.append(vecs, make_payloads(4))
+    engine.load_database("ups")
+    more = random_unit(rng, 3, 16) * 5.0            # unnormalized ok
+    msg = engine.upsert_points(more, [{"tag": "x"}, {"tag": "y"}, {}])
+    assert msg.startswith("✅") and "ids 4..6" in msg
+    assert engine.count() == 7
+    s_, i_ = engine.search_batch(more[1] / np.linalg.norm(more[1]), k=1)
+    assert int(i_[0, 0]) == 5                       # index refreshed
+    assert engine.retrieve([4])[0]["payload"] == {"tag": "x"}
+    assert engine.upsert_points(more[:2], [{}]).startswith("❌")
+    assert engine.upsert_points(np.zeros((1, 16))).startswith("❌")
+    assert engine.upsert_points(random_unit(rng, 1, 8)).startswith("❌")
+
+
+def test_cli_upsert(tmp_path, rng, capsys):
+    import json as _json
+    from reverso_tpu.cli import main
+
+    root = str(tmp_path / "db")
+    base = ["--db-root", root, "--model", "test-tiny"]
+    vecs = random_unit(rng, 3, 8)
+    npz = str(tmp_path / "pts.npz")
+    np.savez(npz, vectors=vecs,
+             payloads=np.asarray([_json.dumps({"filename": f"f{i}.jpg"})
+                                  for i in range(3)]))
+    # creates the database when missing
+    rc = main(base + ["upsert", "fresh", npz])
+    assert rc == 0 and "3 points" in capsys.readouterr().out
+    rc = main(base + ["upsert", "fresh", npz])      # appends
+    assert rc == 0 and "ids 3..5" in capsys.readouterr().out
+    st = VectorStore.open(root, "fresh")
+    assert st.count == 6
+    assert st.payloads([1])[0]["filename"] == "f1.jpg"
+    # JSONL payload sidecar wins
+    jl = str(tmp_path / "p.jsonl")
+    with open(jl, "w") as f:
+        for i in range(3):
+            f.write(_json.dumps({"n": i}) + "\n")
+    rc = main(base + ["upsert", "fresh", npz, "--payloads", jl])
+    assert rc == 0
+    capsys.readouterr()
+    assert VectorStore.open(root, "fresh").payloads([6])[0] == {"n": 0}
+    rc = main(base + ["upsert", "fresh", str(tmp_path / "nope.npz")])
+    assert rc == 1
+
+
 def test_cli_update_vectors(tmp_path, rng, capsys):
     from reverso_tpu.cli import main
 
