@@ -1264,9 +1264,16 @@ class Reverso:
             order = np.lexsort((ids, sign * vals))
             ids, vals = ids[order], vals[order]
             if offset not in (None, 0):
-                o_val, o_id = offset
-                after = (sign * vals > sign * float(o_val)) | (
-                    (vals == float(o_val)) & (ids >= int(o_id)))
+                try:
+                    o_val, o_id = offset
+                    o_val, o_id = float(o_val), int(o_id)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        "with order_by, offset is the (value, id) "
+                        f"token the previous page returned, got "
+                        f"{offset!r}")
+                after = (sign * vals > sign * o_val) | (
+                    (vals == o_val) & (ids >= o_id))
                 ids, vals = ids[after], vals[after]
             next_offset = ((float(vals[limit]), int(ids[limit]))
                            if len(ids) > limit else None)

@@ -469,6 +469,11 @@ def make_handler(state: UIState):
             order_by = body.get("order_by") or None
             offset = body.get("offset") or 0
             if order_by and offset:
+                if not isinstance(offset, (list, tuple)) or \
+                        len(offset) != 2:
+                    raise ValueError(
+                        "with order_by, offset is the [value, id] "
+                        "token the previous page returned")
                 offset = (float(offset[0]), int(offset[1]))
             elif not order_by:
                 offset = int(offset)

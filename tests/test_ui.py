@@ -338,6 +338,10 @@ def test_recommend_and_points_endpoints(server, tmp_path):
                     "limit": 10})
     assert code == 200 and r["next_offset"] is None
     assert [p["id"] for p in r["points"]] == [4, 5]
+    # malformed resume token is a 400, not a 500
+    code, r = post(base, "/api/points",
+                   {"order_by": "confidence", "offset": 7})
+    assert code == 400 and "token" in r["error"], r
 
 
 def test_search_groups_endpoint(server, tmp_path):
