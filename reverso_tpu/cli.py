@@ -491,18 +491,23 @@ def cmd_upsert(args) -> int:
             return 1
     root = cfg.store.root_dir
     import os as _os
-    if not _os.path.isdir(_os.path.join(root, args.name)):
+    from .store import resolve_alias
+    # resolve BEFORE the create-on-missing check: upserting into an
+    # alias must append to its target, not create a shadow db whose
+    # real directory would win over the alias forever after
+    name = resolve_alias(root, args.name)
+    if not _os.path.isdir(_os.path.join(root, name)):
         if vecs.ndim != 2 or len(vecs) == 0:
             print("❌ Need [m, d] vectors to create a database",
                   file=sys.stderr)
             return 1
         try:
-            VectorStore.create(root, args.name, int(vecs.shape[1])).close()
+            VectorStore.create(root, name, int(vecs.shape[1])).close()
         except StoreError as e:
             print(f"❌ {e}", file=sys.stderr)
             return 1
     engine = _make_engine(args)
-    msg = engine.load_database(args.name)
+    msg = engine.load_database(name)
     if msg.startswith("❌"):
         print(msg, file=sys.stderr)
         return 1

@@ -237,6 +237,39 @@ class Reverso:
             return f"✅ Removed lock file from database: {database_name}"
         return f"ℹ️ No lock file found for database: {database_name}"
 
+    def _with_writable(self, fn):
+        """Swap the read handle for a writable one, run `fn(writable)`,
+        and ALWAYS reopen the read handle afterwards. Returns
+        (error_message | None, fn_result | None). The device index is
+        preserved across the swap whenever its (count, vector_version)
+        key still holds — i.e. for payload-only mutations; anything
+        that touched vectors bumps vector_version and rebuilds."""
+        name = self.current_database
+        with self._index_lock:
+            saved_index = self._index
+            saved_key = getattr(self, "_index_key", None)
+        self._set_store(None)     # release the read handle before locking
+        try:
+            with VectorStore.open(self.db_root, name, writable=True) as w:
+                result = fn(w)
+        except StoreLockedError:
+            return (f"❌ Database '{name}' is locked (a build may be "
+                    f"running); unlock it first", None)
+        except StoreError as e:
+            return (f"❌ {e}", None)
+        finally:
+            try:
+                store = VectorStore.open(self.db_root, name)
+                self._set_store(store)
+                if saved_index is not None and saved_key == (
+                        store.count, store.vector_version):
+                    with self._index_lock:
+                        self._index = saved_index
+                        self._index_key = saved_key
+            except StoreError:
+                pass
+        return None, result
+
     def delete_points(self, filter) -> str:
         """Delete every row whose payload matches `filter` (see
         `store.filter` for the spec) — the delete-by-filter role of
@@ -253,21 +286,10 @@ class Reverso:
                 return "❌ Refusing to delete with an empty filter (use delete_database to drop everything)"
         except Exception as e:
             return f"❌ Bad filter: {e}"
-        self._set_store(None)     # release the read handle before locking
-        try:
-            with VectorStore.open(self.db_root, name, writable=True) as w:
-                mask = payload_mask(w, filter)
-                removed = w.compact(~mask)
-        except StoreLockedError:
-            return (f"❌ Database '{name}' is locked (a build may be "
-                    f"running); unlock it first")
-        except StoreError as e:
-            return f"❌ {e}"
-        finally:
-            try:
-                self._set_store(VectorStore.open(self.db_root, name))
-            except StoreError:
-                pass
+        err, removed = self._with_writable(
+            lambda w: w.compact(~payload_mask(w, filter)))
+        if err:
+            return err
         return f"✅ Deleted {removed} points from {name}"
 
     def _mutate_payloads(self, mode: str, patch=None, keys=None, *,
@@ -296,36 +318,20 @@ class Reverso:
         if not rows and not has_filter:
             return ("❌ Nothing selected: pass point ids and/or a "
                     "non-empty filter")
+
         # payload edits leave vectors untouched (vector_version holds
-        # still), so the possibly multi-GB device index survives the
-        # handle swap instead of re-uploading
-        with self._index_lock:
-            saved_index = self._index
-            saved_key = getattr(self, "_index_key", None)
-        self._set_store(None)     # release the read handle before locking
-        try:
-            with VectorStore.open(self.db_root, name, writable=True) as w:
-                if has_filter:
-                    mask = payload_mask(w, filter)
-                    rows.update(np.nonzero(mask)[0].tolist())
-                touched = w.update_payloads(sorted(rows), patch=patch,
-                                            keys=keys, mode=mode)
-        except StoreLockedError:
-            return (f"❌ Database '{name}' is locked (a build may be "
-                    f"running); unlock it first")
-        except StoreError as e:
-            return f"❌ {e}"
-        finally:
-            try:
-                store = VectorStore.open(self.db_root, name)
-                self._set_store(store)
-                if saved_index is not None and saved_key == (
-                        store.count, store.vector_version):
-                    with self._index_lock:
-                        self._index = saved_index
-                        self._index_key = saved_key
-            except StoreError:
-                pass
+        # still), so _with_writable preserves the possibly multi-GB
+        # device index instead of re-uploading
+        def body(w):
+            if has_filter:
+                mask = payload_mask(w, filter)
+                rows.update(np.nonzero(mask)[0].tolist())
+            return w.update_payloads(sorted(rows), patch=patch,
+                                     keys=keys, mode=mode)
+
+        err, touched = self._with_writable(body)
+        if err:
+            return err
         verb = {"set": "Updated", "overwrite": "Overwrote",
                 "delete": "Deleted keys on", "clear": "Cleared"}[mode]
         return f"✅ {verb} payload of {touched} points in {name}"
@@ -383,21 +389,15 @@ class Reverso:
         if not np.all(norms > 0):
             return "❌ Zero vectors cannot be normalized"
         vecs = vecs / norms
-        self._set_store(None)     # release the read handle before locking
-        try:
-            with VectorStore.open(self.db_root, name, writable=True) as w:
-                first = w.count
-                w.append(vecs, payloads)
-        except StoreLockedError:
-            return (f"❌ Database '{name}' is locked (a build may be "
-                    f"running); unlock it first")
-        except StoreError as e:
-            return f"❌ {e}"
-        finally:
-            try:
-                self._set_store(VectorStore.open(self.db_root, name))
-            except StoreError:
-                pass
+
+        def body(w):
+            first = w.count
+            w.append(vecs, payloads)
+            return first
+
+        err, first = self._with_writable(body)
+        if err:
+            return err
         return (f"✅ Upserted {len(vecs)} points into {name} "
                 f"(ids {first}..{first + len(vecs) - 1})")
 
@@ -430,20 +430,10 @@ class Reverso:
         if not np.all(norms > 0):
             return "❌ Zero vectors cannot be normalized"
         vecs = vecs / norms
-        self._set_store(None)     # release the read handle before locking
-        try:
-            with VectorStore.open(self.db_root, name, writable=True) as w:
-                touched = w.update_vectors(rows, vecs)
-        except StoreLockedError:
-            return (f"❌ Database '{name}' is locked (a build may be "
-                    f"running); unlock it first")
-        except StoreError as e:
-            return f"❌ {e}"
-        finally:
-            try:
-                self._set_store(VectorStore.open(self.db_root, name))
-            except StoreError:
-                pass
+        err, touched = self._with_writable(
+            lambda w: w.update_vectors(rows, vecs))
+        if err:
+            return err
         return f"✅ Updated vectors of {touched} points in {name}"
 
     def _set_store(self, store: Optional[VectorStore]) -> None:

@@ -939,6 +939,11 @@ class VectorStore:
         patch = os.path.join(path, VEC_PATCH)
         if not os.path.exists(patch):
             return
+        # Phase 1 — judge the patch. Only an explicit stale/corrupt/
+        # mismatch verdict may DROP it; an apply-time I/O failure must
+        # KEEP it (the patch is the only copy of the committed rows —
+        # deleting it after a partial apply would freeze a half-patched
+        # vectors.bin under the old meta with nothing left to re-roll).
         try:
             with np.load(patch, allow_pickle=False) as z:
                 rows = np.asarray(z["rows"], np.int64)
@@ -947,25 +952,32 @@ class VectorStore:
             vec_path = os.path.join(path, VEC_FILE)
             need = (int(rows.max()) + 1) * vecs.shape[1] * 4 \
                 if len(rows) else 0
-            if meta["dim"] != vecs.shape[1] or \
-                    os.path.getsize(vec_path) < need:
-                raise ValueError("patch does not match store")
-            # a patch older than the live meta is a leftover whose
-            # removal failed after later mutations landed — replaying
-            # it would roll newer data back
             with open(os.path.join(path, META_FILE)) as f:
                 cur = json.load(f)
-            if int(cur.get("data_version", 0)) >= meta["data_version"]:
-                raise ValueError("stale patch")
-            VectorStore._apply_vec_patch(path, rows, vecs)
-            tmp = os.path.join(path, META_FILE + ".tmp")
-            with open(tmp, "w") as f:
-                json.dump(meta, f, indent=2)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(path, META_FILE))
+            drop = (meta["dim"] != vecs.shape[1]
+                    or os.path.getsize(vec_path) < need
+                    # a patch not beyond the live meta is a leftover
+                    # whose removal failed after later mutations —
+                    # replaying it would roll newer data back
+                    or int(cur.get("data_version", 0))
+                    >= meta["data_version"])
         except Exception:
-            pass
+            drop = True           # unreadable: pre-dates this code
+        if drop:
+            try:
+                os.remove(patch)
+            except OSError:
+                pass
+            return
+        # Phase 2 — apply. Any failure here leaves the patch in place
+        # for the next open() to retry (writes are idempotent).
+        VectorStore._apply_vec_patch(path, rows, vecs)
+        tmp = os.path.join(path, META_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(path, META_FILE))
         try:
             os.remove(patch)
         except OSError:

@@ -919,6 +919,15 @@ def test_cli_upsert(tmp_path, rng, capsys):
     assert VectorStore.open(root, "fresh").payloads([6])[0] == {"n": 0}
     rc = main(base + ["upsert", "fresh", str(tmp_path / "nope.npz")])
     assert rc == 1
+    # upserting through an ALIAS appends to the target — it must not
+    # create a shadow database named after the alias
+    from reverso_tpu.store import set_alias
+    set_alias(root, "prod", "fresh")
+    rc = main(base + ["upsert", "prod", npz])
+    assert rc == 0
+    capsys.readouterr()
+    assert not os.path.isdir(os.path.join(root, "prod"))
+    assert VectorStore.open(root, "fresh").count == 12
 
 
 def test_cli_update_vectors(tmp_path, rng, capsys):
