@@ -103,9 +103,13 @@ def main() -> None:
     assert (idx_h[:, 0] == np.arange(Q)).all(), "self-recall@1 failed"
 
     # warm + honest timing (block_until_ready does not sync through the
-    # axon tunnel; a host transfer does)
+    # axon tunnel; a host transfer does). The chip is time-shared and
+    # contended windows last minutes — a longer budget raises the odds
+    # the interleaved minima catch an uncontended stretch, and min()
+    # only improves with more blocks.
     np.asarray(run()[0])
-    dt = _best_time(run, lambda r: np.asarray(r[0][:1]), k=8)
+    dt = _best_time(run, lambda r: np.asarray(r[0][:1]), k=8,
+                    budget_s=150.0)
     qps = Q / dt
 
     print(json.dumps({

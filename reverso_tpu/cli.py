@@ -295,18 +295,22 @@ def cmd_query(args) -> int:
         except ValueError:
             prefetch.append(spec)          # region_id string operand
     target = None
-    if args.target is not None and args.text:
-        print("❌ pass --target or --text, not both", file=sys.stderr)
+    if sum(x is not None and x is not False
+           for x in (args.target, args.text or None, args.random or None)) > 1:
+        print("❌ pass only one of --target / --text / --random",
+              file=sys.stderr)
         return 1
     if args.target is not None:
         target = (int(args.target) if args.target.lstrip("-").isdigit()
                   else args.target)
     elif args.text:
         target = {"text": args.text}
+    elif args.random:
+        target = {"sample": "random"}
     try:
         hits = engine.query(target, prefetch=prefetch or None,
                             fusion=args.fusion, k=args.top_k,
-                            filter=args.filter or None)
+                            filter=args.filter or None, seed=args.seed)
     except (StoreError, FilterError, ValueError) as e:
         print(f"❌ {e}", file=sys.stderr)
         return 1
@@ -317,6 +321,35 @@ def cmd_query(args) -> int:
             print(f"{h['id']}\t{h['score']:.6f}\t"
                   f"{json.dumps(h['payload'])}")
     return 0 if hits else 2
+
+
+def cmd_matrix(args) -> int:
+    """Pairwise similarity over a random sample of stored points —
+    qdrant's search_matrix_pairs/offsets role (cluster/dedup view).
+    No model load."""
+    from .store import StoreError
+    from .store.filter import FilterError
+
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    try:
+        out = engine.search_matrix(
+            sample=args.sample, limit=args.limit,
+            filter=args.filter or None, seed=args.seed,
+            offsets=args.offsets)
+    except (StoreError, FilterError, ValueError) as e:
+        print(f"❌ {e}", file=sys.stderr)
+        return 1
+    if args.offsets or args.json:
+        print(json.dumps(out if args.offsets else {"pairs": out},
+                         indent=2))
+    else:
+        for p in out:
+            print(f"{p['id_a']}\t{p['id_b']}\t{p['score']:.6f}")
+    return 0 if out else 2
 
 
 def cmd_points(args) -> int:
@@ -1082,12 +1115,38 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rescoring query as natural language (needs "
                          "the CLIP/PE text tower configured)")
     qr.add_argument("--fusion", choices=["rrf", "dbsf"], default=None)
+    qr.add_argument("--random", action="store_true",
+                    help="return top-k uniformly sampled (filtered) "
+                         "points instead of a similarity search "
+                         "(qdrant random sampling)")
+    qr.add_argument("--seed", type=int, default=None,
+                    help="make --random reproducible")
     qr.add_argument("--top-k", type=int, default=None)
     qr.add_argument("--filter", action="append", default=[],
                     help="global payload filter, applied inside every "
                          "branch")
     qr.add_argument("--json", action="store_true")
     qr.set_defaults(fn=cmd_query)
+
+    mx = sub.add_parser("matrix",
+                        help="pairwise similarity over a random sample "
+                             "of stored points (qdrant search_matrix)")
+    mx.add_argument("name")
+    mx.add_argument("--sample", type=int, default=10,
+                    help="points to sample (without replacement; "
+                         "default 10, cap 8192)")
+    mx.add_argument("--limit", type=int, default=3,
+                    help="nearest neighbors reported per sampled point")
+    mx.add_argument("--filter", action="append", default=[],
+                    help="sample only points matching this payload "
+                         "filter")
+    mx.add_argument("--seed", type=int, default=None,
+                    help="make the sample reproducible")
+    mx.add_argument("--offsets", action="store_true",
+                    help="emit qdrant's offsets format (ids + row/col "
+                         "offset arrays) instead of pairs")
+    mx.add_argument("--json", action="store_true")
+    mx.set_defaults(fn=cmd_matrix)
 
     pt = sub.add_parser("points",
                         help="page through stored points (ids + payloads), "

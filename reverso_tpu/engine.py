@@ -1107,7 +1107,7 @@ class Reverso:
 
     def query(self, query=None, *, prefetch=None,
               fusion: Optional[str] = None, k: Optional[int] = None,
-              filter=None, with_payload: bool = True):
+              filter=None, with_payload: bool = True, seed=None):
         """Universal query API — the role of qdrant's query_points
         with prefetch + fusion / multi-stage rescoring (the modern
         face of the store the reference drove via plain `search`,
@@ -1115,7 +1115,11 @@ class Reverso:
 
         Three shapes:
           * `query` alone — plain top-k search (vector, row id, or
-            region_id string).
+            region_id string). `{"sample": "random"}` instead returns
+            k uniformly sampled (filtered) points, score 0.0 — qdrant's
+            random-sampling query; `seed` makes the draw reproducible.
+            Random branches are legal in prefetch too (e.g. a random
+            candidate pool feeding an exact rescore).
           * `prefetch=[...]` + `fusion` ("rrf" default, or "dbsf") —
             each branch is a sub-search (`{"query": ..., "filter": ...,
             "limit": n}`, or just the query operand); branch result
@@ -1149,10 +1153,29 @@ class Reverso:
             return [{"id": pid, "score": float(sc), "payload": p}
                     for (sc, pid), p in zip(pairs, payloads)]
 
+        def is_random(q) -> bool:
+            return isinstance(q, dict) and q.get("sample") == "random"
+
+        # one stream per query() call: with a fixed seed, two random
+        # branches draw DIFFERENT (but reproducible) samples
+        rng = np.random.default_rng(seed)
+
+        def random_rows(n: int, bmask) -> list[int]:
+            valid = (np.nonzero(bmask)[0] if bmask is not None
+                     else np.arange(store.count))
+            if len(valid) <= n:
+                rows = valid.copy()
+                rng.shuffle(rows)
+                return [int(r) for r in rows]
+            return [int(r) for r in rng.choice(valid, size=n,
+                                               replace=False)]
+
         if prefetch is None:
             if query is None:
                 raise ValueError("query() needs a query operand and/or "
                                  "prefetch branches")
+            if is_random(query):
+                return hits_out([(0.0, r) for r in random_rows(k, gmask)])
             qv = self._resolve_query_vector(query)
             s, i = jax.device_get(
                 self._get_index().search(qv[None], k, row_mask=gmask))
@@ -1161,6 +1184,10 @@ class Reverso:
         if query is not None and fusion is not None:
             raise ValueError("pass either a rescoring query or fusion, "
                              "not both")
+        if is_random(query):
+            raise ValueError("random sampling cannot rescore prefetch "
+                             "branches (use it standalone or as a "
+                             "branch)")
 
         branches = []
         for spec in prefetch:
@@ -1173,10 +1200,14 @@ class Reverso:
                 bq, bf, bl = spec, None, max(2 * k, 20)
             if bq is None:
                 raise ValueError("every prefetch branch needs a query")
-            qv = self._resolve_query_vector(bq)
             bmask = self._filter_mask(bf) if bf is not None else None
             if gmask is not None:
                 bmask = gmask if bmask is None else (bmask & gmask)
+            if is_random(bq):
+                rows = random_rows(bl, bmask)
+                branches.append((rows, [0.0] * len(rows)))
+                continue
+            qv = self._resolve_query_vector(bq)
             s, i = jax.device_get(
                 self._get_index().search(qv[None], bl, row_mask=bmask))
             valid = i[0] >= 0
@@ -1216,6 +1247,67 @@ class Reverso:
         scores = vecs @ qv
         order = np.lexsort((np.asarray(cand), -scores))[:k]
         return hits_out([(float(scores[j]), int(cand[j])) for j in order])
+
+    def query_batch(self, requests, *, with_payload: bool = True):
+        """Run several universal queries in ONE call — qdrant's
+        query_batch_points role, TPU-shaped: plain vector requests
+        sharing a filter coalesce into one batched kernel launch (the
+        per-query cost of the streaming scan is tiny next to the
+        database read, so B plain queries cost about one); requests
+        with prefetch/fusion/random sampling fall back to query() per
+        request. Each request is a dict of query() kwargs; returns a
+        list of result lists in request order."""
+        import jax
+        import json as _json
+
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        store.refresh()
+        reqs = [dict(r) for r in requests]
+        allowed = {"query", "prefetch", "fusion", "k", "filter",
+                   "with_payload", "seed"}
+        for r in reqs:
+            bad = set(r) - allowed
+            if bad:
+                raise ValueError(f"unknown request keys {sorted(bad)} "
+                                 f"(allowed: {sorted(allowed)})")
+        results: list = [None] * len(reqs)
+        groups: dict[str, list[int]] = {}
+        for n, r in enumerate(reqs):
+            q = r.get("query")
+            plain = (not r.get("prefetch") and r.get("fusion") is None
+                     and q is not None
+                     and not (isinstance(q, dict) and "sample" in q))
+            if not plain:
+                results[n] = self.query(**r)
+                continue
+            try:
+                fkey = _json.dumps(r.get("filter"), sort_keys=True,
+                                   default=repr)
+            except (TypeError, ValueError):
+                fkey = repr(r.get("filter"))
+            groups.setdefault(fkey, []).append(n)
+        for idxs in groups.values():
+            vecs = np.stack([self._resolve_query_vector(reqs[n]["query"])
+                             for n in idxs])
+            fspec = reqs[idxs[0]].get("filter")
+            mask = self._filter_mask(fspec) if fspec is not None else None
+            ks = [self.config.search.top_k if reqs[n].get("k") is None
+                  else int(reqs[n]["k"]) for n in idxs]
+            s, i = jax.device_get(
+                self._get_index().search(vecs, max(ks), row_mask=mask))
+            for row, (n, kk) in enumerate(zip(idxs, ks)):
+                pairs = [(float(sv), int(iv))
+                         for sv, iv in zip(s[row][:kk], i[row][:kk])
+                         if iv >= 0]
+                ids = [pid for _, pid in pairs]
+                wp = reqs[n].get("with_payload", with_payload)
+                payloads = (store.payloads(ids) if wp
+                            else [None] * len(ids))
+                results[n] = [{"id": pid, "score": sc, "payload": p}
+                              for (sc, pid), p in zip(pairs, payloads)]
+        return results
 
     def scroll(self, filter=None, *, offset=0, limit: int = 100,
                with_payload: bool = True, order_by: Optional[str] = None,
@@ -1346,6 +1438,79 @@ class Reverso:
         top = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
         return [{"value": v, "count": int(n)}
                 for v, n in top[:max(0, int(limit))]]
+
+    def search_matrix(self, *, sample: int = 10, limit: int = 3,
+                      filter=None, seed=None, offsets: bool = False):
+        """Pairwise similarity matrix over a random sample of stored
+        points — qdrant's search_matrix_pairs / search_matrix_offsets
+        role (the clustering/dedup view of the store the reference
+        drove via plain search, core_system.py:659-664).
+
+        Samples up to `sample` points (without replacement, uniformly
+        over the rows matching `filter`; `seed` makes the draw
+        reproducible) and scores every sampled point against every
+        other in ONE [S, S] fp32 MXU block. Each point reports its
+        `limit` most-similar OTHER sampled points, (-score, idx) ties.
+
+        Returns pairs format (default): a list of {"id_a", "id_b",
+        "score"} dicts grouped by id_a ascending, best-first within a
+        group — or, with offsets=True, qdrant's offsets format:
+        {"ids", "offsets_row", "offsets_col", "scores"} where row/col
+        are positions in the sorted `ids` list. The sample axis is
+        padded to a power-of-two bucket so varying sample sizes reuse
+        one compiled kernel."""
+        import jax
+
+        from .ops.recommend import matrix_topk
+
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        sample, limit = int(sample), int(limit)
+        if sample < 2:
+            raise ValueError("sample must be >= 2 (a pair needs two points)")
+        if sample > 8192:
+            raise ValueError("sample is capped at 8192 (the [S, S] score "
+                             "block is materialized)")
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        store.refresh()
+        mask = self._filter_mask(filter) if filter is not None else None
+        valid = (np.nonzero(mask)[0] if mask is not None
+                 else np.arange(store.count))
+        empty = ({"ids": [], "offsets_row": [], "offsets_col": [],
+                  "scores": []} if offsets else [])
+        if len(valid) < 2:
+            return empty
+        if len(valid) > sample:
+            rng = np.random.default_rng(seed)
+            ids = np.sort(rng.choice(valid, size=sample, replace=False))
+        else:
+            ids = valid
+        vecs = np.asarray(store.vectors()[ids], np.float32)
+        s_pad = max(8, 1 << (len(ids) - 1).bit_length())
+        if s_pad > len(ids):
+            vecs = np.concatenate(
+                [vecs, np.zeros((s_pad - len(ids), vecs.shape[1]),
+                                np.float32)])
+        lim = min(limit, len(ids) - 1)
+        scores, cols = jax.device_get(
+            matrix_topk(vecs, lim, n_valid=len(ids)))
+        scores, cols = scores[:len(ids)], cols[:len(ids)]
+        if offsets:
+            out = {"ids": [int(i) for i in ids], "offsets_row": [],
+                   "offsets_col": [], "scores": []}
+            for r in range(len(ids)):
+                for sc, c in zip(scores[r], cols[r]):
+                    if c >= 0:
+                        out["offsets_row"].append(r)
+                        out["offsets_col"].append(int(c))
+                        out["scores"].append(float(sc))
+            return out
+        return [{"id_a": int(ids[r]), "id_b": int(ids[c]),
+                 "score": float(sc)}
+                for r in range(len(ids))
+                for sc, c in zip(scores[r], cols[r]) if c >= 0]
 
     # -- index build ------------------------------------------------------
 

@@ -278,6 +278,41 @@ def sharded_context_topk(db: jnp.ndarray, examples: jnp.ndarray,
         db, examples, k, mesh, axis, n_valid, row_mask)
 
 
+@functools.partial(jax.jit, static_argnames=("limit",))
+def matrix_topk(vectors: jnp.ndarray, limit: int, n_valid=None):
+    """Pairwise nearest neighbors WITHIN a sample — the scoring core of
+    qdrant's distance-matrix API (search_matrix_pairs / offsets; the
+    same points surface the reference drove via plain search,
+    reference core_system.py:659-664).
+
+    ``vectors``: [S, d] f32 L2-normalized sample rows (S may be padded;
+    ``n_valid`` marks the real prefix — pad rows are masked out of both
+    axes). One [S, S] MXU block with fp32 accumulation, self-pairs
+    masked. Returns (scores [S, limit] f32, cols [S, limit] i32): each
+    row's most-similar OTHER sample rows in (-score, idx) order, -1 in
+    absent slots (rows past n_valid are all -1). ``cols`` index into
+    the sample, not the database."""
+    s = vectors.shape[0]
+    if n_valid is None:
+        n_valid = s
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    g = jnp.dot(vectors, vectors.T,
+                precision=jax.lax.Precision.HIGHEST)      # [S, S] f32
+    col = jax.lax.iota(jnp.int32, s)
+    g = jnp.where(col[None, :] == col[:, None], -jnp.inf, g)  # no self
+    g = jnp.where(col[None, :] < n_valid, g, -jnp.inf)        # pad cols
+    g = jnp.where(col[:, None] < n_valid, g, -jnp.inf)        # pad rows
+    k_eff = min(limit, s)
+    top_s, top_i = jax.lax.top_k(g, k_eff)   # stable: ties -> lower idx
+    top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
+    if k_eff < limit:
+        top_s = _pad_dim(top_s, 1, limit)
+        top_s = top_s.at[:, k_eff:].set(-jnp.inf)
+        top_i = _pad_dim(top_i, 1, limit)
+        top_i = top_i.at[:, k_eff:].set(-1)
+    return top_s.astype(jnp.float32), top_i.astype(jnp.int32)
+
+
 def _finalize_topk_host(combined: np.ndarray, k: int, row_mask):
     """Numpy twin of `_finalize_topk` (same contract, full lexsort)."""
     if row_mask is not None:

@@ -254,6 +254,8 @@ def make_handler(state: UIState):
                     "/api/query/search_groups": self._search_groups,
                     "/api/points": self._points,
                     "/api/query/universal": self._query,
+                    "/api/query/batch": self._query_batch,
+                    "/api/query/matrix": self._matrix,
                     "/api/points/facet": self._facet,
                     "/api/points/get": self._retrieve,
                     "/api/video/local": self._video_local,
@@ -501,6 +503,27 @@ def make_handler(state: UIState):
                     k=body.get("max_results"),
                     filter=body.get("filter") or None))
             self._json({"hits": hits})
+
+        def _query_batch(self, body: dict) -> None:
+            """Several universal queries in one call (qdrant
+            query_batch_points role); plain same-filter requests share
+            one device launch."""
+            results = state.check_no_build_overlap(
+                lambda: engine.query_batch(body.get("requests") or []))
+            self._json({"results": results})
+
+        def _matrix(self, body: dict) -> None:
+            """Pairwise similarity over a random sample of points
+            (qdrant search_matrix_pairs / offsets role)."""
+            offsets = bool(body.get("offsets"))
+            out = state.check_no_build_overlap(
+                lambda: engine.search_matrix(
+                    sample=int(body.get("sample") or 10),
+                    limit=int(body.get("limit") or 3),
+                    filter=body.get("filter") or None,
+                    seed=body.get("seed"),
+                    offsets=offsets))
+            self._json(out if offsets else {"pairs": out})
 
         def _facet(self, body: dict) -> None:
             """Value histogram of one payload key (qdrant facet API)."""

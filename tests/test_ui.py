@@ -325,6 +325,32 @@ def test_recommend_and_points_endpoints(server, tmp_path):
     assert code == 400 and "not both" in r["error"], r
     code, r = post(base, "/api/query/universal", {})
     assert code == 400, r
+    # random sampling through the universal endpoint
+    code, r = post(base, "/api/query/universal",
+                   {"target": {"sample": "random"}, "max_results": 3})
+    assert code == 200 and len(r["hits"]) == 3, r
+    assert all(h["score"] == 0.0 for h in r["hits"])
+
+    # batched universal queries (qdrant query_batch_points role)
+    code, r = post(base, "/api/query/batch",
+                   {"requests": [{"query": 0, "k": 2},
+                                 {"query": 1, "k": 3}]})
+    assert code == 200, r
+    assert [len(x) for x in r["results"]] == [2, 3]
+    code, r = post(base, "/api/query/batch",
+                   {"requests": [{"nope": 1}]})
+    assert code == 400, r
+
+    # distance matrix over a seeded sample (qdrant search_matrix)
+    code, r = post(base, "/api/query/matrix",
+                   {"sample": 6, "limit": 2, "seed": 1})
+    assert code == 200 and r["pairs"], r
+    assert all(p["id_a"] != p["id_b"] for p in r["pairs"])
+    code, r = post(base, "/api/query/matrix",
+                   {"sample": 6, "limit": 2, "seed": 1, "offsets": True})
+    assert code == 200 and r["ids"] == sorted(r["ids"]), r
+    code, r = post(base, "/api/query/matrix", {"sample": 1})
+    assert code == 400, r
 
     # ordered scroll with [value, id] tokens (all confidences tie at
     # 1.0, so order falls back to row id and paging must not dup/skip)
