@@ -349,7 +349,9 @@ def cmd_matrix(args) -> int:
     else:
         for p in out:
             print(f"{p['id_a']}\t{p['id_b']}\t{p['score']:.6f}")
-    return 0 if out else 2
+    # the offsets dict is always truthy — test the ids list instead so
+    # "no results" exits 2 in both output modes
+    return 0 if (out["ids"] if args.offsets else out) else 2
 
 
 def cmd_points(args) -> int:

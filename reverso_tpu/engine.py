@@ -48,6 +48,42 @@ from .viz import visualize_detections as _viz, render_result_thumbnail, to_rgb_a
 log = get_logger("engine")
 
 
+def _sample_rows(rng: np.random.Generator, n: int, count: int,
+                 mask=None) -> np.ndarray:
+    """Up to `n` distinct row ids drawn uniformly without replacement
+    (unsorted). Shared by `Reverso.query`'s `{"sample": "random"}` and
+    `Reverso.search_matrix`.
+
+    When no filter narrows the population and n << count, rejection
+    sampling avoids materializing a [count]-sized id array (numpy's
+    `choice(replace=False)` permutes the whole population — 32 MB of
+    ids per draw at 4M rows)."""
+    if mask is not None:
+        valid = np.nonzero(mask)[0]
+        if len(valid) <= n:
+            rows = valid.copy()
+            rng.shuffle(rows)
+            return rows
+        return rng.choice(valid, size=n, replace=False)
+    if count <= n:
+        rows = np.arange(count)
+        rng.shuffle(rows)
+        return rows
+    if n * 32 <= count:
+        out: list = []
+        seen: set = set()
+        while len(out) < n:
+            for v in rng.integers(0, count, size=2 * (n - len(out))):
+                v = int(v)
+                if v not in seen:
+                    seen.add(v)
+                    out.append(v)
+                    if len(out) == n:
+                        break
+        return np.asarray(out, np.int64)
+    return rng.choice(count, size=n, replace=False)
+
+
 def _resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
     """Nearest-neighbor mask resize to the model input resolution."""
     h, w = mask.shape
@@ -1161,14 +1197,8 @@ class Reverso:
         rng = np.random.default_rng(seed)
 
         def random_rows(n: int, bmask) -> list[int]:
-            valid = (np.nonzero(bmask)[0] if bmask is not None
-                     else np.arange(store.count))
-            if len(valid) <= n:
-                rows = valid.copy()
-                rng.shuffle(rows)
-                return [int(r) for r in rows]
-            return [int(r) for r in rng.choice(valid, size=n,
-                                               replace=False)]
+            return [int(r)
+                    for r in _sample_rows(rng, n, store.count, bmask)]
 
         if prefetch is None:
             if query is None:
@@ -1280,6 +1310,9 @@ class Reverso:
                      and q is not None
                      and not (isinstance(q, dict) and "sample" in q))
             if not plain:
+                # carry the batch-level payload default into the
+                # fallback call (per-request with_payload still wins)
+                r.setdefault("with_payload", with_payload)
                 results[n] = self.query(**r)
                 continue
             try:
@@ -1476,17 +1509,14 @@ class Reverso:
             raise ValueError("limit must be >= 1")
         store.refresh()
         mask = self._filter_mask(filter) if filter is not None else None
-        valid = (np.nonzero(mask)[0] if mask is not None
-                 else np.arange(store.count))
+        pop = int(np.count_nonzero(mask)) if mask is not None \
+            else store.count
         empty = ({"ids": [], "offsets_row": [], "offsets_col": [],
                   "scores": []} if offsets else [])
-        if len(valid) < 2:
+        if pop < 2:
             return empty
-        if len(valid) > sample:
-            rng = np.random.default_rng(seed)
-            ids = np.sort(rng.choice(valid, size=sample, replace=False))
-        else:
-            ids = valid
+        rng = np.random.default_rng(seed)
+        ids = np.sort(_sample_rows(rng, sample, store.count, mask))
         vecs = np.asarray(store.vectors()[ids], np.float32)
         s_pad = max(8, 1 << (len(ids) - 1).bit_length())
         if s_pad > len(ids):

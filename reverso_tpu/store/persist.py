@@ -585,18 +585,18 @@ class VectorStore:
         if os.path.exists(vec_path) and \
                 os.path.getsize(vec_path) > vec_bytes:
             with open(vec_path, "r+b") as f:
-                f.truncate(vec_bytes)
+                os.ftruncate(f.fileno(), vec_bytes)
         jsonl = os.path.join(self.path, PAYLOAD_FILE)
         if os.path.exists(jsonl):
             cut = self._payload_cut(self.count)
             if os.path.getsize(jsonl) > cut:
                 with open(jsonl, "r+b") as f:
-                    f.truncate(cut)
+                    os.ftruncate(f.fileno(), cut)
         idx_path = os.path.join(self.path, PAYLOAD_IDX_FILE)
         if os.path.exists(idx_path) and \
                 os.path.getsize(idx_path) > self.count * 8:
             with open(idx_path, "r+b") as f:
-                f.truncate(self.count * 8)
+                os.ftruncate(f.fileno(), self.count * 8)
 
     def truncate(self, count: int) -> None:
         """Drop rows beyond `count` (resume support: roll back a torn
@@ -629,15 +629,15 @@ class VectorStore:
         self._write_meta()
         vec_path = os.path.join(self.path, VEC_FILE)
         with open(vec_path, "r+b") as f:
-            f.truncate(count * 4 * self.dim)
+            os.ftruncate(f.fileno(), count * 4 * self.dim)
         pay_path = os.path.join(self.path, PAYLOAD_FILE)
         if os.path.exists(pay_path):
             with open(pay_path, "r+b") as f:
-                f.truncate(cut)
+                os.ftruncate(f.fileno(), cut)
         idx_path = os.path.join(self.path, PAYLOAD_IDX_FILE)
         if os.path.exists(idx_path):
             with open(idx_path, "r+b") as f:
-                f.truncate(count * 8)
+                os.ftruncate(f.fileno(), count * 8)
 
     def close_files_for_truncate(self) -> None:
         if self._vec_f is not None:

@@ -144,6 +144,17 @@ class UIState:
             self.lock.release()
 
 
+def _seed_of(body: dict):
+    """Validated `seed` field: an int or absent. A float/string seed
+    would raise TypeError inside np.random.default_rng — a 500 — when
+    it is a caller error (400)."""
+    seed = body.get("seed")
+    if seed is not None and (isinstance(seed, bool)
+                             or not isinstance(seed, int)):
+        raise ValueError("seed must be an integer")
+    return seed
+
+
 def _img_to_b64(pil_img) -> Optional[str]:
     if pil_img is None:
         return None
@@ -501,7 +512,8 @@ def make_handler(state: UIState):
                     target, prefetch=body.get("prefetch") or None,
                     fusion=body.get("fusion") or None,
                     k=body.get("max_results"),
-                    filter=body.get("filter") or None))
+                    filter=body.get("filter") or None,
+                    seed=_seed_of(body)))
             self._json({"hits": hits})
 
         def _query_batch(self, body: dict) -> None:
@@ -516,12 +528,17 @@ def make_handler(state: UIState):
             """Pairwise similarity over a random sample of points
             (qdrant search_matrix_pairs / offsets role)."""
             offsets = bool(body.get("offsets"))
+            # explicit None checks: `or default` would silently remap
+            # sample=0 / limit=0 to the defaults instead of the 400 the
+            # engine's range validation produces
+            sample = body.get("sample")
+            limit = body.get("limit")
             out = state.check_no_build_overlap(
                 lambda: engine.search_matrix(
-                    sample=int(body.get("sample") or 10),
-                    limit=int(body.get("limit") or 3),
+                    sample=10 if sample is None else int(sample),
+                    limit=3 if limit is None else int(limit),
                     filter=body.get("filter") or None,
-                    seed=body.get("seed"),
+                    seed=_seed_of(body),
                     offsets=offsets))
             self._json(out if offsets else {"pairs": out})
 

@@ -225,6 +225,23 @@ def test_query_batch_matches_sequential(engine_store):
         assert h["payload"]["detected_class"] == "car"
 
 
+def test_query_batch_payload_default_covers_fallback(engine_store):
+    # the batch-level with_payload default must reach requests that
+    # fall back to query() (prefetch/fusion), not just coalesced ones
+    engine, _ = engine_store
+    got = engine.query_batch(
+        [{"query": 0, "k": 2},
+         {"prefetch": [2, 7], "fusion": "rrf", "k": 2}],
+        with_payload=False)
+    for res in got:
+        assert res and all(h["payload"] is None for h in res)
+    # per-request with_payload still wins over the batch default
+    got = engine.query_batch(
+        [{"prefetch": [2], "fusion": "rrf", "k": 2,
+          "with_payload": True}], with_payload=False)
+    assert got[0][0]["payload"] is not None
+
+
 def test_query_batch_no_store(tmp_path):
     from reverso_tpu.config import MODEL_PRESETS, default_config
     from reverso_tpu.engine import Reverso
@@ -272,6 +289,13 @@ def test_cli_matrix_and_random(tmp_path, capsys):
 
     rc = main(base + ["matrix", "clim", "--sample", "1"])
     assert rc == 1 and "sample" in capsys.readouterr().err
+
+    # no-results exit code 2 holds in offsets mode too (the offsets
+    # dict itself is always truthy — only its lists are empty)
+    rc = main(base + ["matrix", "clim", "--filter", "region_id=r0",
+                      "--offsets"])
+    capsys.readouterr()
+    assert rc == 2
 
     rc = main(base + ["query", "clim", "--random", "--seed", "2",
                       "--top-k", "4", "--json"])

@@ -330,6 +330,18 @@ def test_recommend_and_points_endpoints(server, tmp_path):
                    {"target": {"sample": "random"}, "max_results": 3})
     assert code == 200 and len(r["hits"]) == 3, r
     assert all(h["score"] == 0.0 for h in r["hits"])
+    # seed reaches the engine: same seed = same draw; bad seed is a 400
+    code, r = post(base, "/api/query/universal",
+                   {"target": {"sample": "random"}, "max_results": 3,
+                    "seed": 9})
+    assert code == 200, r
+    code, r2 = post(base, "/api/query/universal",
+                    {"target": {"sample": "random"}, "max_results": 3,
+                     "seed": 9})
+    assert code == 200 and r2["hits"] == r["hits"], (r, r2)
+    code, r = post(base, "/api/query/universal",
+                   {"target": {"sample": "random"}, "seed": 1.5})
+    assert code == 400 and "seed" in r["error"], r
 
     # batched universal queries (qdrant query_batch_points role)
     code, r = post(base, "/api/query/batch",
@@ -351,6 +363,14 @@ def test_recommend_and_points_endpoints(server, tmp_path):
     assert code == 200 and r["ids"] == sorted(r["ids"]), r
     code, r = post(base, "/api/query/matrix", {"sample": 1})
     assert code == 400, r
+    # explicit zeros must hit the engine's range validation, not be
+    # silently remapped to the defaults by `or`-style coercion
+    code, r = post(base, "/api/query/matrix", {"sample": 0})
+    assert code == 400, r
+    code, r = post(base, "/api/query/matrix", {"sample": 6, "limit": 0})
+    assert code == 400, r
+    code, r = post(base, "/api/query/matrix", {"sample": 6, "seed": 1.5})
+    assert code == 400 and "seed" in r["error"], r
 
     # ordered scroll with [value, id] tokens (all confidences tie at
     # 1.0, so order falls back to row id and paging must not dup/skip)
