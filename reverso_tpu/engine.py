@@ -1143,7 +1143,8 @@ class Reverso:
 
     def query(self, query=None, *, prefetch=None,
               fusion: Optional[str] = None, k: Optional[int] = None,
-              filter=None, with_payload: bool = True, seed=None):
+              filter=None, with_payload: bool = True, seed=None,
+              use_batcher: bool = False):
         """Universal query API — the role of qdrant's query_points
         with prefetch + fusion / multi-stage rescoring (the modern
         face of the store the reference drove via plain `search`,
@@ -1169,7 +1170,11 @@ class Reverso:
 
         A top-level `filter` applies inside every branch scan (so
         branches return their full limit of valid candidates), exactly
-        like qdrant's global filter. Returns a list of
+        like qdrant's global filter. `use_batcher` routes a plain
+        unfiltered query through the serving micro-batcher (same knob
+        as search_similar/recommend): concurrent callers coalesce into
+        one launch and the warmed (bucket, k_pad) compile is reused
+        instead of tracing a fresh (1, k) shape. Returns a list of
         {"id", "score", "payload"} dicts, best first."""
         import jax
 
@@ -1207,6 +1212,13 @@ class Reverso:
             if is_random(query):
                 return hits_out([(0.0, r) for r in random_rows(k, gmask)])
             qv = self._resolve_query_vector(query)
+            if gmask is None and use_batcher and k <= 128:
+                # coalesce with in-flight searches and reuse the warmed
+                # (bucket, k_pad) compile; k > 128 exceeds the batcher's
+                # fused-kernel cap — direct index search instead
+                s1, i1 = self.searcher.search(qv, k)
+                return hits_out([(float(sv), int(iv))
+                                 for sv, iv in zip(s1, i1) if iv >= 0])
             s, i = jax.device_get(
                 self._get_index().search(qv[None], k, row_mask=gmask))
             return hits_out([(float(sv), int(iv))

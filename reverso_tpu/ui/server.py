@@ -513,7 +513,8 @@ def make_handler(state: UIState):
                     fusion=body.get("fusion") or None,
                     k=body.get("max_results"),
                     filter=body.get("filter") or None,
-                    seed=_seed_of(body)))
+                    seed=_seed_of(body),
+                    use_batcher=True))
             self._json({"hits": hits})
 
         def _query_batch(self, body: dict) -> None:

@@ -623,6 +623,19 @@ def test_engine_query_plain_and_rescore(engine_store):
         [h["id"] for h in engine.query("r3", k=5)] == \
         [h["id"] for h in hits]
 
+    # use_batcher routes the plain unfiltered shape through the
+    # micro-batcher (same results, launch counted); filtered queries
+    # stay on the direct masked path regardless
+    before = engine.searcher.launches
+    hb = engine.query(vecs[3], k=5, use_batcher=True)
+    assert [h["id"] for h in hb] == [h["id"] for h in hits]
+    assert engine.searcher.launches > before
+    f = {"must": [{"key": "detected_class", "match": {"value": "car"}}]}
+    before = engine.searcher.launches
+    hf = engine.query(vecs[3], k=5, filter=f, use_batcher=True)
+    assert engine.searcher.launches == before
+    assert all(h["payload"]["detected_class"] == "car" for h in hf)
+
     # multi-stage: two branches, exact rescore of the union
     hits = engine.query(vecs[0],
                         prefetch=[{"query": 5, "limit": 8},
