@@ -648,26 +648,51 @@ def cmd_unlock(args) -> int:
 
 
 def cmd_prune(args) -> int:
-    """Delete rows matching a payload filter (store compaction; no
-    model load). --dry-run reports the match count and changes nothing."""
+    """Delete rows matching a payload filter and/or explicit point ids
+    (store compaction; no model load). --dry-run reports the match
+    count and changes nothing."""
+    import numpy as np
     from .store import VectorStore, StoreError, StoreLockedError, payload_mask
 
     cfg = _make_config(args)
     from .store.filter import parse_filter
+
+    def drop_mask(store) -> "np.ndarray":
+        drop = np.zeros(store.count, bool)
+        if args.filter:
+            drop |= payload_mask(store, args.filter)
+        for raw in (args.ids or []):
+            if raw.lstrip("-").isdigit():
+                r = int(raw)
+                if 0 <= r < store.count:
+                    drop[r] = True
+            else:  # region_id string: mark every row carrying it
+                from .store.filter import PayloadColumns
+                view = PayloadColumns(store).view("region_id")
+                code = view.uindex.get(raw, -2)
+                if code >= 0:
+                    drop |= view.codes == code
+        return drop
+
     try:
-        if parse_filter(args.filter).is_empty():
+        if args.filter and parse_filter(args.filter).is_empty():
             print("❌ Refusing to prune with an empty filter "
+                  "(use `delete` to drop the whole database)",
+                  file=sys.stderr)
+            return 1
+        if not args.filter and not args.ids:
+            print("❌ Pass --filter and/or --ids "
                   "(use `delete` to drop the whole database)",
                   file=sys.stderr)
             return 1
         if args.dry_run:
             store = VectorStore.open(cfg.store.root_dir, args.name)
-            n = int(payload_mask(store, args.filter).sum())
+            n = int(drop_mask(store).sum())
             print(f"🔎 {n} of {store.count} rows match (dry run; nothing deleted)")
             return 0
         with VectorStore.open(cfg.store.root_dir, args.name,
                               writable=True) as w:
-            removed = w.compact(~payload_mask(w, args.filter))
+            removed = w.compact(~drop_mask(w))
             remaining = w.count
     except StoreLockedError as e:
         print(f"❌ {e}", file=sys.stderr)
@@ -1258,8 +1283,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="delete rows matching a payload filter "
                              "(crash-safe compaction)")
     pr.add_argument("name")
-    pr.add_argument("--filter", action="append", required=True,
+    pr.add_argument("--filter", action="append",
                     help="payload filter clause(s), as in `search`")
+    pr.add_argument("--ids", nargs="+",
+                    help="row ids and/or region_id strings to delete")
     pr.add_argument("--dry-run", action="store_true")
     pr.set_defaults(fn=cmd_prune)
 

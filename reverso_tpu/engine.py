@@ -306,24 +306,44 @@ class Reverso:
                 pass
         return None, result
 
-    def delete_points(self, filter) -> str:
-        """Delete every row whose payload matches `filter` (see
-        `store.filter` for the spec) — the delete-by-filter role of
-        qdrant's points API. Rewrites the store via the crash-safe
-        compaction pass (`VectorStore.compact`); the loaded handle and
-        device index refresh to the compacted data."""
+    def delete_points(self, filter=None, *, points=None) -> str:
+        """Delete the selected rows — the delete role of qdrant's
+        points API. Select via a payload `filter` (see `store.filter`)
+        and/or `points` (row ids / `region_id` strings), same selector
+        shape as the payload mutators. Rewrites the store via the
+        crash-safe compaction pass (`VectorStore.compact`); the loaded
+        handle and device index refresh to the compacted data."""
         from .store.filter import parse_filter, payload_mask
 
         if self._store is None:
             return "❌ No database loaded. Please create or load a database first."
         name = self.current_database
+        has_filter = False
         try:
-            if parse_filter(filter).is_empty():
-                return "❌ Refusing to delete with an empty filter (use delete_database to drop everything)"
+            if filter is not None and not parse_filter(filter).is_empty():
+                has_filter = True
         except Exception as e:
             return f"❌ Bad filter: {e}"
-        err, removed = self._with_writable(
-            lambda w: w.compact(~payload_mask(w, filter)))
+        rows: set[int] = set()
+        if points:
+            rows.update(p["id"] for p in
+                        self.retrieve(list(points), with_payload=False))
+        if not rows and not has_filter:
+            if points:
+                return f"✅ Deleted 0 points from {name}"
+            return ("❌ Refusing to delete with an empty selection "
+                    "(use delete_database to drop everything)")
+
+        def body(w):
+            drop = np.zeros(w.count, bool)
+            if has_filter:
+                drop |= payload_mask(w, filter)
+            if rows:
+                idx = [r for r in rows if r < w.count]
+                drop[idx] = True
+            return w.compact(~drop)
+
+        err, removed = self._with_writable(body)
         if err:
             return err
         return f"✅ Deleted {removed} points from {name}"

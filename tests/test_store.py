@@ -1033,6 +1033,21 @@ def test_engine_delete_points(tmp_path, rng):
     assert engine.delete_points("").startswith("❌")
     assert engine.delete_points({"detected_class": "unicorn"}) \
         .startswith("✅ Deleted 0")
+    # delete by ids: mixed row id + region_id string selectors; ids of
+    # the compacted store (rows renumber after the filter delete above)
+    items = engine.retrieve(["r10", "r11"])
+    assert [it["payload"]["region_id"] for it in items] == ["r10", "r11"]
+    rid_row = items[0]["id"]
+    msg = engine.delete_points(points=[rid_row, "r11"])
+    assert msg.startswith("✅ Deleted 2"), msg
+    assert engine.retrieve(["r10", "r11"]) == []
+    scores, ids = engine.search_batch(vecs[:1], k=32)
+    assert (ids >= 0).sum() == 10
+    # unknown ids are skipped (qdrant semantics): no-op success
+    assert engine.delete_points(points=["nope"]).startswith("✅ Deleted 0")
+    # filter AND ids union in one call
+    msg = engine.delete_points({"region_id": "r12"}, points=["r13"])
+    assert msg.startswith("✅ Deleted 2"), msg
 
 
 def test_prune_and_info_cli(tmp_path, rng):
@@ -1049,5 +1064,15 @@ def test_prune_and_info_cli(tmp_path, rng):
     assert main(["--db-root", root, "prune", "p1",
                  "--filter", "detected_class=person"]) == 0
     assert VectorStore.open(root, "p1").count == 6
+    # prune by ids: one row id, one region_id string (post-compaction
+    # survivors are r1,r2,r4,r5,r7,r8 in rows 0..5)
+    assert main(["--db-root", root, "prune", "p1",
+                 "--ids", "0", "r8"]) == 0
+    store = VectorStore.open(root, "p1")
+    assert store.count == 4
+    left = {p["region_id"] for p in store.payloads(range(store.count))}
+    assert left == {"r2", "r4", "r5", "r7"}
+    # neither selector -> error
+    assert main(["--db-root", root, "prune", "p1"]) == 1
     assert main(["--db-root", root, "info", "p1", "--classes",
                  "--json"]) == 0
