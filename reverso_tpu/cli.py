@@ -499,6 +499,34 @@ def cmd_payload(args) -> int:
     return 0 if msg.startswith("✅") else 1
 
 
+def cmd_batch(args) -> int:
+    """Apply an ordered list of point mutations from a JSON file in
+    ONE writable session (qdrant's batch_update_points role). The file
+    holds a JSON list of one-key operation dicts (or {"operations":
+    [...]}); see `Reverso.update_batch` for the op shapes. Bulk vector
+    appends belong in `upsert` (npz); this is the admin-edit path."""
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    try:
+        with open(args.file) as f:
+            doc = json.load(f)
+    except (OSError, ValueError) as e:
+        print(f"❌ cannot read {args.file}: {e}", file=sys.stderr)
+        return 1
+    ops = doc.get("operations") if isinstance(doc, dict) else doc
+    if not isinstance(ops, list):
+        print('❌ expected a JSON list of operations or '
+              '{"operations": [...]}', file=sys.stderr)
+        return 1
+    msg = engine.update_batch(ops)
+    out = sys.stdout if msg.startswith("✅") else sys.stderr
+    print(msg, file=out)
+    return 0 if msg.startswith("✅") else 1
+
+
 def cmd_upsert(args) -> int:
     """Append externally computed points: vectors from an .npz
     (`vectors` [m, d], optional `payloads` as JSON strings), payloads
@@ -1232,6 +1260,14 @@ def build_parser() -> argparse.ArgumentParser:
     py.add_argument("--filter", action="append", default=[],
                     help="payload filter clause(s), as in `search`")
     py.set_defaults(fn=cmd_payload)
+
+    bt = sub.add_parser("batch",
+                        help="apply ordered point mutations from a JSON "
+                             "file in one session (qdrant batch update)")
+    bt.add_argument("name")
+    bt.add_argument("file", help="JSON list of one-key operation dicts "
+                                 '(or {"operations": [...]})')
+    bt.set_defaults(fn=cmd_batch)
 
     up = sub.add_parser("upsert",
                         help="append externally computed points "

@@ -492,6 +492,194 @@ class Reverso:
             return err
         return f"✅ Updated vectors of {touched} points in {name}"
 
+    _BATCH_OPS = ("upsert", "delete", "set_payload", "overwrite_payload",
+                  "delete_payload", "clear_payload", "update_vectors")
+
+    def update_batch(self, operations) -> str:
+        """Apply an ordered list of point mutations in ONE writable
+        session — qdrant's batch-update API role (client
+        `batch_update_points`; the reference only ever upserted,
+        core_system.py:608-622). Each element is a one-key dict:
+
+          {"upsert": {"vectors": [[..]], "payloads": [dict,..]|None}}
+          {"delete": {"points": [..], "filter": spec}}   # either/both
+          {"set_payload": {"payload": {..}, "points": .., "filter": ..}}
+          {"overwrite_payload": {"payload": {..}, "points"/"filter"}}
+          {"delete_payload": {"keys": [..], "points"/"filter"}}
+          {"clear_payload": {"points": .., "filter": ..}}
+          {"update_vectors": {"points": [..], "vectors": [[..]]}}
+
+        The whole request validates up front (a malformed op rejects
+        the batch before anything is touched), then ops apply strictly
+        in order against the intermediate store state: integer row ids
+        refer to the state AT THAT STEP — a preceding delete renumbers
+        rows, so use region_id strings for cross-op stability. The
+        read handle reopens (and the device index refreshes, if any op
+        touched vectors) once, after the whole batch. Selector
+        resolution inside the batch can't miss an op's own effects —
+        unknown ids in delete/payload selectors are skipped (qdrant
+        semantics), but `update_vectors` requires every id to resolve.
+        Each op commits through its own crash-safe journal; a mid-batch
+        failure keeps the ops already applied (same per-op durability
+        as qdrant's batch, which is ordered but not transactional)."""
+        from .store.filter import PayloadColumns, parse_filter, payload_mask
+
+        if self._store is None:
+            return ("❌ No database loaded. Please create or load a "
+                    "database first.")
+        name = self.current_database
+        dim = self._store.dim
+
+        def unit_rows(i: int, raw) -> np.ndarray:
+            vecs = np.asarray(raw, np.float32)
+            if vecs.ndim == 1:
+                vecs = vecs[None]
+            if vecs.ndim != 2 or vecs.shape[1] != dim:
+                raise ValueError(f"op #{i}: vectors must be [n, {dim}], "
+                                 f"got {vecs.shape}")
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            if not np.all(norms > 0):
+                raise ValueError(f"op #{i}: zero vectors cannot be "
+                                 "normalized")
+            return vecs / norms
+
+        ops: list[tuple[str, dict]] = []
+        try:
+            for i, op in enumerate(list(operations)):
+                if not isinstance(op, dict) or len(op) != 1:
+                    raise ValueError(f"op #{i}: expected a one-key dict")
+                kind, body = next(iter(op.items()))
+                if kind not in self._BATCH_OPS:
+                    raise ValueError(f"op #{i}: unknown operation "
+                                     f"{kind!r} (one of "
+                                     f"{', '.join(self._BATCH_OPS)})")
+                if body is None:
+                    body = {}
+                if not isinstance(body, dict):
+                    raise ValueError(f"op #{i}: {kind} body must be a dict")
+                known = {"upsert": {"vectors", "payloads"},
+                         "delete": {"points", "filter"},
+                         "set_payload": {"payload", "points", "filter"},
+                         "overwrite_payload": {"payload", "points",
+                                               "filter"},
+                         "delete_payload": {"keys", "points", "filter"},
+                         "clear_payload": {"points", "filter"},
+                         "update_vectors": {"points", "vectors"}}[kind]
+                extra = set(body) - known
+                if extra:
+                    raise ValueError(f"op #{i}: unknown {kind} key(s) "
+                                     f"{sorted(extra)}")
+                spec = body.get("filter")
+                has_filter = (spec is not None
+                              and not parse_filter(spec).is_empty())
+                points = list(body.get("points") or [])
+                b: dict = {"points": points, "filter": spec,
+                           "has_filter": has_filter}
+                if kind == "upsert":
+                    b["vectors"] = unit_rows(i, body.get("vectors"))
+                    pls = body.get("payloads")
+                    pls = ([{} for _ in range(len(b["vectors"]))]
+                           if pls is None else list(pls))
+                    if len(pls) != len(b["vectors"]):
+                        raise ValueError(
+                            f"op #{i}: {len(b['vectors'])} vectors but "
+                            f"{len(pls)} payloads")
+                    if not all(isinstance(p, dict) for p in pls):
+                        raise ValueError(f"op #{i}: payloads must be dicts")
+                    b["payloads"] = pls
+                elif kind == "update_vectors":
+                    b["vectors"] = unit_rows(i, body.get("vectors"))
+                    if len(points) != len(b["vectors"]):
+                        raise ValueError(
+                            f"op #{i}: {len(points)} point ids but "
+                            f"{len(b['vectors'])} vectors")
+                elif kind in ("set_payload", "overwrite_payload"):
+                    if not isinstance(body.get("payload"), dict):
+                        raise ValueError(f"op #{i}: {kind} needs a "
+                                         "'payload' dict")
+                    b["payload"] = body["payload"]
+                elif kind == "delete_payload":
+                    b["keys"] = list(body.get("keys") or [])
+                    if not b["keys"]:
+                        raise ValueError(f"op #{i}: delete_payload needs "
+                                         "keys")
+                if kind in ("delete", "set_payload", "overwrite_payload",
+                            "delete_payload", "clear_payload") \
+                        and not points and not has_filter:
+                    raise ValueError(f"op #{i}: {kind} needs points "
+                                     "and/or a non-empty filter")
+                ops.append((kind, b))
+        except Exception as e:
+            return f"❌ Bad batch: {e}"
+        if not ops:
+            return "✅ Applied 0 operations"
+
+        def resolve(w, points) -> list:
+            """Row for each selector (None if unknown) against the
+            CURRENT writable state; region_id duplicates keep-first,
+            matching `retrieve`."""
+            view = None
+            out = []
+            for p in points:
+                if isinstance(p, str):
+                    if view is None:
+                        w.flush()
+                        view = PayloadColumns(w).view("region_id")
+                    code = view.uindex.get(p, -2)
+                    r = None
+                    if code >= 0:
+                        hits = np.nonzero(view.codes == code)[0]
+                        if hits.size:
+                            r = int(hits[0])
+                    out.append(r)
+                else:
+                    r = int(p)
+                    out.append(r if 0 <= r < w.count else None)
+            return out
+
+        applied: list[str] = []
+
+        def body_fn(w):
+            mode = {"set_payload": "set", "overwrite_payload": "overwrite",
+                    "delete_payload": "delete", "clear_payload": "clear"}
+            for n, (kind, b) in enumerate(ops):
+                if kind == "upsert":
+                    w.append(b["vectors"], b["payloads"])
+                    applied.append(f"upsert {len(b['vectors'])}")
+                    continue
+                if kind == "update_vectors":
+                    rows = resolve(w, b["points"])
+                    if any(r is None for r in rows):
+                        bad = [p for p, r in zip(b["points"], rows)
+                               if r is None]
+                        raise StoreError(f"op #{n}: unknown point id(s) "
+                                         f"{bad[:5]}")
+                    touched = w.update_vectors(rows, b["vectors"])
+                    applied.append(f"update_vectors {touched}")
+                    continue
+                rows = {r for r in resolve(w, b["points"]) if r is not None}
+                if b["has_filter"]:
+                    w.flush()
+                    rows.update(np.nonzero(
+                        payload_mask(w, b["filter"]))[0].tolist())
+                if kind == "delete":
+                    drop = np.zeros(w.count, bool)
+                    drop[sorted(rows)] = True
+                    removed = w.compact(~drop) if rows else 0
+                    applied.append(f"delete {removed}")
+                else:
+                    touched = w.update_payloads(
+                        sorted(rows), patch=b.get("payload"),
+                        keys=b.get("keys"), mode=mode[kind]) if rows else 0
+                    applied.append(f"{kind} {touched}")
+            return len(ops)
+
+        err, n = self._with_writable(body_fn)
+        if err:
+            return err
+        return (f"✅ Applied {n} operations to {name} "
+                f"({'; '.join(applied)})")
+
     def _set_store(self, store: Optional[VectorStore]) -> None:
         with self._index_lock:
             self._store = store

@@ -1050,6 +1050,110 @@ def test_engine_delete_points(tmp_path, rng):
     assert msg.startswith("✅ Deleted 2"), msg
 
 
+def test_engine_update_batch(tmp_path, rng):
+    import dataclasses
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(MODEL_PRESETS["test-tiny"],
+                                       dtype="float32"),
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg)
+    vecs = random_unit(rng, 6, 16)
+    with VectorStore.create(str(tmp_path / "db"), "ub", 16) as s:
+        s.append(vecs, make_payloads(6))
+    engine.load_database("ub")
+
+    more = random_unit(rng, 2, 16)
+    msg = engine.update_batch([
+        # 1) append two points (one carries a region_id for later ops)
+        {"upsert": {"vectors": more * 3.0,           # unnormalized ok
+                    "payloads": [{"region_id": "new0", "tag": "a"},
+                                 {"tag": "b"}]}},
+        # 2) tag some originals, selecting by id AND by filter
+        {"set_payload": {"payload": {"tag": "old"},
+                         "points": ["r0"],
+                         "filter": {"detection_index": {"gte": 4}}}},
+        # 3) drop r1; later integer ids refer to the RENUMBERED state
+        {"delete": {"points": ["r1"]}},
+        # 4) move the upserted point onto vecs[2]'s direction
+        {"update_vectors": {"points": ["new0"], "vectors": vecs[2:3]}},
+        # 5) strip a key from every original row
+        {"delete_payload": {"keys": ["bbox"],
+                            "filter": {"detected_class": "object"}}},
+    ])
+    assert msg.startswith("✅ Applied 5 operations"), msg
+    assert "upsert 2" in msg and "delete 1" in msg, msg
+    # count: 6 + 2 - 1
+    assert engine.count() == 7
+    # op 2 hit r0, r4, r5 (detection_index 4,5)
+    tagged = engine.count({"tag": "old"})
+    assert tagged == 3
+    # op 4: searching vecs[2] now finds both row 2 (renumbered) and new0
+    s_, i_ = engine.search_batch(vecs[2], k=2)
+    hits = engine.retrieve([int(x) for x in i_[0]])
+    rids = {h["payload"].get("region_id") for h in hits}
+    assert rids == {"r2", "new0"}, rids
+    # op 5: bbox gone from originals, upserted rows never had it
+    assert all("bbox" not in p["payload"]
+               for p in engine.retrieve(["r0", "r2"]))
+
+    # validation rejects the whole batch up front: nothing is touched
+    before = engine.count()
+    assert engine.update_batch([{"nope": {}}]).startswith("❌")
+    assert engine.update_batch([{"upsert": {"vectors": more},
+                                 "delete": {}}]).startswith("❌")
+    assert engine.update_batch(
+        [{"upsert": {"vectors": np.zeros((1, 16))}}]).startswith("❌")
+    assert engine.update_batch(
+        [{"delete": {}}]).startswith("❌")
+    assert engine.update_batch(
+        [{"update_vectors": {"points": [0, 1],
+                             "vectors": vecs[:1]}}]).startswith("❌")
+    assert engine.update_batch(
+        [{"set_payload": {"payload": {"x": 1}, "points": [0],
+                          "bogus": 1}}]).startswith("❌")
+    assert engine.count() == before
+    assert engine.update_batch([]).startswith("✅ Applied 0")
+    # mid-batch failure keeps the prefix (ordered, not transactional)
+    msg = engine.update_batch([
+        {"set_payload": {"payload": {"seen": 1}, "points": ["r2"]}},
+        {"update_vectors": {"points": ["ghost"], "vectors": vecs[:1]}},
+    ])
+    assert msg.startswith("❌"), msg
+    assert engine.count({"seen": 1}) == 1
+
+
+def test_batch_cli(tmp_path, rng):
+    import json as _json
+    from reverso_tpu.cli import main
+    root = str(tmp_path / "dbs")
+    with VectorStore.create(root, "b1", 8) as s:
+        s.append(random_unit(rng, 5, 8), make_payloads(5))
+    opsfile = str(tmp_path / "ops.json")
+    with open(opsfile, "w") as f:
+        _json.dump({"operations": [
+            {"set_payload": {"payload": {"lang": "en"},
+                             "points": ["r0", "r3"]}},
+            {"delete": {"filter": {"detection_index": 4}}},
+        ]}, f)
+    assert main(["--db-root", root, "batch", "b1", opsfile]) == 0
+    store = VectorStore.open(root, "b1")
+    assert store.count == 4
+    langs = [p.get("lang") for p in store.payloads(range(4))]
+    assert langs == ["en", None, None, "en"]
+    # malformed file -> error before touching the store
+    with open(opsfile, "w") as f:
+        f.write("{not json")
+    assert main(["--db-root", root, "batch", "b1", opsfile]) == 1
+    with open(opsfile, "w") as f:
+        _json.dump({"operations": {"set_payload": {}}}, f)
+    assert main(["--db-root", root, "batch", "b1", opsfile]) == 1
+
+
 def test_prune_and_info_cli(tmp_path, rng):
     from reverso_tpu.cli import main
     root = str(tmp_path / "dbs")
