@@ -178,6 +178,78 @@ def test_crash_at_every_syscall(tmp_path, opname):
         shutil.rmtree(snap)
 
 
+BATCH_SEQ = [
+    ("append", lambda s: s.append(NEW_VECS, NEW_PAYS)),
+    ("update_payloads", lambda s: s.update_payloads(
+        UPD_ROWS, patch={"tag": "hit"}, mode="set")),
+    ("compact", lambda s: s.compact(
+        np.r_[KEEP, np.ones(len(NEW_VECS), bool)])),
+    ("update_vectors", lambda s: s.update_vectors(UPD_ROWS, UPD_VECS)),
+]
+
+
+def test_crash_at_every_syscall_batch(tmp_path):
+    """Kill a multi-op writable session (the store sequence
+    `Reverso.update_batch` composes) at every syscall: each op commits
+    through its own journal, so a crash must leave EXACTLY a prefix of
+    the sequence applied — one of the N+1 op-boundary states, never a
+    mix — and recovery must be reopen-stable. (Whole-batch retry is the
+    caller's job and is not idempotent across an applied prefix, so no
+    retry-convergence clause here — that's per-op, covered above.)"""
+    template = _make_template(str(tmp_path))
+
+    def run_seq(root):
+        s = None
+        try:
+            s = VectorStore.open(root, "db", writable=True)
+            for _, op in BATCH_SEQ:
+                op(s)
+            s.close()
+        except CrashPoint:
+            return s if s is not None else True
+        return None
+
+    # clean run per prefix: the N+1 legal op-boundary states
+    states = [_state(template)]
+    for n in range(1, len(BATCH_SEQ) + 1):
+        pref = str(tmp_path / f"pref{n}")
+        shutil.copytree(template, pref)
+        s = VectorStore.open(pref, "db", writable=True)
+        for _, op in BATCH_SEQ[:n]:
+            op(s)
+        s.close()
+        states.append(_state(pref))
+        shutil.rmtree(pref)
+    assert len({st[0:1] + (st[1][:40],) for st in states}) > 1
+
+    clean = str(tmp_path / "clean")
+    shutil.copytree(template, clean)
+    with _Injector() as inj:
+        assert run_seq(clean) is None
+    assert _state(clean) == states[-1]
+    total = inj.calls
+    assert total > 0
+    shutil.rmtree(clean)
+
+    for crash_at in range(total):
+        work = str(tmp_path / f"bc{crash_at}")
+        shutil.copytree(template, work)
+        with _Injector(crash_at):
+            wounded = run_seq(work)
+        snap = str(tmp_path / f"bs{crash_at}")
+        shutil.copytree(work, snap)
+        del wounded
+        _unlock(snap)
+        got = _state(snap)
+        assert got in states, (
+            f"batch crash@{crash_at}: state is not an op-boundary "
+            f"prefix (count={got[0]}, legal counts="
+            f"{[st[0] for st in states]})")
+        assert _state(snap) == got, f"batch crash@{crash_at}: unstable"
+        shutil.rmtree(work)
+        shutil.rmtree(snap)
+
+
 def test_crash_at_every_syscall_import_snapshot(tmp_path):
     """Snapshot import stages + atomically renames into place: after a
     crash the target db either doesn't exist or is complete; retry
