@@ -207,11 +207,12 @@ void reverso_mmap_close(void* handle) {
 // Per (row, key) output: a type tag in `types` plus either a number in
 // `numbers` or a byte span (str_off/str_len into `buf`):
 //   0 missing   1 null   2 false   3 true
-//   4 int    -> numbers (exact while |v| < 2^53)
+//   4 int    -> numbers (always exact: |v| <= 2^53 here)
 //   5 float  -> numbers
 //   6 string, no escapes -> span excludes the quotes (raw UTF-8)
 //   7 string with escapes -> span excludes the quotes (caller decodes)
-//   8 object/array -> raw token span (caller json-parses)
+//   8 object/array/big int -> raw token span (caller json-parses;
+//     ints beyond +-2^53 route here so exact-match semantics survive)
 // A line that fails to parse end-to-end commits NOTHING (every key
 // stays missing) — the Python path's torn-line semantics.
 
@@ -338,6 +339,15 @@ const char* scan_value(const char* p, const char* end, const char* base,
   char* endp = nullptr;
   const double v = strtod(tmp, &endp);
   if (endp != tmp + len) return nullptr;
+  if (!is_float && !(v >= -9007199254740992.0 && v <= 9007199254740992.0)) {
+    // int beyond +-2^53: the double rounded it, so hand the exact
+    // token back as a span for the caller to json-parse (tag 8 —
+    // json.loads of a bare number literal yields the exact int)
+    *tag = 8;
+    span->off = start - base;
+    span->len = len;
+    return p;
+  }
   *tag = is_float ? 5 : 4;
   *num = v;
   return p;

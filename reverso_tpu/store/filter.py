@@ -22,18 +22,62 @@ with each condition one of
     {"key": K, "match": v}              # payload[K] == v
     {"key": K, "match": {"value": v}}   # qdrant's canonical wrapper
     {"key": K, "match": {"any": [...]}} # qdrant's set-match wrapper
+    {"key": K, "match": {"except": [...]}}  # none of the listed values
+    {"key": K, "match": {"text": "q"}}  # token containment (see below)
     {"key": K, "any": [v1, v2, ...]}    # payload[K] in {v1, v2, ...}
     {"key": K, "range": {"gt"|"gte"|"lt"|"lte": x, ...}}
-    {"key": K, "exists": True|False}
+    {"key": K, "datetime_range": {...}} # bounds are RFC 3339 strings
+    {"key": K, "values_count": {...}}   # list length (1 scalar, 0 absent)
+    {"key": K, "geo_bounding_box": {"top_left": P, "bottom_right": P}}
+    {"key": K, "geo_radius": {"center": P, "radius": meters}}
+    {"key": K, "geo_polygon": {"exterior": RING, "interiors": [RING..]}}
+    {"is_empty": {"key": K}}            # absent, null, or [] payload
+    {"is_null": {"key": K}}             # present and exactly null
+    {"has_id": [id, ...]}               # row ids (int) / region_id (str)
     nested filter dict                  # recursive must/should/must_not
+
+where P is a geo point `{"lon": x, "lat": y}` (payload values may also
+be a LIST of such points — the row matches when any point does) and
+RING is `{"points": [P, ...]}` (closed automatically).
 
 plus shorthand: a dict without must/should/must_not is a conjunction,
 `{"detected_class": "person", "confidence": {"gte": 0.5}}` — scalar
-values mean `match`, lists mean `any`, range-keyed dicts mean `range`.
+values mean `match`, lists mean `any`, range-keyed dicts mean `range`
+(`has_id`/`is_empty`/`is_null` keep their condition meaning here too).
 
 String form (the CLI's `--filter`): comma-separated clauses
 `key=value`, `key!=value`, `key>=x`, `key<=x`, `key>x`, `key<x`;
 numeric-looking values compare numerically for the ordered operators.
+
+Semantics notes (all pinned by tests/test_filter.py):
+
+- Equality is PYTHON equality, matching the pre-vectorization
+  reference implementation: `True == 1`, big ints compare exactly, a
+  list/dict payload never equals a scalar. Consequently
+  `match {"except": [...]}` is the exact complement of
+  `match {"any": [...]}`: it matches rows whose value is NOT any
+  listed value — including rows missing the key entirely (an empty
+  value set trivially contains none of the listed values; qdrant
+  behaves the same way).
+- `match {"text": q}`: both sides lowercase and tokenize on \\w+ runs;
+  the row matches when every query token appears among the value's
+  tokens (qdrant's word-tokenizer full-text match; no index needed —
+  evaluation is once per UNIQUE string thanks to the dictionary-coded
+  view). Non-string payloads never match.
+- `datetime_range`: payload values must be RFC 3339 / ISO 8601
+  strings (naive timestamps are taken as UTC, like qdrant);
+  unparseable or non-string values never match.
+- `values_count`: a list payload counts len(list); any other present
+  value counts 1; a missing key counts 0 (so `{"lt": 1}` matches
+  rows without the key).
+- Geo conditions: `geo_bounding_box` handles date-line-crossing boxes
+  (top_left.lon > bottom_right.lon); `geo_radius` is great-circle
+  (haversine, mean earth radius 6 371 008.8 m, matching qdrant's geo
+  crate); `geo_polygon` is even-odd ray casting in lon/lat with
+  interior rings subtracted. Rows without a parseable geo value never
+  match.
+- `has_id`: integer ids select store rows directly; string ids match
+  the `region_id` payload (the point-id role — see Reverso.retrieve).
 """
 from __future__ import annotations
 
@@ -46,6 +90,15 @@ from typing import Any, Optional, Sequence
 import numpy as np
 
 _RANGE_OPS = ("gt", "gte", "lt", "lte")
+# ops that appear alongside "key" in a condition dict
+_KEYED_OPS = ("match", "any", "range", "datetime_range", "values_count",
+              "exists", "geo_bounding_box", "geo_radius", "geo_polygon")
+# the payload key holding the point-id string (see Reverso.retrieve)
+ID_KEY = "region_id"
+# qdrant distances go through the `geo` crate's haversine with the
+# IUGG mean earth radius; matching it keeps radius thresholds portable
+_EARTH_RADIUS_M = 6_371_008.8
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 
 class FilterError(ValueError):
@@ -59,10 +112,17 @@ class FilterError(ValueError):
 @dataclass(frozen=True)
 class Condition:
     key: str
-    op: str                      # "match" | "any" | "range" | "exists"
+    op: str        # one of _KEYED_OPS | "except" | "text" | "is_empty"
+    #                | "is_null" | "has_id"
     value: Any = None
 
     def keys(self) -> set:
+        if self.op == "has_id":
+            # the id column is only needed when string ids are present;
+            # pure-row-id filters must not force extracting the
+            # (all-unique, expensive) region_id column
+            return ({ID_KEY} if any(isinstance(v, str)
+                                    for v in self.value) else set())
         return {self.key}
 
 
@@ -83,6 +143,102 @@ class Filter:
         return not (self.must or self.should or self.must_not)
 
 
+def _parse_datetime(value: Any, *, what: str) -> float:
+    """RFC 3339 / ISO 8601 string (or datetime) -> epoch seconds.
+    Naive timestamps are taken as UTC, matching qdrant."""
+    import datetime as _dt
+    if isinstance(value, _dt.datetime):
+        dt = value
+    elif isinstance(value, str):
+        try:
+            dt = _dt.datetime.fromisoformat(value)
+        except ValueError:
+            raise FilterError(
+                f"{what}: not an RFC 3339 timestamp: {value!r}") from None
+    else:
+        raise FilterError(
+            f"{what}: expected an RFC 3339 string, got {value!r}")
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return dt.timestamp()
+
+
+def _dt_or_nan(text: str) -> float:
+    """Payload-side datetime parse: unparseable -> NaN (never matches)."""
+    import datetime as _dt
+    try:
+        dt = _dt.datetime.fromisoformat(text)
+    except (ValueError, TypeError):
+        return float("nan")
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return dt.timestamp()
+
+
+def _geo_point(obj: Any, *, what: str) -> tuple:
+    """{"lon": x, "lat": y} -> (lon, lat) floats, validated."""
+    if not isinstance(obj, dict) or not {"lon", "lat"} <= set(obj):
+        raise FilterError(f"{what}: geo point must be a dict with "
+                          f"'lon' and 'lat', got {obj!r}")
+    try:
+        lon, lat = float(obj["lon"]), float(obj["lat"])
+    except (TypeError, ValueError):
+        raise FilterError(f"{what}: non-numeric lon/lat: {obj!r}") from None
+    return lon, lat
+
+
+def _geo_ring(obj: Any, *, what: str) -> tuple:
+    """{"points": [P, ...]} -> ((lon, lat), ...) with the closing
+    duplicate point dropped; needs >= 3 distinct vertices."""
+    if not isinstance(obj, dict) or "points" not in obj:
+        raise FilterError(f"{what}: ring must be {{'points': [...]}}, "
+                          f"got {obj!r}")
+    pts = [_geo_point(p, what=what) for p in obj["points"]]
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]                       # accept pre-closed rings
+    if len(pts) < 3:
+        raise FilterError(f"{what}: ring needs at least 3 distinct "
+                          f"points, got {len(pts)}")
+    return tuple(pts)
+
+
+def _range_dict(value: Any, *, key: str, op: str,
+                coerce=float) -> dict:
+    if not isinstance(value, dict) or not value or \
+            not set(value) <= set(_RANGE_OPS):
+        raise FilterError(
+            f"{op} for key {key!r} must be a dict with keys from "
+            f"{_RANGE_OPS}, got {value!r}")
+    return {k: coerce(v) for k, v in value.items()}
+
+
+def _parse_keyless(spec: dict) -> Optional[Condition]:
+    """The three qdrant condition forms that carry no payload 'key':
+    has_id / is_empty / is_null. Returns None when `spec` is not one."""
+    if set(spec) == {"has_id"}:
+        ids = spec["has_id"]
+        if isinstance(ids, (str, int)):
+            ids = [ids]
+        if not isinstance(ids, (list, tuple)) or not all(
+                isinstance(v, (str, int)) and not isinstance(v, bool)
+                for v in ids):
+            raise FilterError(
+                f"has_id needs a list of int row ids / str region ids, "
+                f"got {spec['has_id']!r}")
+        return Condition(ID_KEY, "has_id", tuple(ids))
+    for name in ("is_empty", "is_null"):
+        if set(spec) == {name}:
+            target = spec[name]
+            if isinstance(target, dict) and set(target) == {"key"}:
+                target = target["key"]
+            if not isinstance(target, str):
+                raise FilterError(
+                    f"{name} needs {{'key': K}} or a key string, "
+                    f"got {spec[name]!r}")
+            return Condition(target, name)
+    return None
+
+
 def _parse_condition(spec: Any) -> "Condition | Filter":
     if isinstance(spec, (Filter, Condition)):
         return spec
@@ -90,38 +246,91 @@ def _parse_condition(spec: Any) -> "Condition | Filter":
         raise FilterError(f"condition must be a dict, got {type(spec).__name__}")
     if any(k in spec for k in ("must", "should", "must_not")):
         return parse_filter(spec)
+    keyless = _parse_keyless(spec)
+    if keyless is not None:
+        return keyless
     if "key" in spec:
         key = spec["key"]
-        ops = [k for k in ("match", "any", "range", "exists") if k in spec]
+        ops = [k for k in _KEYED_OPS if k in spec]
         if len(ops) != 1:
             raise FilterError(
                 f"condition for key {key!r} needs exactly one of "
-                f"match/any/range/exists, got {sorted(spec)}")
+                f"{'/'.join(_KEYED_OPS)}, got {sorted(spec)}")
         op = ops[0]
         value = spec[op]
         if op == "match" and isinstance(value, dict):
-            # qdrant's canonical wrappers: {"match": {"value": v}} and
-            # {"match": {"any": [...]}} — unwrap rather than comparing
+            # qdrant's canonical wrappers: {"match": {"value": v}},
+            # {"match": {"any": [...]}}, {"match": {"except": [...]}},
+            # {"match": {"text": "..."}} — unwrap rather than comparing
             # the wrapper dict itself (which would silently match nothing)
             if set(value) == {"value"}:
                 value = value["value"]
             elif set(value) == {"any"}:
                 op, value = "any", value["any"]
+            elif set(value) == {"except"}:
+                op, value = "except", value["except"]
+            elif set(value) == {"text"}:
+                op, value = "text", value["text"]
             else:
                 raise FilterError(
                     f"match for key {key!r} must be a scalar, "
-                    f"{{'value': v}}, or {{'any': [...]}}, got {value!r}")
+                    f"{{'value': v}}, {{'any': [...]}}, "
+                    f"{{'except': [...]}}, or {{'text': s}}, "
+                    f"got {value!r}")
         if op == "range":
-            if not isinstance(value, dict) or not value or \
-                    not set(value) <= set(_RANGE_OPS):
+            value = _range_dict(value, key=key, op=op)
+        elif op == "datetime_range":
+            value = _range_dict(
+                value, key=key, op=op,
+                coerce=lambda v: _parse_datetime(
+                    v, what=f"datetime_range for key {key!r}"))
+        elif op == "values_count":
+            value = _range_dict(value, key=key, op=op, coerce=int)
+        elif op in ("any", "except"):
+            if not isinstance(value, (list, tuple, set)):
                 raise FilterError(
-                    f"range for key {key!r} must be a dict with keys from "
-                    f"{_RANGE_OPS}, got {value!r}")
-            value = {k: float(v) for k, v in value.items()}
-        elif op == "any":
+                    f"{op} for key {key!r} needs a list, got {value!r}")
             value = tuple(value)
+        elif op == "text":
+            if not isinstance(value, str):
+                raise FilterError(
+                    f"text match for key {key!r} needs a string, "
+                    f"got {value!r}")
         elif op == "exists":
             value = bool(value)
+        elif op == "geo_bounding_box":
+            what = f"geo_bounding_box for key {key!r}"
+            if not isinstance(value, dict) or \
+                    not {"top_left", "bottom_right"} <= set(value):
+                raise FilterError(f"{what}: needs top_left and "
+                                  f"bottom_right points, got {value!r}")
+            value = {"top_left": _geo_point(value["top_left"], what=what),
+                     "bottom_right": _geo_point(value["bottom_right"],
+                                                what=what)}
+        elif op == "geo_radius":
+            what = f"geo_radius for key {key!r}"
+            if not isinstance(value, dict) or \
+                    not {"center", "radius"} <= set(value):
+                raise FilterError(f"{what}: needs center point and "
+                                  f"radius meters, got {value!r}")
+            try:
+                radius = float(value["radius"])
+            except (TypeError, ValueError):
+                raise FilterError(f"{what}: non-numeric radius: "
+                                  f"{value['radius']!r}") from None
+            if radius < 0:
+                raise FilterError(f"{what}: negative radius")
+            value = {"center": _geo_point(value["center"], what=what),
+                     "radius": radius}
+        elif op == "geo_polygon":
+            what = f"geo_polygon for key {key!r}"
+            if not isinstance(value, dict) or "exterior" not in value:
+                raise FilterError(f"{what}: needs an exterior ring, "
+                                  f"got {value!r}")
+            value = {"exterior": _geo_ring(value["exterior"], what=what),
+                     "interiors": tuple(
+                         _geo_ring(r, what=what)
+                         for r in value.get("interiors") or ())}
         return Condition(str(key), op, value)
     raise FilterError(f"condition dict needs a 'key': {spec!r}")
 
@@ -168,10 +377,21 @@ def parse_filter(spec: Any) -> Filter:
                 items = (items,)
             return tuple(_parse_condition(c) for c in items)
         return Filter(clause("must"), clause("should"), clause("must_not"))
-    if "key" in spec and any(k in spec
-                             for k in ("match", "any", "range", "exists")):
+    if "key" in spec and any(k in spec for k in _KEYED_OPS):
         return Filter((_parse_condition(spec),))     # bare condition dict
-    return Filter(tuple(_shorthand_condition(k, v) for k, v in spec.items()))
+    keyless = _parse_keyless(spec)
+    if keyless is not None:      # bare {"has_id"/"is_empty"/"is_null": ..}
+        return Filter((keyless,))
+    conds = []
+    for k, v in spec.items():
+        if k in ("has_id", "is_empty", "is_null"):
+            # keep the condition meaning inside shorthand conjunctions
+            # too (a payload key literally named e.g. "has_id" must use
+            # the explicit {"key": "has_id", ...} form instead)
+            conds.append(_parse_keyless({k: v}))
+        else:
+            conds.append(_shorthand_condition(k, v))
+    return Filter(tuple(conds))
 
 
 _CLAUSE_RE = re.compile(
@@ -267,8 +487,8 @@ class PayloadColumns:
     (`native.payload_scan`: multithreaded, touches each byte once,
     materializes only the requested keys — the scaling path for 10M+
     row stores), falling back to the Python `json` reference pass. The
-    two are semantically identical except that the native path rounds
-    integers beyond 2**53 to float precision.
+    two are semantically identical (ints beyond +-2**53 come back as
+    spans the native path json-parses, keeping big-int exactness).
     """
 
     def __init__(self, store):
@@ -279,6 +499,8 @@ class PayloadColumns:
         # cache-loaded keys whose object column hasn't been asked for
         # yet: key -> odd values (column() materializes on demand)
         self._pending: dict[str, list] = {}
+        # memoized per-key derived arrays: ("dt"|"geo", key) -> arrays
+        self._derived: dict[tuple, Any] = {}
 
     def ensure(self, keys: Sequence[str]) -> None:
         missing = [k for k in keys
@@ -563,6 +785,52 @@ class PayloadColumns:
         Treat as read-only (shared with the memoized view)."""
         return self.view(key).present
 
+    def datetime_num(self, key: str) -> np.ndarray:
+        """[count] float64 epoch seconds for RFC 3339 string payloads,
+        NaN for everything else (missing / non-string / unparseable —
+        NaN compares False under every range operator). Parsing runs
+        once per UNIQUE string via the dictionary-coded view, so this
+        never touches the object column (cache-loaded views stay lazy);
+        memoized per (store version, key)."""
+        cached = self._derived.get(("dt", key))
+        if cached is None:
+            view = self.view(key)
+            per_uniq = np.fromiter(
+                (_dt_or_nan(u) for u in view.uniq.tolist()),
+                np.float64, count=len(view.uniq))
+            cached = np.full(len(view.present), np.nan, np.float64)
+            srows = view.codes >= 0
+            cached[srows] = per_uniq[view.codes[srows]]
+            self._derived[("dt", key)] = cached
+        return cached
+
+    def geo(self, key: str) -> tuple:
+        """(lon [count] f64, lat [count] f64, multi {row: [(lon, lat)]})
+        derived from geo-point payloads: a `{"lon": x, "lat": y}` dict
+        fills the arrays (NaN where absent/malformed — NaN never
+        matches); a LIST of such dicts lands its first point in the
+        arrays and the full set in `multi` for the any-point recheck.
+        Geo values are dicts/lists, i.e. always TypedView `odd` rows,
+        so derivation is a sparse pass; memoized per store version."""
+        cached = self._derived.get(("geo", key))
+        if cached is None:
+            view = self.view(key)
+            n = len(view.present)
+            lon = np.full(n, np.nan, np.float64)
+            lat = np.full(n, np.nan, np.float64)
+            multi: dict[int, list] = {}
+            if len(view.odd):
+                col = self.column(key)
+                for i in view.odd.tolist():
+                    pts = _geo_value(col[i])
+                    if not pts:
+                        continue
+                    lon[i], lat[i] = pts[0]
+                    if len(pts) > 1:
+                        multi[i] = pts
+            cached = self._derived[("geo", key)] = (lon, lat, multi)
+        return cached
+
 
 class TypedView:
     """Exactness-preserving typed views of one object column.
@@ -726,6 +994,88 @@ def _numeric(col: np.ndarray) -> np.ndarray:
     return out
 
 
+def _geo_value(v: Any) -> list:
+    """Payload cell -> [(lon, lat), ...] ([] when not a geo value)."""
+    def point(obj):
+        if isinstance(obj, dict):
+            lon, lat = obj.get("lon"), obj.get("lat")
+            if isinstance(lon, (int, float)) and not isinstance(lon, bool) \
+                    and isinstance(lat, (int, float)) \
+                    and not isinstance(lat, bool):
+                return float(lon), float(lat)
+        return None
+    p = point(v)
+    if p is not None:
+        return [p]
+    if isinstance(v, list):
+        return [p for e in v if (p := point(e)) is not None]
+    return []
+
+
+def _haversine_m(lon: np.ndarray, lat: np.ndarray,
+                 clon: float, clat: float) -> np.ndarray:
+    """Great-circle distance in meters from (clon, clat), vectorized."""
+    import math
+    rlon, rlat = np.radians(lon), np.radians(lat)
+    crlon, crlat = math.radians(clon), math.radians(clat)
+    a = (np.sin((rlat - crlat) * 0.5) ** 2
+         + np.cos(rlat) * math.cos(crlat)
+         * np.sin((rlon - crlon) * 0.5) ** 2)
+    return 2.0 * _EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+
+def _in_ring(lon: np.ndarray, lat: np.ndarray, ring: tuple) -> np.ndarray:
+    """Even-odd ray casting in lon/lat. NaN coordinates come out False
+    (every comparison against NaN is False)."""
+    inside = np.zeros(lon.shape, np.bool_)
+    m = len(ring)
+    for e in range(m):
+        x1, y1 = ring[e]
+        x2, y2 = ring[(e + 1) % m]
+        if y1 == y2:
+            continue             # horizontal edge: never crosses the ray
+        crosses = (y1 > lat) != (y2 > lat)
+        xi = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        inside ^= crosses & (lon < xi)
+    return inside
+
+
+def _geo_mask(op: str, value: dict, lon: np.ndarray,
+              lat: np.ndarray) -> np.ndarray:
+    if op == "geo_radius":
+        (clon, clat), radius = value["center"], value["radius"]
+        return _haversine_m(lon, lat, clon, clat) <= radius
+    if op == "geo_bounding_box":
+        (tl_lon, tl_lat) = value["top_left"]
+        (br_lon, br_lat) = value["bottom_right"]
+        ok = (lat <= tl_lat) & (lat >= br_lat)
+        if tl_lon <= br_lon:
+            ok &= (lon >= tl_lon) & (lon <= br_lon)
+        else:                    # box crosses the date line
+            ok &= (lon >= tl_lon) | (lon <= br_lon)
+        return ok
+    # geo_polygon: inside the exterior, outside every interior ring
+    ok = _in_ring(lon, lat, value["exterior"])
+    for ring in value["interiors"]:
+        ok &= ~_in_ring(lon, lat, ring)
+    return ok
+
+
+def _apply_range(num: np.ndarray, r: dict) -> np.ndarray:
+    """Ordered comparisons; NaN rows (missing/non-numeric) never match.
+    An empty dict matches everything (the reference behavior)."""
+    ok = np.ones(num.shape, np.bool_)
+    if "gt" in r:
+        ok &= num > r["gt"]
+    if "gte" in r:
+        ok &= num >= r["gte"]
+    if "lt" in r:
+        ok &= num < r["lt"]
+    if "lte" in r:
+        ok &= num <= r["lte"]
+    return ok
+
+
 def _match_mask(view: TypedView, col_fn, value) -> np.ndarray:
     """Vectorized `payload[key] == value` with python-equality
     semantics (True == 1, exact big-int compares). `col_fn` supplies
@@ -756,36 +1106,87 @@ def _eval_condition(cond: "Condition | Filter",
                     columns: PayloadColumns) -> np.ndarray:
     if isinstance(cond, Filter):
         return evaluate_filter(cond, columns)
+    if cond.op == "has_id":
+        m = np.zeros(columns.count, np.bool_)
+        str_ids = []
+        for v in cond.value:
+            if isinstance(v, str):
+                str_ids.append(v)
+            elif 0 <= v < columns.count:
+                m[v] = True
+        if str_ids:
+            # string ids address the region_id payload; only then is
+            # the (all-unique) id column touched — see Condition.keys
+            view = columns.view(ID_KEY)
+            for s in str_ids:
+                c = view.uindex.get(s)
+                if c is not None:
+                    m |= view.codes == c
+        return m
     view = columns.view(cond.key)
     col_fn = lambda: columns.column(cond.key)   # noqa: E731 — lazy
     if cond.op == "exists":
         return view.present if cond.value else ~view.present
+    if cond.op == "is_null":
+        return view.is_null
+    if cond.op == "is_empty":
+        # absent, null, or an empty ARRAY (qdrant's IsEmpty; {} is a
+        # present object value and does NOT count). Lists are always
+        # TypedView odd rows, so the [] probe is a sparse pass.
+        m = (~view.present) | view.is_null
+        if len(view.odd):
+            col = col_fn()
+            for i in view.odd.tolist():
+                v = col[i]
+                if isinstance(v, list) and not v:
+                    m[i] = True
+        return m
     if cond.op == "match":
         return _match_mask(view, col_fn, cond.value)
-    if cond.op == "any":
+    if cond.op in ("any", "except"):
         # python semantics preserved: short-circuit excludes list/dict
         # payloads before the `in allowed` membership test, and a list
         # payload never equals a scalar in the odd-row recheck either
         m = np.zeros(len(view.present), np.bool_)
         for value in cond.value:
             m |= _match_mask(view, col_fn, value)
+        # except is the exact complement: "the stored value is none of
+        # the listed ones" — vacuously true for rows missing the key
+        return ~m if cond.op == "except" else m
+    if cond.op == "text":
+        qtok = set(_TOKEN_RE.findall(cond.value.lower()))
+        ok_uniq = np.fromiter(
+            (qtok <= set(_TOKEN_RE.findall(u.lower()))
+             for u in view.uniq.tolist()),
+            np.bool_, count=len(view.uniq))
+        m = np.zeros(len(view.present), np.bool_)
+        srows = view.codes >= 0
+        m[srows] = ok_uniq[view.codes[srows]]
         return m
+    if cond.op == "values_count":
+        counts = view.present.astype(np.float64)
+        if len(view.odd):
+            col = col_fn()
+            for i in view.odd.tolist():
+                v = col[i]
+                if isinstance(v, list):
+                    counts[i] = len(v)
+        return _apply_range(counts, cond.value)
     if cond.op == "range":
-        num = view.num
-        # ones, not `present`: every op below compares NaN→False for
-        # missing/non-numeric rows, and a (pathological) empty range
-        # matched everything in the reference implementation
-        ok = np.ones(len(num), np.bool_)
-        r = cond.value
-        if "gt" in r:
-            ok &= num > r["gt"]
-        if "gte" in r:
-            ok &= num >= r["gte"]
-        if "lt" in r:
-            ok &= num < r["lt"]
-        if "lte" in r:
-            ok &= num <= r["lte"]
-        return ok
+        # NaN rows (missing/non-numeric) compare False under every op,
+        # and a (pathological) empty range matches everything — both
+        # the reference-implementation semantics
+        return _apply_range(view.num, cond.value)
+    if cond.op == "datetime_range":
+        return _apply_range(columns.datetime_num(cond.key), cond.value)
+    if cond.op in ("geo_bounding_box", "geo_radius", "geo_polygon"):
+        lon, lat, multi = columns.geo(cond.key)
+        m = _geo_mask(cond.op, cond.value, lon, lat)
+        for i, pts in multi.items():     # any-point semantics for lists
+            plon = np.asarray([p[0] for p in pts], np.float64)
+            plat = np.asarray([p[1] for p in pts], np.float64)
+            m[i] = bool(_geo_mask(cond.op, cond.value, plon, plat).any())
+        return m
     raise FilterError(f"unknown condition op {cond.op!r}")
 
 

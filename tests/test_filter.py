@@ -66,8 +66,14 @@ def test_parse_qdrant_match_wrappers():
     ]})
     assert f.must[0] == Condition("detected_class", "match", "person")
     assert f.must[1] == Condition("filename", "any", ("a.jpg", "b.jpg"))
+    f = parse_filter({"must": [
+        {"key": "detected_class", "match": {"except": ["car"]}},
+        {"key": "caption", "match": {"text": "brown fox"}},
+    ]})
+    assert f.must[0] == Condition("detected_class", "except", ("car",))
+    assert f.must[1] == Condition("caption", "text", "brown fox")
     with pytest.raises(FilterError):
-        parse_filter({"key": "a", "match": {"text": "substring"}})
+        parse_filter({"key": "a", "match": {"bogus": 1}})
 
 
 def test_parse_string_clauses():
@@ -151,6 +157,172 @@ def test_payload_mask_semantics(tmp_path):
     # any
     mask = payload_mask(store, {"filename": ["img_000.jpg", "img_007.jpg"]})
     assert mask.sum() == 2 and mask[0] and mask[7]
+
+
+def _make_rich_store(tmp_path):
+    """Store whose payloads exercise every extended condition type."""
+    payloads = [
+        {"region_id": "r0", "cls": "person", "tags": ["a", "b"],
+         "ts": "2024-01-02T00:00:00Z", "caption": "The Quick brown Fox",
+         "loc": {"lon": 13.40, "lat": 52.52}},                 # Berlin
+        {"region_id": "r1", "cls": "car", "tags": [],
+         "ts": "2023-06-01", "caption": "quick fox",
+         "loc": [{"lon": -122.42, "lat": 37.77},               # SF and
+                 {"lon": 139.77, "lat": 35.68}]},              # Tokyo
+        {"region_id": "r2", "cls": "person", "t": None,
+         "ts": "2024-01-02T01:00:00+02:00",                    # < row 0 utc
+         "big": 2 ** 60, "loc": {"lon": 179.5, "lat": 0.0}},
+        {"region_id": "r3", "big": 2 ** 60 + 1,
+         "loc": {"lon": -179.5, "lat": 0.0}},
+        {"region_id": "r4", "cls": "building", "tags": ["a"],
+         "ts": 12345, "loc": "not a point"},
+    ]
+    d = 8
+    vecs = random_unit(np.random.default_rng(3), len(payloads), d)
+    with VectorStore.create(str(tmp_path), "rich", d) as s:
+        s.append(vecs, payloads)
+    return VectorStore.open(str(tmp_path), "rich"), payloads
+
+
+def test_match_except_and_text(tmp_path):
+    store, _ = _make_rich_store(tmp_path)
+    # except = exact complement of any, INCLUDING rows missing the key
+    m_any = payload_mask(store, {"key": "cls", "match": {"any": ["person"]}})
+    m_exc = payload_mask(store, {"key": "cls",
+                                 "match": {"except": ["person"]}})
+    np.testing.assert_array_equal(m_exc, ~m_any)
+    np.testing.assert_array_equal(m_any, [1, 0, 1, 0, 0])
+    # full-text: every query token among the value's tokens, both
+    # lowercased; non-string payloads (row 3's missing) never match
+    m = payload_mask(store, {"key": "caption", "match": {"text": "fox quick"}})
+    np.testing.assert_array_equal(m, [1, 1, 0, 0, 0])
+    m = payload_mask(store, {"key": "caption", "match": {"text": "BROWN"}})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0, 0])
+
+
+def test_datetime_range(tmp_path):
+    store, _ = _make_rich_store(tmp_path)
+    # row 2's +02:00 offset makes it EARLIER than row 0 in UTC; naive
+    # row 1 is taken as UTC; non-string row 4 never matches
+    m = payload_mask(store, {"key": "ts", "datetime_range":
+                             {"gte": "2024-01-02T00:00:00Z"}})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0, 0])
+    m = payload_mask(store, {"key": "ts", "datetime_range":
+                             {"gte": "2023-01-01T00:00:00Z",
+                              "lt": "2024-01-01T00:00:00Z"}})
+    np.testing.assert_array_equal(m, [0, 1, 0, 0, 0])
+    with pytest.raises(FilterError):
+        parse_filter({"key": "ts", "datetime_range": {"gte": "not a date"}})
+
+
+def test_values_count(tmp_path):
+    store, _ = _make_rich_store(tmp_path)
+    # list -> len, scalar -> 1, missing -> 0
+    m = payload_mask(store, {"key": "tags", "values_count": {"gte": 2}})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0, 0])
+    m = payload_mask(store, {"key": "tags", "values_count": {"lt": 1}})
+    np.testing.assert_array_equal(m, [0, 1, 1, 1, 0])
+    m = payload_mask(store, {"key": "cls", "values_count": {"gte": 1}})
+    np.testing.assert_array_equal(m, [1, 1, 1, 0, 1])
+
+
+def test_is_empty_is_null(tmp_path):
+    store, _ = _make_rich_store(tmp_path)
+    # is_empty: absent, null, or [] — row 1's empty list counts
+    m = payload_mask(store, {"must": [{"is_empty": {"key": "tags"}}]})
+    np.testing.assert_array_equal(m, [0, 1, 1, 1, 0])
+    m = payload_mask(store, {"must": [{"is_null": {"key": "t"}}]})
+    np.testing.assert_array_equal(m, [0, 0, 1, 0, 0])
+    # null is empty but missing is not null
+    m = payload_mask(store, {"must": [{"is_empty": {"key": "t"}}]})
+    np.testing.assert_array_equal(m, [1, 1, 1, 1, 1])
+    m = payload_mask(store, {"must": [{"is_null": {"key": "nope"}}]})
+    np.testing.assert_array_equal(m, [0, 0, 0, 0, 0])
+
+
+def test_has_id(tmp_path):
+    store, _ = _make_rich_store(tmp_path)
+    # int ids address store rows; out-of-range ints are ignored
+    m = payload_mask(store, {"must": [{"has_id": [1, 3, 99]}]})
+    np.testing.assert_array_equal(m, [0, 1, 0, 1, 0])
+    # string ids address the region_id payload
+    m = payload_mask(store, {"must": [{"has_id": ["r0", "r4", "zz"]}]})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0, 1])
+    # mixed, and the bare / shorthand forms
+    m = payload_mask(store, {"has_id": [0, "r2"]})
+    np.testing.assert_array_equal(m, [1, 0, 1, 0, 0])
+    m = payload_mask(store, {"must": [{"has_id": 2}]})   # scalar shorthand
+    np.testing.assert_array_equal(m, [0, 0, 1, 0, 0])
+    with pytest.raises(FilterError):
+        parse_filter({"has_id": [1.5]})
+    # pure-int-id filters must not extract the all-unique id column
+    f = parse_filter({"has_id": [0, 1]})
+    assert f.keys() == set()
+    assert parse_filter({"has_id": ["r0"]}).keys() == {"region_id"}
+
+
+def test_geo_conditions(tmp_path):
+    store, _ = _make_rich_store(tmp_path)
+    # bounding box around Berlin
+    m = payload_mask(store, {"key": "loc", "geo_bounding_box": {
+        "top_left": {"lon": 10.0, "lat": 55.0},
+        "bottom_right": {"lon": 15.0, "lat": 50.0}}})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0, 0])
+    # date-line-crossing box catches rows 2 (179.5) and 3 (-179.5)
+    m = payload_mask(store, {"key": "loc", "geo_bounding_box": {
+        "top_left": {"lon": 175.0, "lat": 10.0},
+        "bottom_right": {"lon": -175.0, "lat": -10.0}}})
+    np.testing.assert_array_equal(m, [0, 0, 1, 1, 0])
+    # radius: 50 km around SF matches row 1 via its FIRST point;
+    # 50 km around Tokyo matches it via the SECOND (any-point lists)
+    for center in ({"lon": -122.0, "lat": 37.7},
+                   {"lon": 139.7, "lat": 35.7}):
+        m = payload_mask(store, {"key": "loc", "geo_radius":
+                                 {"center": center, "radius": 50_000}})
+        np.testing.assert_array_equal(m, [0, 1, 0, 0, 0])
+    # the haversine radius is calibrated in real meters: Berlin to
+    # Potsdam is ~26 km, so 20 km excludes it and 30 km includes it
+    potsdam = {"lon": 13.06, "lat": 52.40}
+    m20 = payload_mask(store, {"key": "loc", "geo_radius":
+                               {"center": potsdam, "radius": 20_000}})
+    m30 = payload_mask(store, {"key": "loc", "geo_radius":
+                               {"center": potsdam, "radius": 30_000}})
+    np.testing.assert_array_equal(m20, [0, 0, 0, 0, 0])
+    np.testing.assert_array_equal(m30, [1, 0, 0, 0, 0])
+    # polygon with an interior hole: square around the equator point
+    # minus a hole that swallows row 2's (179.5, 0) — malformed row 4
+    # ("not a point") never matches anything
+    square = {"points": [{"lon": 179.0, "lat": -1.0},
+                         {"lon": 180.0, "lat": -1.0},
+                         {"lon": 180.0, "lat": 1.0},
+                         {"lon": 179.0, "lat": 1.0}]}
+    m = payload_mask(store, {"key": "loc", "geo_polygon":
+                             {"exterior": square}})
+    np.testing.assert_array_equal(m, [0, 0, 1, 0, 0])
+    hole = {"points": [{"lon": 179.4, "lat": -0.1},
+                       {"lon": 179.6, "lat": -0.1},
+                       {"lon": 179.6, "lat": 0.1},
+                       {"lon": 179.4, "lat": 0.1},
+                       {"lon": 179.4, "lat": -0.1}]}      # pre-closed ring
+    m = payload_mask(store, {"key": "loc", "geo_polygon":
+                             {"exterior": square, "interiors": [hole]}})
+    np.testing.assert_array_equal(m, [0, 0, 0, 0, 0])
+    with pytest.raises(FilterError):
+        parse_filter({"key": "loc", "geo_radius":
+                      {"center": {"lon": 0, "lat": 0}, "radius": -1}})
+    with pytest.raises(FilterError):
+        parse_filter({"key": "loc", "geo_polygon":
+                      {"exterior": {"points": [{"lon": 0, "lat": 0}]}}})
+
+
+def test_bigint_match_exactness(tmp_path):
+    store, _ = _make_rich_store(tmp_path)
+    # 2**60 and 2**60+1 collapse to the same float64; the odd-row
+    # python recheck must keep them distinct
+    m = payload_mask(store, {"key": "big", "match": 2 ** 60})
+    np.testing.assert_array_equal(m, [0, 0, 1, 0, 0])
+    m = payload_mask(store, {"key": "big", "match": 2 ** 60 + 1})
+    np.testing.assert_array_equal(m, [0, 0, 0, 1, 0])
 
 
 def test_payload_columns_reuse(tmp_path):

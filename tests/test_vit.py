@@ -327,13 +327,21 @@ def test_flash_heads_degenerate_scores_stay_finite():
                                rtol=1e-4)
 
 
-def test_fused_mlp_int8_matches_emulated_quant_math(rng):
+def test_fused_mlp_int8_matches_emulated_quant_math():
     """quant=True IS its documented math: per-column s8 weights,
     per-row s8 activations, per-(row, chunk) hidden re-quant, f32
-    combine — emulated here in numpy with the same chunking. Exact in
-    interpret mode (same ops, same rounding)."""
+    combine — emulated here in numpy with the same chunking. NOT
+    bitwise: the kernel and this emulation are two separately compiled
+    XLA programs, and fma-fusion choices can differ by 1 ulp — which at
+    a round() boundary flips one int8 quantum. The assertion is
+    therefore quantization-aware: almost every element must match to
+    f32 noise, and the rare boundary flips must stay within a couple of
+    dequant quanta (a wrong scale/chunking would blow both bounds).
+    Uses a LOCAL rng (not the session fixture) so the data — and with
+    it the count of round()-boundary collisions — is order-independent."""
     from reverso_tpu.ops.fused_mlp import _gelu_exactish, fused_mlp
 
+    rng = np.random.default_rng(7)
     t, w, hid, htile = 100, 96, 384, 128
     x = rng.standard_normal((t, w)).astype(np.float32)
     w1 = (rng.standard_normal((w, hid)) * 0.05).astype(np.float32)
@@ -359,12 +367,14 @@ def test_fused_mlp_int8_matches_emulated_quant_math(rng):
     w2_8, s2 = qcols(w2)
     x8, xs = qrows(x)
     acc = np.zeros((t, w), np.float32)
+    qmax = 0.0                       # largest second-dequant quantum
     for lo in range(0, hid, htile):
         sl = slice(lo, lo + htile)
         h = (x8.astype(np.int64) @ w1_8[:, sl].astype(np.int64)
              ).astype(np.float32) * (xs * s1[:, sl]) + b1[sl]
         h = np.asarray(_gelu_exactish(jnp.asarray(h)), np.float32)
         h8, hs = qrows(h)
+        qmax = max(qmax, float(np.abs(hs).max() * np.abs(s2).max()))
         acc += (h8.astype(np.int64) @ w2_8[sl].astype(np.int64)
                 ).astype(np.float32) * (hs * s2)
     expect = acc + b2
@@ -373,7 +383,11 @@ def test_fused_mlp_int8_matches_emulated_quant_math(rng):
                                jnp.asarray(b1), jnp.asarray(w2),
                                jnp.asarray(b2), act="gelu", quant=True,
                                row_tile=64, hidden_tile=htile))
-    np.testing.assert_allclose(out, expect, atol=1e-5, rtol=1e-5)
+    diff = np.abs(out - expect)
+    loose = diff > 1e-5 + 1e-5 * np.abs(expect)
+    assert loose.mean() < 0.02, f"{loose.mean():.4f} of elements flipped"
+    if loose.any():
+        assert diff[loose].max() <= 4 * qmax, (diff[loose].max(), qmax)
     # and it lands in the documented noise band of the f32 answer
     from reverso_tpu.ops.fused_mlp import mlp_xla
     ref = np.asarray(mlp_xla(jnp.asarray(x), jnp.asarray(w1),
