@@ -34,6 +34,7 @@ with each condition one of
     {"is_empty": {"key": K}}            # absent, null, or [] payload
     {"is_null": {"key": K}}             # present and exactly null
     {"has_id": [id, ...]}               # row ids (int) / region_id (str)
+    {"nested": {"key": K, "filter": F}} # one array ELEMENT matches F
     nested filter dict                  # recursive must/should/must_not
 
 where P is a geo point `{"lon": x, "lat": y}` (payload values may also
@@ -49,16 +50,34 @@ String form (the CLI's `--filter`): comma-separated clauses
 `key=value`, `key!=value`, `key>=x`, `key<=x`, `key>x`, `key<x`;
 numeric-looking values compare numerically for the ordered operators.
 
+Clause-level extras: `{"min_should": {"conditions": [...],
+"min_count": n}}` beside must/should/must_not — at least `min_count`
+of the listed conditions hold (qdrant's MinShould).
+
+Keys are qdrant payload PATHS: dots descend nested objects and arrays
+traverse implicitly (`a.b` == `a[].b` when `a` holds an array of
+objects), so `meta.labels[].name=car` works in every condition,
+order_by, facet, and group_by. Path columns derive once per store
+version and persist in the column cache like plain keys.
+
 Semantics notes (all pinned by tests/test_filter.py):
 
-- Equality is PYTHON equality, matching the pre-vectorization
-  reference implementation: `True == 1`, big ints compare exactly, a
-  list/dict payload never equals a scalar. Consequently
-  `match {"except": [...]}` is the exact complement of
-  `match {"any": [...]}`: it matches rows whose value is NOT any
-  listed value — including rows missing the key entirely (an empty
-  value set trivially contains none of the listed values; qdrant
-  behaves the same way).
+- Equality is PYTHON equality (`True == 1`, big ints compare exactly)
+  with qdrant's ARRAY semantics on top: a LIST payload matches when
+  ANY element matches, for match/any/except/range/datetime_range/
+  text alike (a dict payload still never equals a scalar, and exact
+  whole-list equality remains available by passing a list as the
+  match value). `match {"except": [...]}` is the exact complement of
+  `match {"any": [...]}`: it matches rows where NO stored value is
+  any listed value — including rows missing the key entirely (an
+  empty value set trivially contains none of the listed values;
+  qdrant behaves the same way).
+- `nested` requires ONE element of an array-of-objects payload to
+  satisfy the whole inner filter — `{"key": "items", "filter":
+  {"must": [a, b]}}` needs one element matching BOTH, whereas the
+  path conditions `items.a`/`items.b` may each be satisfied by a
+  different element. has_id is not allowed inside (elements have no
+  point id).
 - `match {"text": q}`: both sides lowercase and tokenize on \\w+ runs;
   the row matches when every query token appears among the value's
   tokens (qdrant's word-tokenizer full-text match; no index needed —
@@ -131,16 +150,20 @@ class Filter:
     must: tuple = ()
     should: tuple = ()
     must_not: tuple = ()
+    min_should: tuple = ()       # qdrant's min_should.conditions
+    min_count: int = 0           # ... of which at least this many match
 
     def keys(self) -> set:
         out: set = set()
-        for clause in (self.must, self.should, self.must_not):
+        for clause in (self.must, self.should, self.must_not,
+                       self.min_should):
             for c in clause:
                 out |= c.keys()
         return out
 
     def is_empty(self) -> bool:
-        return not (self.must or self.should or self.must_not)
+        return not (self.must or self.should or self.must_not
+                    or self.min_should)
 
 
 def _parse_datetime(value: Any, *, what: str) -> float:
@@ -212,6 +235,80 @@ def _range_dict(value: Any, *, key: str, op: str,
     return {k: coerce(v) for k, v in value.items()}
 
 
+def _path_segments(key: str) -> Optional[list]:
+    """'a.b[].c' -> ['a', 'b', 'c']; None for plain (non-path) keys.
+
+    Dots separate nested-object segments and a '[]' suffix marks array
+    projection, qdrant's payload-path syntax; arrays also traverse
+    implicitly, so 'a.b' and 'a[].b' behave identically when `a` holds
+    an array (as in qdrant). A payload key that literally contains a
+    dot is not addressable through filters (same qdrant limitation)."""
+    if "." not in key and not key.endswith("[]"):
+        return None
+    segs = [s[:-2] if s.endswith("[]") else s for s in key.split(".")]
+    if any(not s or "[" in s or "]" in s for s in segs):
+        raise FilterError(f"bad payload path {key!r}")
+    return segs
+
+
+def _normalize_key(key: str) -> str:
+    """Canonical spelling of a payload key/path ('a[].b' -> 'a.b') so
+    column caches and ensure() see one name per path."""
+    segs = _path_segments(key)
+    return ".".join(segs) if segs else key
+
+
+def _collect_path(value: Any, segs: list, si: int, out: list) -> bool:
+    """Walk one payload value along path segments, appending leaf
+    values to `out`. Lists traverse implicitly (qdrant style), so the
+    result is multi-valued whenever a list was crossed — returns True
+    then (the caller stores the collected leaves as an array)."""
+    if isinstance(value, list):
+        for e in value:
+            _collect_path(e, segs, si, out)
+        return True
+    if si == len(segs):
+        out.append(value)
+        return False
+    if isinstance(value, dict) and segs[si] in value:
+        return _collect_path(value[segs[si]], segs, si + 1, out)
+    return False
+
+
+def _walk_conditions(filt: "Filter"):
+    for clause in (filt.must, filt.should, filt.must_not,
+                   filt.min_should):
+        for c in clause:
+            if isinstance(c, Filter):
+                yield from _walk_conditions(c)
+            else:
+                yield c
+                if c.op == "nested":
+                    yield from _walk_conditions(c.value)
+
+
+def _parse_nested(inner: Any) -> Condition:
+    """qdrant's nested condition: `{"nested": {"key": K, "filter":
+    F}}` — a row matches when at least one OBJECT ELEMENT of the array
+    payload at K satisfies the whole inner filter (all inner
+    conditions evaluated against the SAME element, unlike independent
+    path conditions)."""
+    if not isinstance(inner, dict) or \
+            not {"key", "filter"} <= set(inner) or \
+            not set(inner) <= {"key", "filter"}:
+        raise FilterError(
+            f"nested needs {{'key': K, 'filter': {{...}}}}, got {inner!r}")
+    key = inner["key"]
+    if not isinstance(key, str):
+        raise FilterError(f"nested key must be a string, got {key!r}")
+    filt = parse_filter(inner["filter"])
+    for c in _walk_conditions(filt):
+        if c.op == "has_id":
+            raise FilterError("has_id is not allowed inside a nested "
+                              "filter (elements have no point id)")
+    return Condition(_normalize_key(key), "nested", filt)
+
+
 def _parse_keyless(spec: dict) -> Optional[Condition]:
     """The three qdrant condition forms that carry no payload 'key':
     has_id / is_empty / is_null. Returns None when `spec` is not one."""
@@ -235,7 +332,7 @@ def _parse_keyless(spec: dict) -> Optional[Condition]:
                 raise FilterError(
                     f"{name} needs {{'key': K}} or a key string, "
                     f"got {spec[name]!r}")
-            return Condition(target, name)
+            return Condition(_normalize_key(target), name)
     return None
 
 
@@ -244,8 +341,11 @@ def _parse_condition(spec: Any) -> "Condition | Filter":
         return spec
     if not isinstance(spec, dict):
         raise FilterError(f"condition must be a dict, got {type(spec).__name__}")
-    if any(k in spec for k in ("must", "should", "must_not")):
+    if any(k in spec for k in ("must", "should", "must_not",
+                               "min_should")):
         return parse_filter(spec)
+    if set(spec) == {"nested"}:
+        return _parse_nested(spec["nested"])
     keyless = _parse_keyless(spec)
     if keyless is not None:
         return keyless
@@ -331,11 +431,12 @@ def _parse_condition(spec: Any) -> "Condition | Filter":
                      "interiors": tuple(
                          _geo_ring(r, what=what)
                          for r in value.get("interiors") or ())}
-        return Condition(str(key), op, value)
+        return Condition(_normalize_key(str(key)), op, value)
     raise FilterError(f"condition dict needs a 'key': {spec!r}")
 
 
 def _shorthand_condition(key: str, value: Any) -> Condition:
+    key = _normalize_key(key)
     if isinstance(value, dict):
         if set(value) <= set(_RANGE_OPS) and value:
             return Condition(key, "range", {k: float(v)
@@ -361,13 +462,19 @@ def parse_filter(spec: Any) -> Filter:
         merged = Filter()
         for part in spec:
             f = parse_filter(part)
+            if f.min_should and merged.min_should:
+                raise FilterError("at most one min_should clause per "
+                                  "filter")
             merged = Filter(merged.must + f.must, merged.should + f.should,
-                            merged.must_not + f.must_not)
+                            merged.must_not + f.must_not,
+                            merged.min_should or f.min_should,
+                            merged.min_count or f.min_count)
         return merged
     if not isinstance(spec, dict):
         raise FilterError(f"cannot parse filter from {type(spec).__name__}")
-    if any(k in spec for k in ("must", "should", "must_not")):
-        extra = set(spec) - {"must", "should", "must_not"}
+    if any(k in spec for k in ("must", "should", "must_not",
+                               "min_should")):
+        extra = set(spec) - {"must", "should", "must_not", "min_should"}
         if extra:
             raise FilterError(f"unknown filter clauses: {sorted(extra)}")
 
@@ -376,7 +483,29 @@ def parse_filter(spec: Any) -> Filter:
             if isinstance(items, dict):
                 items = (items,)
             return tuple(_parse_condition(c) for c in items)
-        return Filter(clause("must"), clause("should"), clause("must_not"))
+        ms_conds: tuple = ()
+        ms_count = 0
+        ms = spec.get("min_should")
+        if ms is not None:
+            # qdrant's form: at least min_count of the conditions hold
+            if not isinstance(ms, dict) or \
+                    not {"conditions", "min_count"} <= set(ms) or \
+                    not set(ms) <= {"conditions", "min_count"}:
+                raise FilterError(
+                    "min_should needs {'conditions': [...], "
+                    f"'min_count': n}}, got {ms!r}")
+            items = ms["conditions"]
+            if isinstance(items, dict):
+                items = (items,)
+            ms_conds = tuple(_parse_condition(c) for c in items)
+            if isinstance(ms["min_count"], bool) or \
+                    not isinstance(ms["min_count"], int) or \
+                    ms["min_count"] < 1:
+                raise FilterError(f"min_should.min_count must be a "
+                                  f"positive int, got {ms['min_count']!r}")
+            ms_count = ms["min_count"]
+        return Filter(clause("must"), clause("should"),
+                      clause("must_not"), ms_conds, ms_count)
     if "key" in spec and any(k in spec for k in _KEYED_OPS):
         return Filter((_parse_condition(spec),))     # bare condition dict
     keyless = _parse_keyless(spec)
@@ -395,7 +524,8 @@ def parse_filter(spec: Any) -> Filter:
 
 
 _CLAUSE_RE = re.compile(
-    r"^\s*([A-Za-z0-9_.\-]+)\s*(>=|<=|!=|=|>|<)\s*(.*?)\s*$")
+    r"^\s*([A-Za-z0-9_.\-]+(?:\[\])?(?:\.[A-Za-z0-9_.\-]+(?:\[\])?)*)"
+    r"\s*(>=|<=|!=|=|>|<)\s*(.*?)\s*$")
 
 
 def _parse_scalar(text: str) -> Any:
@@ -438,6 +568,7 @@ def _parse_filter_string(text: str) -> Filter:
                 f"bad filter clause {part!r} (expected key=value, "
                 f"key!=value, or key{{<,<=,>,>=}}number)")
         key, op, raw = m.groups()
+        key = _normalize_key(key)
         value = _parse_scalar(raw)
         if op == "=":
             must.append(Condition(key, "match", value))
@@ -511,6 +642,19 @@ class PayloadColumns:
             return
         missing = self._load_persisted(missing)
         if not missing:
+            return
+        paths = [k for k in missing if _path_segments(k)]
+        if paths:
+            # nested paths derive from their ROOT key's column — ensure
+            # the roots (plus any plain keys) in one streaming pass,
+            # then traverse host-side; derived columns persist like any
+            # other (the cache key is the dotted path itself)
+            flat = [k for k in missing if k not in paths]
+            roots = sorted({_path_segments(k)[0] for k in paths})
+            self.ensure(flat + [r for r in roots if r not in flat])
+            for k in paths:
+                self._cols[k] = self._derive_path(k)
+            self._maybe_persist(paths)
             return
         self._store.flush()
         cols = None
@@ -785,23 +929,28 @@ class PayloadColumns:
         Treat as read-only (shared with the memoized view)."""
         return self.view(key).present
 
-    def datetime_num(self, key: str) -> np.ndarray:
-        """[count] float64 epoch seconds for RFC 3339 string payloads,
-        NaN for everything else (missing / non-string / unparseable —
-        NaN compares False under every range operator). Parsing runs
-        once per UNIQUE string via the dictionary-coded view, so this
-        never touches the object column (cache-loaded views stay lazy);
-        memoized per (store version, key)."""
+    def datetime_num(self, key: str) -> tuple:
+        """(rows [count] f64, elements [E] f64) epoch seconds for
+        RFC 3339 string payloads, NaN for everything else (missing /
+        non-string / unparseable — NaN compares False under every
+        range operator); the element array covers array payloads
+        (any-element datetime_range). Parsing runs once per UNIQUE
+        string via the dictionary-coded view, so this never touches
+        the object column (cache-loaded views stay lazy); memoized
+        per (store version, key)."""
         cached = self._derived.get(("dt", key))
         if cached is None:
             view = self.view(key)
             per_uniq = np.fromiter(
                 (_dt_or_nan(u) for u in view.uniq.tolist()),
                 np.float64, count=len(view.uniq))
-            cached = np.full(len(view.present), np.nan, np.float64)
+            rows = np.full(len(view.present), np.nan, np.float64)
             srows = view.codes >= 0
-            cached[srows] = per_uniq[view.codes[srows]]
-            self._derived[("dt", key)] = cached
+            rows[srows] = per_uniq[view.codes[srows]]
+            elems = np.full(len(view.erow), np.nan, np.float64)
+            es = view.ecodes >= 0
+            elems[es] = per_uniq[view.ecodes[es]]
+            cached = self._derived[("dt", key)] = (rows, elems)
         return cached
 
     def geo(self, key: str) -> tuple:
@@ -831,6 +980,52 @@ class PayloadColumns:
             cached = self._derived[("geo", key)] = (lon, lat, multi)
         return cached
 
+    def _derive_path(self, key: str) -> np.ndarray:
+        """Column for a nested payload path ('a.b.c'): the root column
+        traversed host-side once per store version. Multi-valued
+        results (any list crossed) store as a list — the element-level
+        TypedView arrays then give them qdrant's any-element
+        semantics; single leaves store as the scalar."""
+        segs = _path_segments(key) or [key]
+        base = self.column(segs[0])
+        if len(segs) == 1:
+            return base
+        rest = segs[1:]
+        out = np.full(self.count, _MISSING, object)
+        for i, v in enumerate(base):
+            if v is _MISSING:
+                continue
+            leaves: list = []
+            hit = _collect_path(v, rest, 0, leaves)
+            if hit:
+                out[i] = leaves
+            elif leaves:
+                out[i] = leaves[0]
+        return out
+
+    def element_table(self, key: str) -> tuple:
+        """(erow [E] int64, _ElementColumns) for the `nested`
+        condition: every OBJECT element of the array payload at `key`
+        becomes one virtual row (a bare object payload counts as a
+        one-element array); memoized per store version."""
+        cached = self._derived.get(("nested", key))
+        if cached is None:
+            col = self.column(key)
+            erow: list[int] = []
+            elems: list[dict] = []
+            for i, v in enumerate(col):
+                if isinstance(v, dict):
+                    erow.append(i)
+                    elems.append(v)
+                elif isinstance(v, list):
+                    for e in v:
+                        if isinstance(e, dict):
+                            erow.append(i)
+                            elems.append(e)
+            cached = self._derived[("nested", key)] = (
+                np.asarray(erow, np.int64), _ElementColumns(elems))
+        return cached
+
 
 class TypedView:
     """Exactness-preserving typed views of one object column.
@@ -840,12 +1035,24 @@ class TypedView:
     order_by sort, and region_id lookup is pure vectorized numpy — the
     per-query python loop over 1M+ rows that the object column forces
     otherwise. The exactness contract vs the python reference
-    semantics is kept by a sparse `odd` row list (values float64
-    equality can't represent: ints beyond 2^53, lists, dicts) that
-    match/any re-check with python `==`."""
+    semantics is kept by sparse row lists (values float64 equality
+    can't represent: ints beyond 2^53, lists, dicts) that match/any
+    re-check with python `==`.
+
+    LIST payloads additionally flatten into element-level typed arrays
+    (`erow`/`ecodes`/`enum`/…) sharing the row arrays' string
+    dictionary, so qdrant's any-element array semantics (match / any /
+    except / range / text over array fields) evaluate as the same
+    vectorized passes plus one scatter-OR back onto rows. `odd` still
+    lists EVERY non-scalar row (the exact-reconstruction set used by
+    `_column_from_view` and non-scalar match values); `odd_scalar`
+    (dicts, big ints) and `eodd_rows` (lists holding dict/list/big-int
+    elements) are the sparse python-recheck sets for scalar matches."""
 
     __slots__ = ("present", "num", "numb", "codes", "uniq", "uindex",
-                 "is_null", "isint", "odd")
+                 "is_null", "isint", "odd", "odd_scalar", "vcount",
+                 "list_rows", "erow", "ecodes", "enum", "enumb",
+                 "eisnull", "eodd_rows")
 
     def __init__(self, col: np.ndarray):
         n = len(col)
@@ -862,6 +1069,7 @@ class TypedView:
         uniq: list[str] = []
         uindex: dict[str, int] = {}
         odd: list[int] = []
+        lists: list[tuple[int, list]] = []
         big = 2 ** 53
         for i, v in enumerate(col):
             if v is _MISSING:
@@ -885,11 +1093,99 @@ class TypedView:
                 self.num[i] = self.numb[i] = v
             elif v is None:
                 self.is_null[i] = True
+            elif t is list:
+                odd.append(i)
+                lists.append((i, v))
             else:
-                odd.append(i)              # lists/dicts/exotic types
+                odd.append(i)              # dicts/exotic types
+        self.odd = np.asarray(odd, np.int64)
+        self._index_elements(lists, uniq, uindex)
         self.uniq = np.asarray(uniq, object)
         self.uindex = uindex
-        self.odd = np.asarray(odd, np.int64)
+
+    def _index_elements(self, lists: list, uniq: list,
+                        uindex: dict) -> None:
+        """Flatten list rows into element arrays (see class doc).
+        Element strings intern into the SAME dictionary as row strings
+        so text/datetime derivations stay once-per-unique."""
+        n = len(self.present)
+        self.vcount = self.present.astype(np.int32)  # scalar=1, missing=0
+        self.list_rows = np.zeros(n, np.bool_)
+        list_set = set()
+        erow: list[int] = []
+        ecodes: list[int] = []
+        enum: list[float] = []
+        enumb: list[float] = []
+        eisnull: list[bool] = []
+        eodd_rows: set[int] = set()
+        big = 2 ** 53
+        for i, v in lists:
+            self.vcount[i] = len(v)
+            self.list_rows[i] = True
+            list_set.add(i)
+            for e in v:
+                erow.append(i)
+                t = type(e)
+                code, num, numb, isnull = -1, np.nan, np.nan, False
+                if t is str:
+                    code = uindex.get(e)
+                    if code is None:
+                        code = uindex[e] = len(uniq)
+                        uniq.append(e)
+                elif t is bool:
+                    numb = 1.0 if e else 0.0
+                elif t is int:
+                    num = numb = float(e)
+                    if not -big <= e <= big:
+                        eodd_rows.add(i)   # f64-inexact element
+                elif t is float:
+                    num = numb = e
+                elif e is None:
+                    isnull = True
+                else:
+                    eodd_rows.add(i)       # dict/list element
+                ecodes.append(code)
+                enum.append(num)
+                enumb.append(numb)
+                eisnull.append(isnull)
+        self.erow = np.asarray(erow, np.int64)
+        self.ecodes = np.asarray(ecodes, np.int32)
+        self.enum = np.asarray(enum, np.float64)
+        self.enumb = np.asarray(enumb, np.float64)
+        self.eisnull = np.asarray(eisnull, np.bool_)
+        self.eodd_rows = np.asarray(sorted(eodd_rows), np.int64)
+        self.odd_scalar = np.asarray(
+            [i for i in self.odd.tolist() if i not in list_set], np.int64)
+
+
+class _ElementColumns(PayloadColumns):
+    """PayloadColumns over a flattened list of object elements — the
+    `nested` condition's evaluation table. Columns (dotted paths
+    included) derive straight from the element dicts instead of
+    streaming the store; views/derivations then work unchanged."""
+
+    def __init__(self, elems: list):
+        self.count = len(elems)
+        self._cols = {}
+        self._views = {}
+        self._pending = {}
+        self._derived = {}
+        self._elems = elems
+
+    def ensure(self, keys: Sequence[str]) -> None:
+        for k in keys:
+            if k in self._cols:
+                continue
+            segs = _path_segments(k) or [k]
+            col = np.full(self.count, _MISSING, object)
+            for i, e in enumerate(self._elems):
+                leaves: list = []
+                hit = _collect_path(e, segs, 0, leaves)
+                if hit:
+                    col[i] = leaves
+                elif leaves:
+                    col[i] = leaves[0]
+            self._cols[k] = col
 
 
 _PAYCOL_PREFIX = "paycols_"
@@ -942,10 +1238,17 @@ def _view_from_arrays(z, key: str, n: int):
     for ln in lens:
         uniq.append(blob[pos:pos + ln].decode("utf-8"))
         pos += ln
-    view.uniq = np.asarray(uniq, object)
-    view.uindex = {u: i for i, u in enumerate(uniq)}
+    uindex = {u: i for i, u in enumerate(uniq)}
     odd_vals = [json.loads(s) for s in
                 np.asarray(z[f"{key}::odd_json"]).tolist()]
+    # element arrays are fully derivable from the (sparse) odd values,
+    # so the cache format carries no extra members and files written
+    # before the element arrays existed still load
+    lists = [(i, v) for i, v in zip(view.odd.tolist(), odd_vals)
+             if type(v) is list]
+    view._index_elements(lists, uniq, uindex)
+    view.uniq = np.asarray(uniq, object)
+    view.uindex = uindex
     return view, odd_vals
 
 
@@ -1076,29 +1379,49 @@ def _apply_range(num: np.ndarray, r: dict) -> np.ndarray:
     return ok
 
 
+def _py_match(v, value) -> bool:
+    """The python reference predicate for `match`: equality, or —
+    qdrant's array semantics — ANY element of a list payload equal."""
+    if v is _MISSING:
+        return False
+    if v == value:
+        return True
+    return isinstance(v, list) and any(e == value for e in v)
+
+
 def _match_mask(view: TypedView, col_fn, value) -> np.ndarray:
     """Vectorized `payload[key] == value` with python-equality
-    semantics (True == 1, exact big-int compares). `col_fn` supplies
-    the object column lazily — it is only touched for odd rows (big
-    ints, lists, dicts) or non-scalar match values, so cache-loaded
-    columns usually never materialize."""
+    semantics (True == 1, exact big-int compares) and qdrant's array
+    semantics: a LIST payload matches when any element does. `col_fn`
+    supplies the object column lazily — it is only touched for the
+    sparse recheck rows (dicts, big ints, lists holding non-scalar
+    elements) or non-scalar match values, so cache-loaded columns
+    usually never materialize."""
     if isinstance(value, str):
-        m = view.codes == view.uindex.get(value, -2)
+        c = view.uindex.get(value, -2)
+        m = view.codes == c
+        em = view.ecodes == c
     elif value is None:
         m = view.is_null.copy()
+        em = view.eisnull
     elif isinstance(value, bool) or (isinstance(value, int)
                                      and -2**53 <= value <= 2**53) \
             or isinstance(value, float):
         m = view.numb == float(value)
+        em = view.enumb == float(value)
     else:
         # non-scalar or f64-inexact match value: python reference path
         col = col_fn()
-        return np.fromiter((v is not _MISSING and v == value
-                            for v in col), np.bool_, count=len(col))
-    if len(view.odd):
+        return np.fromiter((_py_match(v, value) for v in col),
+                           np.bool_, count=len(col))
+    m[view.erow[em]] = True                # any-element scatter-OR
+    if len(view.odd_scalar) or len(view.eodd_rows):
         col = col_fn()
-        for i in view.odd:                 # sparse python re-check
+        for i in view.odd_scalar:          # dicts, big-int rows
             m[i] = col[i] == value
+        for i in view.eodd_rows:           # lists w/ non-scalar elements
+            if not m[i]:
+                m[i] = any(e == value for e in col[i])
     return m
 
 
@@ -1123,6 +1446,14 @@ def _eval_condition(cond: "Condition | Filter",
                 if c is not None:
                     m |= view.codes == c
         return m
+    if cond.op == "nested":
+        # one element satisfying the WHOLE inner filter (all inner
+        # conditions bind to the same element, unlike path conditions)
+        erow, ecols = columns.element_table(cond.key)
+        m = np.zeros(columns.count, np.bool_)
+        if len(erow):
+            m[erow[evaluate_filter(cond.value, ecols)]] = True
+        return m
     view = columns.view(cond.key)
     col_fn = lambda: columns.column(cond.key)   # noqa: E731 — lazy
     if cond.op == "exists":
@@ -1131,26 +1462,16 @@ def _eval_condition(cond: "Condition | Filter",
         return view.is_null
     if cond.op == "is_empty":
         # absent, null, or an empty ARRAY (qdrant's IsEmpty; {} is a
-        # present object value and does NOT count). Lists are always
-        # TypedView odd rows, so the [] probe is a sparse pass.
-        m = (~view.present) | view.is_null
-        if len(view.odd):
-            col = col_fn()
-            for i in view.odd.tolist():
-                v = col[i]
-                if isinstance(v, list) and not v:
-                    m[i] = True
-        return m
+        # present object value and does NOT count)
+        return ((~view.present) | view.is_null
+                | (view.list_rows & (view.vcount == 0)))
     if cond.op == "match":
         return _match_mask(view, col_fn, cond.value)
     if cond.op in ("any", "except"):
-        # python semantics preserved: short-circuit excludes list/dict
-        # payloads before the `in allowed` membership test, and a list
-        # payload never equals a scalar in the odd-row recheck either
         m = np.zeros(len(view.present), np.bool_)
         for value in cond.value:
             m |= _match_mask(view, col_fn, value)
-        # except is the exact complement: "the stored value is none of
+        # except is the exact complement: "no stored value is any of
         # the listed ones" — vacuously true for rows missing the key
         return ~m if cond.op == "except" else m
     if cond.op == "text":
@@ -1162,23 +1483,26 @@ def _eval_condition(cond: "Condition | Filter",
         m = np.zeros(len(view.present), np.bool_)
         srows = view.codes >= 0
         m[srows] = ok_uniq[view.codes[srows]]
+        es = view.ecodes >= 0                # any-element for arrays
+        m[view.erow[es][ok_uniq[view.ecodes[es]]]] = True
         return m
     if cond.op == "values_count":
-        counts = view.present.astype(np.float64)
-        if len(view.odd):
-            col = col_fn()
-            for i in view.odd.tolist():
-                v = col[i]
-                if isinstance(v, list):
-                    counts[i] = len(v)
-        return _apply_range(counts, cond.value)
+        return _apply_range(view.vcount.astype(np.float64), cond.value)
     if cond.op == "range":
         # NaN rows (missing/non-numeric) compare False under every op,
         # and a (pathological) empty range matches everything — both
-        # the reference-implementation semantics
-        return _apply_range(view.num, cond.value)
+        # the reference-implementation semantics. Array payloads match
+        # when ANY numeric element is in range (qdrant semantics).
+        m = _apply_range(view.num, cond.value)
+        if len(view.erow) and cond.value:
+            m[view.erow[_apply_range(view.enum, cond.value)]] = True
+        return m
     if cond.op == "datetime_range":
-        return _apply_range(columns.datetime_num(cond.key), cond.value)
+        rows_dt, elems_dt = columns.datetime_num(cond.key)
+        m = _apply_range(rows_dt, cond.value)
+        if len(view.erow) and cond.value:
+            m[view.erow[_apply_range(elems_dt, cond.value)]] = True
+        return m
     if cond.op in ("geo_bounding_box", "geo_radius", "geo_polygon"):
         lon, lat, multi = columns.geo(cond.key)
         m = _geo_mask(cond.op, cond.value, lon, lat)
@@ -1205,6 +1529,11 @@ def evaluate_filter(filt: Filter, columns: PayloadColumns) -> np.ndarray:
         for c in filt.should:
             any_mask |= _eval_condition(c, columns)
         mask &= any_mask
+    if filt.min_should:
+        hits = np.zeros((n,), np.int32)
+        for c in filt.min_should:
+            hits += _eval_condition(c, columns)
+        mask &= hits >= filt.min_count
     for c in filt.must_not:
         mask &= ~_eval_condition(c, columns)
     return mask

@@ -409,29 +409,212 @@ def test_payload_columns_native_parity(tmp_path):
     np.testing.assert_array_equal(mask_nat, mask_py)
 
 
+def _make_array_store(tmp_path):
+    """Payloads with arrays and nested objects (qdrant-style docs)."""
+    payloads = [
+        {"region_id": "r0", "tags": ["car", "red"], "n": [1, 5],
+         "meta": {"cls": "person", "score": 0.9},
+         "items": [{"kind": "a", "price": 3, "ts": "2024-01-01"},
+                   {"kind": "b", "price": 9}]},
+        {"region_id": "r1", "tags": ["tree"], "n": [7],
+         "meta": {"cls": "car", "deep": {"x": 1}},
+         "items": [{"kind": "a", "price": 20},
+                   {"kind": "c", "price": 1}]},
+        {"region_id": "r2", "tags": "car", "n": 3,
+         "meta": {"score": 0.2}, "items": []},
+        {"region_id": "r3", "ts_list": ["2024-06-01", "bogus"],
+         "caption_list": ["a quick fox", 7],
+         "items": [{"kind": "b", "price": 2}]},
+    ]
+    d = 8
+    vecs = random_unit(np.random.default_rng(5), len(payloads), d)
+    with VectorStore.create(str(tmp_path), "arr", d) as s:
+        s.append(vecs, payloads)
+    return VectorStore.open(str(tmp_path), "arr"), payloads
+
+
+def test_array_any_element_semantics(tmp_path):
+    """qdrant array semantics: a list payload matches when ANY element
+    does — match/any/except/range/datetime_range/text alike."""
+    store, _ = _make_array_store(tmp_path)
+    m = payload_mask(store, {"key": "tags", "match": "car"})
+    np.testing.assert_array_equal(m, [1, 0, 1, 0])     # scalar row 2 too
+    m = payload_mask(store, {"key": "tags", "match": {"any": ["red",
+                                                             "tree"]}})
+    np.testing.assert_array_equal(m, [1, 1, 0, 0])
+    # except: NO stored value is listed (missing rows vacuously match)
+    m = payload_mask(store, {"key": "tags", "match": {"except": ["car"]}})
+    np.testing.assert_array_equal(m, [0, 1, 0, 1])
+    # range: any numeric element in range
+    m = payload_mask(store, {"key": "n", "range": {"gte": 5}})
+    np.testing.assert_array_equal(m, [1, 1, 0, 0])
+    m = payload_mask(store, {"key": "n", "range": {"lte": 3}})
+    np.testing.assert_array_equal(m, [1, 0, 1, 0])
+    # datetime_range / text over string arrays (non-strings ignored)
+    m = payload_mask(store, {"key": "ts_list", "datetime_range":
+                             {"gte": "2024-01-01T00:00:00Z"}})
+    np.testing.assert_array_equal(m, [0, 0, 0, 1])
+    m = payload_mask(store, {"key": "caption_list",
+                             "match": {"text": "FOX quick"}})
+    np.testing.assert_array_equal(m, [0, 0, 0, 1])
+
+
+def test_nested_path_keys(tmp_path):
+    """Dotted paths descend objects; arrays traverse implicitly, with
+    '[]' accepted as the explicit spelling. Works through every
+    condition type and the string filter form."""
+    store, _ = _make_array_store(tmp_path)
+    m = payload_mask(store, {"key": "meta.cls", "match": "person"})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0])
+    m = payload_mask(store, {"key": "meta.score", "range": {"gte": 0.5}})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0])
+    m = payload_mask(store, {"key": "meta.deep.x", "match": 1})
+    np.testing.assert_array_equal(m, [0, 1, 0, 0])
+    # array-of-objects projection: items[].price / items.price alike
+    for key in ("items[].price", "items.price"):
+        m = payload_mask(store, {"key": key, "range": {"gte": 9}})
+        np.testing.assert_array_equal(m, [1, 1, 0, 0], err_msg=key)
+    m = payload_mask(store, {"key": "items.kind", "match": "c"})
+    np.testing.assert_array_equal(m, [0, 1, 0, 0])
+    # exists / is_empty over a projected path
+    m = payload_mask(store, {"key": "meta.cls", "exists": True})
+    np.testing.assert_array_equal(m, [1, 1, 0, 0])
+    m = payload_mask(store, {"must": [{"is_empty": {"key":
+                                                    "items.price"}}]})
+    np.testing.assert_array_equal(m, [0, 0, 1, 0])   # r2's items == []
+    # string form
+    m = payload_mask(store, "meta.cls=car")
+    np.testing.assert_array_equal(m, [0, 1, 0, 0])
+    m = payload_mask(store, "items[].price>=9")
+    np.testing.assert_array_equal(m, [1, 1, 0, 0])
+    with pytest.raises(FilterError):
+        parse_filter({"key": "a.[].b", "match": 1})
+
+
+def test_nested_condition(tmp_path):
+    """`nested`: ONE element satisfies the whole inner filter — unlike
+    independent path conditions that different elements may satisfy."""
+    store, _ = _make_array_store(tmp_path)
+    # row 0: kind=a&price<5 on the SAME element; row 1's kind=a element
+    # costs 20 (its cheap element is kind=c) -> paths say yes, nested no
+    paths = payload_mask(store, {"must": [
+        {"key": "items.kind", "match": "a"},
+        {"key": "items.price", "range": {"lt": 5}}]})
+    np.testing.assert_array_equal(paths, [1, 1, 0, 0])
+    nested = payload_mask(store, {"must": [{"nested": {
+        "key": "items", "filter": {"must": [
+            {"key": "kind", "match": "a"},
+            {"key": "price", "range": {"lt": 5}}]}}}]})
+    np.testing.assert_array_equal(nested, [1, 0, 0, 0])
+    # must_not binds per element too: an element with kind!=b and
+    # price<5 — row 1's kind=c/price=1 element qualifies
+    m = payload_mask(store, {"must": [{"nested": {
+        "key": "items", "filter": {
+            "must": [{"key": "price", "range": {"lt": 5}}],
+            "must_not": [{"key": "kind", "match": "b"}]}}}]})
+    np.testing.assert_array_equal(m, [1, 1, 0, 0])
+    # datetime + dotted path inside the element filter
+    m = payload_mask(store, {"must": [{"nested": {
+        "key": "items", "filter": {"must": [
+            {"key": "ts", "datetime_range": {"gte": "2024-01-01"}}]}}}]})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0])
+    with pytest.raises(FilterError):
+        parse_filter({"nested": {"key": "items",
+                                 "filter": {"has_id": [1]}}})
+    with pytest.raises(FilterError):
+        parse_filter({"nested": {"key": "items"}})
+
+
+def test_min_should(tmp_path):
+    store, _ = _make_array_store(tmp_path)
+    spec = {"min_should": {"conditions": [
+        {"key": "tags", "match": "car"},
+        {"key": "n", "range": {"gte": 5}},
+        {"key": "meta.cls", "exists": True}], "min_count": 2}}
+    # r0 hits all three; r1 hits n>=5 + meta.cls; r2 hits tags only
+    np.testing.assert_array_equal(payload_mask(store, spec),
+                                  [1, 1, 0, 0])
+    spec["min_should"]["min_count"] = 3
+    np.testing.assert_array_equal(payload_mask(store, spec),
+                                  [1, 0, 0, 0])
+    # combines with must / must_not
+    both = {"must": [{"key": "region_id", "match": {"except": ["r0"]}}],
+            **spec}
+    np.testing.assert_array_equal(payload_mask(store, both),
+                                  [0, 0, 0, 0])
+    for bad in ({"conditions": []}, {"conditions": [], "min_count": 0},
+                {"conditions": [], "min_count": True}):
+        with pytest.raises(FilterError):
+            parse_filter({"min_should": bad})
+
+
+def test_array_columns_persist_roundtrip(tmp_path, monkeypatch):
+    """Element arrays and path columns rebuild identically from the
+    on-disk column cache (they derive from the persisted odd values)."""
+    store, _ = _make_array_store(tmp_path)
+    cols = PayloadColumns(store)
+    keys = ["tags", "n", "meta.cls", "items.price"]
+    cols.ensure(keys)
+    assert cols.persist(keys)
+    cols2 = PayloadColumns(store)
+    monkeypatch.setattr(
+        PayloadColumns, "_extract_python",
+        lambda self, m: (_ for _ in ()).throw(AssertionError("streamed")))
+    monkeypatch.setattr(
+        PayloadColumns, "_extract_native",
+        lambda self, m: (_ for _ in ()).throw(AssertionError("streamed")))
+    cols2.ensure(keys)
+    for spec in [{"key": "tags", "match": "car"},
+                 {"key": "tags", "match": {"except": ["car"]}},
+                 {"key": "n", "range": {"gte": 5}},
+                 {"key": "meta.cls", "match": "person"},
+                 {"key": "items.price", "range": {"lte": 2}},
+                 {"key": "tags", "values_count": {"gte": 2}},
+                 {"must": [{"is_empty": {"key": "n"}}]}]:
+        np.testing.assert_array_equal(
+            evaluate_filter(parse_filter(spec), cols2),
+            evaluate_filter(parse_filter(spec), cols), err_msg=str(spec))
+
+
 def _reference_eval(cond, col):
     """Python-semantics reference for one condition over an object
-    column (the pre-vectorization implementation, kept verbatim)."""
+    column: python equality (True == 1, exact big ints) plus qdrant's
+    array semantics — a list payload matches when ANY element does."""
     from reverso_tpu.store.filter import _MISSING, _numeric
+
+    def match1(v, value):
+        if v is _MISSING:
+            return False
+        if v == value:
+            return True
+        return isinstance(v, list) and any(e == value for e in v)
+
     if cond.op == "exists":
         present = col != _MISSING
         return present if cond.value else ~present
     if cond.op == "match":
-        return np.fromiter((v is not _MISSING and v == cond.value
-                            for v in col), np.bool_, count=len(col))
+        return np.fromiter((match1(v, cond.value) for v in col),
+                           np.bool_, count=len(col))
     if cond.op == "any":
-        allowed = set(cond.value)
         return np.fromiter(
-            (v is not _MISSING and not isinstance(v, (list, dict))
-             and v in allowed for v in col), np.bool_, count=len(col))
-    num = _numeric(col)
-    ok = np.ones(col.shape, np.bool_)
+            (any(match1(v, a) for a in cond.value) for v in col),
+            np.bool_, count=len(col))
+
+    def in_range(x, r):
+        if not (isinstance(x, (int, float)) and not isinstance(x, bool)):
+            return False
+        x = float(x)                # f64 semantics, like the view arrays
+        return (("gt" not in r or x > float(r["gt"]))
+                and ("gte" not in r or x >= float(r["gte"]))
+                and ("lt" not in r or x < float(r["lt"]))
+                and ("lte" not in r or x <= float(r["lte"])))
+
     r = cond.value
-    for op, fn in (("gt", np.greater), ("gte", np.greater_equal),
-                   ("lt", np.less), ("lte", np.less_equal)):
-        if op in r:
-            ok &= fn(num, r[op])
-    return ok
+    if not r:                       # empty range matches everything
+        return np.ones(col.shape, np.bool_)
+    return np.fromiter(
+        (any(in_range(e, r) for e in v) if isinstance(v, list)
+         else in_range(v, r) for v in col), np.bool_, count=len(col))
 
 
 def test_typed_view_vectorized_parity(tmp_path):
@@ -442,7 +625,10 @@ def test_typed_view_vectorized_parity(tmp_path):
 
     values = ["person", "café ❤", "", "1", True, False, 1, 0, -3,
               2**53 + 1, -(2**60) - 7, 0.5, 1.0, float("nan"),
-              None, [1, 2], {"a": 1}, 3.5, "person", 2**53 + 1]
+              None, [1, 2], {"a": 1}, 3.5, "person", 2**53 + 1,
+              # arrays: any-element semantics, incl. odd elements
+              ["person", True], [2**53 + 1, None], [[1, 2], {"a": 1}],
+              [], [0.5, "1"], [False]]
     payloads = [{"v": v, "i": i} for i, v in enumerate(values)]
     payloads.append({"i": len(values)})            # row missing "v"
     d = 8
