@@ -1214,8 +1214,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "token when using --order-by")
     pt.add_argument("--limit", type=int, default=50)
     pt.add_argument("--order-by", default=None, metavar="KEY",
-                    help="sort by a numeric payload key instead of row id "
-                         "(qdrant order_by; non-numeric rows excluded)")
+                    help="sort by a numeric or RFC 3339 datetime payload "
+                         "key instead of row id (qdrant order_by; "
+                         "unordered rows excluded)")
     pt.add_argument("--desc", action="store_true",
                     help="descending order (with --order-by)")
     pt.add_argument("--json", action="store_true")

@@ -1573,11 +1573,13 @@ class Reverso:
 
         Default order is by row id; `offset` is then a row id, so pages
         stay stable under concurrent appends. With `order_by=<payload
-        key>` points come sorted by that key's NUMERIC value (missing /
-        non-numeric rows are excluded — qdrant's order_by is likewise
-        integer/float only), ties broken by row id ascending; `offset`
-        is then the opaque `(value, id)` token the previous page
-        returned (pass 0/None to start)."""
+        key>` points come sorted by that key's value — numbers by
+        magnitude, RFC 3339 / ISO 8601 strings by timestamp (epoch
+        seconds; a key mixing both interleaves on that shared numeric
+        axis). Missing / unordered rows are excluded — qdrant's
+        order_by is likewise integer/float/datetime only. Ties break
+        by row id ascending; `offset` is then the opaque `(value, id)`
+        token the previous page returned (pass 0/None to start)."""
         store = self._store
         if store is None:
             raise StoreError("no database loaded")
@@ -1589,7 +1591,12 @@ class Reverso:
                 raise ValueError(f"direction must be asc|desc, got "
                                  f"{direction!r}")
             cols = self._payload_columns()
-            vals_all = cols.view(str(order_by)).num
+            view = cols.view(str(order_by))
+            vals_all = view.num
+            if len(view.uniq):        # datetime strings order too
+                dt_rows, _ = cols.datetime_num(str(order_by))
+                vals_all = np.where(np.isnan(vals_all), dt_rows,
+                                    vals_all)
             keep = ~np.isnan(vals_all)
             if mask is not None:
                 keep &= mask[:len(vals_all)]

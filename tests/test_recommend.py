@@ -608,6 +608,45 @@ def test_scroll_order_by_ties_and_nonnumeric(tmp_path):
         assert seen == [0, 2, 4, 1, 3, 5, 8], (page, seen)
 
 
+def test_scroll_order_by_datetime(tmp_path):
+    """order_by over RFC 3339 string payloads sorts by timestamp
+    (qdrant's datetime order_by); unparseable strings stay excluded
+    and numeric values share the epoch-seconds axis."""
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"],
+                                dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg)
+    vecs = random_unit(np.random.default_rng(2), 6, 16)
+    payloads = [
+        {"ts": "2024-03-01T00:00:00Z"},            # 0: middle
+        {"ts": "2024-01-02T01:00:00+02:00"},       # 1: earliest (utc)
+        {"ts": "not a date"},                      # 2: excluded
+        {"ts": "2024-06-01"},                      # 3: latest (naive=utc)
+        {},                                        # 4: excluded
+        {"ts": "2024-01-02T00:00:00Z"},            # 5: second (tie-ish)
+    ]
+    with VectorStore.create(str(tmp_path / "db"), "dts", 16) as s:
+        s.append(vecs, payloads)
+    engine.load_database("dts")
+    want = [1, 5, 0, 3]     # 1 is 2024-01-01T23:00Z < 5
+    seen, tok = [], 0
+    while True:
+        pts, tok = engine.scroll(order_by="ts", offset=tok, limit=2)
+        seen += [p["id"] for p in pts]
+        if tok is None:
+            break
+    assert seen == want, seen
+    pts, _ = engine.scroll(order_by="ts", direction="desc", limit=10)
+    assert [p["id"] for p in pts] == want[::-1]
+
+
 def test_engine_query_plain_and_rescore(engine_store):
     """Universal query API: plain shape matches search_batch; the
     multi-stage shape rescores the union of prefetch candidates
