@@ -508,6 +508,8 @@ def parse_filter(spec: Any) -> Filter:
                       clause("must_not"), ms_conds, ms_count)
     if "key" in spec and any(k in spec for k in _KEYED_OPS):
         return Filter((_parse_condition(spec),))     # bare condition dict
+    if set(spec) == {"nested"}:                      # bare nested cond
+        return Filter((_parse_nested(spec["nested"]),))
     keyless = _parse_keyless(spec)
     if keyless is not None:      # bare {"has_id"/"is_empty"/"is_null": ..}
         return Filter((keyless,))
@@ -518,6 +520,8 @@ def parse_filter(spec: Any) -> Filter:
             # too (a payload key literally named e.g. "has_id" must use
             # the explicit {"key": "has_id", ...} form instead)
             conds.append(_parse_keyless({k: v}))
+        elif k == "nested":
+            conds.append(_parse_nested(v))
         else:
             conds.append(_shorthand_condition(k, v))
     return Filter(tuple(conds))

@@ -518,6 +518,10 @@ def test_nested_condition(tmp_path):
         "key": "items", "filter": {"must": [
             {"key": "ts", "datetime_range": {"gte": "2024-01-01"}}]}}}]})
     np.testing.assert_array_equal(m, [1, 0, 0, 0])
+    # bare top-level nested (no must wrapper) parses as one condition
+    m = payload_mask(store, {"nested": {
+        "key": "items", "filter": {"kind": "a", "price": {"lt": 5}}}})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0])
     with pytest.raises(FilterError):
         parse_filter({"nested": {"key": "items",
                                  "filter": {"has_id": [1]}}})
