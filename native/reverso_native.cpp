@@ -339,10 +339,12 @@ const char* scan_value(const char* p, const char* end, const char* base,
   char* endp = nullptr;
   const double v = strtod(tmp, &endp);
   if (endp != tmp + len) return nullptr;
-  if (!is_float && !(v >= -9007199254740992.0 && v <= 9007199254740992.0)) {
-    // int beyond +-2^53: the double rounded it, so hand the exact
-    // token back as a span for the caller to json-parse (tag 8 —
-    // json.loads of a bare number literal yields the exact int)
+  if (!is_float && !(v > -9007199254740992.0 && v < 9007199254740992.0)) {
+    // int at or beyond +-2^53: the double may have ROUNDED ONTO the
+    // bound (2^53+1 -> 2^53 passes an inclusive check), so bounds are
+    // strict and the exact token goes back as a span for the caller
+    // to json-parse (tag 8 — json.loads of a bare number literal
+    // yields the exact int; +-2^53 itself routes there harmlessly)
     *tag = 8;
     span->off = start - base;
     span->len = len;

@@ -166,6 +166,12 @@ class Filter:
                     or self.min_should)
 
 
+def _iso_compat(text: str) -> str:
+    """fromisoformat only accepts the RFC 3339 'Z' suffix on 3.11+;
+    normalize it so supported 3.10 parses the canonical form too."""
+    return text[:-1] + "+00:00" if text[-1:] in ("Z", "z") else text
+
+
 def _parse_datetime(value: Any, *, what: str) -> float:
     """RFC 3339 / ISO 8601 string (or datetime) -> epoch seconds.
     Naive timestamps are taken as UTC, matching qdrant."""
@@ -174,7 +180,7 @@ def _parse_datetime(value: Any, *, what: str) -> float:
         dt = value
     elif isinstance(value, str):
         try:
-            dt = _dt.datetime.fromisoformat(value)
+            dt = _dt.datetime.fromisoformat(_iso_compat(value))
         except ValueError:
             raise FilterError(
                 f"{what}: not an RFC 3339 timestamp: {value!r}") from None
@@ -190,7 +196,7 @@ def _dt_or_nan(text: str) -> float:
     """Payload-side datetime parse: unparseable -> NaN (never matches)."""
     import datetime as _dt
     try:
-        dt = _dt.datetime.fromisoformat(text)
+        dt = _dt.datetime.fromisoformat(_iso_compat(text))
     except (ValueError, TypeError):
         return float("nan")
     if dt.tzinfo is None:
@@ -385,7 +391,17 @@ def _parse_condition(spec: Any) -> "Condition | Filter":
                 coerce=lambda v: _parse_datetime(
                     v, what=f"datetime_range for key {key!r}"))
         elif op == "values_count":
-            value = _range_dict(value, key=key, op=op, coerce=int)
+            def _count_bound(v):
+                # exact ints only: int() would truncate 2.5 into an
+                # off-by-one bound, and a TypeError would escape the
+                # FilterError handlers that 400 at the UI/CLI boundary
+                if isinstance(v, bool) or not isinstance(v, int):
+                    raise FilterError(
+                        f"values_count bound for key {key!r} must be "
+                        f"an int, got {v!r}")
+                return v
+            value = _range_dict(value, key=key, op=op,
+                                coerce=_count_bound)
         elif op in ("any", "except"):
             if not isinstance(value, (list, tuple, set)):
                 raise FilterError(
@@ -396,6 +412,13 @@ def _parse_condition(spec: Any) -> "Condition | Filter":
                 raise FilterError(
                     f"text match for key {key!r} needs a string, "
                     f"got {value!r}")
+            if not _TOKEN_RE.search(value):
+                # an empty token set would vacuously match every row
+                # holding any string — reject at parse so UI/CLI
+                # callers 400 instead of selecting everything
+                raise FilterError(
+                    f"text match for key {key!r} has no word tokens: "
+                    f"{value!r}")
         elif op == "exists":
             value = bool(value)
         elif op == "geo_bounding_box":
@@ -1001,10 +1024,12 @@ class PayloadColumns:
                 continue
             leaves: list = []
             hit = _collect_path(v, rest, 0, leaves)
-            if hit:
-                out[i] = leaves
-            elif leaves:
-                out[i] = leaves[0]
+            if leaves:
+                # an empty projection stays MISSING (not []), so
+                # `exists` answers "is there any value at this path"
+                # and its False form finds the rows lacking one;
+                # is_empty/values_count treat missing as empty/0 anyway
+                out[i] = leaves if hit else leaves[0]
         return out
 
     def element_table(self, key: str) -> tuple:
@@ -1185,10 +1210,8 @@ class _ElementColumns(PayloadColumns):
             for i, e in enumerate(self._elems):
                 leaves: list = []
                 hit = _collect_path(e, segs, 0, leaves)
-                if hit:
-                    col[i] = leaves
-                elif leaves:
-                    col[i] = leaves[0]
+                if leaves:       # empty projection stays MISSING
+                    col[i] = leaves if hit else leaves[0]
             self._cols[k] = col
 
 
@@ -1424,8 +1447,10 @@ def _match_mask(view: TypedView, col_fn, value) -> np.ndarray:
         for i in view.odd_scalar:          # dicts, big-int rows
             m[i] = col[i] == value
         for i in view.eodd_rows:           # lists w/ non-scalar elements
-            if not m[i]:
-                m[i] = any(e == value for e in col[i])
+            # unconditional: the vectorized pass can also FALSE-POSITIVE
+            # here (a big-int element f64-colliding with the match
+            # value), so the python pass over the whole list decides
+            m[i] = any(e == value for e in col[i])
     return m
 
 

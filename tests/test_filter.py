@@ -351,6 +351,11 @@ def test_payload_columns_native_parity(tmp_path):
         {"filename": "b.jpg", "conf": -1.25e-3, "n": -7, "tag": False,
          "x": None},
         {"filename": "céçà 😀.jpg", "quote": 'said "hi"\n\ttab', "n": 2**40},
+        # the f64-rounding edge: 2^53+1 ROUNDS ONTO an inclusive 2^53
+        # bound check inside strtod-based scanners — both sides of it
+        # and the bound itself must come back exact
+        {"n": 2**53 + 1, "conf": 2.0**53},
+        {"n": -(2**53) - 1, "tag": 2**53, "x": 2**60 + 7},
         {"bbox": [1, 2, 3.5, 4], "meta": {"a": [1, {"filename": "decoy"}]},
          "conf": float("inf")},
         {"conf": float("-inf"), "weird": float("nan"), "empty": "",
@@ -366,13 +371,13 @@ def test_payload_columns_native_parity(tmp_path):
         s.append(vecs, payloads)
     store = VectorStore.open(str(tmp_path), "nat")
     # in-place surgery preserving line lengths (offsets stay valid):
-    # row 7 -> unparseable, row 8 -> valid object + trailing junk
+    # row 9 -> unparseable, row 10 -> valid object + trailing junk
     import os as _os
     jsonl = _os.path.join(store.path, "payloads.jsonl")
     offs = np.append(np.asarray(store._payload_offsets()),
                      _os.path.getsize(jsonl))
     with open(jsonl, "r+b") as f:
-        for row, patch in ((7, b"x"), (8, b'{"n":9}')):
+        for row, patch in ((9, b"x"), (10, b'{"n":9}')):
             ln = int(offs[row + 1] - offs[row]) - 1
             f.seek(int(offs[row]))
             f.write((patch + b"y" * ln)[:ln])
@@ -395,7 +400,7 @@ def test_payload_columns_native_parity(tmp_path):
             assert va is _MISSING or va == vb, (k, i, repr(va), repr(vb))
             assert va is _MISSING or type(va) == type(vb), (k, i)
     # both surgically-altered rows are all-missing on both paths
-    for row in (7, 8):
+    for row in (9, 10):
         assert all(cols_py[k][row] is _MISSING for k in keys)
         assert all(cols_nat[k][row] is _MISSING for k in keys)
 
@@ -529,6 +534,37 @@ def test_nested_condition(tmp_path):
         parse_filter({"nested": {"key": "items"}})
 
 
+def test_array_bigint_collision_and_validation(tmp_path):
+    """Big-int elements must not f64-collide with nearby match values
+    (the element scatter is rechecked in python), token-less text
+    queries and fractional values_count bounds are parse errors, and
+    an empty path projection is MISSING (exists=False finds it)."""
+    payloads = [{"n": [2**53 + 1]}, {"n": [2**53]}, {"n": 7},
+                {"items": []}, {"items": [{"kind": "x"}]}]
+    vecs = random_unit(np.random.default_rng(9), len(payloads), 8)
+    with VectorStore.create(str(tmp_path), "bi", 8) as s:
+        s.append(vecs, payloads)
+    store = VectorStore.open(str(tmp_path), "bi")
+    m = payload_mask(store, {"key": "n", "match": 2**53})
+    np.testing.assert_array_equal(m, [0, 1, 0, 0, 0])
+    m = payload_mask(store, {"key": "n", "match": 2**53 + 1})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0, 0])
+    # except inherits the exactness (a collision would wrongly DROP)
+    m = payload_mask(store, {"key": "n", "match": {"except": [2**53]}})
+    np.testing.assert_array_equal(m, [1, 0, 1, 1, 1])
+    # empty projection: no price value anywhere at the path
+    m = payload_mask(store, {"key": "items.price", "exists": True})
+    np.testing.assert_array_equal(m, [0, 0, 0, 0, 0])
+    m = payload_mask(store, {"key": "items.price", "exists": False})
+    np.testing.assert_array_equal(m, [1, 1, 1, 1, 1])
+    with pytest.raises(FilterError):
+        parse_filter({"key": "caption", "match": {"text": "  ...  "}})
+    with pytest.raises(FilterError):
+        parse_filter({"key": "tags", "values_count": {"gte": 2.5}})
+    with pytest.raises(FilterError):
+        parse_filter({"key": "tags", "values_count": {"gte": None}})
+
+
 def test_min_should(tmp_path):
     store, _ = _make_array_store(tmp_path)
     spec = {"min_should": {"conditions": [
@@ -645,7 +681,8 @@ def test_typed_view_vectorized_parity(tmp_path):
 
     conds = [Condition("v", "match", m) for m in
              ["person", "café ❤", "", "1", "nope", True, False,
-              1, 0, 1.0, 0.5, 2**53 + 1, 2**53 + 2, -(2**60) - 7,
+              1, 0, 1.0, 0.5, 2**53, 2**53 + 1, 2**53 + 2,
+              float(2**53), -(2**60) - 7,
               None, [1, 2], {"a": 1}, 3.5, float("nan")]]
     conds += [Condition("v", "any", a) for a in
               [["person", 1], [True, 0.5], [None, ""],

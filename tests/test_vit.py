@@ -385,9 +385,13 @@ def test_fused_mlp_int8_matches_emulated_quant_math():
                                row_tile=64, hidden_tile=htile))
     diff = np.abs(out - expect)
     loose = diff > 1e-5 + 1e-5 * np.abs(expect)
-    assert loose.mean() < 0.02, f"{loose.mean():.4f} of elements flipped"
+    # currently EXACT on this toolchain (0 flips with rng(7)); the
+    # slack below only absorbs future fma-fusion ulp drift at round()
+    # boundaries (a handful of elements, <=2 quanta) — a wrong scale
+    # or chunk slice perturbs whole chunks and blows both bounds
+    assert loose.mean() < 0.002, f"{loose.mean():.4f} of elements flipped"
     if loose.any():
-        assert diff[loose].max() <= 4 * qmax, (diff[loose].max(), qmax)
+        assert diff[loose].max() <= 2 * qmax, (diff[loose].max(), qmax)
     # and it lands in the documented noise band of the f32 answer
     from reverso_tpu.ops.fused_mlp import mlp_xla
     ref = np.asarray(mlp_xla(jnp.asarray(x), jnp.asarray(w1),
