@@ -310,7 +310,8 @@ def cmd_query(args) -> int:
     try:
         hits = engine.query(target, prefetch=prefetch or None,
                             fusion=args.fusion, k=args.top_k,
-                            filter=args.filter or None, seed=args.seed)
+                            filter=args.filter or None, seed=args.seed,
+                            using=getattr(args, "using", "") or "")
     except (StoreError, FilterError, ValueError) as e:
         print(f"❌ {e}", file=sys.stderr)
         return 1
@@ -529,19 +530,26 @@ def cmd_batch(args) -> int:
 
 def cmd_upsert(args) -> int:
     """Append externally computed points: vectors from an .npz
-    (`vectors` [m, d], optional `payloads` as JSON strings), payloads
-    alternatively from a JSONL sidecar (qdrant upsert role). Creates
-    the database when missing. No model load."""
+    (`vectors` [m, d], optional `payloads` as JSON strings, optional
+    NAMED vector spaces as extra `vectors_<name>` members — qdrant
+    named vectors), payloads alternatively from a JSONL sidecar
+    (qdrant upsert role). Creates the database when missing (named
+    spaces and their dims come from the npz members). No model load."""
     import numpy as np
 
     from .store import StoreError, VectorStore
 
     cfg = _make_config(args)
+    named = {}
     try:
         with np.load(args.npz, allow_pickle=False) as z:
             vecs = np.asarray(z["vectors"], np.float32)
             pls = ([json.loads(s) for s in z["payloads"].tolist()]
                    if "payloads" in z.files else None)
+            for member in z.files:
+                if member.startswith("vectors_"):
+                    named[member[len("vectors_"):]] = np.asarray(
+                        z[member], np.float32)
     except (OSError, KeyError, ValueError) as e:
         print(f"❌ Cannot read {args.npz}: {e}", file=sys.stderr)
         return 1
@@ -565,7 +573,10 @@ def cmd_upsert(args) -> int:
                   file=sys.stderr)
             return 1
         try:
-            VectorStore.create(root, name, int(vecs.shape[1])).close()
+            VectorStore.create(
+                root, name, int(vecs.shape[1]),
+                named={n: int(a.shape[1]) for n, a in named.items()}
+                      or None).close()
         except StoreError as e:
             print(f"❌ {e}", file=sys.stderr)
             return 1
@@ -574,7 +585,8 @@ def cmd_upsert(args) -> int:
     if msg.startswith("❌"):
         print(msg, file=sys.stderr)
         return 1
-    msg = engine.upsert_points(vecs, pls)
+    msg = engine.upsert_points({"": vecs, **named} if named else vecs,
+                               pls)
     out = sys.stdout if msg.startswith("✅") else sys.stderr
     print(msg, file=out)
     return 0 if msg.startswith("✅") else 1
@@ -600,7 +612,8 @@ def cmd_update_vectors(args) -> int:
         return 1
     ids = [i if isinstance(i, str) else int(i)
            for i in ids_raw.tolist()]
-    msg = engine.update_vectors(ids, vecs)
+    msg = engine.update_vectors(ids, vecs,
+                                using=getattr(args, "space", "") or "")
     out = sys.stdout if msg.startswith("✅") else sys.stderr
     print(msg, file=out)
     return 0 if msg.startswith("✅") else 1
@@ -752,6 +765,8 @@ def cmd_info(args) -> int:
             "rows": store.count, "dim": store.dim,
             "disk_bytes": size, "locked": locked,
             "data_version": store.data_version}
+    if store.named:
+        info["named_vectors"] = dict(store.named)
     if args.filter:
         # filtered point count (qdrant count API role), no model load
         from .store.filter import FilterError, parse_filter, payload_mask
@@ -1176,6 +1191,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(qdrant random sampling)")
     qr.add_argument("--seed", type=int, default=None,
                     help="make --random reproducible")
+    qr.add_argument("--using", default="",
+                    help="named vector space for the top-level query "
+                         "(branches may carry their own \"using\")")
     qr.add_argument("--top-k", type=int, default=None)
     qr.add_argument("--filter", action="append", default=[],
                     help="global payload filter, applied inside every "
@@ -1287,6 +1305,8 @@ def build_parser() -> argparse.ArgumentParser:
     uv.add_argument("name")
     uv.add_argument("npz", help=".npz with `ids` [m] and `vectors` "
                                 "[m, d] (normalized here)")
+    uv.add_argument("--space", default="",
+                    help="named vector space to overwrite ('' = default)")
     uv.set_defaults(fn=cmd_update_vectors)
 
     ip = sub.add_parser("index-payload",

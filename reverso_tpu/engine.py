@@ -193,7 +193,9 @@ class Reverso:
 
         # current database
         self._store: Optional[VectorStore] = None
-        self._index: Optional[DeviceIndex] = None
+        # per-vector-space device indexes: {space: (key, index)} with
+        # key = (count, vector_version) — see _get_index
+        self._indexes: dict = {}
         self.current_database: Optional[str] = None
 
         # last query state (single-session convenience, like the reference)
@@ -208,10 +210,10 @@ class Reverso:
         # (count, data_version) — see _filter_mask
         self._filter_cols = None
         self._filter_cols_key = None
-        # guards (_index, _index_key) rebuild/assignment: the batcher's
-        # worker thread calls _get_index concurrently with UI-locked
-        # callers, and two simultaneous rebuilds would transiently hold
-        # 2x the index's HBM footprint
+        # guards _indexes rebuild/assignment: the batcher's worker
+        # thread calls _get_index concurrently with UI-locked callers,
+        # and two simultaneous rebuilds would transiently hold 2x the
+        # index's HBM footprint
         self._index_lock = threading.Lock()
 
     @property
@@ -282,8 +284,7 @@ class Reverso:
         that touched vectors bumps vector_version and rebuilds."""
         name = self.current_database
         with self._index_lock:
-            saved_index = self._index
-            saved_key = getattr(self, "_index_key", None)
+            saved = dict(self._indexes)
         self._set_store(None)     # release the read handle before locking
         try:
             with VectorStore.open(self.db_root, name, writable=True) as w:
@@ -297,11 +298,12 @@ class Reverso:
             try:
                 store = VectorStore.open(self.db_root, name)
                 self._set_store(store)
-                if saved_index is not None and saved_key == (
-                        store.count, store.vector_version):
+                live_key = (store.count, store.vector_version)
+                keep = {sp: kv for sp, kv in saved.items()
+                        if kv[0] == live_key}
+                if keep:
                     with self._index_lock:
-                        self._index = saved_index
-                        self._index_key = saved_key
+                        self._indexes.update(keep)
             except StoreError:
                 pass
         return None, result
@@ -423,48 +425,60 @@ class Reverso:
         database — qdrant's upsert role for externally computed
         embeddings (the build pipeline is the model-driven path; this
         is the bring-your-own-vectors path). Vectors are L2-normalized
-        here; dims must match the store. Row ids are assigned
-        sequentially (the store is append-only — use delete_points /
-        update_vectors / set_payload to mutate)."""
+        here; dims must match the store. A store with NAMED vector
+        spaces takes a `{space: [n, dim] array}` dict covering every
+        space ('' = default). Row ids are assigned sequentially (the
+        store is append-only — use delete_points / update_vectors /
+        set_payload to mutate)."""
         if self._store is None:
             return ("❌ No database loaded. Please create or load a "
                     "database first.")
         name = self.current_database
-        vecs = np.asarray(vectors, np.float32)
-        if vecs.ndim == 1:
-            vecs = vecs[None]
+        batch = vectors if isinstance(vectors, dict) else {"": vectors}
+        normed: dict = {}
+        n = None
+        for space, arr in batch.items():
+            vecs = np.asarray(arr, np.float32)
+            if vecs.ndim == 1:
+                vecs = vecs[None]
+            if n is None:
+                n = len(vecs)
+            elif len(vecs) != n:
+                return (f"❌ space {space!r} has {len(vecs)} rows, "
+                        f"expected {n}")
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            if len(vecs) and not np.all(norms > 0):
+                return "❌ Zero vectors cannot be normalized"
+            normed[space] = vecs / np.maximum(norms, 1e-30)
         if payloads is None:
-            payloads = [{} for _ in range(len(vecs))]
+            payloads = [{} for _ in range(n)]
         payloads = list(payloads)
-        if len(payloads) != len(vecs):
-            return (f"❌ {len(vecs)} vectors but {len(payloads)} "
-                    f"payloads")
-        if len(vecs) == 0:
+        if len(payloads) != n:
+            return f"❌ {n} vectors but {len(payloads)} payloads"
+        if n == 0:
             return "✅ Upserted 0 points"
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        if not np.all(norms > 0):
-            return "❌ Zero vectors cannot be normalized"
-        vecs = vecs / norms
+        arg = normed if isinstance(vectors, dict) else normed[""]
 
         def body(w):
             first = w.count
-            w.append(vecs, payloads)
+            w.append(arg, payloads)
             return first
 
         err, first = self._with_writable(body)
         if err:
             return err
-        return (f"✅ Upserted {len(vecs)} points into {name} "
-                f"(ids {first}..{first + len(vecs) - 1})")
+        return (f"✅ Upserted {n} points into {name} "
+                f"(ids {first}..{first + n - 1})")
 
-    def update_vectors(self, points, vectors) -> str:
+    def update_vectors(self, points, vectors, *, using: str = "") -> str:
         """Overwrite the stored vectors of specific points — qdrant's
         update_vectors API role. `points` mixes row ids and region_id
         strings (order-aligned with `vectors` rows); vectors are
-        L2-normalized here (the store holds unit fp32 rows). The
-        device index refreshes on next search (vector content actually
-        changed), and the IVF cache retrains (prefix immutability is
-        broken by an in-place rewrite)."""
+        L2-normalized here (the store holds unit fp32 rows); `using`
+        selects a named vector space ('' = default). The device index
+        refreshes on next search (vector content actually changed),
+        and the IVF cache retrains (prefix immutability is broken by
+        an in-place rewrite)."""
         if self._store is None:
             return ("❌ No database loaded. Please create or load a "
                     "database first.")
@@ -487,7 +501,7 @@ class Reverso:
             return "❌ Zero vectors cannot be normalized"
         vecs = vecs / norms
         err, touched = self._with_writable(
-            lambda w: w.update_vectors(rows, vecs))
+            lambda w: w.update_vectors(rows, vecs, space=using))
         if err:
             return err
         return f"✅ Updated vectors of {touched} points in {name}"
@@ -683,11 +697,10 @@ class Reverso:
     def _set_store(self, store: Optional[VectorStore]) -> None:
         with self._index_lock:
             self._store = store
-            self._index = None
-            self._index_key = None
+            self._indexes = {}
         self.current_database = store.name if store else None
 
-    def _get_index(self):
+    def _get_index(self, using: str = ""):
         # Read the handle ONCE: token/batcher searches run without the
         # UI engine lock, so a concurrent load/delete may swap
         # self._store mid-call — using a local keeps this consistent
@@ -704,25 +717,36 @@ class Reverso:
         # trigger a multi-GB HBM re-upload. refresh() makes external
         # mutations visible through this read-only handle.
         store.refresh()
+        using = using or ""
         key = (store.count, store.vector_version)
-        if self._index is not None and getattr(self, "_index_key", None) == key:
-            return self._index
+        cached = self._indexes.get(using)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         with self._index_lock:
             # re-check under the lock: a concurrent caller may have just
             # rebuilt; without this, two threads would each stage the
             # (possibly multi-GB) matrix to HBM and one copy leaks until
             # the next rebuild
-            if self._index is not None and getattr(self, "_index_key", None) == key:
-                return self._index
+            cached = self._indexes.get(using)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+            if using not in store.spaces():
+                raise StoreError(
+                    f"unknown vector space {using!r} "
+                    f"(have {sorted(store.spaces())})")
             count = store.count
-            vectors = np.asarray(store.vectors())
+            vectors = np.asarray(store.vectors(using))
             if scfg.index == "host":
                 # native C++ multithreaded host scan: the search path
                 # for no-accelerator deployments (reference analog:
                 # qdrant local mode's numpy scan, core_system.py:659)
                 from .store import HostIndex
                 index = HostIndex(vectors)
-            elif scfg.index == "ivf" and count > scfg.ivf_clusters * 4:
+            elif (scfg.index == "ivf" and not using
+                    and count > scfg.ivf_clusters * 4):
+                # IVF applies to the DEFAULT space only (its k-means
+                # cache is keyed per store); named spaces use the exact
+                # device scan
                 ivf = load_or_build_ivf(store, vectors, scfg,
                                         self.config.store.dtype,
                                         mesh=self.mesh)
@@ -733,8 +757,7 @@ class Reverso:
                     vectors, mesh=self.mesh,
                     dtype=self.config.store.dtype,
                     db_tile=scfg.db_tile)
-            self._index = index
-            self._index_key = key
+            self._indexes[using] = (key, index)
             return index
 
     def _payload_columns(self):
@@ -852,7 +875,7 @@ class Reverso:
         return "warmed: " + ", ".join(warmed)
 
     def search_batch(self, embeddings, k: Optional[int] = None, *,
-                     filter=None):
+                     filter=None, using: str = ""):
         """Bulk search: [B, d] query embeddings in ONE kernel launch.
 
         Returns (scores [B, k], ids [B, k]) with the usual
@@ -861,14 +884,16 @@ class Reverso:
         prefer this over a loop of single searches. `filter` restricts
         results to rows whose payload matches (see `store.filter` for
         the qdrant-shaped spec); filtered scans are exact over the
-        matching subset."""
+        matching subset. `using` selects a named vector space
+        ('' = default)."""
         import jax
         k = self.config.search.top_k if k is None else int(k)
         q = np.asarray(embeddings, np.float32)
         if q.ndim == 1:
             q = q[None]
         mask = self._filter_mask(filter) if filter is not None else None
-        return jax.device_get(self._get_index().search(q, k, row_mask=mask))
+        return jax.device_get(
+            self._get_index(using).search(q, k, row_mask=mask))
 
     # -- query path -----------------------------------------------------
 
@@ -949,7 +974,7 @@ class Reverso:
                        query_index: int = 0, *,
                        embeddings=_USE_ENGINE_STATE,
                        use_batcher: bool = False,
-                       filter=None):
+                       filter=None, using: str = ""):
         """Search the loaded database with a previously extracted embedding
         (reference core_system.py:650-717). Returns (text, items).
 
@@ -962,7 +987,9 @@ class Reverso:
         rows whose payload matches, e.g. `{"detected_class": "person"}`
         or `"confidence>=0.5"` — the capability qdrant's search filters
         provide in the reference's store. Filtered searches launch
-        directly (masks don't coalesce in the batcher).
+        directly (masks don't coalesce in the batcher). `using` selects
+        a named vector space ('' = default; the query embedding must
+        match that space's dim).
         """
         cfg = self.config.search
         threshold = cfg.score_threshold if similarity_threshold is None else similarity_threshold
@@ -987,9 +1014,9 @@ class Reverso:
             # k > 128 exceeds the batcher's fused-kernel cap; fall
             # through to a direct (XLA-path) index search instead of
             # silently truncating results
-            scores, ids = self.searcher.search(query, k)
+            scores, ids = self.searcher.search(query, k, space=using)
         else:
-            index = self._get_index()
+            index = self._get_index(using)
             import jax
             scores, ids = jax.device_get(
                 index.search(query, k, row_mask=mask))
@@ -1055,7 +1082,8 @@ class Reverso:
                       max_groups: Optional[int] = None,
                       query_index: int = 0, *,
                       group_by: str = "filename", group_size: int = 3,
-                      embeddings=_USE_ENGINE_STATE, filter=None):
+                      embeddings=_USE_ENGINE_STATE, filter=None,
+                      using: str = ""):
         """Grouped similarity search — qdrant's search_groups API role
         over the reference's store (core_system.py:659-664): results
         are bucketed by a payload field and each bucket reports its top
@@ -1100,7 +1128,7 @@ class Reverso:
             return (f"❌ No points carry payload key '{group_by}'"
                     + (" and match the filter" if fmask is not None else "")
                     + ".", [])
-        index = self._get_index()
+        index = self._get_index(using)
 
         k = min(n_avail, max(n_groups * group_size, 32))
         while True:
@@ -1160,9 +1188,11 @@ class Reverso:
             groups.append({"key": kv, "hits": items})
         return text, groups
 
-    def _resolve_examples(self, examples) -> Optional[np.ndarray]:
+    def _resolve_examples(self, examples,
+                          using: str = "") -> Optional[np.ndarray]:
         """Recommend inputs -> [M, d] f32. Accepts stored point ids
-        (ints), [d] vectors, [M, d] arrays, or a mixed list of those."""
+        (ints), [d] vectors, [M, d] arrays, or a mixed list of those;
+        point ids resolve in the `using` vector space."""
         if examples is None:
             return None
         if not isinstance(examples, (list, tuple)):
@@ -1178,7 +1208,8 @@ class Reverso:
                     raise ValueError(
                         f"point id {i} out of range (store has "
                         f"{store.count} points)")
-                rows.append(np.asarray(store.vectors()[i], np.float32))
+                rows.append(np.asarray(store.vectors(using)[i],
+                                       np.float32))
             else:
                 v = np.asarray(e, np.float32)
                 if v.ndim == 1:
@@ -1193,7 +1224,7 @@ class Reverso:
                   max_results: Optional[int] = None,
                   similarity_threshold: Optional[float] = None, *,
                   strategy: str = "average", filter=None,
-                  use_batcher: bool = False):
+                  use_batcher: bool = False, using: str = ""):
         """Search by positive/negative example points — the role of
         qdrant's recommend API over the reference's store
         (core_system.py:659-664 is the search it feeds). Examples are
@@ -1226,8 +1257,8 @@ class Reverso:
                     exclude.add(int(e))
         k_fetch = k + len(exclude)
         try:
-            pos = self._resolve_examples(positive)
-            neg = self._resolve_examples(negative)
+            pos = self._resolve_examples(positive, using)
+            neg = self._resolve_examples(negative, using)
             if pos is None or not len(pos):
                 return ("❌ Recommend needs at least one positive example.", [])
             mask = self._filter_mask(filter) if filter is not None else None
@@ -1236,14 +1267,15 @@ class Reverso:
                 if mask is None and use_batcher and k_fetch <= 128:
                     # coalesce with in-flight searches: the composed
                     # query is just one more row in the launch batch
-                    scores, ids = self.searcher.search(q, k_fetch)
+                    scores, ids = self.searcher.search(q, k_fetch,
+                                                       space=using)
                     scores, ids = scores[None], ids[None]
                 else:
                     scores, ids = jax.device_get(
-                        self._get_index().search(q[None], k_fetch,
-                                                 row_mask=mask))
+                        self._get_index(using).search(q[None], k_fetch,
+                                                      row_mask=mask))
             elif strategy == "best_score":
-                index = self._get_index()
+                index = self._get_index(using)
                 if not hasattr(index, "best_score"):
                     return ("❌ strategy='best_score' needs the exact index "
                             "(the IVF index only supports strategy='average').", [])
@@ -1261,7 +1293,8 @@ class Reverso:
         return self._render_hits(hits, store)
 
     def discover(self, target=None, context=None,
-                 max_results: Optional[int] = None, *, filter=None):
+                 max_results: Optional[int] = None, *, filter=None,
+                 using: str = ""):
         """qdrant's discovery API role over the reference's store
         (core_system.py:659-664 is the search it feeds). `context` is a
         list of (positive, negative) example pairs — stored point ids or
@@ -1288,7 +1321,8 @@ class Reverso:
                 exclude.add(int(e))
         k_fetch = k + len(exclude)
         try:
-            tgt = self._resolve_examples(target) if target is not None else None
+            tgt = (self._resolve_examples(target, using)
+                   if target is not None else None)
             if tgt is not None and len(tgt) != 1:
                 raise ValueError("discover takes exactly one target")
             pos = neg = None
@@ -1297,14 +1331,14 @@ class Reverso:
                            for p in pairs):
                     raise ValueError(
                         "context must be (positive, negative) pairs")
-                pos = self._resolve_examples([p[0] for p in pairs])
-                neg = self._resolve_examples([p[1] for p in pairs])
+                pos = self._resolve_examples([p[0] for p in pairs], using)
+                neg = self._resolve_examples([p[1] for p in pairs], using)
                 if len(pos) != len(pairs) or len(neg) != len(pairs):
                     raise ValueError(
                         "each context pair needs exactly one positive and "
                         "one negative example")
             mask = self._filter_mask(filter) if filter is not None else None
-            index = self._get_index()
+            index = self._get_index(using)
             if not hasattr(index, "discover"):
                 return ("❌ discover needs the exact index (not IVF).", [])
             if tgt is not None:
@@ -1321,10 +1355,11 @@ class Reverso:
             return ("❌ No discovery results found.", [])
         return self._render_hits(hits, store)
 
-    def _resolve_query_vector(self, q) -> np.ndarray:
+    def _resolve_query_vector(self, q, using: str = "") -> np.ndarray:
         """A query operand -> [d] fp32 vector: int row id, region_id
         string, `{"text": ...}` (CLIP/PE text tower), or an explicit
-        vector."""
+        vector. Point ids resolve (and explicit vectors validate)
+        against the `using` vector space."""
         store = self._store
         if isinstance(q, dict) and "text" in q:
             if self.text_embedder is None:
@@ -1337,22 +1372,27 @@ class Reverso:
             if not 0 <= int(q) < store.count:
                 raise StoreError(f"point id {int(q)} out of range "
                                  f"[0, {store.count})")
-            return np.asarray(store.vectors()[int(q)], np.float32)
+            return np.asarray(store.vectors(using)[int(q)], np.float32)
         if isinstance(q, str):
-            pts = self.retrieve([q], with_payload=False, with_vectors=True)
+            pts = self.retrieve([q], with_payload=False, with_vectors=True,
+                                using=using)
             if not pts:
                 raise StoreError(f"no point with region_id {q!r}")
             return pts[0]["vector"]
+        d = store.spaces().get(using)
+        if d is None:
+            raise StoreError(f"unknown vector space {using!r} "
+                             f"(have {sorted(store.spaces())})")
         v = np.asarray(q, np.float32).reshape(-1)
-        if v.shape != (store.dim,):
-            raise StoreError(f"query vector must be [{store.dim}], "
+        if v.shape != (d,):
+            raise StoreError(f"query vector must be [{d}], "
                              f"got {v.shape}")
         return v
 
     def query(self, query=None, *, prefetch=None,
               fusion: Optional[str] = None, k: Optional[int] = None,
               filter=None, with_payload: bool = True, seed=None,
-              use_batcher: bool = False):
+              use_batcher: bool = False, using: str = ""):
         """Universal query API — the role of qdrant's query_points
         with prefetch + fusion / multi-stage rescoring (the modern
         face of the store the reference drove via plain `search`,
@@ -1382,8 +1422,14 @@ class Reverso:
         unfiltered query through the serving micro-batcher (same knob
         as search_similar/recommend): concurrent callers coalesce into
         one launch and the warmed (bucket, k_pad) compile is reused
-        instead of tracing a fresh (1, k) shape. Returns a list of
-        {"id", "score", "payload"} dicts, best first."""
+        instead of tracing a fresh (1, k) shape.
+
+        `using` selects the vector space of the top-level query (and
+        of point-id resolution); each prefetch branch may carry its
+        OWN `"using"` — qdrant's hybrid-search shape, e.g. a text-space
+        branch and an image-space branch fused by RRF, or a named-space
+        prefetch rescored exactly in the default space. Returns a list
+        of {"id", "score", "payload"} dicts, best first."""
         import jax
 
         store = self._store
@@ -1419,16 +1465,17 @@ class Reverso:
                                  "prefetch branches")
             if is_random(query):
                 return hits_out([(0.0, r) for r in random_rows(k, gmask)])
-            qv = self._resolve_query_vector(query)
+            qv = self._resolve_query_vector(query, using)
             if gmask is None and use_batcher and k <= 128:
                 # coalesce with in-flight searches and reuse the warmed
                 # (bucket, k_pad) compile; k > 128 exceeds the batcher's
                 # fused-kernel cap — direct index search instead
-                s1, i1 = self.searcher.search(qv, k)
+                s1, i1 = self.searcher.search(qv, k, space=using)
                 return hits_out([(float(sv), int(iv))
                                  for sv, iv in zip(s1, i1) if iv >= 0])
             s, i = jax.device_get(
-                self._get_index().search(qv[None], k, row_mask=gmask))
+                self._get_index(using).search(qv[None], k,
+                                              row_mask=gmask))
             return hits_out([(float(sv), int(iv))
                              for sv, iv in zip(s[0], i[0]) if iv >= 0])
         if query is not None and fusion is not None:
@@ -1442,12 +1489,14 @@ class Reverso:
         branches = []
         for spec in prefetch:
             if isinstance(spec, dict) and (
-                    "query" in spec or "filter" in spec or "limit" in spec):
+                    "query" in spec or "filter" in spec or "limit" in spec
+                    or "using" in spec):
                 bq = spec.get("query")
                 bf = spec.get("filter")
                 bl = int(spec.get("limit", max(2 * k, 20)))
+                bu = str(spec.get("using") or "")
             else:
-                bq, bf, bl = spec, None, max(2 * k, 20)
+                bq, bf, bl, bu = spec, None, max(2 * k, 20), ""
             if bq is None:
                 raise ValueError("every prefetch branch needs a query")
             bmask = self._filter_mask(bf) if bf is not None else None
@@ -1457,9 +1506,9 @@ class Reverso:
                 rows = random_rows(bl, bmask)
                 branches.append((rows, [0.0] * len(rows)))
                 continue
-            qv = self._resolve_query_vector(bq)
+            qv = self._resolve_query_vector(bq, bu)
             s, i = jax.device_get(
-                self._get_index().search(qv[None], bl, row_mask=bmask))
+                self._get_index(bu).search(qv[None], bl, row_mask=bmask))
             valid = i[0] >= 0
             branches.append(([int(x) for x in i[0][valid]],
                              [float(x) for x in s[0][valid]]))
@@ -1488,12 +1537,13 @@ class Reverso:
             top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             return hits_out([(sc, pid) for pid, sc in top])
 
-        # multi-stage: exact rescore of the candidate union
-        qv = self._resolve_query_vector(query)
+        # multi-stage: exact rescore of the candidate union, in the
+        # top-level query's vector space
+        qv = self._resolve_query_vector(query, using)
         cand = sorted({pid for ids, _ in branches for pid in ids})
         if not cand:
             return []
-        vecs = np.asarray(store.vectors()[cand], np.float32)
+        vecs = np.asarray(store.vectors(using)[cand], np.float32)
         scores = vecs @ qv
         order = np.lexsort((np.asarray(cand), -scores))[:k]
         return hits_out([(float(scores[j]), int(cand[j])) for j in order])
@@ -1516,14 +1566,14 @@ class Reverso:
         store.refresh()
         reqs = [dict(r) for r in requests]
         allowed = {"query", "prefetch", "fusion", "k", "filter",
-                   "with_payload", "seed"}
+                   "with_payload", "seed", "using"}
         for r in reqs:
             bad = set(r) - allowed
             if bad:
                 raise ValueError(f"unknown request keys {sorted(bad)} "
                                  f"(allowed: {sorted(allowed)})")
         results: list = [None] * len(reqs)
-        groups: dict[str, list[int]] = {}
+        groups: dict[tuple, list[int]] = {}
         for n, r in enumerate(reqs):
             q = r.get("query")
             plain = (not r.get("prefetch") and r.get("fusion") is None
@@ -1540,16 +1590,20 @@ class Reverso:
                                    default=repr)
             except (TypeError, ValueError):
                 fkey = repr(r.get("filter"))
-            groups.setdefault(fkey, []).append(n)
-        for idxs in groups.values():
-            vecs = np.stack([self._resolve_query_vector(reqs[n]["query"])
-                             for n in idxs])
+            # same-space requests coalesce; spaces differ in dim/index
+            groups.setdefault((str(r.get("using") or ""), fkey),
+                              []).append(n)
+        for (space, _), idxs in groups.items():
+            vecs = np.stack(
+                [self._resolve_query_vector(reqs[n]["query"], space)
+                 for n in idxs])
             fspec = reqs[idxs[0]].get("filter")
             mask = self._filter_mask(fspec) if fspec is not None else None
             ks = [self.config.search.top_k if reqs[n].get("k") is None
                   else int(reqs[n]["k"]) for n in idxs]
             s, i = jax.device_get(
-                self._get_index().search(vecs, max(ks), row_mask=mask))
+                self._get_index(space).search(vecs, max(ks),
+                                              row_mask=mask))
             for row, (n, kk) in enumerate(zip(idxs, ks)):
                 pairs = [(float(sv), int(iv))
                          for sv, iv in zip(s[row][:kk], i[row][:kk])
@@ -1635,12 +1689,13 @@ class Reverso:
         return points, next_offset
 
     def retrieve(self, ids, *, with_payload: bool = True,
-                 with_vectors: bool = False):
+                 with_vectors: bool = False, using: str = ""):
         """Fetch specific points — qdrant's retrieve API role. `ids`
         mixes integer row ids and `region_id` payload strings (the
         reference's per-point UUIDs, core_system.py:608-609). Unknown
         ids are silently skipped (qdrant semantics). Returns a list of
-        {"id", "payload"[, "vector"]} dicts in request order."""
+        {"id", "payload"[, "vector"]} dicts in request order;
+        `with_vectors` reads the `using` vector space ('' = default)."""
         store = self._store
         if store is None:
             raise StoreError("no database loaded")
@@ -1669,7 +1724,7 @@ class Reverso:
                     else [None] * len(rows))
         points = [{"id": r, "payload": p} for r, p in zip(rows, payloads)]
         if with_vectors and rows:
-            vecs = np.asarray(store.vectors()[rows], np.float32)
+            vecs = np.asarray(store.vectors(using)[rows], np.float32)
             for pt, v in zip(points, vecs):
                 pt["vector"] = v
         return points
@@ -1700,7 +1755,8 @@ class Reverso:
                 for v, n in top[:max(0, int(limit))]]
 
     def search_matrix(self, *, sample: int = 10, limit: int = 3,
-                      filter=None, seed=None, offsets: bool = False):
+                      filter=None, seed=None, offsets: bool = False,
+                      using: str = ""):
         """Pairwise similarity matrix over a random sample of stored
         points — qdrant's search_matrix_pairs / search_matrix_offsets
         role (the clustering/dedup view of the store the reference
@@ -1744,7 +1800,7 @@ class Reverso:
             return empty
         rng = np.random.default_rng(seed)
         ids = np.sort(_sample_rows(rng, sample, store.count, mask))
-        vecs = np.asarray(store.vectors()[ids], np.float32)
+        vecs = np.asarray(store.vectors(using)[ids], np.float32)
         s_pad = max(8, 1 << (len(ids) - 1).bit_length())
         if s_pad > len(ids):
             vecs = np.concatenate(

@@ -38,11 +38,13 @@ def _round_up_8(x: int) -> int:
 
 
 class _Pending:
-    __slots__ = ("query", "k", "event", "scores", "ids", "error")
+    __slots__ = ("query", "k", "space", "event", "scores", "ids",
+                 "error")
 
-    def __init__(self, query: np.ndarray, k: int):
+    def __init__(self, query: np.ndarray, k: int, space: str = ""):
         self.query = query
         self.k = k
+        self.space = space
         self.event = threading.Event()
         self.scores = None
         self.ids = None
@@ -102,13 +104,15 @@ class BatchingSearcher:
     # -- client side -------------------------------------------------------
 
     def search(self, query: np.ndarray, k: int,
-               timeout: Optional[float] = 60.0):
+               timeout: Optional[float] = 60.0, *, space: str = ""):
         """Search for one query vector [d]; returns (scores[k], ids[k]).
 
         Thread-safe; blocks until the coalesced launch completes.
-        k > k_cap raises (silent truncation would return fewer results
-        than asked with no error); route large-k requests directly to
-        the index instead.
+        `space` selects a named vector space ('' = default); requests
+        only coalesce with co-travellers of the same space. k > k_cap
+        raises (silent truncation would return fewer results than asked
+        with no error); route large-k requests directly to the index
+        instead.
         """
         k = int(k)
         if k > self._k_cap:
@@ -120,7 +124,7 @@ class BatchingSearcher:
             # (scores[row, :-5]) and return the wrong result count
             raise SearchError(f"k must be >= 1, got {k}")
         q = np.asarray(query, np.float32).reshape(-1)
-        p = _Pending(q, k)
+        p = _Pending(q, k, str(space or ""))
         t0 = time.monotonic()
         with self._cv:
             # _closed is checked UNDER the lock: an unsynchronized
@@ -218,7 +222,8 @@ class BatchingSearcher:
         queries = np.zeros((bucket, d), np.float32)
         for row, p in enumerate(group):
             queries[row] = p.query
-        index = self._index_fn()
+        index = (self._index_fn(group[0].space) if group[0].space
+                 else self._index_fn())
         self._inflight.acquire()           # bound dispatched-unfetched work
         try:
             result = index.search(queries, k_pad)   # async dispatch
@@ -254,11 +259,13 @@ class BatchingSearcher:
                     self._completer.shutdown(wait=True)
                     return
                 continue
-            # group by query dimension: one malformed request must not
-            # poison its co-travellers' batch
-            by_dim: dict[int, list[_Pending]] = {}
+            # group by (space, query dimension): one malformed request
+            # must not poison its co-travellers' batch, and named-space
+            # requests must hit their own index
+            by_dim: dict[tuple, list[_Pending]] = {}
             for p in batch:
-                by_dim.setdefault(p.query.shape[0], []).append(p)
+                by_dim.setdefault((p.space, p.query.shape[0]),
+                                  []).append(p)
             for group in by_dim.values():
                 try:
                     self._launch(group)

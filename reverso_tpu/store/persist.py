@@ -5,8 +5,11 @@ Replaces the reference's embedded qdrant-client local mode
 under a root, holding
 
     <root>/<name>/
-        meta.json       collection metadata (name, dim, count, dtype)
+        meta.json       collection metadata (name, dim, count, dtype,
+                        named vector spaces)
         vectors.bin     raw little-endian fp32 [N, d], append-only
+        vectors_<s>.bin one per NAMED vector space `s` (qdrant named
+                        vectors): same row count, own dim
         payloads.jsonl  one JSON payload per row, append-only
         .lock           advisory lock (reference `unlock_database`,
                         core_system.py:137-154)
@@ -20,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass, field
@@ -29,6 +33,9 @@ import numpy as np
 
 META_FILE = "meta.json"
 VEC_FILE = "vectors.bin"
+# extra NAMED vector spaces (qdrant named vectors): one sibling file
+# per space, same row count as the default space, own dim
+VEC_NAMED_FMT = "vectors_{}.bin"
 PAYLOAD_FILE = "payloads.jsonl"
 # Sidecar of int64-LE byte offsets, entry i = start of payload line i in
 # payloads.jsonl, appended in lockstep with it. Makes the first-query
@@ -49,6 +56,28 @@ class StoreError(RuntimeError):
 
 class StoreLockedError(StoreError):
     pass
+
+
+_SPACE_RE = re.compile(r"^[A-Za-z0-9_\-]{1,64}$")
+
+
+def vec_file(space: str = "") -> str:
+    """On-disk file for a vector space: the default (unnamed) space is
+    vectors.bin; each named space is a sibling vectors_<name>.bin."""
+    return VEC_FILE if not space else VEC_NAMED_FMT.format(space)
+
+
+def _check_spaces(named: dict) -> dict:
+    out = {}
+    for n, d in (named or {}).items():
+        if not isinstance(n, str) or not _SPACE_RE.match(n):
+            raise StoreError(f"bad vector space name: {n!r} "
+                             f"(letters/digits/_/- only)")
+        d = int(d)
+        if d <= 0:
+            raise StoreError(f"bad dim for vector space {n!r}: {d}")
+        out[n] = d
+    return out
 
 
 def collection_name(db_name: str) -> str:
@@ -230,17 +259,29 @@ class VectorStore:
     # cache) can be EXTENDED with newly-appended rows instead of being
     # rebuilt from scratch.
     mutation_epoch: int = 0
-    _vec_f: Any = field(default=None, repr=False)
+    # extra NAMED vector spaces: {name: dim} (qdrant named vectors).
+    # Every point carries a vector in EVERY space (append requires all;
+    # qdrant's sparse per-point presence is not supported). The default
+    # space "" (dim `self.dim`) always exists.
+    named: dict = field(default_factory=dict)
+    _vec_fs: dict = field(default_factory=dict, repr=False)
     _pay_f: Any = field(default=None, repr=False)
     _idx_f: Any = field(default=None, repr=False)
     _pay_pos: int = field(default=0, repr=False)
     _locked: bool = field(default=False, repr=False)
 
+    def spaces(self) -> dict:
+        """{space name: dim} including the default space ''."""
+        return {"": self.dim, **self.named}
+
     # -- lifecycle -----------------------------------------------------
 
     @staticmethod
-    def create(root: str, name: str, dim: int, *, overwrite: bool = False) -> "VectorStore":
+    def create(root: str, name: str, dim: int, *,
+               named: Optional[dict] = None,
+               overwrite: bool = False) -> "VectorStore":
         path = os.path.join(root, name)
+        named = _check_spaces(named)
         if os.path.isdir(path) and overwrite:
             # The lock must protect the one destructive operation too: a
             # locked store is live in another process — refuse to rmtree
@@ -259,11 +300,12 @@ class VectorStore:
         store = VectorStore(path=path, name=name, dim=dim,
                             collection=collection_name(name), count=0,
                             data_version=now, vector_version=now,
-                            mutation_epoch=now)
+                            mutation_epoch=now, named=named)
         store._acquire_lock()
         store._write_meta()
         # touch data files
-        open(os.path.join(path, VEC_FILE), "ab").close()
+        for space in store.spaces():
+            open(os.path.join(path, vec_file(space)), "ab").close()
         open(os.path.join(path, PAYLOAD_FILE), "ab").close()
         open(os.path.join(path, PAYLOAD_IDX_FILE), "ab").close()
         return store
@@ -301,19 +343,23 @@ class VectorStore:
                             vector_version=int(meta.get("vector_version",
                                                         dv)),
                             mutation_epoch=int(meta.get("mutation_epoch",
-                                                        0)))
-        vec_path = os.path.join(path, VEC_FILE)
-        actual_rows = os.path.getsize(vec_path) // (4 * store.dim) if os.path.exists(vec_path) else 0
-        if actual_rows < store.count:
-            raise StoreError(
-                f"Corrupt store {name}: meta says {store.count} rows, file has {actual_rows}")
-        if actual_rows > store.count:
-            # torn append (crash between write and meta flush): keep the
-            # durable prefix, ignore the tail. Read-only handles just
-            # never look past count; a WRITABLE handle must physically
-            # trim the tail (below) because append() writes at EOF —
-            # appending after torn bytes would misalign every later row.
-            pass
+                                                        0)),
+                            named={str(k): int(v) for k, v in
+                                   (meta.get("named") or {}).items()})
+        for space, d in store.spaces().items():
+            vec_path = os.path.join(path, vec_file(space))
+            actual_rows = os.path.getsize(vec_path) // (4 * d) \
+                if os.path.exists(vec_path) else 0
+            if actual_rows < store.count:
+                raise StoreError(
+                    f"Corrupt store {name}: meta says {store.count} rows, "
+                    f"{vec_file(space)} has {actual_rows}")
+        # rows beyond count are a torn append (crash between write and
+        # meta flush): keep the durable prefix, ignore the tail.
+        # Read-only handles just never look past count; a WRITABLE
+        # handle must physically trim the tail (below) because append()
+        # writes at EOF — appending after torn bytes would misalign
+        # every later row.
         if writable:
             store._acquire_lock()
             store._trim_torn_tail()
@@ -359,9 +405,9 @@ class VectorStore:
 
     def close(self) -> None:
         self.flush()
-        if self._vec_f is not None:
-            self._vec_f.close()
-            self._vec_f = None
+        for f in self._vec_fs.values():
+            f.close()
+        self._vec_fs.clear()
         if self._pay_f is not None:
             self._pay_f.close()
             self._pay_f = None
@@ -382,15 +428,26 @@ class VectorStore:
 
     # -- io ------------------------------------------------------------
 
+    def _meta_dict(self, *, count: Optional[int] = None, bump_data=0,
+                   bump_vec=0, bump_epoch=0) -> dict:
+        """Meta JSON for the (possibly post-mutation) state. The
+        `named` map only appears when non-empty so legacy stores'
+        meta files are byte-compatible."""
+        meta = {"name": self.name, "collection": self.collection,
+                "dim": self.dim,
+                "count": self.count if count is None else count,
+                "data_version": self.data_version + bump_data,
+                "vector_version": self.vector_version + bump_vec,
+                "mutation_epoch": self.mutation_epoch + bump_epoch,
+                "dtype": "float32", "version": 1}
+        if self.named:
+            meta["named"] = dict(self.named)
+        return meta
+
     def _write_meta(self) -> None:
         tmp = os.path.join(self.path, META_FILE + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"name": self.name, "collection": self.collection,
-                       "dim": self.dim, "count": self.count,
-                       "data_version": self.data_version,
-                       "vector_version": self.vector_version,
-                       "mutation_epoch": self.mutation_epoch,
-                       "dtype": "float32", "version": 1}, f, indent=2)
+            json.dump(self._meta_dict(), f, indent=2)
             # fsync BEFORE the rename: os.replace is atomic in the
             # namespace but does not imply the new file's data blocks
             # are durable — power loss could otherwise commit a rename
@@ -399,23 +456,56 @@ class VectorStore:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.path, META_FILE))
 
-    def append(self, vectors: np.ndarray, payloads: Sequence[dict]) -> None:
-        """Append a batch of L2-normalized fp32 vectors with payloads."""
-        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
-        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
-            raise StoreError(f"expected [*, {self.dim}] vectors, got {vectors.shape}")
-        if len(payloads) != vectors.shape[0]:
+    def _check_batch(self, vectors) -> dict:
+        """Normalize an append/upsert batch to {space: [n, dim] f32}.
+        Arrays address the default space; a store with named spaces
+        requires a dict covering EVERY space (each point carries a
+        vector in each — see `named`)."""
+        if not isinstance(vectors, dict):
+            vectors = {"": vectors}
+        spaces = self.spaces()
+        if set(vectors) != set(spaces):
+            raise StoreError(
+                f"append needs vectors for exactly the spaces "
+                f"{sorted(spaces)}, got {sorted(vectors)}")
+        out = {}
+        n = None
+        for space, d in spaces.items():
+            arr = np.ascontiguousarray(vectors[space], dtype=np.float32)
+            if arr.ndim != 2 or arr.shape[1] != d:
+                raise StoreError(
+                    f"expected [*, {d}] vectors for space {space!r}, "
+                    f"got {arr.shape}")
+            if n is None:
+                n = arr.shape[0]
+            elif arr.shape[0] != n:
+                raise StoreError(
+                    f"space {space!r} has {arr.shape[0]} rows, "
+                    f"expected {n}")
+            out[space] = arr
+        return out
+
+    def append(self, vectors, payloads: Sequence[dict]) -> None:
+        """Append a batch of L2-normalized fp32 vectors with payloads.
+        `vectors` is an array (default space) or a {space: array} dict
+        covering every vector space."""
+        batch = self._check_batch(vectors)
+        n = len(next(iter(batch.values())))
+        if len(payloads) != n:
             raise StoreError("payload count != vector count")
         if not self._locked:
             raise StoreError("store opened read-only")
-        if self._vec_f is None:
-            self._vec_f = open(os.path.join(self.path, VEC_FILE), "ab")
+        if not self._vec_fs:
+            for space in self.spaces():
+                self._vec_fs[space] = open(
+                    os.path.join(self.path, vec_file(space)), "ab")
             self._pay_f = open(os.path.join(self.path, PAYLOAD_FILE), "ab")
             self._pay_pos = os.path.getsize(
                 os.path.join(self.path, PAYLOAD_FILE))
             self._repair_sidecar()
             self._idx_f = open(os.path.join(self.path, PAYLOAD_IDX_FILE), "ab")
-        self._vec_f.write(vectors.tobytes())
+        for space, arr in batch.items():
+            self._vec_fs[space].write(arr.tobytes())
         offsets = np.empty(len(payloads), "<i8")
         for row, p in enumerate(payloads):
             line = (json.dumps(p, separators=(",", ":")) + "\n").encode()
@@ -423,7 +513,7 @@ class VectorStore:
             self._pay_f.write(line)
             self._pay_pos += len(line)
         self._idx_f.write(offsets.tobytes())
-        self.count += vectors.shape[0]
+        self.count += n
         self.data_version += 1
         self.vector_version += 1
         self._offsets_cache = None
@@ -468,9 +558,9 @@ class VectorStore:
                 f.write(np.asarray(tail, "<i8").tobytes())
 
     def flush(self) -> None:
-        if self._vec_f is not None:
-            self._vec_f.flush()
-            os.fsync(self._vec_f.fileno())
+        for f in self._vec_fs.values():
+            f.flush()
+            os.fsync(f.fileno())
         if self._pay_f is not None:
             self._pay_f.flush()
             os.fsync(self._pay_f.fileno())
@@ -480,14 +570,19 @@ class VectorStore:
         if self._locked:
             self._write_meta()
 
-    def vectors(self) -> np.ndarray:
-        """Memory-mapped [count, dim] fp32 view (zero copy)."""
+    def vectors(self, space: str = "") -> np.ndarray:
+        """Memory-mapped [count, dim] fp32 view (zero copy) of one
+        vector space ('' = the default space)."""
+        d = self.spaces().get(space)
+        if d is None:
+            raise StoreError(f"unknown vector space {space!r} "
+                             f"(have {sorted(self.spaces())})")
         self.flush()
-        path = os.path.join(self.path, VEC_FILE)
+        path = os.path.join(self.path, vec_file(space))
         if self.count == 0:
-            return np.zeros((0, self.dim), np.float32)
+            return np.zeros((0, d), np.float32)
         return np.memmap(path, dtype=np.float32, mode="r",
-                         shape=(self.count, self.dim))
+                         shape=(self.count, d))
 
     def _payload_offsets(self):
         """Byte offset of each payload line.
@@ -580,12 +675,13 @@ class VectorStore:
         """Physically drop file bytes beyond the committed `count`
         (torn append, or a truncate interrupted after its meta commit).
         Called on writable open, before any append can land at EOF."""
-        vec_path = os.path.join(self.path, VEC_FILE)
-        vec_bytes = self.count * 4 * self.dim
-        if os.path.exists(vec_path) and \
-                os.path.getsize(vec_path) > vec_bytes:
-            with open(vec_path, "r+b") as f:
-                os.ftruncate(f.fileno(), vec_bytes)
+        for space, d in self.spaces().items():
+            vec_path = os.path.join(self.path, vec_file(space))
+            vec_bytes = self.count * 4 * d
+            if os.path.exists(vec_path) and \
+                    os.path.getsize(vec_path) > vec_bytes:
+                with open(vec_path, "r+b") as f:
+                    os.ftruncate(f.fileno(), vec_bytes)
         jsonl = os.path.join(self.path, PAYLOAD_FILE)
         if os.path.exists(jsonl):
             cut = self._payload_cut(self.count)
@@ -627,9 +723,10 @@ class VectorStore:
         self.mutation_epoch += 1     # rows beyond count may be replaced:
         self._offsets_cache = None   # larger-prefix caches are invalid
         self._write_meta()
-        vec_path = os.path.join(self.path, VEC_FILE)
-        with open(vec_path, "r+b") as f:
-            os.ftruncate(f.fileno(), count * 4 * self.dim)
+        for space, d in self.spaces().items():
+            vec_path = os.path.join(self.path, vec_file(space))
+            with open(vec_path, "r+b") as f:
+                os.ftruncate(f.fileno(), count * 4 * d)
         pay_path = os.path.join(self.path, PAYLOAD_FILE)
         if os.path.exists(pay_path):
             with open(pay_path, "r+b") as f:
@@ -640,9 +737,9 @@ class VectorStore:
                 os.ftruncate(f.fileno(), count * 8)
 
     def close_files_for_truncate(self) -> None:
-        if self._vec_f is not None:
-            self._vec_f.close()
-            self._vec_f = None
+        for f in self._vec_fs.values():
+            f.close()
+        self._vec_fs.clear()
         if self._pay_f is not None:
             self._pay_f.close()
             self._pay_f = None
@@ -678,20 +775,21 @@ class VectorStore:
         self.close_files_for_truncate()
         new_count = int(keep.sum())
 
-        vec_path = os.path.join(self.path, VEC_FILE)
-        stage_vec = vec_path + ".compact"
-        row_bytes = 4 * self.dim
-        mm = np.memmap(vec_path, dtype=np.float32, mode="r",
-                       shape=(self.count, self.dim)) if self.count else None
-        with open(stage_vec, "wb") as out:
-            for lo in range(0, self.count, 65536):     # bounded memory
-                hi = min(lo + 65536, self.count)
-                sel = keep[lo:hi]
-                if sel.any():
-                    out.write(np.ascontiguousarray(mm[lo:hi][sel]).tobytes())
-            out.flush()
-            os.fsync(out.fileno())
-        del mm
+        for space, d in self.spaces().items():
+            vec_path = os.path.join(self.path, vec_file(space))
+            stage_vec = vec_path + ".compact"
+            mm = np.memmap(vec_path, dtype=np.float32, mode="r",
+                           shape=(self.count, d)) if self.count else None
+            with open(stage_vec, "wb") as out:
+                for lo in range(0, self.count, 65536):  # bounded memory
+                    hi = min(lo + 65536, self.count)
+                    sel = keep[lo:hi]
+                    if sel.any():
+                        out.write(np.ascontiguousarray(
+                            mm[lo:hi][sel]).tobytes())
+                out.flush()
+                os.fsync(out.fileno())
+            del mm
 
         pay_path = os.path.join(self.path, PAYLOAD_FILE)
         stage_pay = pay_path + ".compact"
@@ -714,12 +812,8 @@ class VectorStore:
             out.flush()
             os.fsync(out.fileno())
 
-        now_meta = {"name": self.name, "collection": self.collection,
-                    "dim": self.dim, "count": new_count,
-                    "data_version": self.data_version + 1,
-                    "vector_version": self.vector_version + 1,
-                    "mutation_epoch": self.mutation_epoch + 1,
-                    "dtype": "float32", "version": 1}
+        now_meta = self._meta_dict(count=new_count, bump_data=1,
+                                   bump_vec=1, bump_epoch=1)
         marker = os.path.join(self.path, COMPACT_MARKER)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
@@ -728,7 +822,8 @@ class VectorStore:
             os.fsync(f.fileno())
         os.replace(tmp, marker)      # <- commit point (roll forward)
 
-        for fname in (VEC_FILE, PAYLOAD_FILE, PAYLOAD_IDX_FILE):
+        for fname in ([vec_file(s) for s in self.spaces()]
+                      + [PAYLOAD_FILE, PAYLOAD_IDX_FILE]):
             full = os.path.join(self.path, fname)
             try:
                 os.replace(full + ".compact", full)
@@ -825,12 +920,7 @@ class VectorStore:
             idx_out.flush()
             os.fsync(idx_out.fileno())
 
-        now_meta = {"name": self.name, "collection": self.collection,
-                    "dim": self.dim, "count": self.count,
-                    "data_version": self.data_version + 1,
-                    "vector_version": self.vector_version,
-                    "mutation_epoch": self.mutation_epoch,
-                    "dtype": "float32", "version": 1}
+        now_meta = self._meta_dict(bump_data=1)
         marker = os.path.join(self.path, COMPACT_MARKER)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
@@ -855,10 +945,11 @@ class VectorStore:
             pass      # a concurrent reader's open() already rolled forward
         return touched
 
-    def update_vectors(self, rows, vectors) -> int:
+    def update_vectors(self, rows, vectors, space: str = "") -> int:
         """Overwrite the vectors of existing rows in place — qdrant's
-        update_vectors role (payloads untouched). Rows are fixed-width,
-        so the rewrite is a handful of seeks, not a file rewrite.
+        update_vectors role (payloads untouched; `space` selects the
+        vector space, '' = default). Rows are fixed-width, so the
+        rewrite is a handful of seeks, not a file rewrite.
 
         Crash safety: the full patch (row ids + new rows + the
         post-apply meta) is committed to `vectors.patch` FIRST
@@ -871,11 +962,15 @@ class VectorStore:
         contract is broken by any in-place rewrite)."""
         if not self._locked:
             raise StoreError("store opened read-only")
+        d = self.spaces().get(space)
+        if d is None:
+            raise StoreError(f"unknown vector space {space!r} "
+                             f"(have {sorted(self.spaces())})")
         rows = np.asarray(list(rows), np.int64).reshape(-1)
         vecs = np.ascontiguousarray(vectors, np.float32)
-        if vecs.ndim != 2 or vecs.shape != (len(rows), self.dim):
+        if vecs.ndim != 2 or vecs.shape != (len(rows), d):
             raise StoreError(
-                f"expected [{len(rows)}, {self.dim}] vectors, got "
+                f"expected [{len(rows)}, {d}] vectors, got "
                 f"{vecs.shape}")
         if len(rows) == 0:
             return 0
@@ -887,21 +982,17 @@ class VectorStore:
             raise StoreError("duplicate row ids in update_vectors")
         self.flush()
         self.close_files_for_truncate()
-        new_meta = {"name": self.name, "collection": self.collection,
-                    "dim": self.dim, "count": self.count,
-                    "data_version": self.data_version + 1,
-                    "vector_version": self.vector_version + 1,
-                    "mutation_epoch": self.mutation_epoch + 1,
-                    "dtype": "float32", "version": 1}
+        new_meta = self._meta_dict(bump_data=1, bump_vec=1, bump_epoch=1)
         patch = os.path.join(self.path, VEC_PATCH)
         tmp = patch + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, rows=rows, vecs=vecs,
-                     meta=np.asarray(json.dumps(new_meta)))
+                     meta=np.asarray(json.dumps(new_meta)),
+                     space=np.asarray(space))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, patch)         # <- commit point (roll forward)
-        self._apply_vec_patch(self.path, rows, vecs)
+        self._apply_vec_patch(self.path, rows, vecs, space)
         self.count = new_meta["count"]
         self.data_version = new_meta["data_version"]
         self.vector_version = new_meta["vector_version"]
@@ -914,9 +1005,9 @@ class VectorStore:
         return len(rows)
 
     @staticmethod
-    def _apply_vec_patch(path: str, rows, vecs) -> None:
+    def _apply_vec_patch(path: str, rows, vecs, space: str = "") -> None:
         """Idempotent absolute-offset writes of the patch rows."""
-        vec_path = os.path.join(path, VEC_FILE)
+        vec_path = os.path.join(path, vec_file(space))
         row_bytes = vecs.shape[1] * 4
         with open(vec_path, "r+b") as f:
             for r, v in zip(rows.tolist(), vecs):
@@ -949,12 +1040,16 @@ class VectorStore:
                 rows = np.asarray(z["rows"], np.int64)
                 vecs = np.asarray(z["vecs"], np.float32)
                 meta = json.loads(str(z["meta"]))
-            vec_path = os.path.join(path, VEC_FILE)
+                space = str(z["space"]) if "space" in z.files else ""
+            vec_path = os.path.join(path, vec_file(space))
             need = (int(rows.max()) + 1) * vecs.shape[1] * 4 \
                 if len(rows) else 0
             with open(os.path.join(path, META_FILE)) as f:
                 cur = json.load(f)
-            drop = (meta["dim"] != vecs.shape[1]
+            space_dim = (meta["dim"] if not space
+                         else (meta.get("named") or {}).get(space))
+            drop = (space_dim != vecs.shape[1]
+                    or not os.path.exists(vec_path)
                     or os.path.getsize(vec_path) < need
                     # a patch not beyond the live meta is a leftover
                     # whose removal failed after later mutations —
@@ -971,7 +1066,7 @@ class VectorStore:
             return
         # Phase 2 — apply. Any failure here leaves the patch in place
         # for the next open() to retry (writes are idempotent).
-        VectorStore._apply_vec_patch(path, rows, vecs)
+        VectorStore._apply_vec_patch(path, rows, vecs, space)
         tmp = os.path.join(path, META_FILE + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=2)
@@ -1000,8 +1095,11 @@ class VectorStore:
         if _lock_holder_alive_at(path):
             return
         marker = os.path.join(path, COMPACT_MARKER)
-        staged = [os.path.join(path, f) + ".compact"
-                  for f in (VEC_FILE, PAYLOAD_FILE, PAYLOAD_IDX_FILE)]
+        # discover stage files dynamically: named vector spaces stage
+        # one vectors_<name>.bin.compact each, so a static list would
+        # strand (pre-marker) or lose (post-marker) their data
+        staged = [os.path.join(path, f) for f in os.listdir(path)
+                  if f.endswith(".compact")]
         if not os.path.exists(marker):
             for s in staged:
                 if os.path.exists(s):
@@ -1053,14 +1151,8 @@ class VectorStore:
 
         self.flush()
         count = self.count
-        vec_bytes = count * 4 * self.dim
         pay_bytes = self._payload_cut(count)
-        meta = {"name": self.name, "collection": self.collection,
-                "dim": self.dim, "count": count,
-                "data_version": self.data_version,
-                "vector_version": self.vector_version,
-                "mutation_epoch": self.mutation_epoch,
-                "dtype": "float32", "version": 1}
+        meta = self._meta_dict(count=count)
         tmp = out_path + ".tmp"
         try:
             with tarfile.open(tmp, "w") as tar:
@@ -1084,7 +1176,8 @@ class VectorStore:
                     with open(src, "rb") as f:
                         tar.addfile(info, f)   # reads exactly `size` bytes
 
-                add_prefix(VEC_FILE, vec_bytes)
+                for space, d in self.spaces().items():
+                    add_prefix(vec_file(space), count * 4 * d)
                 add_prefix(PAYLOAD_FILE, pay_bytes)
                 # sidecar may legitimately trail (legacy stores): ship
                 # what exists; import rebuilds the rest on first access
@@ -1114,7 +1207,6 @@ class VectorStore:
         """
         import tarfile
 
-        allowed = {META_FILE, VEC_FILE, PAYLOAD_FILE, PAYLOAD_IDX_FILE}
         path = os.path.join(root, name)
         if os.path.isdir(path):
             if not overwrite:
@@ -1131,8 +1223,17 @@ class VectorStore:
             with tarfile.open(snapshot_path, "r") as tar:
                 members = tar.getmembers()
                 names = {m.name for m in members}
+                if META_FILE not in names:
+                    raise StoreError(
+                        f"not a reverso snapshot: members {sorted(names)}")
+                meta_member = tar.extractfile(META_FILE)
+                meta = json.loads(meta_member.read())
+                named = _check_spaces(meta.get("named") or {})
+                allowed = ({META_FILE, VEC_FILE, PAYLOAD_FILE,
+                            PAYLOAD_IDX_FILE}
+                           | {vec_file(s) for s in named})
                 bad = names - allowed
-                if bad or META_FILE not in names:
+                if bad:
                     raise StoreError(
                         f"not a reverso snapshot: members {sorted(names)}")
                 for m in members:
@@ -1144,12 +1245,15 @@ class VectorStore:
             with open(os.path.join(tmp_dir, META_FILE)) as f:
                 meta = json.load(f)
             dim, count = int(meta["dim"]), int(meta["count"])
-            vec_size = os.path.getsize(os.path.join(tmp_dir, VEC_FILE)) \
-                if VEC_FILE in names else 0
-            if vec_size != count * 4 * dim:
-                raise StoreError(
-                    f"corrupt snapshot: {count} rows x dim {dim} needs "
-                    f"{count * 4 * dim} vector bytes, archive has {vec_size}")
+            for space, d in {"": dim, **named}.items():
+                fname = vec_file(space)
+                vec_size = os.path.getsize(os.path.join(tmp_dir, fname)) \
+                    if fname in names else 0
+                if vec_size != count * 4 * d:
+                    raise StoreError(
+                        f"corrupt snapshot: {count} rows x dim {d} "
+                        f"({fname}) needs {count * 4 * d} bytes, archive "
+                        f"has {vec_size}")
             now = time.time_ns()
             meta.update({"name": name, "collection": collection_name(name),
                          "data_version": now, "vector_version": now,

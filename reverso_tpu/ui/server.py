@@ -514,6 +514,7 @@ def make_handler(state: UIState):
                     k=body.get("max_results"),
                     filter=body.get("filter") or None,
                     seed=_seed_of(body),
+                    using=str(body.get("using") or ""),
                     use_batcher=True))
             self._json({"hits": hits})
 

@@ -72,22 +72,31 @@ class _Injector:
 
 
 def _state(root, name="db"):
-    """Full logical store state: (count, vector bytes, payloads)."""
+    """Full logical store state: (count, per-space vector bytes,
+    payloads) — covers every named vector space."""
     s = VectorStore.open(root, name)
-    vecs = np.asarray(s.vectors()[: s.count]).copy()
+    blobs = tuple(np.asarray(s.vectors(sp)[: s.count]).copy().tobytes()
+                  for sp in sorted(s.spaces()))
     pays = s.payloads(list(range(s.count)))
     s.close()
-    return s.count, vecs.tobytes(), pays
+    return s.count, blobs, pays
 
 
-def _make_template(base) -> str:
-    root = os.path.join(base, "template")
+DT = 8    # named-space dim, deliberately != D to catch dim mixups
+
+
+def _make_template(base, named=False) -> str:
+    root = os.path.join(base, "template_named" if named else "template")
     rng = np.random.default_rng(0)
     vecs = random_unit(rng, N0, D)
     pays = [{"region_id": f"r{i}", "n": i,
              "cls": "a" if i % 3 else "b"} for i in range(N0)]
-    with VectorStore.create(root, "db", D) as s:
-        s.append(vecs, pays)
+    if named:
+        with VectorStore.create(root, "db", D, named={"text": DT}) as s:
+            s.append({"": vecs, "text": random_unit(rng, N0, DT)}, pays)
+    else:
+        with VectorStore.create(root, "db", D) as s:
+            s.append(vecs, pays)
     return root
 
 
@@ -115,27 +124,39 @@ def _unlock(root):
 
 RNG = np.random.default_rng(7)
 NEW_VECS = random_unit(RNG, 4, D)
+NEW_TVECS = random_unit(RNG, 4, DT)
 NEW_PAYS = [{"region_id": f"x{i}", "n": 100 + i} for i in range(4)]
 KEEP = np.ones(N0, bool)
 KEEP[[3, 7, 11]] = False
 UPD_ROWS = [2, 5, 9]
 UPD_VECS = random_unit(RNG, 3, D)
+UPD_TVECS = random_unit(RNG, 3, DT)
+
+
+def _append(s):
+    s.append(NEW_VECS if not s.named
+             else {"": NEW_VECS, "text": NEW_TVECS}, NEW_PAYS)
 
 
 OPS = {
-    "append": lambda s: s.append(NEW_VECS, NEW_PAYS),
+    "append": _append,
     "truncate": lambda s: s.truncate(12),
     "compact": lambda s: s.compact(KEEP),
     "update_payloads": lambda s: s.update_payloads(
         UPD_ROWS, patch={"tag": "hit"}, mode="set"),
     "update_vectors": lambda s: s.update_vectors(UPD_ROWS, UPD_VECS),
+    "update_vectors_named": lambda s: s.update_vectors(
+        UPD_ROWS, UPD_TVECS, space="text"),
 }
 
 
+@pytest.mark.parametrize("named", [False, True], ids=["plain", "named"])
 @pytest.mark.parametrize("opname", sorted(OPS))
-def test_crash_at_every_syscall(tmp_path, opname):
+def test_crash_at_every_syscall(tmp_path, opname, named):
+    if opname == "update_vectors_named" and not named:
+        pytest.skip("named-space op needs the named template")
     op = OPS[opname]
-    template = _make_template(str(tmp_path))
+    template = _make_template(str(tmp_path), named=named)
     before = _state(template)
 
     # clean run: the post-op truth and the syscall count
@@ -220,7 +241,7 @@ def test_crash_at_every_syscall_batch(tmp_path):
         s.close()
         states.append(_state(pref))
         shutil.rmtree(pref)
-    assert len({st[0:1] + (st[1][:40],) for st in states}) > 1
+    assert len({st[0:1] + (st[1][0][:40],) for st in states}) > 1
 
     clean = str(tmp_path / "clean")
     shutil.copytree(template, clean)
@@ -250,13 +271,14 @@ def test_crash_at_every_syscall_batch(tmp_path):
         shutil.rmtree(snap)
 
 
-def test_crash_at_every_syscall_import_snapshot(tmp_path):
+@pytest.mark.parametrize("named", [False, True], ids=["plain", "named"])
+def test_crash_at_every_syscall_import_snapshot(tmp_path, named):
     """Snapshot import stages + atomically renames into place: after a
     crash the target db either doesn't exist or is complete; retry
     converges (import overwrites a half-staged leftover)."""
     from reverso_tpu.store import StoreError
 
-    template = _make_template(str(tmp_path))
+    template = _make_template(str(tmp_path), named=named)
     with VectorStore.open(template, "db") as s:
         tar = s.export_snapshot(str(tmp_path / "db.snapshot"))
     after = _state(template)

@@ -996,3 +996,118 @@ def test_cli_payload_mutation(tmp_path, capsys):
     rc = main(base + ["payload", "clip", "delete", "--keys", "x"])
     assert rc == 1                      # nothing selected
     assert "Nothing selected" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# named vector spaces (qdrant named vectors)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def named_engine(tmp_path):
+    """Engine over a store with a default 64-d image space and a 16-d
+    named 'text' space (distinct dims catch space mixups)."""
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    model = dataclasses.replace(MODEL_PRESETS["test-tiny"], dtype="float32")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=model,
+        store=dataclasses.replace(cfg.store,
+                                  root_dir=str(tmp_path / "db")))
+    engine = Reverso(cfg)
+    rng = np.random.default_rng(3)
+    img = random_unit(rng, 32, 64)
+    txt = random_unit(rng, 32, 16)
+    payloads = [{"region_id": f"r{i}", "cls": "a" if i % 2 else "b"}
+                for i in range(32)]
+    with VectorStore.create(str(tmp_path / "db"), "nv", 64,
+                            named={"text": 16}) as s:
+        s.append({"": img, "text": txt}, payloads)
+    engine.load_database("nv")
+    return engine, img, txt
+
+
+def _brute(vecs, q, k, mask=None):
+    scores = vecs @ q
+    if mask is not None:
+        scores = np.where(mask, scores, -np.inf)
+    order = np.lexsort((np.arange(len(vecs)), -scores))[:k]
+    return [int(i) for i in order if np.isfinite(scores[i])]
+
+
+def test_named_space_search(named_engine):
+    """using= routes every search surface to the right space's index
+    (dims differ, so a mixup is a shape error, not a wrong answer)."""
+    engine, img, txt = named_engine
+    q = txt[5]
+    s, i = engine.search_batch(q, k=5, using="text")
+    assert [int(x) for x in i[0]] == _brute(txt, q, 5)
+    # default space is unaffected
+    s0, i0 = engine.search_batch(img[5], k=5)
+    assert [int(x) for x in i0[0]] == _brute(img, img[5], 5)
+    # filtered named search masks exactly
+    mask = np.asarray([p % 2 == 1 for p in range(32)])
+    _, i2 = engine.search_batch(q, k=5, using="text",
+                                filter={"cls": "a"})
+    assert [int(x) for x in i2[0] if x >= 0] == _brute(txt, q, 5, mask)
+    # search_similar + batcher coalescing stays per-space
+    text, items = engine.search_similar(-1.0, 5, embeddings=q[None],
+                                        using="text", use_batcher=True)
+    assert [it["id"] for it in items] == _brute(txt, q, 5)
+    from reverso_tpu.store import StoreError
+    with pytest.raises(StoreError):
+        engine.search_batch(q, k=5, using="nope")
+
+
+def test_named_space_query_hybrid(named_engine):
+    """qdrant hybrid search: per-branch using with RRF fusion, and a
+    named-space prefetch rescored exactly in the default space."""
+    engine, img, txt = named_engine
+    hits = engine.query(prefetch=[
+        {"query": txt[3].tolist(), "using": "text", "limit": 8},
+        {"query": img[3].tolist(), "limit": 8}], fusion="rrf", k=5)
+    a = _brute(txt, txt[3], 8)
+    b = _brute(img, img[3], 8)
+    fused = {}
+    for ids in (a, b):
+        for r, pid in enumerate(ids):
+            fused[pid] = fused.get(pid, 0.0) + 1.0 / (61.0 + r)
+    want = [pid for pid, _ in sorted(fused.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:5]]
+    assert [h["id"] for h in hits] == want
+    # multi-stage: text-space prefetch, exact rescore in default space
+    hits = engine.query(query=img[7].tolist(), prefetch=[
+        {"query": txt[7].tolist(), "using": "text", "limit": 6}], k=3)
+    cand = sorted(_brute(txt, txt[7], 6))
+    scores = img[cand] @ img[7]
+    order = np.lexsort((np.asarray(cand), -scores))[:3]
+    assert [h["id"] for h in hits] == [int(cand[j]) for j in order]
+    # query with using= resolves point ids in that space
+    hits = engine.query(query=9, using="text", k=4)
+    assert [h["id"] for h in hits] == _brute(txt, txt[9], 4)
+
+
+def test_named_space_recommend_and_mutation(named_engine, tmp_path):
+    engine, img, txt = named_engine
+    text, items = engine.recommend([4, 11], max_results=4, using="text")
+    q = (txt[4] + txt[11]) / 2.0
+    want = [i for i in _brute(txt, q, 6) if i not in (4, 11)][:4]
+    assert [it["id"] for it in items] == want
+    # per-space vector overwrite through the engine
+    newt = random_unit(np.random.default_rng(9), 1, 16)
+    msg = engine.update_vectors([2], newt, using="text")
+    assert msg.startswith("✅")
+    pts = engine.retrieve([2], with_vectors=True, using="text")
+    np.testing.assert_allclose(pts[0]["vector"], newt[0], atol=1e-6)
+    # default space untouched
+    pts0 = engine.retrieve([2], with_vectors=True)
+    np.testing.assert_allclose(pts0[0]["vector"], img[2], atol=1e-6)
+    # named upsert requires every space
+    msg = engine.upsert_points(random_unit(np.random.default_rng(1), 2, 64))
+    assert msg.startswith("❌")
+    msg = engine.upsert_points(
+        {"": random_unit(np.random.default_rng(1), 2, 64),
+         "text": random_unit(np.random.default_rng(2), 2, 16)},
+        [{"region_id": "n0"}, {"region_id": "n1"}])
+    assert "ids 32..33" in msg

@@ -37,6 +37,61 @@ def test_create_append_reopen(tmp_path, rng):
     assert pays[2] is None and pays[3] is None
 
 
+def test_named_vector_spaces(tmp_path, rng):
+    """qdrant named vectors: extra per-space files, same row count,
+    own dims; append requires every space; every mutation stays
+    aligned across spaces; snapshots round-trip all of them."""
+    root = str(tmp_path)
+    n, d, dt = 24, 16, 8
+    img = random_unit(rng, n, d)
+    txt = random_unit(rng, n, dt)
+    with VectorStore.create(root, "nv", d, named={"text": dt}) as s:
+        assert s.spaces() == {"": d, "text": dt}
+        with pytest.raises(StoreError):
+            s.append(img, make_payloads(n))          # missing a space
+        with pytest.raises(StoreError):
+            s.append({"": img, "text": img}, make_payloads(n))  # bad dim
+        s.append({"": img, "text": txt}, make_payloads(n))
+    s2 = VectorStore.open(root, "nv")
+    assert s2.named == {"text": dt}
+    np.testing.assert_allclose(np.asarray(s2.vectors()), img, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s2.vectors("text")), txt,
+                               atol=1e-7)
+    with pytest.raises(StoreError):
+        s2.vectors("nope")
+    s2.close()
+
+    # truncate + compact keep every space row-aligned
+    w = VectorStore.open(root, "nv", writable=True)
+    w.truncate(20)
+    keep = np.ones(20, bool)
+    keep[[1, 5]] = False
+    w.compact(keep)
+    np.testing.assert_allclose(np.asarray(w.vectors())[0], img[0])
+    np.testing.assert_allclose(np.asarray(w.vectors("text"))[1], txt[2])
+    # per-space vector overwrite
+    nt = random_unit(rng, 1, dt)
+    w.update_vectors([3], nt, space="text")
+    np.testing.assert_allclose(np.asarray(w.vectors("text"))[3], nt[0])
+    np.testing.assert_allclose(np.asarray(w.vectors())[3], img[4])
+    with pytest.raises(StoreError):
+        w.update_vectors([0], nt, space="nope")
+    w.close()
+
+    # snapshot round-trip carries all spaces
+    s3 = VectorStore.open(root, "nv")
+    tar = s3.export_snapshot(os.path.join(root, "nv.snapshot"))
+    s3.close()
+    imp = VectorStore.import_snapshot(root, "nv2", tar)
+    assert imp.named == {"text": dt}
+    np.testing.assert_allclose(np.asarray(imp.vectors("text")),
+                               np.asarray(VectorStore.open(root, "nv")
+                                          .vectors("text")))
+    imp.close()
+    with pytest.raises(StoreError):
+        VectorStore.create(root, "bad", d, named={"no/slash": 4})
+
+
 def test_lock_semantics(tmp_path, rng):
     root = str(tmp_path)
     with VectorStore.create(root, "db", 8) as s:
