@@ -301,8 +301,14 @@ def cmd_query(args) -> int:
               file=sys.stderr)
         return 1
     if args.target is not None:
-        target = (int(args.target) if args.target.lstrip("-").isdigit()
-                  else args.target)
+        if args.target.lstrip("-").isdigit():
+            target = int(args.target)
+        else:
+            try:          # explicit vector operands: a JSON [..] dense
+                          # vector or {"indices","values"} sparse dict
+                target = json.loads(args.target)
+            except ValueError:
+                target = args.target       # region_id string operand
     elif args.text:
         target = {"text": args.text}
     elif args.random:
@@ -532,25 +538,38 @@ def cmd_upsert(args) -> int:
     """Append externally computed points: vectors from an .npz
     (`vectors` [m, d], optional `payloads` as JSON strings, optional
     NAMED vector spaces as extra `vectors_<name>` members — qdrant
-    named vectors), payloads alternatively from a JSONL sidecar
-    (qdrant upsert role). Creates the database when missing (named
-    spaces and their dims come from the npz members). No model load."""
+    named vectors — and SPARSE spaces as CSR triples
+    `sparse_<name>_indices` / `_values` / `_indptr`), payloads
+    alternatively from a JSONL sidecar (qdrant upsert role). Creates
+    the database when missing (named/sparse spaces and their dims come
+    from the npz members). No model load."""
     import numpy as np
 
     from .store import StoreError, VectorStore
 
     cfg = _make_config(args)
     named = {}
+    sparse = {}
     try:
         with np.load(args.npz, allow_pickle=False) as z:
             vecs = np.asarray(z["vectors"], np.float32)
             pls = ([json.loads(s) for s in z["payloads"].tolist()]
                    if "payloads" in z.files else None)
             for member in z.files:
-                if member.startswith("vectors_"):
+                if member.startswith("sparse_") and \
+                        member.endswith("_indices"):
+                    sp = member[len("sparse_"):-len("_indices")]
+                    si = np.asarray(z[member], np.int64)
+                    sv = np.asarray(z[f"sparse_{sp}_values"], np.float32)
+                    ptr = np.asarray(z[f"sparse_{sp}_indptr"], np.int64)
+                    sparse[sp] = [
+                        {"indices": si[ptr[r]:ptr[r + 1]],
+                         "values": sv[ptr[r]:ptr[r + 1]]}
+                        for r in range(len(ptr) - 1)]
+                elif member.startswith("vectors_"):
                     named[member[len("vectors_"):]] = np.asarray(
                         z[member], np.float32)
-    except (OSError, KeyError, ValueError) as e:
+    except (OSError, KeyError, ValueError, IndexError) as e:
         print(f"❌ Cannot read {args.npz}: {e}", file=sys.stderr)
         return 1
     if args.payloads:
@@ -576,7 +595,8 @@ def cmd_upsert(args) -> int:
             VectorStore.create(
                 root, name, int(vecs.shape[1]),
                 named={n: int(a.shape[1]) for n, a in named.items()}
-                      or None).close()
+                      or None,
+                sparse={n: {} for n in sparse} or None).close()
         except StoreError as e:
             print(f"❌ {e}", file=sys.stderr)
             return 1
@@ -585,8 +605,9 @@ def cmd_upsert(args) -> int:
     if msg.startswith("❌"):
         print(msg, file=sys.stderr)
         return 1
-    msg = engine.upsert_points({"": vecs, **named} if named else vecs,
-                               pls)
+    msg = engine.upsert_points(
+        {"": vecs, **named, **sparse} if (named or sparse) else vecs,
+        pls)
     out = sys.stdout if msg.startswith("✅") else sys.stderr
     print(msg, file=out)
     return 0 if msg.startswith("✅") else 1
@@ -594,8 +615,9 @@ def cmd_upsert(args) -> int:
 
 def cmd_update_vectors(args) -> int:
     """Overwrite stored vectors by id from an .npz file with `ids`
-    (ints and/or region_id strings) and `vectors` [m, d] (qdrant
-    update_vectors role). No model load."""
+    (ints and/or region_id strings) and `vectors` [m, d] — or, for a
+    SPARSE --space, CSR members `indices`/`values`/`indptr` ([m+1])
+    (qdrant update_vectors role). No model load."""
     import numpy as np
 
     engine = _make_engine(args)
@@ -606,8 +628,16 @@ def cmd_update_vectors(args) -> int:
     try:
         with np.load(args.npz, allow_pickle=False) as z:
             ids_raw = z["ids"]
-            vecs = np.asarray(z["vectors"], np.float32)
-    except (OSError, KeyError, ValueError) as e:
+            if "indptr" in z.files:         # sparse rows, CSR layout
+                si = np.asarray(z["indices"], np.int64)
+                sv = np.asarray(z["values"], np.float32)
+                ptr = np.asarray(z["indptr"], np.int64)
+                vecs = [{"indices": si[ptr[r]:ptr[r + 1]],
+                         "values": sv[ptr[r]:ptr[r + 1]]}
+                        for r in range(len(ptr) - 1)]
+            else:
+                vecs = np.asarray(z["vectors"], np.float32)
+    except (OSError, KeyError, ValueError, IndexError) as e:
         print(f"❌ Cannot read {args.npz}: {e}", file=sys.stderr)
         return 1
     ids = [i if isinstance(i, str) else int(i)
@@ -767,6 +797,8 @@ def cmd_info(args) -> int:
             "data_version": store.data_version}
     if store.named:
         info["named_vectors"] = dict(store.named)
+    if store.sparse:
+        info["sparse_vectors"] = sorted(store.sparse)
     if args.filter:
         # filtered point count (qdrant count API role), no model load
         from .store.filter import FilterError, parse_filter, payload_mask

@@ -196,6 +196,8 @@ class Reverso:
         # per-vector-space device indexes: {space: (key, index)} with
         # key = (count, vector_version) — see _get_index
         self._indexes: dict = {}
+        # host-side inverted indexes for SPARSE spaces, same key shape
+        self._sparse_indexes: dict = {}
         self.current_database: Optional[str] = None
 
         # last query state (single-session convenience, like the reference)
@@ -285,6 +287,7 @@ class Reverso:
         name = self.current_database
         with self._index_lock:
             saved = dict(self._indexes)
+            saved_sp = dict(self._sparse_indexes)
         self._set_store(None)     # release the read handle before locking
         try:
             with VectorStore.open(self.db_root, name, writable=True) as w:
@@ -301,9 +304,12 @@ class Reverso:
                 live_key = (store.count, store.vector_version)
                 keep = {sp: kv for sp, kv in saved.items()
                         if kv[0] == live_key}
-                if keep:
+                keep_sp = {sp: kv for sp, kv in saved_sp.items()
+                           if kv[0] == live_key}
+                if keep or keep_sp:
                     with self._index_lock:
                         self._indexes.update(keep)
+                        self._sparse_indexes.update(keep_sp)
             except StoreError:
                 pass
         return None, result
@@ -434,7 +440,14 @@ class Reverso:
             return ("❌ No database loaded. Please create or load a "
                     "database first.")
         name = self.current_database
-        batch = vectors if isinstance(vectors, dict) else {"": vectors}
+        batch = dict(vectors) if isinstance(vectors, dict) \
+            else {"": vectors}
+        # SPARSE spaces travel in the same dict keyed by space name;
+        # their rows are {"indices","values"} dicts, not arrays, and
+        # are stored as-is (qdrant does not normalize sparse vectors)
+        sparse_names = set(self._store.sparse)
+        sparse_batch = {sp: list(batch.pop(sp))
+                        for sp in list(batch) if sp in sparse_names}
         normed: dict = {}
         n = None
         for space, arr in batch.items():
@@ -450,6 +463,12 @@ class Reverso:
             if len(vecs) and not np.all(norms > 0):
                 return "❌ Zero vectors cannot be normalized"
             normed[space] = vecs / np.maximum(norms, 1e-30)
+        if n is None:
+            return "❌ upsert needs vectors for the dense space(s)"
+        for sp, rows in sparse_batch.items():
+            if len(rows) != n:
+                return (f"❌ sparse space {sp!r} has {len(rows)} rows, "
+                        f"expected {n}")
         if payloads is None:
             payloads = [{} for _ in range(n)]
         payloads = list(payloads)
@@ -461,7 +480,7 @@ class Reverso:
 
         def body(w):
             first = w.count
-            w.append(arg, payloads)
+            w.append(arg, payloads, sparse_batch or None)
             return first
 
         err, first = self._with_writable(body)
@@ -484,6 +503,23 @@ class Reverso:
                     "database first.")
         name = self.current_database
         points = list(points)
+        if using and using in self._store.sparse:
+            # sparse side: `vectors` is a list of {"indices","values"}
+            # rows (stored as-is; staged-rewrite journal in the store)
+            rows_new = list(vectors)
+            if len(points) != len(rows_new):
+                return (f"❌ {len(points)} point ids but "
+                        f"{len(rows_new)} sparse vectors")
+            pts = self.retrieve(points, with_payload=False)
+            if len(pts) != len(points):
+                return (f"❌ Unknown point id(s): resolved {len(pts)} "
+                        f"of {len(points)}")
+            err, touched = self._with_writable(
+                lambda w: w.update_sparse_vectors(
+                    [p["id"] for p in pts], rows_new, using))
+            if err:
+                return err
+            return f"✅ Updated vectors of {touched} points in {name}"
         vecs = np.asarray(vectors, np.float32)
         if vecs.ndim == 1:
             vecs = vecs[None]
@@ -698,6 +734,7 @@ class Reverso:
         with self._index_lock:
             self._store = store
             self._indexes = {}
+            self._sparse_indexes = {}
         self.current_database = store.name if store else None
 
     def _get_index(self, using: str = ""):
@@ -730,10 +767,15 @@ class Reverso:
             cached = self._indexes.get(using)
             if cached is not None and cached[0] == key:
                 return cached[1]
+            if using in store.sparse:
+                raise StoreError(
+                    f"vector space {using!r} is sparse — only plain "
+                    f"search and universal-query branches support "
+                    f"sparse spaces")
             if using not in store.spaces():
                 raise StoreError(
                     f"unknown vector space {using!r} "
-                    f"(have {sorted(store.spaces())})")
+                    f"(have {sorted(store.spaces()) + sorted(store.sparse)})")
             count = store.count
             vectors = np.asarray(store.vectors(using))
             if scfg.index == "host":
@@ -758,6 +800,31 @@ class Reverso:
                     dtype=self.config.store.dtype,
                     db_tile=scfg.db_tile)
             self._indexes[using] = (key, index)
+            return index
+
+    def _get_sparse_index(self, space: str):
+        """Cached host-side inverted index for a SPARSE vector space
+        (keyed like _get_index; sparse scoring is host-native — see
+        store/sparse.py)."""
+        from .store import SparseIndex
+
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        store.refresh()
+        if space not in store.sparse:
+            raise StoreError(f"unknown sparse vector space {space!r} "
+                             f"(have {sorted(store.sparse)})")
+        key = (store.count, store.vector_version)
+        cached = self._sparse_indexes.get(space)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        with self._index_lock:
+            cached = self._sparse_indexes.get(space)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+            index = SparseIndex.from_store(store, space)
+            self._sparse_indexes[space] = (key, index)
             return index
 
     def _payload_columns(self):
@@ -1389,6 +1456,27 @@ class Reverso:
                              f"got {v.shape}")
         return v
 
+    def _resolve_sparse_query(self, q, space: str):
+        """A query operand against a SPARSE space -> {"indices",
+        "values"} dict (or pair): int row id / region_id string
+        resolve to the stored sparse vector; explicit sparse dicts
+        pass through (validated at search time)."""
+        store = self._store
+        if isinstance(q, (int, np.integer)):
+            if not 0 <= int(q) < store.count:
+                raise StoreError(f"point id {int(q)} out of range "
+                                 f"[0, {store.count})")
+            return store.sparse_rows(space, [int(q)])[0]
+        if isinstance(q, str):
+            pts = self.retrieve([q], with_payload=False)
+            if not pts:
+                raise StoreError(f"no point with region_id {q!r}")
+            return store.sparse_rows(space, [pts[0]["id"]])[0]
+        if isinstance(q, dict) and "text" in q:
+            raise StoreError("text queries need a dense space (no "
+                             "sparse text encoder is configured)")
+        return q
+
     def query(self, query=None, *, prefetch=None,
               fusion: Optional[str] = None, k: Optional[int] = None,
               filter=None, with_payload: bool = True, seed=None,
@@ -1465,6 +1553,12 @@ class Reverso:
                                  "prefetch branches")
             if is_random(query):
                 return hits_out([(0.0, r) for r in random_rows(k, gmask)])
+            if using and using in store.sparse:
+                sq = self._resolve_sparse_query(query, using)
+                s1, i1 = self._get_sparse_index(using).search(
+                    sq, k, row_mask=gmask)
+                return hits_out([(float(sv), int(iv))
+                                 for sv, iv in zip(s1, i1) if iv >= 0])
             qv = self._resolve_query_vector(query, using)
             if gmask is None and use_batcher and k <= 128:
                 # coalesce with in-flight searches and reuse the warmed
@@ -1506,6 +1600,16 @@ class Reverso:
                 rows = random_rows(bl, bmask)
                 branches.append((rows, [0.0] * len(rows)))
                 continue
+            if bu and bu in store.sparse:
+                # hybrid search: a sparse branch beside dense ones,
+                # fused by RRF/DBSF or rescored exactly downstream
+                sq = self._resolve_sparse_query(bq, bu)
+                s1, i1 = self._get_sparse_index(bu).search(
+                    sq, bl, row_mask=bmask)
+                valid = i1 >= 0
+                branches.append(([int(x) for x in i1[valid]],
+                                 [float(x) for x in s1[valid]]))
+                continue
             qv = self._resolve_query_vector(bq, bu)
             s, i = jax.device_get(
                 self._get_index(bu).search(qv[None], bl, row_mask=bmask))
@@ -1539,10 +1643,20 @@ class Reverso:
 
         # multi-stage: exact rescore of the candidate union, in the
         # top-level query's vector space
-        qv = self._resolve_query_vector(query, using)
         cand = sorted({pid for ids, _ in branches for pid in ids})
         if not cand:
             return []
+        if using and using in store.sparse:
+            # sparse rescore: candidates with no overlapping term drop
+            # (sparse semantics — no shared dimension means no score)
+            sq = self._resolve_sparse_query(query, using)
+            cmask = np.zeros(store.count, bool)
+            cmask[cand] = True
+            s1, i1 = self._get_sparse_index(using).search(
+                sq, k, row_mask=cmask)
+            return hits_out([(float(sv), int(iv))
+                             for sv, iv in zip(s1, i1) if iv >= 0])
+        qv = self._resolve_query_vector(query, using)
         vecs = np.asarray(store.vectors(using)[cand], np.float32)
         scores = vecs @ qv
         order = np.lexsort((np.asarray(cand), -scores))[:k]
@@ -1578,7 +1692,10 @@ class Reverso:
             q = r.get("query")
             plain = (not r.get("prefetch") and r.get("fusion") is None
                      and q is not None
-                     and not (isinstance(q, dict) and "sample" in q))
+                     and not (isinstance(q, dict) and "sample" in q)
+                     # sparse spaces score host-side per request — no
+                     # device launch to coalesce
+                     and str(r.get("using") or "") not in store.sparse)
             if not plain:
                 # carry the batch-level payload default into the
                 # fallback call (per-request with_payload still wins)
@@ -1724,9 +1841,13 @@ class Reverso:
                     else [None] * len(rows))
         points = [{"id": r, "payload": p} for r, p in zip(rows, payloads)]
         if with_vectors and rows:
-            vecs = np.asarray(store.vectors(using)[rows], np.float32)
-            for pt, v in zip(points, vecs):
-                pt["vector"] = v
+            if using and using in store.sparse:
+                for pt, sv in zip(points, store.sparse_rows(using, rows)):
+                    pt["vector"] = sv
+            else:
+                vecs = np.asarray(store.vectors(using)[rows], np.float32)
+                for pt, v in zip(points, vecs):
+                    pt["vector"] = v
         return points
 
     def facet(self, key: str, filter=None, *, limit: int = 10):

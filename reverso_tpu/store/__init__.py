@@ -13,6 +13,7 @@ from .persist import (
 )
 from .index import DeviceIndex, HostIndex, SearchResult
 from .ivf import IVFIndex
+from .sparse import SparseIndex
 from .filter import (
     Filter,
     FilterError,

@@ -36,6 +36,14 @@ VEC_FILE = "vectors.bin"
 # extra NAMED vector spaces (qdrant named vectors): one sibling file
 # per space, same row count as the default space, own dim
 VEC_NAMED_FMT = "vectors_{}.bin"
+# SPARSE vector spaces (qdrant sparse vectors): per space, an
+# append-only entry log of (u32 index, f32 value) pairs plus an int64
+# indptr sidecar (entry i = cumulative entry count at the END of row i,
+# appended in lockstep — the payloads.idx pattern). Row r's entries are
+# [indptr[r-1], indptr[r]) in the log; rows may be empty (nnz 0).
+SPARSE_FMT = "sparse_{}.bin"
+SPARSE_IDX_FMT = "sparse_{}.idx"
+SPARSE_ENTRY = np.dtype([("i", "<u4"), ("v", "<f4")])
 PAYLOAD_FILE = "payloads.jsonl"
 # Sidecar of int64-LE byte offsets, entry i = start of payload line i in
 # payloads.jsonl, appended in lockstep with it. Makes the first-query
@@ -78,6 +86,53 @@ def _check_spaces(named: dict) -> dict:
             raise StoreError(f"bad dim for vector space {n!r}: {d}")
         out[n] = d
     return out
+
+
+def _check_sparse_spaces(sparse, dense: dict) -> dict:
+    """Validate sparse space declarations -> {name: params dict}.
+    Accepts a {name: params} dict or an iterable of names; params are
+    an open bag (reserved for modifiers like idf), kept in meta."""
+    out = {}
+    if sparse is None:
+        return out
+    items = (sparse.items() if isinstance(sparse, dict)
+             else [(n, {}) for n in sparse])
+    for n, params in items:
+        if not isinstance(n, str) or not _SPACE_RE.match(n):
+            raise StoreError(f"bad sparse space name: {n!r} "
+                             f"(letters/digits/_/- only)")
+        if n in dense or n == "":
+            raise StoreError(
+                f"sparse space {n!r} collides with a dense vector space")
+        out[n] = dict(params) if isinstance(params, dict) else {}
+    return out
+
+
+def check_sparse_row(row):
+    """Normalize one sparse vector to (indices u32, values f32), both
+    sorted by index, duplicates rejected (qdrant requires unique
+    indices). Accepts {"indices": ..., "values": ...} dicts or
+    (indices, values) pairs; None/empty means an empty row."""
+    if row is None:
+        return (np.zeros(0, "<u4"), np.zeros(0, "<f4"))
+    if isinstance(row, dict):
+        idx, val = row.get("indices"), row.get("values")
+    else:
+        idx, val = row
+    idx = np.asarray(idx if idx is not None else [], np.int64).reshape(-1)
+    val = np.asarray(val if val is not None else [],
+                     np.float32).reshape(-1)
+    if idx.shape != val.shape:
+        raise StoreError(
+            f"sparse row has {idx.size} indices but {val.size} values")
+    if idx.size:
+        if idx.min() < 0 or idx.max() > np.iinfo(np.uint32).max:
+            raise StoreError("sparse indices must be u32")
+        order = np.argsort(idx, kind="stable")
+        idx, val = idx[order], val[order]
+        if np.any(idx[1:] == idx[:-1]):
+            raise StoreError("duplicate indices in a sparse vector")
+    return (idx.astype("<u4"), val.astype("<f4"))
 
 
 def collection_name(db_name: str) -> str:
@@ -264,7 +319,15 @@ class VectorStore:
     # qdrant's sparse per-point presence is not supported). The default
     # space "" (dim `self.dim`) always exists.
     named: dict = field(default_factory=dict)
+    # SPARSE vector spaces: {name: params} (qdrant sparse vectors).
+    # Disjoint from the dense names; every append covers every sparse
+    # space too (empty rows are legal — unlike dense, a point may have
+    # no entries in a sparse space, matching qdrant).
+    sparse: dict = field(default_factory=dict)
     _vec_fs: dict = field(default_factory=dict, repr=False)
+    _sp_fs: dict = field(default_factory=dict, repr=False)
+    _sp_idx_fs: dict = field(default_factory=dict, repr=False)
+    _sp_pos: dict = field(default_factory=dict, repr=False)
     _pay_f: Any = field(default=None, repr=False)
     _idx_f: Any = field(default=None, repr=False)
     _pay_pos: int = field(default=0, repr=False)
@@ -278,10 +341,11 @@ class VectorStore:
 
     @staticmethod
     def create(root: str, name: str, dim: int, *,
-               named: Optional[dict] = None,
+               named: Optional[dict] = None, sparse=None,
                overwrite: bool = False) -> "VectorStore":
         path = os.path.join(root, name)
         named = _check_spaces(named)
+        sparse = _check_sparse_spaces(sparse, named)
         if os.path.isdir(path) and overwrite:
             # The lock must protect the one destructive operation too: a
             # locked store is live in another process — refuse to rmtree
@@ -300,12 +364,18 @@ class VectorStore:
         store = VectorStore(path=path, name=name, dim=dim,
                             collection=collection_name(name), count=0,
                             data_version=now, vector_version=now,
-                            mutation_epoch=now, named=named)
+                            mutation_epoch=now, named=named,
+                            sparse=sparse)
         store._acquire_lock()
         store._write_meta()
         # touch data files
         for space in store.spaces():
             open(os.path.join(path, vec_file(space)), "ab").close()
+        for space in sparse:
+            open(os.path.join(path, SPARSE_FMT.format(space)),
+                 "ab").close()
+            open(os.path.join(path, SPARSE_IDX_FMT.format(space)),
+                 "ab").close()
         open(os.path.join(path, PAYLOAD_FILE), "ab").close()
         open(os.path.join(path, PAYLOAD_IDX_FILE), "ab").close()
         return store
@@ -345,7 +415,10 @@ class VectorStore:
                             mutation_epoch=int(meta.get("mutation_epoch",
                                                         0)),
                             named={str(k): int(v) for k, v in
-                                   (meta.get("named") or {}).items()})
+                                   (meta.get("named") or {}).items()},
+                            sparse={str(k): (dict(v) if isinstance(v, dict)
+                                             else {}) for k, v in
+                                    (meta.get("sparse") or {}).items()})
         for space, d in store.spaces().items():
             vec_path = os.path.join(path, vec_file(space))
             actual_rows = os.path.getsize(vec_path) // (4 * d) \
@@ -354,6 +427,24 @@ class VectorStore:
                 raise StoreError(
                     f"Corrupt store {name}: meta says {store.count} rows, "
                     f"{vec_file(space)} has {actual_rows}")
+        for space in store.sparse:
+            idx_path = os.path.join(path, SPARSE_IDX_FMT.format(space))
+            idx_rows = os.path.getsize(idx_path) // 8 \
+                if os.path.exists(idx_path) else 0
+            if idx_rows < store.count:
+                raise StoreError(
+                    f"Corrupt store {name}: meta says {store.count} rows, "
+                    f"sparse space {space!r} indptr has {idx_rows}")
+            need = store._sparse_total(space, store.count) \
+                * SPARSE_ENTRY.itemsize
+            ent_path = os.path.join(path, SPARSE_FMT.format(space))
+            have = os.path.getsize(ent_path) \
+                if os.path.exists(ent_path) else 0
+            if have < need:
+                raise StoreError(
+                    f"Corrupt store {name}: sparse space {space!r} needs "
+                    f"{need} entry bytes for {store.count} rows, has "
+                    f"{have}")
         # rows beyond count are a torn append (crash between write and
         # meta flush): keep the durable prefix, ignore the tail.
         # Read-only handles just never look past count; a WRITABLE
@@ -405,9 +496,10 @@ class VectorStore:
 
     def close(self) -> None:
         self.flush()
-        for f in self._vec_fs.values():
-            f.close()
-        self._vec_fs.clear()
+        for fs in (self._vec_fs, self._sp_fs, self._sp_idx_fs):
+            for f in fs.values():
+                f.close()
+            fs.clear()
         if self._pay_f is not None:
             self._pay_f.close()
             self._pay_f = None
@@ -442,6 +534,8 @@ class VectorStore:
                 "dtype": "float32", "version": 1}
         if self.named:
             meta["named"] = dict(self.named)
+        if self.sparse:
+            meta["sparse"] = {k: dict(v) for k, v in self.sparse.items()}
         return meta
 
     def _write_meta(self) -> None:
@@ -485,12 +579,17 @@ class VectorStore:
             out[space] = arr
         return out
 
-    def append(self, vectors, payloads: Sequence[dict]) -> None:
+    def append(self, vectors, payloads: Sequence[dict],
+               sparse_vectors=None) -> None:
         """Append a batch of L2-normalized fp32 vectors with payloads.
         `vectors` is an array (default space) or a {space: array} dict
-        covering every vector space."""
+        covering every dense vector space; a store with SPARSE spaces
+        also requires `sparse_vectors` = {space: [n rows]} covering
+        every sparse space (rows are {"indices", "values"} dicts,
+        (indices, values) pairs, or None for empty)."""
         batch = self._check_batch(vectors)
         n = len(next(iter(batch.values())))
+        sp_batch = self._check_sparse_batch(sparse_vectors, n)
         if len(payloads) != n:
             raise StoreError("payload count != vector count")
         if not self._locked:
@@ -499,6 +598,13 @@ class VectorStore:
             for space in self.spaces():
                 self._vec_fs[space] = open(
                     os.path.join(self.path, vec_file(space)), "ab")
+            for space in self.sparse:
+                ent_path, idx_path = self._sparse_paths(space)
+                # resume the cumulative entry counter from the committed
+                # prefix (a writable open already trimmed torn tails)
+                self._sp_pos[space] = self._sparse_total(space, self.count)
+                self._sp_fs[space] = open(ent_path, "ab")
+                self._sp_idx_fs[space] = open(idx_path, "ab")
             self._pay_f = open(os.path.join(self.path, PAYLOAD_FILE), "ab")
             self._pay_pos = os.path.getsize(
                 os.path.join(self.path, PAYLOAD_FILE))
@@ -506,6 +612,12 @@ class VectorStore:
             self._idx_f = open(os.path.join(self.path, PAYLOAD_IDX_FILE), "ab")
         for space, arr in batch.items():
             self._vec_fs[space].write(arr.tobytes())
+        for space, (ent, nnz) in sp_batch.items():
+            self._sp_fs[space].write(ent.tobytes())
+            ends = self._sp_pos[space] + np.cumsum(nnz)
+            self._sp_idx_fs[space].write(ends.astype("<i8").tobytes())
+            self._sp_pos[space] = int(ends[-1]) if len(ends) else \
+                self._sp_pos[space]
         offsets = np.empty(len(payloads), "<i8")
         for row, p in enumerate(payloads):
             line = (json.dumps(p, separators=(",", ":")) + "\n").encode()
@@ -558,9 +670,10 @@ class VectorStore:
                 f.write(np.asarray(tail, "<i8").tobytes())
 
     def flush(self) -> None:
-        for f in self._vec_fs.values():
-            f.flush()
-            os.fsync(f.fileno())
+        for fs in (self._vec_fs, self._sp_fs, self._sp_idx_fs):
+            for f in fs.values():
+                f.flush()
+                os.fsync(f.fileno())
         if self._pay_f is not None:
             self._pay_f.flush()
             os.fsync(self._pay_f.fileno())
@@ -583,6 +696,98 @@ class VectorStore:
             return np.zeros((0, d), np.float32)
         return np.memmap(path, dtype=np.float32, mode="r",
                          shape=(self.count, d))
+
+    # -- sparse spaces ---------------------------------------------------
+
+    def _sparse_paths(self, space: str) -> tuple:
+        if space not in self.sparse:
+            raise StoreError(f"unknown sparse space {space!r} "
+                             f"(have {sorted(self.sparse)})")
+        return (os.path.join(self.path, SPARSE_FMT.format(space)),
+                os.path.join(self.path, SPARSE_IDX_FMT.format(space)))
+
+    def _sparse_total(self, space: str, count: int) -> int:
+        """Cumulative entry count at the end of row `count - 1` — one
+        8-byte read of the indptr sidecar (0 when count is 0)."""
+        if count <= 0:
+            return 0
+        idx_path = os.path.join(self.path, SPARSE_IDX_FMT.format(space))
+        if not os.path.exists(idx_path) or \
+                os.path.getsize(idx_path) < count * 8:
+            raise StoreError(
+                f"sparse space {space!r} indptr shorter than {count} rows")
+        with open(idx_path, "rb") as f:
+            f.seek((count - 1) * 8)
+            return int(np.frombuffer(f.read(8), "<i8")[0])
+
+    def sparse_indptr(self, space: str) -> np.ndarray:
+        """[count] int64 cumulative entry ends (memmap; row r's entries
+        are [indptr[r-1], indptr[r]) in the entry log)."""
+        _, idx_path = self._sparse_paths(space)
+        self.flush()
+        if self.count == 0:
+            return np.zeros(0, np.int64)
+        return np.memmap(idx_path, dtype="<i8", mode="r",
+                         shape=(self.count,))
+
+    def sparse_entries(self, space: str) -> np.ndarray:
+        """Structured [total] (u32 index, f32 value) entry log (memmap)
+        covering the committed rows."""
+        ent_path, _ = self._sparse_paths(space)
+        self.flush()
+        total = self._sparse_total(space, self.count)
+        if total == 0:
+            return np.zeros(0, SPARSE_ENTRY)
+        return np.memmap(ent_path, dtype=SPARSE_ENTRY, mode="r",
+                         shape=(total,))
+
+    def sparse_rows(self, space: str, rows) -> list:
+        """Per-row sparse vectors: list of {"indices", "values"} dicts
+        (row ids out of range -> None), O(k) seeks via the indptr."""
+        indptr = self.sparse_indptr(space)
+        ent_path, _ = self._sparse_paths(space)
+        out = []
+        with open(ent_path, "rb") as f:
+            for r in rows:
+                r = int(r)
+                if not 0 <= r < self.count:
+                    out.append(None)
+                    continue
+                lo = int(indptr[r - 1]) if r else 0
+                hi = int(indptr[r])
+                f.seek(lo * SPARSE_ENTRY.itemsize)
+                ent = np.frombuffer(
+                    f.read((hi - lo) * SPARSE_ENTRY.itemsize),
+                    SPARSE_ENTRY)
+                out.append({"indices": ent["i"].astype(np.int64),
+                            "values": ent["v"].astype(np.float32)})
+        return out
+
+    def _check_sparse_batch(self, sparse_vectors, n: int) -> dict:
+        """Normalize an append batch's sparse part to
+        {space: (entries structured array, per-row nnz int64)}.
+        A store with sparse spaces requires every space covered with a
+        length-n sequence of rows (dicts/pairs/None)."""
+        sparse_vectors = dict(sparse_vectors or {})
+        if set(sparse_vectors) != set(self.sparse):
+            raise StoreError(
+                f"append needs sparse vectors for exactly the spaces "
+                f"{sorted(self.sparse)}, got {sorted(sparse_vectors)}")
+        out = {}
+        for space, rows in sparse_vectors.items():
+            rows = list(rows)
+            if len(rows) != n:
+                raise StoreError(
+                    f"sparse space {space!r} has {len(rows)} rows, "
+                    f"expected {n}")
+            parts = [check_sparse_row(r) for r in rows]
+            nnz = np.asarray([len(i) for i, _ in parts], np.int64)
+            ent = np.zeros(int(nnz.sum()), SPARSE_ENTRY)
+            if len(ent):
+                ent["i"] = np.concatenate([i for i, _ in parts])
+                ent["v"] = np.concatenate([v for _, v in parts])
+            out[space] = (ent, nnz)
+        return out
 
     def _payload_offsets(self):
         """Byte offset of each payload line.
@@ -682,6 +887,18 @@ class VectorStore:
                     os.path.getsize(vec_path) > vec_bytes:
                 with open(vec_path, "r+b") as f:
                     os.ftruncate(f.fileno(), vec_bytes)
+        for space in self.sparse:
+            ent_path, idx_path = self._sparse_paths(space)
+            ent_bytes = self._sparse_total(space, self.count) \
+                * SPARSE_ENTRY.itemsize
+            if os.path.exists(ent_path) and \
+                    os.path.getsize(ent_path) > ent_bytes:
+                with open(ent_path, "r+b") as f:
+                    os.ftruncate(f.fileno(), ent_bytes)
+            if os.path.exists(idx_path) and \
+                    os.path.getsize(idx_path) > self.count * 8:
+                with open(idx_path, "r+b") as f:
+                    os.ftruncate(f.fileno(), self.count * 8)
         jsonl = os.path.join(self.path, PAYLOAD_FILE)
         if os.path.exists(jsonl):
             cut = self._payload_cut(self.count)
@@ -727,6 +944,14 @@ class VectorStore:
             vec_path = os.path.join(self.path, vec_file(space))
             with open(vec_path, "r+b") as f:
                 os.ftruncate(f.fileno(), count * 4 * d)
+        for space in self.sparse:
+            ent_path, idx_path = self._sparse_paths(space)
+            ent_bytes = self._sparse_total(space, count) \
+                * SPARSE_ENTRY.itemsize
+            with open(ent_path, "r+b") as f:
+                os.ftruncate(f.fileno(), ent_bytes)
+            with open(idx_path, "r+b") as f:
+                os.ftruncate(f.fileno(), count * 8)
         pay_path = os.path.join(self.path, PAYLOAD_FILE)
         if os.path.exists(pay_path):
             with open(pay_path, "r+b") as f:
@@ -737,9 +962,10 @@ class VectorStore:
                 os.ftruncate(f.fileno(), count * 8)
 
     def close_files_for_truncate(self) -> None:
-        for f in self._vec_fs.values():
-            f.close()
-        self._vec_fs.clear()
+        for fs in (self._vec_fs, self._sp_fs, self._sp_idx_fs):
+            for f in fs.values():
+                f.close()
+            fs.clear()
         if self._pay_f is not None:
             self._pay_f.close()
             self._pay_f = None
@@ -791,6 +1017,35 @@ class VectorStore:
                 os.fsync(out.fileno())
             del mm
 
+        for space in self.sparse:
+            ent_path, idx_path = self._sparse_paths(space)
+            indptr = np.memmap(idx_path, dtype="<i8", mode="r",
+                               shape=(self.count,)) if self.count else \
+                np.zeros(0, np.int64)
+            starts = np.concatenate([[0], indptr[:-1]]) if self.count \
+                else np.zeros(0, np.int64)
+            nnz = np.asarray(indptr) - starts
+            total = int(indptr[-1]) if self.count else 0
+            ent = np.memmap(ent_path, dtype=SPARSE_ENTRY, mode="r",
+                            shape=(total,)) if total else \
+                np.zeros(0, SPARSE_ENTRY)
+            with open(ent_path + ".compact", "wb") as out:
+                for lo in range(0, self.count, 65536):
+                    hi = min(lo + 65536, self.count)
+                    e0 = int(starts[lo]) if hi > lo else 0
+                    e1 = int(indptr[hi - 1]) if hi > lo else 0
+                    if e1 > e0:
+                        emask = np.repeat(keep[lo:hi], nnz[lo:hi])
+                        out.write(np.ascontiguousarray(
+                            ent[e0:e1][emask]).tobytes())
+                out.flush()
+                os.fsync(out.fileno())
+            with open(idx_path + ".compact", "wb") as out:
+                out.write(np.cumsum(nnz[keep]).astype("<i8").tobytes())
+                out.flush()
+                os.fsync(out.fileno())
+            del ent, indptr
+
         pay_path = os.path.join(self.path, PAYLOAD_FILE)
         stage_pay = pay_path + ".compact"
         stage_idx = os.path.join(self.path, PAYLOAD_IDX_FILE) + ".compact"
@@ -823,6 +1078,8 @@ class VectorStore:
         os.replace(tmp, marker)      # <- commit point (roll forward)
 
         for fname in ([vec_file(s) for s in self.spaces()]
+                      + [SPARSE_FMT.format(s) for s in self.sparse]
+                      + [SPARSE_IDX_FMT.format(s) for s in self.sparse]
                       + [PAYLOAD_FILE, PAYLOAD_IDX_FILE]):
             full = os.path.join(self.path, fname)
             try:
@@ -1004,6 +1261,97 @@ class VectorStore:
             pass    # a concurrent reader's open() already rolled forward
         return len(rows)
 
+    def update_sparse_vectors(self, rows, sparse_rows, space: str) -> int:
+        """Overwrite the sparse vectors of existing rows — the sparse
+        side of qdrant's update_vectors. Sparse rows are variable
+        width, so unlike the dense patch path this stages a full
+        rewrite of the space's entry log + indptr through the SAME
+        `.compact` + commit-marker journal as compact()/
+        update_payloads (open() rolls an interrupted rewrite forward;
+        pre-marker stage files are inert). Bumps all three versions —
+        vector content changed."""
+        if not self._locked:
+            raise StoreError("store opened read-only")
+        if space not in self.sparse:
+            raise StoreError(f"unknown sparse space {space!r} "
+                             f"(have {sorted(self.sparse)})")
+        rows = np.asarray(list(rows), np.int64).reshape(-1)
+        new = [check_sparse_row(r) for r in sparse_rows]
+        if len(new) != len(rows):
+            raise StoreError(
+                f"{len(rows)} row ids but {len(new)} sparse vectors")
+        if len(rows) == 0:
+            return 0
+        if rows.min() < 0 or rows.max() >= self.count:
+            raise StoreError(
+                f"row ids must be in [0, {self.count}), got "
+                f"[{rows.min()}, {rows.max()}]")
+        if len(np.unique(rows)) != len(rows):
+            raise StoreError("duplicate row ids in update_sparse_vectors")
+        patch = {int(r): p for r, p in zip(rows, new)}
+        self.flush()
+        self.close_files_for_truncate()
+
+        ent_path, idx_path = self._sparse_paths(space)
+        indptr = np.memmap(idx_path, dtype="<i8", mode="r",
+                           shape=(self.count,))
+        total = int(indptr[-1])
+        ent = np.memmap(ent_path, dtype=SPARSE_ENTRY, mode="r",
+                        shape=(total,)) if total else \
+            np.zeros(0, SPARSE_ENTRY)
+        with open(ent_path + ".compact", "wb") as out, \
+                open(idx_path + ".compact", "wb") as idx_out:
+            pos = 0
+            obuf: list[int] = []
+            for r in range(self.count):
+                lo = int(indptr[r - 1]) if r else 0
+                if r in patch:
+                    idx_a, val_a = patch[r]
+                    rec = np.zeros(len(idx_a), SPARSE_ENTRY)
+                    rec["i"], rec["v"] = idx_a, val_a
+                    out.write(rec.tobytes())
+                    pos += len(rec)
+                else:
+                    hi = int(indptr[r])
+                    if hi > lo:
+                        out.write(np.ascontiguousarray(
+                            ent[lo:hi]).tobytes())
+                    pos += hi - lo
+                obuf.append(pos)
+                if len(obuf) == 65536:
+                    idx_out.write(np.asarray(obuf, "<i8").tobytes())
+                    obuf.clear()
+            if obuf:
+                idx_out.write(np.asarray(obuf, "<i8").tobytes())
+            out.flush()
+            os.fsync(out.fileno())
+            idx_out.flush()
+            os.fsync(idx_out.fileno())
+        del ent, indptr
+
+        now_meta = self._meta_dict(bump_data=1, bump_vec=1, bump_epoch=1)
+        marker = os.path.join(self.path, COMPACT_MARKER)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(now_meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)      # <- commit point (roll forward)
+        for full in (ent_path, idx_path):
+            try:
+                os.replace(full + ".compact", full)
+            except FileNotFoundError:
+                pass    # a recovery pass (stale-lock takeover) won the race
+        self.data_version = now_meta["data_version"]
+        self.vector_version = now_meta["vector_version"]
+        self.mutation_epoch = now_meta["mutation_epoch"]
+        self._write_meta()
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass      # a concurrent reader's open() already rolled forward
+        return len(rows)
+
     @staticmethod
     def _apply_vec_patch(path: str, rows, vecs, space: str = "") -> None:
         """Idempotent absolute-offset writes of the patch rows."""
@@ -1178,6 +1526,11 @@ class VectorStore:
 
                 for space, d in self.spaces().items():
                     add_prefix(vec_file(space), count * 4 * d)
+                for space in self.sparse:
+                    add_prefix(SPARSE_FMT.format(space),
+                               self._sparse_total(space, count)
+                               * SPARSE_ENTRY.itemsize)
+                    add_prefix(SPARSE_IDX_FMT.format(space), count * 8)
                 add_prefix(PAYLOAD_FILE, pay_bytes)
                 # sidecar may legitimately trail (legacy stores): ship
                 # what exists; import rebuilds the rest on first access
@@ -1229,9 +1582,13 @@ class VectorStore:
                 meta_member = tar.extractfile(META_FILE)
                 meta = json.loads(meta_member.read())
                 named = _check_spaces(meta.get("named") or {})
+                sparse = _check_sparse_spaces(meta.get("sparse") or {},
+                                              named)
                 allowed = ({META_FILE, VEC_FILE, PAYLOAD_FILE,
                             PAYLOAD_IDX_FILE}
-                           | {vec_file(s) for s in named})
+                           | {vec_file(s) for s in named}
+                           | {SPARSE_FMT.format(s) for s in sparse}
+                           | {SPARSE_IDX_FMT.format(s) for s in sparse})
                 bad = names - allowed
                 if bad:
                     raise StoreError(
@@ -1254,6 +1611,27 @@ class VectorStore:
                         f"corrupt snapshot: {count} rows x dim {d} "
                         f"({fname}) needs {count * 4 * d} bytes, archive "
                         f"has {vec_size}")
+            for space in sparse:
+                iname = SPARSE_IDX_FMT.format(space)
+                ipath = os.path.join(tmp_dir, iname)
+                isize = os.path.getsize(ipath) if iname in names else 0
+                if isize != count * 8:
+                    raise StoreError(
+                        f"corrupt snapshot: sparse space {space!r} indptr "
+                        f"needs {count * 8} bytes, archive has {isize}")
+                total = 0
+                if count:
+                    with open(ipath, "rb") as f:
+                        f.seek((count - 1) * 8)
+                        total = int(np.frombuffer(f.read(8), "<i8")[0])
+                ename = SPARSE_FMT.format(space)
+                esize = os.path.getsize(os.path.join(tmp_dir, ename)) \
+                    if ename in names else 0
+                if esize != total * SPARSE_ENTRY.itemsize:
+                    raise StoreError(
+                        f"corrupt snapshot: sparse space {space!r} needs "
+                        f"{total * SPARSE_ENTRY.itemsize} entry bytes, "
+                        f"archive has {esize}")
             now = time.time_ns()
             meta.update({"name": name, "collection": collection_name(name),
                          "data_version": now, "vector_version": now,

@@ -1,0 +1,157 @@
+"""Sparse-vector search: an inverted (term -> postings) index.
+
+The role qdrant's sparse vectors play in the reference's store family
+(the reference app itself never used them, reference
+core_system.py:659-664 is dense-only; this completes the store's
+query model so hybrid dense+sparse search works through the universal
+query API). Sparse scoring is irregular scatter/gather — a VPU/MXU
+anti-pattern — so unlike the dense scans this index is deliberately
+HOST-side: postings live in numpy arrays sorted by term, and a query
+is a handful of vectorized slices + one bincount accumulate. At
+realistic shapes (1M rows x ~100 nnz, ~50-term queries) that is
+sub-millisecond warm — far below the tunnel round-trip a device
+launch would cost.
+
+Exactness contract matches the dense paths: scores are f64 dot
+products accumulated in deterministic term order, results ordered by
+(-score, row id), `-1` marks absent slots. Rows sharing NO query term
+are never returned (qdrant sparse semantics: no overlap = no hit,
+even if another row scores negative).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .persist import StoreError, VectorStore, check_sparse_row
+
+
+class SparseIndex:
+    """Inverted index over one sparse vector space.
+
+    Build cost is one argsort of the entry log; queries then slice the
+    postings of each query term (searchsorted) and accumulate scores
+    with one bincount. The index persists to
+    `<db>/index/sparse_<space>_{count}_{vector_version}.npz` so later
+    processes mmap/read it back instead of re-sorting (same pattern as
+    the IVF k-means cache)."""
+
+    def __init__(self, n_rows: int, terms: np.ndarray, starts: np.ndarray,
+                 rows: np.ndarray, vals: np.ndarray):
+        self.n_rows = int(n_rows)
+        self.terms = terms      # [U] unique term ids, ascending (i64)
+        self.starts = starts    # [U+1] posting ranges into rows/vals
+        self.rows = rows        # [E] row id per posting (i32/i64)
+        self.vals = vals        # [E] f32 value per posting
+
+    # -- construction ----------------------------------------------------
+
+    @classmethod
+    def build(cls, entries: np.ndarray, indptr: np.ndarray) -> "SparseIndex":
+        """From a store's entry log ([E] structured (i, v)) + per-row
+        cumulative ends ([N] i64)."""
+        n = len(indptr)
+        e = len(entries)
+        if e:
+            nnz = np.diff(np.concatenate([[0], np.asarray(indptr)]))
+            row_of = np.repeat(np.arange(n, dtype=np.int64), nnz)
+            term = entries["i"].astype(np.int64)
+            order = np.argsort(term, kind="stable")  # stable: row-id tie
+            term = term[order]
+            rows = row_of[order]
+            vals = entries["v"][order].astype(np.float32)
+            terms, first = np.unique(term, return_index=True)
+            starts = np.concatenate([first, [e]]).astype(np.int64)
+        else:
+            terms = np.zeros(0, np.int64)
+            starts = np.zeros(1, np.int64)
+            rows = np.zeros(0, np.int64)
+            vals = np.zeros(0, np.float32)
+        return cls(n, terms, starts, rows, vals)
+
+    @classmethod
+    def from_store(cls, store: VectorStore, space: str, *,
+                   cache: bool = True) -> "SparseIndex":
+        """Build (or cache-load) the index for one sparse space of a
+        store, keyed on (count, vector_version) like the device index."""
+        path = cls._cache_path(store, space)
+        if cache and path and os.path.exists(path):
+            idx = cls._load(path, store.count)
+            if idx is not None:
+                return idx
+        idx = cls.build(store.sparse_entries(space),
+                        store.sparse_indptr(space))
+        if cache and path:
+            try:
+                idx._save(path)
+            except OSError:
+                pass               # read-only filesystem: rebuild per process
+        return idx
+
+    @staticmethod
+    def _cache_path(store: VectorStore, space: str) -> Optional[str]:
+        return os.path.join(
+            store.path, "index",
+            f"sparse_{space}_{store.count}_{store.vector_version}.npz")
+
+    def _save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp[:-4], n_rows=np.int64(self.n_rows), terms=self.terms,
+                 starts=self.starts, rows=self.rows, vals=self.vals)
+        os.replace(tmp, path)
+
+    @classmethod
+    def _load(cls, path: str, n_rows: int) -> Optional["SparseIndex"]:
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                if int(z["n_rows"]) != n_rows:
+                    return None
+                return cls(n_rows, z["terms"], z["starts"],
+                           np.asarray(z["rows"]), np.asarray(z["vals"]))
+        except (OSError, ValueError, KeyError):
+            return None
+
+    # -- search ----------------------------------------------------------
+
+    def search(self, query, k: int, *,
+               row_mask: Optional[np.ndarray] = None,
+               threshold: Optional[float] = None):
+        """Top-k rows by sparse dot with `query` ({"indices","values"}
+        dict or (indices, values) pair). Returns (scores [k] f32,
+        ids [k] i32) with -1 marking absent slots — rows with no
+        overlapping term never match (qdrant sparse semantics), and
+        `row_mask`/`threshold` filter like the dense scans."""
+        q_idx, q_val = check_sparse_row(query)
+        k = int(k)
+        if k < 1:
+            raise StoreError(f"k must be >= 1, got {k}")
+        scores = np.zeros(self.n_rows, np.float64)
+        touched = np.zeros(self.n_rows, bool)
+        pos = np.searchsorted(self.terms, q_idx.astype(np.int64))
+        for p, t, qv in zip(pos.tolist(), q_idx.tolist(), q_val.tolist()):
+            if p >= len(self.terms) or self.terms[p] != t:
+                continue
+            lo, hi = int(self.starts[p]), int(self.starts[p + 1])
+            r = self.rows[lo:hi]
+            scores[r] += self.vals[lo:hi].astype(np.float64) * qv
+            touched[r] = True
+        if row_mask is not None:
+            touched &= np.asarray(row_mask, bool)[: self.n_rows]
+        if threshold is not None:
+            touched &= scores >= float(threshold)
+        cand = np.nonzero(touched)[0]
+        out_s = np.full(k, -np.inf, np.float32)
+        out_i = np.full(k, -1, np.int32)
+        if len(cand):
+            cs = scores[cand]
+            if len(cand) > k:
+                part = np.argpartition(-cs, k - 1)[:k]
+                cand, cs = cand[part], cs[part]
+            order = np.lexsort((cand, -cs))
+            m = len(cand)
+            out_s[:m] = cs[order].astype(np.float32)
+            out_i[:m] = cand[order].astype(np.int32)
+        return out_s, out_i

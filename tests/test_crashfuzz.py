@@ -73,27 +73,45 @@ class _Injector:
 
 def _state(root, name="db"):
     """Full logical store state: (count, per-space vector bytes,
-    payloads) — covers every named vector space."""
+    payloads, per-sparse-space rows) — covers every named vector space
+    AND every sparse space."""
     s = VectorStore.open(root, name)
     blobs = tuple(np.asarray(s.vectors(sp)[: s.count]).copy().tobytes()
                   for sp in sorted(s.spaces()))
+    sp_rows = tuple(
+        tuple((r["indices"].tobytes(), r["values"].tobytes())
+              for r in s.sparse_rows(sp, range(s.count)))
+        for sp in sorted(s.sparse))
     pays = s.payloads(list(range(s.count)))
     s.close()
-    return s.count, blobs, pays
+    return s.count, blobs, pays, sp_rows
 
 
 DT = 8    # named-space dim, deliberately != D to catch dim mixups
 
 
-def _make_template(base, named=False) -> str:
-    root = os.path.join(base, "template_named" if named else "template")
+def _sparse_rows(rng, n):
+    rows = []
+    for _ in range(n):
+        nnz = int(rng.integers(0, 5))
+        rows.append({"indices": rng.choice(64, size=nnz, replace=False),
+                     "values": rng.normal(size=nnz).astype(np.float32)})
+    return rows
+
+
+def _make_template(base, kind="plain") -> str:
+    root = os.path.join(base, f"template_{kind}")
     rng = np.random.default_rng(0)
     vecs = random_unit(rng, N0, D)
     pays = [{"region_id": f"r{i}", "n": i,
              "cls": "a" if i % 3 else "b"} for i in range(N0)]
-    if named:
+    if kind == "named":
         with VectorStore.create(root, "db", D, named={"text": DT}) as s:
             s.append({"": vecs, "text": random_unit(rng, N0, DT)}, pays)
+    elif kind == "sparse":
+        with VectorStore.create(root, "db", D,
+                                sparse={"text": {}}) as s:
+            s.append(vecs, pays, {"text": _sparse_rows(rng, N0)})
     else:
         with VectorStore.create(root, "db", D) as s:
             s.append(vecs, pays)
@@ -125,17 +143,21 @@ def _unlock(root):
 RNG = np.random.default_rng(7)
 NEW_VECS = random_unit(RNG, 4, D)
 NEW_TVECS = random_unit(RNG, 4, DT)
+NEW_SPARSE = _sparse_rows(RNG, 4)
 NEW_PAYS = [{"region_id": f"x{i}", "n": 100 + i} for i in range(4)]
 KEEP = np.ones(N0, bool)
 KEEP[[3, 7, 11]] = False
 UPD_ROWS = [2, 5, 9]
 UPD_VECS = random_unit(RNG, 3, D)
 UPD_TVECS = random_unit(RNG, 3, DT)
+UPD_SPARSE = [{"indices": [0, 63], "values": [1.0, -1.0]}, None,
+              {"indices": [5], "values": [9.0]}]
 
 
 def _append(s):
     s.append(NEW_VECS if not s.named
-             else {"": NEW_VECS, "text": NEW_TVECS}, NEW_PAYS)
+             else {"": NEW_VECS, "text": NEW_TVECS}, NEW_PAYS,
+             {"text": NEW_SPARSE} if s.sparse else None)
 
 
 OPS = {
@@ -147,16 +169,20 @@ OPS = {
     "update_vectors": lambda s: s.update_vectors(UPD_ROWS, UPD_VECS),
     "update_vectors_named": lambda s: s.update_vectors(
         UPD_ROWS, UPD_TVECS, space="text"),
+    "update_sparse": lambda s: s.update_sparse_vectors(
+        UPD_ROWS, UPD_SPARSE, "text"),
 }
 
 
-@pytest.mark.parametrize("named", [False, True], ids=["plain", "named"])
+@pytest.mark.parametrize("kind", ["plain", "named", "sparse"])
 @pytest.mark.parametrize("opname", sorted(OPS))
-def test_crash_at_every_syscall(tmp_path, opname, named):
-    if opname == "update_vectors_named" and not named:
+def test_crash_at_every_syscall(tmp_path, opname, kind):
+    if opname == "update_vectors_named" and kind != "named":
         pytest.skip("named-space op needs the named template")
+    if opname == "update_sparse" and kind != "sparse":
+        pytest.skip("sparse op needs the sparse template")
     op = OPS[opname]
-    template = _make_template(str(tmp_path), named=named)
+    template = _make_template(str(tmp_path), kind=kind)
     before = _state(template)
 
     # clean run: the post-op truth and the syscall count
@@ -271,14 +297,14 @@ def test_crash_at_every_syscall_batch(tmp_path):
         shutil.rmtree(snap)
 
 
-@pytest.mark.parametrize("named", [False, True], ids=["plain", "named"])
-def test_crash_at_every_syscall_import_snapshot(tmp_path, named):
+@pytest.mark.parametrize("kind", ["plain", "named", "sparse"])
+def test_crash_at_every_syscall_import_snapshot(tmp_path, kind):
     """Snapshot import stages + atomically renames into place: after a
     crash the target db either doesn't exist or is complete; retry
     converges (import overwrites a half-staged leftover)."""
     from reverso_tpu.store import StoreError
 
-    template = _make_template(str(tmp_path), named=named)
+    template = _make_template(str(tmp_path), kind=kind)
     with VectorStore.open(template, "db") as s:
         tar = s.export_snapshot(str(tmp_path / "db.snapshot"))
     after = _state(template)
