@@ -538,11 +538,12 @@ def cmd_upsert(args) -> int:
     """Append externally computed points: vectors from an .npz
     (`vectors` [m, d], optional `payloads` as JSON strings, optional
     NAMED vector spaces as extra `vectors_<name>` members — qdrant
-    named vectors — and SPARSE spaces as CSR triples
-    `sparse_<name>_indices` / `_values` / `_indptr`), payloads
-    alternatively from a JSONL sidecar (qdrant upsert role). Creates
-    the database when missing (named/sparse spaces and their dims come
-    from the npz members). No model load."""
+    named vectors — SPARSE spaces as CSR triples
+    `sparse_<name>_indices` / `_values` / `_indptr`, and MULTIVECTOR
+    spaces as `multi_<name>_vectors` [sum T, d] + `multi_<name>_indptr`
+    [m+1]), payloads alternatively from a JSONL sidecar (qdrant upsert
+    role). Creates the database when missing (named/sparse/multivector
+    spaces and their dims come from the npz members). No model load."""
     import numpy as np
 
     from .store import StoreError, VectorStore
@@ -550,6 +551,7 @@ def cmd_upsert(args) -> int:
     cfg = _make_config(args)
     named = {}
     sparse = {}
+    multi = {}
     try:
         with np.load(args.npz, allow_pickle=False) as z:
             vecs = np.asarray(z["vectors"], np.float32)
@@ -566,6 +568,13 @@ def cmd_upsert(args) -> int:
                         {"indices": si[ptr[r]:ptr[r + 1]],
                          "values": sv[ptr[r]:ptr[r + 1]]}
                         for r in range(len(ptr) - 1)]
+                elif member.startswith("multi_") and \
+                        member.endswith("_vectors"):
+                    sp = member[len("multi_"):-len("_vectors")]
+                    mv = np.asarray(z[member], np.float32)
+                    ptr = np.asarray(z[f"multi_{sp}_indptr"], np.int64)
+                    multi[sp] = [mv[ptr[r]:ptr[r + 1]]
+                                 for r in range(len(ptr) - 1)]
                 elif member.startswith("vectors_"):
                     named[member[len("vectors_"):]] = np.asarray(
                         z[member], np.float32)
@@ -596,7 +605,10 @@ def cmd_upsert(args) -> int:
                 root, name, int(vecs.shape[1]),
                 named={n: int(a.shape[1]) for n, a in named.items()}
                       or None,
-                sparse={n: {} for n in sparse} or None).close()
+                sparse={n: {} for n in sparse} or None,
+                multi={n: int(rows[0].shape[1])
+                       for n, rows in multi.items() if rows}
+                      or None).close()
         except StoreError as e:
             print(f"❌ {e}", file=sys.stderr)
             return 1
@@ -606,7 +618,8 @@ def cmd_upsert(args) -> int:
         print(msg, file=sys.stderr)
         return 1
     msg = engine.upsert_points(
-        {"": vecs, **named, **sparse} if (named or sparse) else vecs,
+        {"": vecs, **named, **sparse, **multi}
+        if (named or sparse or multi) else vecs,
         pls)
     out = sys.stdout if msg.startswith("✅") else sys.stderr
     print(msg, file=out)
@@ -628,12 +641,19 @@ def cmd_update_vectors(args) -> int:
     try:
         with np.load(args.npz, allow_pickle=False) as z:
             ids_raw = z["ids"]
-            if "indptr" in z.files:         # sparse rows, CSR layout
+            if "indptr" in z.files and "indices" in z.files:
+                # sparse rows, CSR layout
                 si = np.asarray(z["indices"], np.int64)
                 sv = np.asarray(z["values"], np.float32)
                 ptr = np.asarray(z["indptr"], np.int64)
                 vecs = [{"indices": si[ptr[r]:ptr[r + 1]],
                          "values": sv[ptr[r]:ptr[r + 1]]}
+                        for r in range(len(ptr) - 1)]
+            elif "indptr" in z.files:
+                # multivector rows: flat [sum T, d] + indptr [m+1]
+                mv = np.asarray(z["vectors"], np.float32)
+                ptr = np.asarray(z["indptr"], np.int64)
+                vecs = [mv[ptr[r]:ptr[r + 1]]
                         for r in range(len(ptr) - 1)]
             else:
                 vecs = np.asarray(z["vectors"], np.float32)
@@ -799,6 +819,8 @@ def cmd_info(args) -> int:
         info["named_vectors"] = dict(store.named)
     if store.sparse:
         info["sparse_vectors"] = sorted(store.sparse)
+    if store.multi:
+        info["multivectors"] = dict(store.multi)
     if args.filter:
         # filtered point count (qdrant count API role), no model load
         from .store.filter import FilterError, parse_filter, payload_mask

@@ -444,10 +444,30 @@ class Reverso:
             else {"": vectors}
         # SPARSE spaces travel in the same dict keyed by space name;
         # their rows are {"indices","values"} dicts, not arrays, and
-        # are stored as-is (qdrant does not normalize sparse vectors)
+        # are stored as-is (qdrant does not normalize sparse vectors).
+        # MULTIVECTOR spaces likewise: rows are [T, d] matrices whose
+        # sub-vectors ARE L2-normalized (cosine MaxSim).
         sparse_names = set(self._store.sparse)
         sparse_batch = {sp: list(batch.pop(sp))
                         for sp in list(batch) if sp in sparse_names}
+        multi_batch = {}
+        for sp in list(batch):
+            if sp not in self._store.multi:
+                continue
+            rows = []
+            for row in batch.pop(sp):
+                if row is None:
+                    rows.append(None)
+                    continue
+                m = np.asarray(row, np.float32)
+                if m.ndim == 1:
+                    m = m[None]
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                if len(m) and not np.all(norms > 0):
+                    return (f"❌ Zero sub-vectors in multivector space "
+                            f"{sp!r} cannot be normalized")
+                rows.append(m / np.maximum(norms, 1e-30))
+            multi_batch[sp] = rows
         normed: dict = {}
         n = None
         for space, arr in batch.items():
@@ -465,9 +485,9 @@ class Reverso:
             normed[space] = vecs / np.maximum(norms, 1e-30)
         if n is None:
             return "❌ upsert needs vectors for the dense space(s)"
-        for sp, rows in sparse_batch.items():
+        for sp, rows in {**sparse_batch, **multi_batch}.items():
             if len(rows) != n:
-                return (f"❌ sparse space {sp!r} has {len(rows)} rows, "
+                return (f"❌ space {sp!r} has {len(rows)} rows, "
                         f"expected {n}")
         if payloads is None:
             payloads = [{} for _ in range(n)]
@@ -480,7 +500,8 @@ class Reverso:
 
         def body(w):
             first = w.count
-            w.append(arg, payloads, sparse_batch or None)
+            w.append(arg, payloads, sparse_batch or None,
+                     multi_batch or None)
             return first
 
         err, first = self._with_writable(body)
@@ -516,6 +537,33 @@ class Reverso:
                         f"of {len(points)}")
             err, touched = self._with_writable(
                 lambda w: w.update_sparse_vectors(
+                    [p["id"] for p in pts], rows_new, using))
+            if err:
+                return err
+            return f"✅ Updated vectors of {touched} points in {name}"
+        if using and using in self._store.multi:
+            # multivector side: [T, d] matrices, sub-vectors normalized
+            rows_new = []
+            for row in vectors:
+                if row is None:
+                    rows_new.append(None)
+                    continue
+                m = np.asarray(row, np.float32)
+                if m.ndim == 1:
+                    m = m[None]
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                if len(m) and not np.all(norms > 0):
+                    return "❌ Zero sub-vectors cannot be normalized"
+                rows_new.append(m / np.maximum(norms, 1e-30))
+            if len(points) != len(rows_new):
+                return (f"❌ {len(points)} point ids but "
+                        f"{len(rows_new)} multivectors")
+            pts = self.retrieve(points, with_payload=False)
+            if len(pts) != len(points):
+                return (f"❌ Unknown point id(s): resolved {len(pts)} "
+                        f"of {len(points)}")
+            err, touched = self._with_writable(
+                lambda w: w.update_multivectors(
                     [p["id"] for p in pts], rows_new, using))
             if err:
                 return err
@@ -772,10 +820,21 @@ class Reverso:
                     f"vector space {using!r} is sparse — only plain "
                     f"search and universal-query branches support "
                     f"sparse spaces")
+            if using in store.multi:
+                # MaxSim over the flat sub-vector matrix (MXU matmul +
+                # segment max — see ops/multivec.py). Same (scores,
+                # ids) contract as DeviceIndex, so the plain search /
+                # prefetch-branch callers are agnostic.
+                from .store import MultiVecIndex
+                subs, indptr = store.multivectors(using)
+                index = MultiVecIndex(np.asarray(subs), indptr,
+                                      dtype=self.config.store.dtype)
+                self._indexes[using] = (key, index)
+                return index
             if using not in store.spaces():
                 raise StoreError(
-                    f"unknown vector space {using!r} "
-                    f"(have {sorted(store.spaces()) + sorted(store.sparse)})")
+                    f"unknown vector space {using!r} (have "
+                    f"{sorted(store.spaces()) + sorted(store.sparse) + sorted(store.multi)})")
             count = store.count
             vectors = np.asarray(store.vectors(using))
             if scfg.index == "host":
@@ -1439,6 +1498,8 @@ class Reverso:
             if not 0 <= int(q) < store.count:
                 raise StoreError(f"point id {int(q)} out of range "
                                  f"[0, {store.count})")
+            if using in store.multi:
+                return store.multivector_rows(using, [int(q)])[0]
             return np.asarray(store.vectors(using)[int(q)], np.float32)
         if isinstance(q, str):
             pts = self.retrieve([q], with_payload=False, with_vectors=True,
@@ -1446,6 +1507,16 @@ class Reverso:
             if not pts:
                 raise StoreError(f"no point with region_id {q!r}")
             return pts[0]["vector"]
+        if using in store.multi:
+            # multivector space: [d] or [Tq, d] query operands
+            d = store.multi[using]
+            v = np.asarray(q, np.float32)
+            if v.ndim == 1:
+                v = v[None]
+            if v.ndim != 2 or v.shape[1] != d:
+                raise StoreError(f"multivector query must be [*, {d}], "
+                                 f"got {v.shape}")
+            return v
         d = store.spaces().get(using)
         if d is None:
             raise StoreError(f"unknown vector space {using!r} "
@@ -1560,10 +1631,13 @@ class Reverso:
                 return hits_out([(float(sv), int(iv))
                                  for sv, iv in zip(s1, i1) if iv >= 0])
             qv = self._resolve_query_vector(query, using)
-            if gmask is None and use_batcher and k <= 128:
+            if gmask is None and use_batcher and k <= 128 \
+                    and using not in store.multi:
                 # coalesce with in-flight searches and reuse the warmed
                 # (bucket, k_pad) compile; k > 128 exceeds the batcher's
                 # fused-kernel cap — direct index search instead
+                # (multivector queries are [Tq, d] and score through
+                # their own MaxSim launch)
                 s1, i1 = self.searcher.search(qv, k, space=using)
                 return hits_out([(float(sv), int(iv))
                                  for sv, iv in zip(s1, i1) if iv >= 0])
@@ -1657,6 +1731,15 @@ class Reverso:
             return hits_out([(float(sv), int(iv))
                              for sv, iv in zip(s1, i1) if iv >= 0])
         qv = self._resolve_query_vector(query, using)
+        if using and using in store.multi:
+            # MaxSim rescore of the candidates (points with no
+            # sub-vectors drop — they have no similarity)
+            from .ops.multivec import maxsim_score_rows
+            scores = maxsim_score_rows(
+                store.multivector_rows(using, cand), qv)
+            order = np.lexsort((np.asarray(cand), -scores))[:k]
+            return hits_out([(float(scores[j]), int(cand[j]))
+                             for j in order if np.isfinite(scores[j])])
         vecs = np.asarray(store.vectors(using)[cand], np.float32)
         scores = vecs @ qv
         order = np.lexsort((np.asarray(cand), -scores))[:k]
@@ -1693,9 +1776,12 @@ class Reverso:
             plain = (not r.get("prefetch") and r.get("fusion") is None
                      and q is not None
                      and not (isinstance(q, dict) and "sample" in q)
-                     # sparse spaces score host-side per request — no
-                     # device launch to coalesce
-                     and str(r.get("using") or "") not in store.sparse)
+                     # sparse spaces score host-side per request (no
+                     # device launch to coalesce); multivector queries
+                     # are ragged [Tq, d] operands with their own
+                     # MaxSim launch — both fall back to query()
+                     and str(r.get("using") or "") not in store.sparse
+                     and str(r.get("using") or "") not in store.multi)
             if not plain:
                 # carry the batch-level payload default into the
                 # fallback call (per-request with_payload still wins)
@@ -1844,6 +1930,10 @@ class Reverso:
             if using and using in store.sparse:
                 for pt, sv in zip(points, store.sparse_rows(using, rows)):
                     pt["vector"] = sv
+            elif using and using in store.multi:
+                for pt, mv in zip(points,
+                                  store.multivector_rows(using, rows)):
+                    pt["vector"] = mv
             else:
                 vecs = np.asarray(store.vectors(using)[rows], np.float32)
                 for pt, v in zip(points, vecs):

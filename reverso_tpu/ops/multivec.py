@@ -1,0 +1,133 @@
+"""Max-sim scoring for multivector spaces (qdrant multivectors /
+ColBERT-style late interaction).
+
+Each stored point holds a variable-length [T_i, d] matrix of
+sub-vectors; a query (itself [Tq, d], or a single [d] vector) scores a
+point as
+
+    score(Q, P) = sum_t  max_m  <Q_t, P_m>      (MaxSim)
+
+which is qdrant's MAX_SIM multivector comparator. This is the one
+query model in the store family that is MORE TPU-friendly than its
+reference counterpart: the dominant cost is one [Tq·Q, M] matmul over
+the flat sub-vector matrix (pure MXU work, fp32 accumulation), followed
+by a sorted segment-max back onto point ids and the standard
+(-score, idx) top-k. No gathers, no ragged compute — the raggedness
+lives entirely in the integer segment ids.
+
+Exactness contract matches the dense scans: fp32 accumulated dots,
+ties to the lower row id, -1 in absent slots; points with NO
+sub-vectors never match (their segment max stays -inf).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .topk import _dot_precision, _round_up
+
+
+@partial(jax.jit, static_argnames=("k", "n_rows"))
+def _maxsim_topk_jit(subs, seg_ids, queries, k: int, n_rows: int,
+                     row_mask=None):
+    """subs [M, d]; seg_ids [M] i32 (SORTED point id per sub-vector,
+    pad records -> n_rows); queries [Q, Tq, d] (pad query rows are
+    all-zero and handled by the caller via t_valid); returns
+    (scores [Q, k] f32, ids [Q, k] i32)."""
+    q, tq, d = queries.shape
+    flat = queries.reshape(q * tq, d)
+    s = jax.lax.dot_general(
+        flat, subs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(subs.dtype))          # [Q*Tq, M]
+    # sorted segment-max onto point ids; one pad segment (n_rows)
+    # swallows alignment records
+    seg = jax.ops.segment_max(s.T, seg_ids, num_segments=n_rows + 1,
+                              indices_are_sorted=True)  # [N+1, Q*Tq]
+    per_t = seg[:n_rows].T.reshape(q, tq, n_rows)
+    per_t = jnp.where(jnp.isneginf(per_t), 0.0, per_t) \
+        * (jnp.abs(queries).sum(-1, keepdims=False) > 0)[..., None]
+    # ^ rows with no sub-vectors contribute 0 per query row here, but
+    #   are masked out entirely below (empty-point mask); zero-padded
+    #   query rows (Tq padding) also contribute exactly 0
+    scores = per_t.sum(axis=1)                          # [Q, N]
+    has_subs = jax.ops.segment_max(
+        jnp.ones((len(seg_ids),), jnp.float32), seg_ids,
+        num_segments=n_rows + 1, indices_are_sorted=True)[:n_rows] > 0
+    valid = has_subs[None, :]
+    if row_mask is not None:
+        valid = valid & (row_mask > 0)[None, :n_rows]
+    scores = jnp.where(valid, scores, -jnp.inf)
+    k_eff = min(k, n_rows)
+    top_s, top_i = jax.lax.top_k(scores, k_eff)  # stable: ties -> low idx
+    top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
+    if k_eff < k:
+        pad = k - k_eff
+        top_s = jnp.concatenate(
+            [top_s, jnp.full((q, pad), -jnp.inf, top_s.dtype)], axis=1)
+        top_i = jnp.concatenate(
+            [top_i, jnp.full((q, pad), -1, top_i.dtype)], axis=1)
+    return top_s.astype(jnp.float32), top_i.astype(jnp.int32)
+
+
+def maxsim_topk(subs, indptr, queries, k: int, *,
+                row_mask: Optional[np.ndarray] = None):
+    """Exact MaxSim top-k over a flat sub-vector matrix.
+
+    subs:    [M, d] f32/bf16 sub-vectors, grouped by point in row order
+    indptr:  [N] cumulative sub-vector ends (row r owns
+             [indptr[r-1], indptr[r]))
+    queries: [d], [Tq, d], or a list of such (one result row each;
+             ragged Tq is zero-padded to the batch max — zero query
+             rows score exactly 0 in the sum and don't perturb ranks)
+    Returns (scores [Q, k] f32, ids [Q, k] i32).
+    """
+    indptr = np.asarray(indptr, np.int64)
+    n_rows = len(indptr)
+    if not isinstance(queries, (list, tuple)):
+        queries = [queries]
+    qs = []
+    for item in queries:
+        a = np.asarray(item, np.float32)
+        if a.ndim == 1:
+            a = a[None]
+        if a.ndim != 2 or (len(subs) and a.shape[1] != subs.shape[1]):
+            raise ValueError(
+                f"query must be [Tq, {subs.shape[1]}], got {a.shape}")
+        qs.append(a)
+    tq = max((len(a) for a in qs), default=1) or 1
+    batch = np.zeros((len(qs), tq, subs.shape[1]), np.float32)
+    for r, a in enumerate(qs):
+        batch[r, : len(a)] = a
+    if n_rows == 0 or len(subs) == 0:
+        return (np.full((len(qs), k), -np.inf, np.float32),
+                np.full((len(qs), k), -1, np.int32))
+    seg_ids = np.repeat(
+        np.arange(n_rows, dtype=np.int32),
+        np.diff(np.concatenate([[0], indptr]))).astype(np.int32)
+    mask = None
+    if row_mask is not None:
+        mask = np.asarray(row_mask, np.int8)[:n_rows]
+    return _maxsim_topk_jit(jnp.asarray(subs), jnp.asarray(seg_ids),
+                            jnp.asarray(batch), k, n_rows,
+                            None if mask is None else jnp.asarray(mask))
+
+
+def maxsim_score_rows(sub_rows, query) -> np.ndarray:
+    """Host-side exact MaxSim of `query` ([d] or [Tq, d]) against a
+    list of per-point [T, d] matrices (None/empty -> -inf). Used for
+    candidate rescoring in the universal query."""
+    q = np.asarray(query, np.float32)
+    if q.ndim == 1:
+        q = q[None]
+    out = np.full(len(sub_rows), -np.inf, np.float32)
+    for r, m in enumerate(sub_rows):
+        if m is None or len(m) == 0:
+            continue
+        s = q @ np.asarray(m, np.float32).T          # [Tq, T]
+        out[r] = float(s.max(axis=1).sum())
+    return out

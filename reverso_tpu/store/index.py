@@ -110,6 +110,61 @@ class HostIndex:
                                  row_mask=row_mask)
 
 
+class MultiVecIndex:
+    """Device-resident MaxSim index over one MULTIVECTOR space
+    (qdrant multivectors — each point holds a ragged [T, d] matrix of
+    sub-vectors; see ops/multivec.py for the scoring model).
+
+    The flat sub-vector matrix lives in HBM (bf16 by default, fp32
+    accumulation — same storage/accuracy trade as DeviceIndex); the
+    raggedness is an int32 segment-id vector. `search` accepts [d] /
+    [Tq, d] queries or lists of them and chunks the query batch so the
+    intermediate [Q·Tq, M] score block stays bounded."""
+
+    # bound on the [Q·Tq, M] f32 intermediate per launch
+    _BLOCK_BYTES = 512 * 1024 * 1024
+
+    def __init__(self, sub_vectors: np.ndarray, indptr: np.ndarray, *,
+                 dtype: str = "bfloat16"):
+        subs = np.asarray(sub_vectors, np.float32)
+        self.indptr = np.asarray(indptr, np.int64)
+        self.n_valid = len(self.indptr)
+        self.dim = subs.shape[1] if subs.ndim == 2 and subs.size else 0
+        self._dtype = jnp.dtype(dtype)
+        if self._dtype == jnp.int8:        # int8 makes MaxSim inexact
+            self._dtype = jnp.dtype(jnp.bfloat16)
+        self.matrix = jnp.asarray(subs, self._dtype) if len(subs) else \
+            jnp.zeros((0, max(self.dim, 1)), self._dtype)
+
+    @property
+    def nbytes(self) -> int:
+        return self.matrix.size * self.matrix.dtype.itemsize
+
+    def search(self, queries, k: int, *, row_mask=None, **_):
+        from ..ops.multivec import maxsim_topk
+
+        if isinstance(queries, (list, tuple)):
+            qlist = list(queries)
+        else:
+            q = np.asarray(queries, np.float32)
+            qlist = [q] if q.ndim <= 2 else list(q)
+        if not qlist:
+            return (np.zeros((0, k), np.float32),
+                    np.zeros((0, k), np.int32))
+        tq = max(1 if np.asarray(a).ndim == 1 else len(np.asarray(a))
+                 for a in qlist)
+        m = max(len(self.matrix), 1)
+        per_q = max(1, self._BLOCK_BYTES // (4 * tq * m))
+        outs = []
+        for lo in range(0, len(qlist), per_q):
+            outs.append(maxsim_topk(self.matrix, self.indptr,
+                                    qlist[lo:lo + per_q], k,
+                                    row_mask=row_mask))
+        scores = np.concatenate([jax.device_get(s) for s, _ in outs])
+        ids = np.concatenate([jax.device_get(i) for _, i in outs])
+        return scores, ids
+
+
 class DeviceIndex:
     """Immutable snapshot of an embedding matrix, resident on device.
 

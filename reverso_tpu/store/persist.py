@@ -36,14 +36,18 @@ VEC_FILE = "vectors.bin"
 # extra NAMED vector spaces (qdrant named vectors): one sibling file
 # per space, same row count as the default space, own dim
 VEC_NAMED_FMT = "vectors_{}.bin"
-# SPARSE vector spaces (qdrant sparse vectors): per space, an
-# append-only entry log of (u32 index, f32 value) pairs plus an int64
-# indptr sidecar (entry i = cumulative entry count at the END of row i,
-# appended in lockstep — the payloads.idx pattern). Row r's entries are
-# [indptr[r-1], indptr[r]) in the log; rows may be empty (nnz 0).
+# RAGGED vector spaces — per space, an append-only entry log of
+# fixed-size records plus an int64 indptr sidecar (entry i = cumulative
+# record count at the END of row i, appended in lockstep — the
+# payloads.idx pattern). Row r's records are [indptr[r-1], indptr[r])
+# in the log; rows may be empty. Two kinds share this layout:
+#   SPARSE (qdrant sparse vectors): record = (u32 index, f32 value)
+#   MULTI  (qdrant multivectors):   record = one [d] f32 sub-vector
 SPARSE_FMT = "sparse_{}.bin"
 SPARSE_IDX_FMT = "sparse_{}.idx"
 SPARSE_ENTRY = np.dtype([("i", "<u4"), ("v", "<f4")])
+MULTI_FMT = "multi_{}.bin"
+MULTI_IDX_FMT = "multi_{}.idx"
 PAYLOAD_FILE = "payloads.jsonl"
 # Sidecar of int64-LE byte offsets, entry i = start of payload line i in
 # payloads.jsonl, appended in lockstep with it. Makes the first-query
@@ -88,7 +92,7 @@ def _check_spaces(named: dict) -> dict:
     return out
 
 
-def _check_sparse_spaces(sparse, dense: dict) -> dict:
+def _check_sparse_spaces(sparse, taken) -> dict:
     """Validate sparse space declarations -> {name: params dict}.
     Accepts a {name: params} dict or an iterable of names; params are
     an open bag (reserved for modifiers like idf), kept in meta."""
@@ -101,11 +105,45 @@ def _check_sparse_spaces(sparse, dense: dict) -> dict:
         if not isinstance(n, str) or not _SPACE_RE.match(n):
             raise StoreError(f"bad sparse space name: {n!r} "
                              f"(letters/digits/_/- only)")
-        if n in dense or n == "":
+        if n in taken or n == "":
             raise StoreError(
-                f"sparse space {n!r} collides with a dense vector space")
+                f"sparse space {n!r} collides with another vector space")
         out[n] = dict(params) if isinstance(params, dict) else {}
     return out
+
+
+def _check_multi_spaces(multi, taken) -> dict:
+    """Validate multivector space declarations -> {name: dim}
+    (qdrant multivectors: each point holds a variable-length [T, dim]
+    matrix of sub-vectors, compared by max-sim)."""
+    out = {}
+    for n, d in (multi or {}).items():
+        if not isinstance(n, str) or not _SPACE_RE.match(n):
+            raise StoreError(f"bad multivector space name: {n!r} "
+                             f"(letters/digits/_/- only)")
+        if n in taken or n == "":
+            raise StoreError(
+                f"multivector space {n!r} collides with another "
+                f"vector space")
+        d = int(d)
+        if d <= 0:
+            raise StoreError(f"bad dim for multivector space {n!r}: {d}")
+        out[n] = d
+    return out
+
+
+def check_multi_row(row, d: int) -> np.ndarray:
+    """Normalize one multivector to a [T, d] f32 array (T may be 0;
+    None means empty)."""
+    if row is None:
+        return np.zeros((0, d), np.float32)
+    arr = np.ascontiguousarray(row, np.float32)
+    if arr.ndim == 1:
+        arr = arr[None]
+    if arr.ndim != 2 or arr.shape[1] != d:
+        raise StoreError(
+            f"multivector rows must be [*, {d}], got {arr.shape}")
+    return arr
 
 
 def check_sparse_row(row):
@@ -324,6 +362,10 @@ class VectorStore:
     # space too (empty rows are legal — unlike dense, a point may have
     # no entries in a sparse space, matching qdrant).
     sparse: dict = field(default_factory=dict)
+    # MULTIVECTOR spaces: {name: dim} (qdrant multivectors) — each
+    # point holds a variable-length [T, dim] matrix of sub-vectors
+    # (max-sim comparison). Same ragged entry-log layout as sparse.
+    multi: dict = field(default_factory=dict)
     _vec_fs: dict = field(default_factory=dict, repr=False)
     _sp_fs: dict = field(default_factory=dict, repr=False)
     _sp_idx_fs: dict = field(default_factory=dict, repr=False)
@@ -342,10 +384,12 @@ class VectorStore:
     @staticmethod
     def create(root: str, name: str, dim: int, *,
                named: Optional[dict] = None, sparse=None,
+               multi: Optional[dict] = None,
                overwrite: bool = False) -> "VectorStore":
         path = os.path.join(root, name)
         named = _check_spaces(named)
         sparse = _check_sparse_spaces(sparse, named)
+        multi = _check_multi_spaces(multi, {**named, **sparse})
         if os.path.isdir(path) and overwrite:
             # The lock must protect the one destructive operation too: a
             # locked store is live in another process — refuse to rmtree
@@ -365,17 +409,16 @@ class VectorStore:
                             collection=collection_name(name), count=0,
                             data_version=now, vector_version=now,
                             mutation_epoch=now, named=named,
-                            sparse=sparse)
+                            sparse=sparse, multi=multi)
         store._acquire_lock()
         store._write_meta()
         # touch data files
         for space in store.spaces():
             open(os.path.join(path, vec_file(space)), "ab").close()
-        for space in sparse:
-            open(os.path.join(path, SPARSE_FMT.format(space)),
-                 "ab").close()
-            open(os.path.join(path, SPARSE_IDX_FMT.format(space)),
-                 "ab").close()
+        for space in store._ragged():
+            ent_path, idx_path, _ = store._ragged_paths(space)
+            open(ent_path, "ab").close()
+            open(idx_path, "ab").close()
         open(os.path.join(path, PAYLOAD_FILE), "ab").close()
         open(os.path.join(path, PAYLOAD_IDX_FILE), "ab").close()
         return store
@@ -418,7 +461,9 @@ class VectorStore:
                                    (meta.get("named") or {}).items()},
                             sparse={str(k): (dict(v) if isinstance(v, dict)
                                              else {}) for k, v in
-                                    (meta.get("sparse") or {}).items()})
+                                    (meta.get("sparse") or {}).items()},
+                            multi={str(k): int(v) for k, v in
+                                   (meta.get("multi") or {}).items()})
         for space, d in store.spaces().items():
             vec_path = os.path.join(path, vec_file(space))
             actual_rows = os.path.getsize(vec_path) // (4 * d) \
@@ -427,22 +472,20 @@ class VectorStore:
                 raise StoreError(
                     f"Corrupt store {name}: meta says {store.count} rows, "
                     f"{vec_file(space)} has {actual_rows}")
-        for space in store.sparse:
-            idx_path = os.path.join(path, SPARSE_IDX_FMT.format(space))
+        for space, rec in store._ragged().items():
+            ent_path, idx_path, _ = store._ragged_paths(space)
             idx_rows = os.path.getsize(idx_path) // 8 \
                 if os.path.exists(idx_path) else 0
             if idx_rows < store.count:
                 raise StoreError(
                     f"Corrupt store {name}: meta says {store.count} rows, "
-                    f"sparse space {space!r} indptr has {idx_rows}")
-            need = store._sparse_total(space, store.count) \
-                * SPARSE_ENTRY.itemsize
-            ent_path = os.path.join(path, SPARSE_FMT.format(space))
+                    f"space {space!r} indptr has {idx_rows}")
+            need = store._ragged_total(space, store.count) * rec
             have = os.path.getsize(ent_path) \
                 if os.path.exists(ent_path) else 0
             if have < need:
                 raise StoreError(
-                    f"Corrupt store {name}: sparse space {space!r} needs "
+                    f"Corrupt store {name}: space {space!r} needs "
                     f"{need} entry bytes for {store.count} rows, has "
                     f"{have}")
         # rows beyond count are a torn append (crash between write and
@@ -536,6 +579,8 @@ class VectorStore:
             meta["named"] = dict(self.named)
         if self.sparse:
             meta["sparse"] = {k: dict(v) for k, v in self.sparse.items()}
+        if self.multi:
+            meta["multi"] = dict(self.multi)
         return meta
 
     def _write_meta(self) -> None:
@@ -580,16 +625,19 @@ class VectorStore:
         return out
 
     def append(self, vectors, payloads: Sequence[dict],
-               sparse_vectors=None) -> None:
+               sparse_vectors=None, multi_vectors=None) -> None:
         """Append a batch of L2-normalized fp32 vectors with payloads.
         `vectors` is an array (default space) or a {space: array} dict
         covering every dense vector space; a store with SPARSE spaces
         also requires `sparse_vectors` = {space: [n rows]} covering
         every sparse space (rows are {"indices", "values"} dicts,
-        (indices, values) pairs, or None for empty)."""
+        (indices, values) pairs, or None for empty), and one with
+        MULTIVECTOR spaces requires `multi_vectors` = {space: [n
+        matrices]} ([T, d] each, or None for empty)."""
         batch = self._check_batch(vectors)
         n = len(next(iter(batch.values())))
         sp_batch = self._check_sparse_batch(sparse_vectors, n)
+        sp_batch.update(self._check_multi_batch(multi_vectors, n))
         if len(payloads) != n:
             raise StoreError("payload count != vector count")
         if not self._locked:
@@ -598,11 +646,11 @@ class VectorStore:
             for space in self.spaces():
                 self._vec_fs[space] = open(
                     os.path.join(self.path, vec_file(space)), "ab")
-            for space in self.sparse:
-                ent_path, idx_path = self._sparse_paths(space)
-                # resume the cumulative entry counter from the committed
+            for space in self._ragged():
+                ent_path, idx_path, _ = self._ragged_paths(space)
+                # resume the cumulative record counter from the committed
                 # prefix (a writable open already trimmed torn tails)
-                self._sp_pos[space] = self._sparse_total(space, self.count)
+                self._sp_pos[space] = self._ragged_total(space, self.count)
                 self._sp_fs[space] = open(ent_path, "ab")
                 self._sp_idx_fs[space] = open(idx_path, "ab")
             self._pay_f = open(os.path.join(self.path, PAYLOAD_FILE), "ab")
@@ -697,55 +745,127 @@ class VectorStore:
         return np.memmap(path, dtype=np.float32, mode="r",
                          shape=(self.count, d))
 
-    # -- sparse spaces ---------------------------------------------------
+    # -- ragged spaces (sparse + multivector) ------------------------------
 
-    def _sparse_paths(self, space: str) -> tuple:
-        if space not in self.sparse:
-            raise StoreError(f"unknown sparse space {space!r} "
-                             f"(have {sorted(self.sparse)})")
-        return (os.path.join(self.path, SPARSE_FMT.format(space)),
-                os.path.join(self.path, SPARSE_IDX_FMT.format(space)))
+    def _ragged(self) -> dict:
+        """{space: record bytes} for every ragged space (sparse entry
+        logs and multivector sub-vector logs share the layout)."""
+        out = {sp: SPARSE_ENTRY.itemsize for sp in self.sparse}
+        out.update({sp: 4 * d for sp, d in self.multi.items()})
+        return out
 
-    def _sparse_total(self, space: str, count: int) -> int:
-        """Cumulative entry count at the end of row `count - 1` — one
+    def _ragged_paths(self, space: str) -> tuple:
+        """(entry log path, indptr path, record bytes) for one ragged
+        space."""
+        if space in self.sparse:
+            return (os.path.join(self.path, SPARSE_FMT.format(space)),
+                    os.path.join(self.path, SPARSE_IDX_FMT.format(space)),
+                    SPARSE_ENTRY.itemsize)
+        if space in self.multi:
+            return (os.path.join(self.path, MULTI_FMT.format(space)),
+                    os.path.join(self.path, MULTI_IDX_FMT.format(space)),
+                    4 * self.multi[space])
+        raise StoreError(f"unknown sparse/multivector space {space!r} "
+                         f"(have {sorted(self._ragged())})")
+
+    def _ragged_total(self, space: str, count: int) -> int:
+        """Cumulative record count at the end of row `count - 1` — one
         8-byte read of the indptr sidecar (0 when count is 0)."""
         if count <= 0:
             return 0
-        idx_path = os.path.join(self.path, SPARSE_IDX_FMT.format(space))
+        _, idx_path, _ = self._ragged_paths(space)
         if not os.path.exists(idx_path) or \
                 os.path.getsize(idx_path) < count * 8:
             raise StoreError(
-                f"sparse space {space!r} indptr shorter than {count} rows")
+                f"space {space!r} indptr shorter than {count} rows")
         with open(idx_path, "rb") as f:
             f.seek((count - 1) * 8)
             return int(np.frombuffer(f.read(8), "<i8")[0])
 
-    def sparse_indptr(self, space: str) -> np.ndarray:
-        """[count] int64 cumulative entry ends (memmap; row r's entries
-        are [indptr[r-1], indptr[r]) in the entry log)."""
-        _, idx_path = self._sparse_paths(space)
+    # backwards-compatible sparse aliases (used by store/sparse.py)
+    def _sparse_paths(self, space: str) -> tuple:
+        ent, idx, _ = self._ragged_paths(space)
+        return ent, idx
+
+    def _sparse_total(self, space: str, count: int) -> int:
+        return self._ragged_total(space, count)
+
+    def ragged_indptr(self, space: str) -> np.ndarray:
+        """[count] int64 cumulative record ends (memmap; row r's
+        records are [indptr[r-1], indptr[r]) in the entry log)."""
+        _, idx_path, _ = self._ragged_paths(space)
         self.flush()
         if self.count == 0:
             return np.zeros(0, np.int64)
         return np.memmap(idx_path, dtype="<i8", mode="r",
                          shape=(self.count,))
 
+    def sparse_indptr(self, space: str) -> np.ndarray:
+        return self.ragged_indptr(space)
+
     def sparse_entries(self, space: str) -> np.ndarray:
         """Structured [total] (u32 index, f32 value) entry log (memmap)
         covering the committed rows."""
-        ent_path, _ = self._sparse_paths(space)
+        if space not in self.sparse:
+            raise StoreError(f"unknown sparse space {space!r} "
+                             f"(have {sorted(self.sparse)})")
+        ent_path, _, _ = self._ragged_paths(space)
         self.flush()
-        total = self._sparse_total(space, self.count)
+        total = self._ragged_total(space, self.count)
         if total == 0:
             return np.zeros(0, SPARSE_ENTRY)
         return np.memmap(ent_path, dtype=SPARSE_ENTRY, mode="r",
                          shape=(total,))
 
+    def multivectors(self, space: str) -> tuple:
+        """(sub-vector matrix [total, d] f32 memmap, indptr [count])
+        for one multivector space — the flat layout the max-sim scan
+        consumes directly."""
+        if space not in self.multi:
+            raise StoreError(f"unknown multivector space {space!r} "
+                             f"(have {sorted(self.multi)})")
+        ent_path, _, _ = self._ragged_paths(space)
+        d = self.multi[space]
+        self.flush()
+        total = self._ragged_total(space, self.count)
+        ent = (np.memmap(ent_path, dtype=np.float32, mode="r",
+                         shape=(total, d)) if total
+               else np.zeros((0, d), np.float32))
+        return ent, self.ragged_indptr(space)
+
     def sparse_rows(self, space: str, rows) -> list:
         """Per-row sparse vectors: list of {"indices", "values"} dicts
         (row ids out of range -> None), O(k) seeks via the indptr."""
-        indptr = self.sparse_indptr(space)
-        ent_path, _ = self._sparse_paths(space)
+        if space not in self.sparse:
+            raise StoreError(f"unknown sparse space {space!r} "
+                             f"(have {sorted(self.sparse)})")
+        out = []
+        for raw in self._ragged_read(space, rows):
+            if raw is None:
+                out.append(None)
+                continue
+            ent = np.frombuffer(raw, SPARSE_ENTRY)
+            out.append({"indices": ent["i"].astype(np.int64),
+                        "values": ent["v"].astype(np.float32)})
+        return out
+
+    def multivector_rows(self, space: str, rows) -> list:
+        """Per-row multivectors: list of [T, d] f32 arrays (row ids out
+        of range -> None), O(k) seeks via the indptr."""
+        if space not in self.multi:
+            raise StoreError(f"unknown multivector space {space!r} "
+                             f"(have {sorted(self.multi)})")
+        d = self.multi[space]
+        out = []
+        for raw in self._ragged_read(space, rows):
+            out.append(None if raw is None else
+                       np.frombuffer(raw, np.float32).reshape(-1, d))
+        return out
+
+    def _ragged_read(self, space: str, rows) -> list:
+        """Raw record bytes per requested row (None when out of range)."""
+        indptr = self.ragged_indptr(space)
+        ent_path, _, rec = self._ragged_paths(space)
         out = []
         with open(ent_path, "rb") as f:
             for r in rows:
@@ -755,12 +875,8 @@ class VectorStore:
                     continue
                 lo = int(indptr[r - 1]) if r else 0
                 hi = int(indptr[r])
-                f.seek(lo * SPARSE_ENTRY.itemsize)
-                ent = np.frombuffer(
-                    f.read((hi - lo) * SPARSE_ENTRY.itemsize),
-                    SPARSE_ENTRY)
-                out.append({"indices": ent["i"].astype(np.int64),
-                            "values": ent["v"].astype(np.float32)})
+                f.seek(lo * rec)
+                out.append(f.read((hi - lo) * rec))
         return out
 
     def _check_sparse_batch(self, sparse_vectors, n: int) -> dict:
@@ -787,6 +903,31 @@ class VectorStore:
                 ent["i"] = np.concatenate([i for i, _ in parts])
                 ent["v"] = np.concatenate([v for _, v in parts])
             out[space] = (ent, nnz)
+        return out
+
+    def _check_multi_batch(self, multi_vectors, n: int) -> dict:
+        """Normalize an append batch's multivector part to
+        {space: (flat [sum T, d] f32, per-row T int64)}. A store with
+        multivector spaces requires every space covered with a
+        length-n sequence of [T, d] matrices (or None for empty)."""
+        multi_vectors = dict(multi_vectors or {})
+        if set(multi_vectors) != set(self.multi):
+            raise StoreError(
+                f"append needs multivectors for exactly the spaces "
+                f"{sorted(self.multi)}, got {sorted(multi_vectors)}")
+        out = {}
+        for space, rows in multi_vectors.items():
+            d = self.multi[space]
+            rows = list(rows)
+            if len(rows) != n:
+                raise StoreError(
+                    f"multivector space {space!r} has {len(rows)} rows, "
+                    f"expected {n}")
+            parts = [check_multi_row(r, d) for r in rows]
+            nnz = np.asarray([len(p) for p in parts], np.int64)
+            flat = (np.concatenate(parts) if parts
+                    else np.zeros((0, d), np.float32))
+            out[space] = (flat, nnz)
         return out
 
     def _payload_offsets(self):
@@ -887,10 +1028,9 @@ class VectorStore:
                     os.path.getsize(vec_path) > vec_bytes:
                 with open(vec_path, "r+b") as f:
                     os.ftruncate(f.fileno(), vec_bytes)
-        for space in self.sparse:
-            ent_path, idx_path = self._sparse_paths(space)
-            ent_bytes = self._sparse_total(space, self.count) \
-                * SPARSE_ENTRY.itemsize
+        for space in self._ragged():
+            ent_path, idx_path, rec = self._ragged_paths(space)
+            ent_bytes = self._ragged_total(space, self.count) * rec
             if os.path.exists(ent_path) and \
                     os.path.getsize(ent_path) > ent_bytes:
                 with open(ent_path, "r+b") as f:
@@ -944,10 +1084,9 @@ class VectorStore:
             vec_path = os.path.join(self.path, vec_file(space))
             with open(vec_path, "r+b") as f:
                 os.ftruncate(f.fileno(), count * 4 * d)
-        for space in self.sparse:
-            ent_path, idx_path = self._sparse_paths(space)
-            ent_bytes = self._sparse_total(space, count) \
-                * SPARSE_ENTRY.itemsize
+        for space in self._ragged():
+            ent_path, idx_path, rec = self._ragged_paths(space)
+            ent_bytes = self._ragged_total(space, count) * rec
             with open(ent_path, "r+b") as f:
                 os.ftruncate(f.fileno(), ent_bytes)
             with open(idx_path, "r+b") as f:
@@ -1017,8 +1156,8 @@ class VectorStore:
                 os.fsync(out.fileno())
             del mm
 
-        for space in self.sparse:
-            ent_path, idx_path = self._sparse_paths(space)
+        for space in self._ragged():
+            ent_path, idx_path, rec = self._ragged_paths(space)
             indptr = np.memmap(idx_path, dtype="<i8", mode="r",
                                shape=(self.count,)) if self.count else \
                 np.zeros(0, np.int64)
@@ -1026,9 +1165,11 @@ class VectorStore:
                 else np.zeros(0, np.int64)
             nnz = np.asarray(indptr) - starts
             total = int(indptr[-1]) if self.count else 0
-            ent = np.memmap(ent_path, dtype=SPARSE_ENTRY, mode="r",
-                            shape=(total,)) if total else \
-                np.zeros(0, SPARSE_ENTRY)
+            # record-size-agnostic byte view: one row of `ent` = one
+            # record (a sparse (idx, val) pair or a multivector row)
+            ent = np.memmap(ent_path, dtype=np.uint8, mode="r",
+                            shape=(total, rec)) if total else \
+                np.zeros((0, rec), np.uint8)
             with open(ent_path + ".compact", "wb") as out:
                 for lo in range(0, self.count, 65536):
                     hi = min(lo + 65536, self.count)
@@ -1077,9 +1218,12 @@ class VectorStore:
             os.fsync(f.fileno())
         os.replace(tmp, marker)      # <- commit point (roll forward)
 
+        ragged_files = []
+        for s in self._ragged():
+            e, i, _ = self._ragged_paths(s)
+            ragged_files += [os.path.basename(e), os.path.basename(i)]
         for fname in ([vec_file(s) for s in self.spaces()]
-                      + [SPARSE_FMT.format(s) for s in self.sparse]
-                      + [SPARSE_IDX_FMT.format(s) for s in self.sparse]
+                      + ragged_files
                       + [PAYLOAD_FILE, PAYLOAD_IDX_FILE]):
             full = os.path.join(self.path, fname)
             try:
@@ -1263,23 +1407,46 @@ class VectorStore:
 
     def update_sparse_vectors(self, rows, sparse_rows, space: str) -> int:
         """Overwrite the sparse vectors of existing rows — the sparse
-        side of qdrant's update_vectors. Sparse rows are variable
-        width, so unlike the dense patch path this stages a full
-        rewrite of the space's entry log + indptr through the SAME
-        `.compact` + commit-marker journal as compact()/
-        update_payloads (open() rolls an interrupted rewrite forward;
-        pre-marker stage files are inert). Bumps all three versions —
-        vector content changed."""
-        if not self._locked:
-            raise StoreError("store opened read-only")
+        side of qdrant's update_vectors. See `_update_ragged` for the
+        crash-safety contract."""
         if space not in self.sparse:
             raise StoreError(f"unknown sparse space {space!r} "
                              f"(have {sorted(self.sparse)})")
+        packed = []
+        for r in sparse_rows:
+            idx_a, val_a = check_sparse_row(r)
+            rec = np.zeros(len(idx_a), SPARSE_ENTRY)
+            rec["i"], rec["v"] = idx_a, val_a
+            packed.append(rec.tobytes())
+        return self._update_ragged(rows, packed, space)
+
+    def update_multivectors(self, rows, multi_rows, space: str) -> int:
+        """Overwrite the multivectors of existing rows — the
+        multivector side of qdrant's update_vectors. See
+        `_update_ragged` for the crash-safety contract."""
+        if space not in self.multi:
+            raise StoreError(f"unknown multivector space {space!r} "
+                             f"(have {sorted(self.multi)})")
+        d = self.multi[space]
+        packed = [np.ascontiguousarray(check_multi_row(r, d)).tobytes()
+                  for r in multi_rows]
+        return self._update_ragged(rows, packed, space)
+
+    def _update_ragged(self, rows, packed, space: str) -> int:
+        """Overwrite the ragged-space records of existing rows.
+        Ragged rows are variable width, so unlike the dense patch path
+        this stages a full rewrite of the space's entry log + indptr
+        through the SAME `.compact` + commit-marker journal as
+        compact()/update_payloads (open() rolls an interrupted rewrite
+        forward; pre-marker stage files are inert). Bumps all three
+        versions — vector content changed. `packed` holds each row's
+        raw record bytes."""
+        if not self._locked:
+            raise StoreError("store opened read-only")
         rows = np.asarray(list(rows), np.int64).reshape(-1)
-        new = [check_sparse_row(r) for r in sparse_rows]
-        if len(new) != len(rows):
+        if len(packed) != len(rows):
             raise StoreError(
-                f"{len(rows)} row ids but {len(new)} sparse vectors")
+                f"{len(rows)} row ids but {len(packed)} vectors")
         if len(rows) == 0:
             return 0
         if rows.min() < 0 or rows.max() >= self.count:
@@ -1287,18 +1454,18 @@ class VectorStore:
                 f"row ids must be in [0, {self.count}), got "
                 f"[{rows.min()}, {rows.max()}]")
         if len(np.unique(rows)) != len(rows):
-            raise StoreError("duplicate row ids in update_sparse_vectors")
-        patch = {int(r): p for r, p in zip(rows, new)}
+            raise StoreError("duplicate row ids in ragged update")
+        patch = dict(zip(rows.tolist(), packed))
         self.flush()
         self.close_files_for_truncate()
 
-        ent_path, idx_path = self._sparse_paths(space)
+        ent_path, idx_path, rec_b = self._ragged_paths(space)
         indptr = np.memmap(idx_path, dtype="<i8", mode="r",
                            shape=(self.count,))
         total = int(indptr[-1])
-        ent = np.memmap(ent_path, dtype=SPARSE_ENTRY, mode="r",
-                        shape=(total,)) if total else \
-            np.zeros(0, SPARSE_ENTRY)
+        ent = np.memmap(ent_path, dtype=np.uint8, mode="r",
+                        shape=(total, rec_b)) if total else \
+            np.zeros((0, rec_b), np.uint8)
         with open(ent_path + ".compact", "wb") as out, \
                 open(idx_path + ".compact", "wb") as idx_out:
             pos = 0
@@ -1306,11 +1473,9 @@ class VectorStore:
             for r in range(self.count):
                 lo = int(indptr[r - 1]) if r else 0
                 if r in patch:
-                    idx_a, val_a = patch[r]
-                    rec = np.zeros(len(idx_a), SPARSE_ENTRY)
-                    rec["i"], rec["v"] = idx_a, val_a
-                    out.write(rec.tobytes())
-                    pos += len(rec)
+                    raw = patch[r]
+                    out.write(raw)
+                    pos += len(raw) // rec_b
                 else:
                     hi = int(indptr[r])
                     if hi > lo:
@@ -1526,11 +1691,11 @@ class VectorStore:
 
                 for space, d in self.spaces().items():
                     add_prefix(vec_file(space), count * 4 * d)
-                for space in self.sparse:
-                    add_prefix(SPARSE_FMT.format(space),
-                               self._sparse_total(space, count)
-                               * SPARSE_ENTRY.itemsize)
-                    add_prefix(SPARSE_IDX_FMT.format(space), count * 8)
+                for space in self._ragged():
+                    e, i, rec = self._ragged_paths(space)
+                    add_prefix(os.path.basename(e),
+                               self._ragged_total(space, count) * rec)
+                    add_prefix(os.path.basename(i), count * 8)
                 add_prefix(PAYLOAD_FILE, pay_bytes)
                 # sidecar may legitimately trail (legacy stores): ship
                 # what exists; import rebuilds the rest on first access
@@ -1584,11 +1749,15 @@ class VectorStore:
                 named = _check_spaces(meta.get("named") or {})
                 sparse = _check_sparse_spaces(meta.get("sparse") or {},
                                               named)
+                multi = _check_multi_spaces(meta.get("multi") or {},
+                                            {**named, **sparse})
                 allowed = ({META_FILE, VEC_FILE, PAYLOAD_FILE,
                             PAYLOAD_IDX_FILE}
                            | {vec_file(s) for s in named}
                            | {SPARSE_FMT.format(s) for s in sparse}
-                           | {SPARSE_IDX_FMT.format(s) for s in sparse})
+                           | {SPARSE_IDX_FMT.format(s) for s in sparse}
+                           | {MULTI_FMT.format(s) for s in multi}
+                           | {MULTI_IDX_FMT.format(s) for s in multi})
                 bad = names - allowed
                 if bad:
                     raise StoreError(
@@ -1611,26 +1780,28 @@ class VectorStore:
                         f"corrupt snapshot: {count} rows x dim {d} "
                         f"({fname}) needs {count * 4 * d} bytes, archive "
                         f"has {vec_size}")
-            for space in sparse:
-                iname = SPARSE_IDX_FMT.format(space)
+            ragged = [(s, SPARSE_FMT.format(s), SPARSE_IDX_FMT.format(s),
+                       SPARSE_ENTRY.itemsize) for s in sparse]
+            ragged += [(s, MULTI_FMT.format(s), MULTI_IDX_FMT.format(s),
+                        4 * d) for s, d in multi.items()]
+            for space, ename, iname, rec in ragged:
                 ipath = os.path.join(tmp_dir, iname)
                 isize = os.path.getsize(ipath) if iname in names else 0
                 if isize != count * 8:
                     raise StoreError(
-                        f"corrupt snapshot: sparse space {space!r} indptr "
+                        f"corrupt snapshot: space {space!r} indptr "
                         f"needs {count * 8} bytes, archive has {isize}")
                 total = 0
                 if count:
                     with open(ipath, "rb") as f:
                         f.seek((count - 1) * 8)
                         total = int(np.frombuffer(f.read(8), "<i8")[0])
-                ename = SPARSE_FMT.format(space)
                 esize = os.path.getsize(os.path.join(tmp_dir, ename)) \
                     if ename in names else 0
-                if esize != total * SPARSE_ENTRY.itemsize:
+                if esize != total * rec:
                     raise StoreError(
-                        f"corrupt snapshot: sparse space {space!r} needs "
-                        f"{total * SPARSE_ENTRY.itemsize} entry bytes, "
+                        f"corrupt snapshot: space {space!r} needs "
+                        f"{total * rec} entry bytes, "
                         f"archive has {esize}")
             now = time.time_ns()
             meta.update({"name": name, "collection": collection_name(name),

@@ -73,8 +73,8 @@ class _Injector:
 
 def _state(root, name="db"):
     """Full logical store state: (count, per-space vector bytes,
-    payloads, per-sparse-space rows) — covers every named vector space
-    AND every sparse space."""
+    payloads, per-ragged-space rows) — covers every named vector space
+    AND every sparse/multivector space."""
     s = VectorStore.open(root, name)
     blobs = tuple(np.asarray(s.vectors(sp)[: s.count]).copy().tobytes()
                   for sp in sorted(s.spaces()))
@@ -82,9 +82,12 @@ def _state(root, name="db"):
         tuple((r["indices"].tobytes(), r["values"].tobytes())
               for r in s.sparse_rows(sp, range(s.count)))
         for sp in sorted(s.sparse))
+    mv_rows = tuple(
+        tuple(r.tobytes() for r in s.multivector_rows(sp, range(s.count)))
+        for sp in sorted(s.multi))
     pays = s.payloads(list(range(s.count)))
     s.close()
-    return s.count, blobs, pays, sp_rows
+    return s.count, blobs, pays, sp_rows, mv_rows
 
 
 DT = 8    # named-space dim, deliberately != D to catch dim mixups
@@ -97,6 +100,11 @@ def _sparse_rows(rng, n):
         rows.append({"indices": rng.choice(64, size=nnz, replace=False),
                      "values": rng.normal(size=nnz).astype(np.float32)})
     return rows
+
+
+def _multi_rows(rng, n):
+    return [rng.normal(size=(int(rng.integers(0, 4)), DT))
+            .astype(np.float32) for _ in range(n)]
 
 
 def _make_template(base, kind="plain") -> str:
@@ -112,6 +120,10 @@ def _make_template(base, kind="plain") -> str:
         with VectorStore.create(root, "db", D,
                                 sparse={"text": {}}) as s:
             s.append(vecs, pays, {"text": _sparse_rows(rng, N0)})
+    elif kind == "multi":
+        with VectorStore.create(root, "db", D, multi={"tok": DT}) as s:
+            s.append(vecs, pays,
+                     multi_vectors={"tok": _multi_rows(rng, N0)})
     else:
         with VectorStore.create(root, "db", D) as s:
             s.append(vecs, pays)
@@ -144,6 +156,7 @@ RNG = np.random.default_rng(7)
 NEW_VECS = random_unit(RNG, 4, D)
 NEW_TVECS = random_unit(RNG, 4, DT)
 NEW_SPARSE = _sparse_rows(RNG, 4)
+NEW_MULTI = _multi_rows(RNG, 4)
 NEW_PAYS = [{"region_id": f"x{i}", "n": 100 + i} for i in range(4)]
 KEEP = np.ones(N0, bool)
 KEEP[[3, 7, 11]] = False
@@ -152,12 +165,14 @@ UPD_VECS = random_unit(RNG, 3, D)
 UPD_TVECS = random_unit(RNG, 3, DT)
 UPD_SPARSE = [{"indices": [0, 63], "values": [1.0, -1.0]}, None,
               {"indices": [5], "values": [9.0]}]
+UPD_MULTI = _multi_rows(RNG, 3)
 
 
 def _append(s):
     s.append(NEW_VECS if not s.named
              else {"": NEW_VECS, "text": NEW_TVECS}, NEW_PAYS,
-             {"text": NEW_SPARSE} if s.sparse else None)
+             {"text": NEW_SPARSE} if s.sparse else None,
+             {"tok": NEW_MULTI} if s.multi else None)
 
 
 OPS = {
@@ -171,16 +186,20 @@ OPS = {
         UPD_ROWS, UPD_TVECS, space="text"),
     "update_sparse": lambda s: s.update_sparse_vectors(
         UPD_ROWS, UPD_SPARSE, "text"),
+    "update_multi": lambda s: s.update_multivectors(
+        UPD_ROWS, UPD_MULTI, "tok"),
 }
 
 
-@pytest.mark.parametrize("kind", ["plain", "named", "sparse"])
+@pytest.mark.parametrize("kind", ["plain", "named", "sparse", "multi"])
 @pytest.mark.parametrize("opname", sorted(OPS))
 def test_crash_at_every_syscall(tmp_path, opname, kind):
     if opname == "update_vectors_named" and kind != "named":
         pytest.skip("named-space op needs the named template")
     if opname == "update_sparse" and kind != "sparse":
         pytest.skip("sparse op needs the sparse template")
+    if opname == "update_multi" and kind != "multi":
+        pytest.skip("multivector op needs the multi template")
     op = OPS[opname]
     template = _make_template(str(tmp_path), kind=kind)
     before = _state(template)
