@@ -608,7 +608,9 @@ def cmd_upsert(args) -> int:
                 sparse={n: {} for n in sparse} or None,
                 multi={n: int(rows[0].shape[1])
                        for n, rows in multi.items() if rows}
-                      or None).close()
+                      or None,
+                distance=getattr(args, "distance", "") or
+                         "cosine").close()
         except StoreError as e:
             print(f"❌ {e}", file=sys.stderr)
             return 1
@@ -821,6 +823,8 @@ def cmd_info(args) -> int:
         info["sparse_vectors"] = sorted(store.sparse)
     if store.multi:
         info["multivectors"] = dict(store.multi)
+    if store.distance != "cosine":
+        info["distance"] = store.distance
     if args.filter:
         # filtered point count (qdrant count API role), no model load
         from .store.filter import FilterError, parse_filter, payload_mask
@@ -1350,6 +1354,13 @@ def build_parser() -> argparse.ArgumentParser:
                                 "optionally `payloads` (JSON strings)")
     up.add_argument("--payloads", default=None,
                     help="JSONL file of payloads (overrides the npz's)")
+    up.add_argument("--distance", default="",
+                    choices=["", "cosine", "dot", "euclid"],
+                    help="distance metric when CREATING the database "
+                         "(qdrant Distance config; cosine normalizes "
+                         "rows, dot/euclid store raw magnitudes — "
+                         "euclid scores are -distance). Ignored for "
+                         "an existing database.")
     up.set_defaults(fn=cmd_upsert)
 
     uv = sub.add_parser("update-vectors",

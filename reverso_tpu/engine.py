@@ -470,6 +470,7 @@ class Reverso:
             multi_batch[sp] = rows
         normed: dict = {}
         n = None
+        cosine = self._store.distance == "cosine"
         for space, arr in batch.items():
             vecs = np.asarray(arr, np.float32)
             if vecs.ndim == 1:
@@ -479,6 +480,11 @@ class Reverso:
             elif len(vecs) != n:
                 return (f"❌ space {space!r} has {len(vecs)} rows, "
                         f"expected {n}")
+            if not cosine:
+                # dot/euclid stores keep raw magnitudes — qdrant only
+                # normalizes under Distance.COSINE
+                normed[space] = vecs
+                continue
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             if len(vecs) and not np.all(norms > 0):
                 return "❌ Zero vectors cannot be normalized"
@@ -580,10 +586,11 @@ class Reverso:
             return (f"❌ Unknown point id(s): resolved {known} of "
                     f"{len(points)}")
         rows = [p["id"] for p in pts]
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        if not np.all(norms > 0):
-            return "❌ Zero vectors cannot be normalized"
-        vecs = vecs / norms
+        if self._store.distance == "cosine":
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            if not np.all(norms > 0):
+                return "❌ Zero vectors cannot be normalized"
+            vecs = vecs / norms
         err, touched = self._with_writable(
             lambda w: w.update_vectors(rows, vecs, space=using))
         if err:
@@ -628,6 +635,8 @@ class Reverso:
         name = self.current_database
         dim = self._store.dim
 
+        cosine = self._store.distance == "cosine"
+
         def unit_rows(i: int, raw) -> np.ndarray:
             vecs = np.asarray(raw, np.float32)
             if vecs.ndim == 1:
@@ -635,6 +644,8 @@ class Reverso:
             if vecs.ndim != 2 or vecs.shape[1] != dim:
                 raise ValueError(f"op #{i}: vectors must be [n, {dim}], "
                                  f"got {vecs.shape}")
+            if not cosine:      # dot/euclid: raw magnitudes are kept
+                return vecs
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             if not np.all(norms > 0):
                 raise ValueError(f"op #{i}: zero vectors cannot be "
@@ -842,8 +853,9 @@ class Reverso:
                 # for no-accelerator deployments (reference analog:
                 # qdrant local mode's numpy scan, core_system.py:659)
                 from .store import HostIndex
-                index = HostIndex(vectors)
+                index = HostIndex(vectors, distance=store.distance)
             elif (scfg.index == "ivf" and not using
+                    and store.distance == "cosine"
                     and count > scfg.ivf_clusters * 4):
                 # IVF applies to the DEFAULT space only (its k-means
                 # cache is keyed per store); named spaces use the exact
@@ -857,7 +869,8 @@ class Reverso:
                 index = DeviceIndex(
                     vectors, mesh=self.mesh,
                     dtype=self.config.store.dtype,
-                    db_tile=scfg.db_tile)
+                    db_tile=scfg.db_tile,
+                    distance=store.distance)
             self._indexes[using] = (key, index)
             return index
 
@@ -1741,7 +1754,10 @@ class Reverso:
             return hits_out([(float(scores[j]), int(cand[j]))
                              for j in order if np.isfinite(scores[j])])
         vecs = np.asarray(store.vectors(using)[cand], np.float32)
-        scores = vecs @ qv
+        if store.distance == "euclid":
+            scores = -np.linalg.norm(vecs - qv[None, :], axis=1)
+        else:
+            scores = vecs @ qv
         order = np.lexsort((np.asarray(cand), -scores))[:k]
         return hits_out([(float(scores[j]), int(cand[j])) for j in order])
 
@@ -1993,6 +2009,9 @@ class Reverso:
         store = self._store
         if store is None:
             raise StoreError("no database loaded")
+        if store.distance == "euclid":
+            raise StoreError("search_matrix scores by dot product — "
+                             "not supported on a euclid-distance store")
         sample, limit = int(sample), int(limit)
         if sample < 2:
             raise ValueError("sample must be >= 2 (a pair needs two points)")

@@ -60,17 +60,34 @@ class HostIndex:
     answered. Selected with SearchConfig.index = "host".
     """
 
-    def __init__(self, vectors: np.ndarray):
+    def __init__(self, vectors: np.ndarray, *, distance: str = "cosine"):
+        self.distance = distance
+        if distance == "euclid":
+            # same [x, ||x||^2] augmentation as DeviceIndex — the
+            # native dot scan then ranks by -distance exactly (f32)
+            v = np.asarray(vectors, np.float32)
+            vectors = np.concatenate(
+                [v, (v * v).sum(axis=1, keepdims=True)], axis=1)
         self.matrix = np.ascontiguousarray(vectors, np.float32)
         self.n_valid = len(vectors)
         self.dim = self.matrix.shape[1] if self.matrix.ndim == 2 else 0
 
     def search(self, queries, k: int, *, row_mask=None, **_):
-        from ..native import cpu_topk
-
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None]
+        if self.distance != "euclid":
+            return self._search_dot(q, k, row_mask=row_mask)
+        qa = np.concatenate(
+            [2.0 * q, -np.ones((len(q), 1), np.float32)], axis=1)
+        s, i = self._search_dot(qa, k, row_mask=row_mask)
+        dist2 = np.maximum((q * q).sum(axis=1, keepdims=True) - s, 0.0)
+        return (np.where(i >= 0, -np.sqrt(dist2), -np.inf)
+                .astype(np.float32), i)
+
+    def _search_dot(self, q, k: int, *, row_mask=None):
+        from ..native import cpu_topk
+
         matrix, remap = self.matrix, None
         if row_mask is not None:
             # subset scan: row order is preserved, so the native scan's
@@ -86,9 +103,16 @@ class HostIndex:
             idx = np.where(idx >= 0, remap.astype(np.int32)[np.clip(idx, 0, None)], -1)
         return scores, idx
 
+    def _no_euclid(self):
+        if self.distance == "euclid":
+            raise ValueError(
+                "best_score/discover/context need a cosine or dot "
+                "index (this store's distance is euclid)")
+
     def best_score(self, positives, negatives=None, k: int = 10, *,
                    row_mask=None):
         """qdrant best_score recommend combine over the host matrix."""
+        self._no_euclid()
         if row_mask is not None:
             row_mask = np.asarray(row_mask, bool)[:self.n_valid]
         return best_score_topk_host(self.matrix, positives, negatives, k,
@@ -97,6 +121,7 @@ class HostIndex:
     def discover(self, target, pairs_pos=None, pairs_neg=None,
                  k: int = 10, *, row_mask=None):
         """qdrant discovery search over the host matrix."""
+        self._no_euclid()
         if row_mask is not None:
             row_mask = np.asarray(row_mask, bool)[:self.n_valid]
         return discover_topk_host(self.matrix, target, pairs_pos, pairs_neg,
@@ -104,6 +129,7 @@ class HostIndex:
 
     def context(self, pairs_pos, pairs_neg, k: int = 10, *, row_mask=None):
         """qdrant context search over the host matrix."""
+        self._no_euclid()
         if row_mask is not None:
             row_mask = np.asarray(row_mask, bool)[:self.n_valid]
         return context_topk_host(self.matrix, pairs_pos, pairs_neg, k,
@@ -176,7 +202,20 @@ class DeviceIndex:
 
     def __init__(self, vectors: np.ndarray, *, mesh: Optional[Mesh] = None,
                  axis: str = "data", dtype: str = "bfloat16",
-                 db_tile: int = 1024):
+                 db_tile: int = 1024, distance: str = "cosine"):
+        self.distance = distance
+        if distance == "euclid":
+            # Euclid rides the SAME dot kernels via augmentation:
+            # [x, ||x||^2] . [2q, -1] = 2<q, x> - ||x||^2, monotone in
+            # -||q - x||^2 per query; search() maps the ranking score
+            # back to -distance for the returned k hits. int8's single
+            # global scale would be dominated by the norm^2 column, so
+            # euclid coerces int8 -> bf16.
+            v = np.asarray(vectors, np.float32)
+            vectors = np.concatenate(
+                [v, (v * v).sum(axis=1, keepdims=True)], axis=1)
+            if jnp.dtype(dtype) == jnp.int8:
+                dtype = "bfloat16"
         n, d = vectors.shape
         self.n_valid = n
         self.dim = d
@@ -227,6 +266,32 @@ class DeviceIndex:
         return arr
 
     def search(self, queries, k: int, *, impl: str = "auto", row_mask=None):
+        """Exact top-k under the index distance. For "cosine"/"dot"
+        this is `_search_dot` directly (cosine is a dot over the unit
+        rows the store holds); for "euclid" queries are augmented to
+        `[2q, -1]` against the `[x, ||x||^2]` matrix — the resulting
+        ranking key is monotone in -distance, and the k returned
+        scores are mapped to exact `-||q - x||` (higher-is-better
+        ordering everywhere, qdrant-style Euclid results are just the
+        negation)."""
+        if self.distance != "euclid":
+            return self._search_dot(queries, k, impl=impl,
+                                    row_mask=row_mask)
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        qa = np.concatenate(
+            [2.0 * q, -np.ones((len(q), 1), np.float32)], axis=1)
+        s, i = self._search_dot(qa, k, impl=impl, row_mask=row_mask)
+        s = np.asarray(jax.device_get(s))
+        i = np.asarray(jax.device_get(i))
+        dist2 = np.maximum((q * q).sum(axis=1, keepdims=True) - s, 0.0)
+        s_out = np.where(i >= 0, -np.sqrt(dist2),
+                         -np.inf).astype(np.float32)
+        return s_out, i
+
+    def _search_dot(self, queries, k: int, *, impl: str = "auto",
+                    row_mask=None):
         """Exact cosine top-k. queries: [Q, d] L2-normalized (host or device).
 
         Returns device arrays (scores [Q, k] f32, idx [Q, k] int32); idx -1
@@ -296,6 +361,13 @@ class DeviceIndex:
         """Shared launch path for the example-combine searches
         (best_score / discover / context): stack example rows, pick the
         sharded or single-device op, apply the padded row mask."""
+        if self.distance == "euclid":
+            # the matrix is the [x, ||x||^2] augmentation — example
+            # rows are plain [d] vectors, and the combine formulas are
+            # defined on similarity scores, not distances
+            raise ValueError(
+                "best_score/discover/context need a cosine or dot "
+                "index (this store's distance is euclid)")
         int8 = self._dtype == jnp.int8
         ex_dtype = jnp.float32 if int8 else self._dtype
         ex = jnp.asarray(np.concatenate(parts), ex_dtype)

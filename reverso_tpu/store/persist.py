@@ -366,6 +366,13 @@ class VectorStore:
     # point holds a variable-length [T, dim] matrix of sub-vectors
     # (max-sim comparison). Same ragged entry-log layout as sparse.
     multi: dict = field(default_factory=dict)
+    # Distance metric of the DENSE spaces (qdrant's Distance config):
+    # "cosine" (the default — rows are stored L2-normalized and scores
+    # are plain dots), "dot" (raw inner product, rows stored as-is),
+    # or "euclid" (scores are -distance so higher-is-better ordering
+    # holds everywhere; the device index maps it onto the same fused
+    # dot kernels via the [x, ||x||^2] augmentation).
+    distance: str = "cosine"
     _vec_fs: dict = field(default_factory=dict, repr=False)
     _sp_fs: dict = field(default_factory=dict, repr=False)
     _sp_idx_fs: dict = field(default_factory=dict, repr=False)
@@ -384,12 +391,15 @@ class VectorStore:
     @staticmethod
     def create(root: str, name: str, dim: int, *,
                named: Optional[dict] = None, sparse=None,
-               multi: Optional[dict] = None,
+               multi: Optional[dict] = None, distance: str = "cosine",
                overwrite: bool = False) -> "VectorStore":
         path = os.path.join(root, name)
         named = _check_spaces(named)
         sparse = _check_sparse_spaces(sparse, named)
         multi = _check_multi_spaces(multi, {**named, **sparse})
+        if distance not in ("cosine", "dot", "euclid"):
+            raise StoreError(f"unknown distance {distance!r} "
+                             f"(cosine|dot|euclid)")
         if os.path.isdir(path) and overwrite:
             # The lock must protect the one destructive operation too: a
             # locked store is live in another process — refuse to rmtree
@@ -409,7 +419,8 @@ class VectorStore:
                             collection=collection_name(name), count=0,
                             data_version=now, vector_version=now,
                             mutation_epoch=now, named=named,
-                            sparse=sparse, multi=multi)
+                            sparse=sparse, multi=multi,
+                            distance=distance)
         store._acquire_lock()
         store._write_meta()
         # touch data files
@@ -463,7 +474,9 @@ class VectorStore:
                                              else {}) for k, v in
                                     (meta.get("sparse") or {}).items()},
                             multi={str(k): int(v) for k, v in
-                                   (meta.get("multi") or {}).items()})
+                                   (meta.get("multi") or {}).items()},
+                            distance=str(meta.get("distance",
+                                                  "cosine")))
         for space, d in store.spaces().items():
             vec_path = os.path.join(path, vec_file(space))
             actual_rows = os.path.getsize(vec_path) // (4 * d) \
@@ -581,6 +594,8 @@ class VectorStore:
             meta["sparse"] = {k: dict(v) for k, v in self.sparse.items()}
         if self.multi:
             meta["multi"] = dict(self.multi)
+        if self.distance != "cosine":
+            meta["distance"] = self.distance
         return meta
 
     def _write_meta(self) -> None:
