@@ -120,11 +120,14 @@ def main() -> None:
     }))
 
 
-def _require_device(timeout_s: float = 300.0) -> None:
+def _require_device(timeout_s: float = 540.0) -> None:
     """Fail fast (with a diagnosable JSON line) if the TPU tunnel is
     unreachable: backend init otherwise hangs FOREVER during an axon
     outage (observed 2026-08-17), and a silent hang at round end loses
-    the whole bench artifact."""
+    the whole bench artifact. 540 s, not 300: under tenant contention
+    the first remote compile of even an 8x8 matmul was MEASURED at
+    141 s (2026-08-19), and a 300 s cut zeroed two otherwise-healthy
+    bench runs that session."""
     import threading
 
     ok = threading.Event()
