@@ -74,8 +74,18 @@ def _maxsim_topk_jit(subs, seg_ids, queries, k: int, n_rows: int,
     return top_s.astype(jnp.float32), top_i.astype(jnp.int32)
 
 
+def seg_ids_of(indptr) -> np.ndarray:
+    """[M] int32 point id per sub-vector from the cumulative ends —
+    precompute (and device_put) once per index; rebuilding it per
+    search costs a host repeat + upload on every call."""
+    indptr = np.asarray(indptr, np.int64)
+    return np.repeat(np.arange(len(indptr), dtype=np.int32),
+                     np.diff(np.concatenate([[0], indptr]))
+                     ).astype(np.int32)
+
+
 def maxsim_topk(subs, indptr, queries, k: int, *,
-                row_mask: Optional[np.ndarray] = None):
+                row_mask: Optional[np.ndarray] = None, seg_ids=None):
     """Exact MaxSim top-k over a flat sub-vector matrix.
 
     subs:    [M, d] f32/bf16 sub-vectors, grouped by point in row order
@@ -84,6 +94,7 @@ def maxsim_topk(subs, indptr, queries, k: int, *,
     queries: [d], [Tq, d], or a list of such (one result row each;
              ragged Tq is zero-padded to the batch max — zero query
              rows score exactly 0 in the sum and don't perturb ranks)
+    seg_ids: optional precomputed `seg_ids_of(indptr)` (host or device)
     Returns (scores [Q, k] f32, ids [Q, k] i32).
     """
     indptr = np.asarray(indptr, np.int64)
@@ -106,9 +117,8 @@ def maxsim_topk(subs, indptr, queries, k: int, *,
     if n_rows == 0 or len(subs) == 0:
         return (np.full((len(qs), k), -np.inf, np.float32),
                 np.full((len(qs), k), -1, np.int32))
-    seg_ids = np.repeat(
-        np.arange(n_rows, dtype=np.int32),
-        np.diff(np.concatenate([[0], indptr]))).astype(np.int32)
+    if seg_ids is None:
+        seg_ids = seg_ids_of(indptr)
     mask = None
     if row_mask is not None:
         mask = np.asarray(row_mask, np.int8)[:n_rows]

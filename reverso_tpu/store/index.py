@@ -161,6 +161,11 @@ class MultiVecIndex:
             self._dtype = jnp.dtype(jnp.bfloat16)
         self.matrix = jnp.asarray(subs, self._dtype) if len(subs) else \
             jnp.zeros((0, max(self.dim, 1)), self._dtype)
+        # device-resident segment ids: rebuilding + uploading [M] i32
+        # per search measured ~50 ms of the 80 ms call at 400k subs
+        from ..ops.multivec import seg_ids_of
+        self._seg_ids = jnp.asarray(seg_ids_of(self.indptr)) \
+            if len(subs) else None
 
     @property
     def nbytes(self) -> int:
@@ -185,7 +190,8 @@ class MultiVecIndex:
         for lo in range(0, len(qlist), per_q):
             outs.append(maxsim_topk(self.matrix, self.indptr,
                                     qlist[lo:lo + per_q], k,
-                                    row_mask=row_mask))
+                                    row_mask=row_mask,
+                                    seg_ids=self._seg_ids))
         scores = np.concatenate([jax.device_get(s) for s, _ in outs])
         ids = np.concatenate([jax.device_get(i) for _, i in outs])
         return scores, ids

@@ -424,3 +424,62 @@ def test_search_groups_endpoint(server, tmp_path):
     code, r = post(base, "/api/query/search_groups",
                    {"token": token, "group_by": "nope"})
     assert code == 200 and r["summary"].startswith("❌"), r
+
+
+def test_hybrid_spaces_through_universal_endpoint(server, tmp_path):
+    """Sparse / multivector spaces and hybrid fusion ride the SAME
+    /api/query/universal endpoint the dense universal query uses —
+    operands are plain JSON ({"indices","values"} dicts, [Tq, d]
+    matrices) and `using` selects the space, qdrant-style."""
+    import numpy as np
+
+    from reverso_tpu.store import VectorStore
+
+    base, tmp = server
+    rng = np.random.default_rng(11)
+    n, d = 10, 16
+    dense = rng.normal(size=(n, d)).astype(np.float32)
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    sp = [{"indices": [i, 100 + i], "values": [1.0, 0.5]}
+          for i in range(n)]
+    mv = [(rng.normal(size=(2, 8)) /
+           np.linalg.norm(rng.normal(size=(2, 8)), axis=1,
+                          keepdims=True)).astype(np.float32)
+          for _ in range(n)]
+    with VectorStore.create(str(tmp / "db"), "hybui", d,
+                            sparse={"txt": {}}, multi={"tok": 8}) as s:
+        s.append(dense, [{"region_id": f"r{i}"} for i in range(n)],
+                 {"txt": sp}, {"tok": mv})
+    code, r = post(base, "/api/db/load", {"name": "hybui"})
+    assert code == 200, r
+
+    # sparse plain search through the universal endpoint
+    code, r = post(base, "/api/query/universal",
+                   {"target": {"indices": [3], "values": [2.0]},
+                    "using": "txt", "max_results": 2})
+    assert code == 200, r
+    assert [h["id"] for h in r["hits"]] == [3]
+    assert abs(r["hits"][0]["score"] - 2.0) < 1e-6
+
+    # multivector [Tq, d] operand
+    q = mv[5].tolist()
+    code, r = post(base, "/api/query/universal",
+                   {"target": q, "using": "tok", "max_results": 3})
+    assert code == 200, r
+    assert r["hits"] and r["hits"][0]["id"] == 5
+
+    # hybrid: sparse branch + dense branch fused by RRF
+    code, r = post(base, "/api/query/universal",
+                   {"prefetch": [
+                       {"query": {"indices": [3], "values": [1.0]},
+                        "using": "txt", "limit": 5},
+                       {"query": dense[3].tolist(), "limit": 5}],
+                    "fusion": "rrf", "max_results": 3})
+    assert code == 200, r
+    assert r["hits"][0]["id"] == 3           # rank 1 in both branches
+
+    # malformed sparse operand is a 400, not a 500
+    code, r = post(base, "/api/query/universal",
+                   {"target": {"indices": [1, 1], "values": [1.0, 2.0]},
+                    "using": "txt"})
+    assert code == 400 and "duplicate" in r["error"], r
