@@ -1355,12 +1355,12 @@ def build_parser() -> argparse.ArgumentParser:
     up.add_argument("--payloads", default=None,
                     help="JSONL file of payloads (overrides the npz's)")
     up.add_argument("--distance", default="",
-                    choices=["", "cosine", "dot", "euclid"],
+                    choices=["", "cosine", "dot", "euclid", "manhattan"],
                     help="distance metric when CREATING the database "
                          "(qdrant Distance config; cosine normalizes "
-                         "rows, dot/euclid store raw magnitudes — "
-                         "euclid scores are -distance). Ignored for "
-                         "an existing database.")
+                         "rows, the others store raw magnitudes — "
+                         "euclid/manhattan scores are -distance). "
+                         "Ignored for an existing database.")
     up.set_defaults(fn=cmd_upsert)
 
     uv = sub.add_parser("update-vectors",

@@ -1756,6 +1756,8 @@ class Reverso:
         vecs = np.asarray(store.vectors(using)[cand], np.float32)
         if store.distance == "euclid":
             scores = -np.linalg.norm(vecs - qv[None, :], axis=1)
+        elif store.distance == "manhattan":
+            scores = -np.abs(vecs - qv[None, :]).sum(axis=1)
         else:
             scores = vecs @ qv
         order = np.lexsort((np.asarray(cand), -scores))[:k]
@@ -2009,9 +2011,10 @@ class Reverso:
         store = self._store
         if store is None:
             raise StoreError("no database loaded")
-        if store.distance == "euclid":
+        if store.distance in ("euclid", "manhattan"):
             raise StoreError("search_matrix scores by dot product — "
-                             "not supported on a euclid-distance store")
+                             f"not supported on a {store.distance}-"
+                             "distance store")
         sample, limit = int(sample), int(limit)
         if sample < 2:
             raise ValueError("sample must be >= 2 (a pair needs two points)")

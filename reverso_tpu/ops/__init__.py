@@ -9,6 +9,11 @@ from .topk import (
     apply_score_threshold,
 )
 from .ivf_scan import ivf_probe_scan
+from .l1 import (
+    manhattan_topk_host,
+    manhattan_topk_xla,
+    sharded_manhattan_topk,
+)
 from .norm import l2_normalize
 from .recommend import (
     average_query,

@@ -62,6 +62,13 @@ class HostIndex:
 
     def __init__(self, vectors: np.ndarray, *, distance: str = "cosine"):
         self.distance = distance
+        if distance == "manhattan":
+            # no dot factorization exists for L1 — plain f32 rows,
+            # scanned by the chunked numpy L1 (ops/l1.py)
+            self.matrix = np.ascontiguousarray(vectors, np.float32)
+            self.n_valid = len(vectors)
+            self.dim = self.matrix.shape[1] if self.matrix.ndim == 2 else 0
+            return
         if distance == "euclid":
             # same [x, ||x||^2] augmentation as DeviceIndex — the
             # native dot scan then ranks by -distance exactly (f32)
@@ -76,6 +83,10 @@ class HostIndex:
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None]
+        if self.distance == "manhattan":
+            from ..ops.l1 import manhattan_topk_host
+            return manhattan_topk_host(self.matrix, q, k,
+                                       row_mask=row_mask)
         if self.distance != "euclid":
             return self._search_dot(q, k, row_mask=row_mask)
         qa = np.concatenate(
@@ -104,10 +115,10 @@ class HostIndex:
         return scores, idx
 
     def _no_euclid(self):
-        if self.distance == "euclid":
+        if self.distance in ("euclid", "manhattan"):
             raise ValueError(
                 "best_score/discover/context need a cosine or dot "
-                "index (this store's distance is euclid)")
+                f"index (this store's distance is {self.distance})")
 
     def best_score(self, positives, negatives=None, k: int = 10, *,
                    row_mask=None):
@@ -210,6 +221,14 @@ class DeviceIndex:
                  axis: str = "data", dtype: str = "bfloat16",
                  db_tile: int = 1024, distance: str = "cosine"):
         self.distance = distance
+        if distance == "manhattan":
+            # L1 has no dot factorization — rows are stored plain and
+            # scanned by the chunked XLA L1 (ops/l1.py, VPU-bound by
+            # the metric itself). int8's global scale would make the
+            # stored rows a different L1 space, so coerce to bf16
+            # (same rounding trade as every dense scan).
+            if jnp.dtype(dtype) == jnp.int8:
+                dtype = "bfloat16"
         if distance == "euclid":
             # Euclid rides the SAME dot kernels via augmentation:
             # [x, ||x||^2] . [2q, -1] = 2<q, x> - ||x||^2, monotone in
@@ -279,7 +298,10 @@ class DeviceIndex:
         ranking key is monotone in -distance, and the k returned
         scores are mapped to exact `-||q - x||` (higher-is-better
         ordering everywhere, qdrant-style Euclid results are just the
-        negation)."""
+        negation). "manhattan" scans with the chunked XLA L1 kernel
+        (ops/l1.py) — scores are exact -L1 distances."""
+        if self.distance == "manhattan":
+            return self._search_l1(queries, k, row_mask=row_mask)
         if self.distance != "euclid":
             return self._search_dot(queries, k, impl=impl,
                                     row_mask=row_mask)
@@ -295,6 +317,28 @@ class DeviceIndex:
         s_out = np.where(i >= 0, -np.sqrt(dist2),
                          -np.inf).astype(np.float32)
         return s_out, i
+
+    def _search_l1(self, queries, k: int, *, row_mask=None):
+        """Manhattan top-k over the device matrix — single-device
+        chunked XLA scan or the sharded scan+merge on a mesh."""
+        from ..ops.l1 import manhattan_topk_xla, sharded_manhattan_topk
+
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.n_valid == 0:
+            qn = q.shape[0]
+            return (jnp.full((qn, k), -jnp.inf, jnp.float32),
+                    jnp.full((qn, k), -1, jnp.int32))
+        mask = self._padded_mask(row_mask) if row_mask is not None else None
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            q = jax.device_put(q, replicated_sharding(self.mesh))
+            return sharded_manhattan_topk(self.matrix, q, k, self.mesh,
+                                          axis=self.axis,
+                                          n_valid=self.n_valid,
+                                          row_mask=mask)
+        return manhattan_topk_xla(self.matrix, q, k, n_valid=self.n_valid,
+                                  row_mask=mask)
 
     def _search_dot(self, queries, k: int, *, impl: str = "auto",
                     row_mask=None):
@@ -367,13 +411,13 @@ class DeviceIndex:
         """Shared launch path for the example-combine searches
         (best_score / discover / context): stack example rows, pick the
         sharded or single-device op, apply the padded row mask."""
-        if self.distance == "euclid":
-            # the matrix is the [x, ||x||^2] augmentation — example
-            # rows are plain [d] vectors, and the combine formulas are
+        if self.distance in ("euclid", "manhattan"):
+            # euclid's matrix is the [x, ||x||^2] augmentation (example
+            # rows are plain [d] vectors), and the combine formulas are
             # defined on similarity scores, not distances
             raise ValueError(
                 "best_score/discover/context need a cosine or dot "
-                "index (this store's distance is euclid)")
+                f"index (this store's distance is {self.distance})")
         int8 = self._dtype == jnp.int8
         ex_dtype = jnp.float32 if int8 else self._dtype
         ex = jnp.asarray(np.concatenate(parts), ex_dtype)

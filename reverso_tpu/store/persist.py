@@ -369,9 +369,10 @@ class VectorStore:
     # Distance metric of the DENSE spaces (qdrant's Distance config):
     # "cosine" (the default — rows are stored L2-normalized and scores
     # are plain dots), "dot" (raw inner product, rows stored as-is),
-    # or "euclid" (scores are -distance so higher-is-better ordering
-    # holds everywhere; the device index maps it onto the same fused
-    # dot kernels via the [x, ||x||^2] augmentation).
+    # "euclid" or "manhattan" (scores are -distance so higher-is-better
+    # ordering holds everywhere; the device index maps euclid onto the
+    # same fused dot kernels via the [x, ||x||^2] augmentation, and L1
+    # onto the chunked ops/l1.py scan — no dot factorization exists).
     distance: str = "cosine"
     _vec_fs: dict = field(default_factory=dict, repr=False)
     _sp_fs: dict = field(default_factory=dict, repr=False)
@@ -397,9 +398,9 @@ class VectorStore:
         named = _check_spaces(named)
         sparse = _check_sparse_spaces(sparse, named)
         multi = _check_multi_spaces(multi, {**named, **sparse})
-        if distance not in ("cosine", "dot", "euclid"):
+        if distance not in ("cosine", "dot", "euclid", "manhattan"):
             raise StoreError(f"unknown distance {distance!r} "
-                             f"(cosine|dot|euclid)")
+                             f"(cosine|dot|euclid|manhattan)")
         if os.path.isdir(path) and overwrite:
             # The lock must protect the one destructive operation too: a
             # locked store is live in another process — refuse to rmtree
