@@ -60,6 +60,9 @@ def _make_config(args):
         scfg = dataclasses.replace(scfg, ivf_balance=args.ivf_balance)
     if getattr(args, "ivf_impl", None):
         scfg = dataclasses.replace(scfg, ivf_impl=args.ivf_impl)
+    if getattr(args, "binary_oversampling", None) is not None:
+        scfg = dataclasses.replace(
+            scfg, binary_oversampling=args.binary_oversampling)
     if scfg is not cfg.search:
         cfg = dataclasses.replace(cfg, search=scfg)
     if getattr(args, "ingest_backend", None):
@@ -1121,11 +1124,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "deformable attention and is gone with the "
                         "Pallas kernel (PERF.md)")
     p.add_argument("--index-dtype",
-                   choices=["float32", "bfloat16", "int8"], default=None,
+                   choices=["float32", "bfloat16", "int8", "binary"],
+                   default=None,
                    help="on-device search-index dtype (disk stays fp32): "
                         "bfloat16 (default) / int8 (2x capacity, same scan "
                         "speed, exact w.r.t. the int8 copy) / float32 "
-                        "(strict parity mode)")
+                        "(strict parity mode) / binary (16x capacity "
+                        "sign-packed candidate scan + exact rescore of "
+                        "the top --binary-oversampling*k — approximate; "
+                        "qdrant binary quantization)")
+    p.add_argument("--binary-oversampling", type=float, default=None,
+                   help="binary index: candidate fetch multiple before "
+                        "the exact rescore (recall knob, default 3.0)")
     p.add_argument("--index", choices=["exact", "ivf", "host"], default=None,
                    help="search index: exact fused scan (default), IVF "
                         "k-means coarse quantizer for very large corpora, "

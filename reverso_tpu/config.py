@@ -140,7 +140,10 @@ class StoreConfig:
     root_dir: str = "./simple_reverso_db"   # reference DB root, core_system.py:76,471
     # on-device matrix dtype: "bfloat16" | "float32" (strict parity) |
     # "int8" (2x capacity at the same scan speed; exact w.r.t. the int8
-    # device copy, disk persistence stays fp32 — ops.topk int8-exact)
+    # device copy, disk persistence stays fp32 — ops.topk int8-exact) |
+    # "binary" (16x bf16 capacity: sign-packed candidate scan + exact
+    # f32 rescore of the top oversampling*k — qdrant binary
+    # quantization; approximate, SearchConfig.binary_* tune it)
     dtype: str = "bfloat16"
     capacity_step: int = 65536              # device matrix grows in multiples of this
     shard_axis: str = "data"                # mesh axis rows are sharded over
@@ -183,6 +186,13 @@ class SearchConfig:
     # serving shapes, XLA otherwise), "xla", "pallas". The operational
     # escape hatch if the kernel misbehaves on a new toolchain.
     ivf_impl: str = "auto"
+    # binary quantization (StoreConfig.dtype == "binary"): the packed
+    # candidate scan fetches ceil(oversampling * k) ids, then the
+    # engine rescores them exactly against the full-precision rows
+    # (qdrant's rescore/oversampling search params). rescore=False
+    # surfaces the raw binary proxy scores.
+    binary_oversampling: float = 3.0
+    binary_rescore: bool = True
 
 
 @dataclass(frozen=True)

@@ -170,6 +170,62 @@ class _IVFSearchAdapter:
                                 impl=self.impl, row_mask=row_mask)
 
 
+class _BinaryRescoreAdapter:
+    """DeviceIndex-shaped facade over BinaryIndex: oversampled packed
+    candidate scan + exact f32 rescore of the candidates against the
+    full-precision rows — qdrant's BinaryQuantization search semantics
+    (`rescore`/`oversampling` params). Final results are the exact
+    (-score, idx) order of the candidate set; with rescore disabled the
+    raw binary proxy scores surface (qdrant rescore=False)."""
+
+    def __init__(self, bindex, vectors: np.ndarray, *,
+                 oversampling: float = 3.0, rescore: bool = True):
+        self._b = bindex
+        self._v = vectors          # host f32 rows (mmap-backed is fine)
+        self.oversampling = max(1.0, float(oversampling))
+        self.rescore = rescore
+        self.n_valid = bindex.n_valid
+        self.dim = bindex.dim
+
+    @property
+    def nbytes(self) -> int:
+        return self._b.nbytes
+
+    def search(self, queries, k: int, *, row_mask=None, **_):
+        import math as _math
+
+        import jax
+
+        q = np.asarray(jax.device_get(queries), np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        k_fetch = min(max(k, int(_math.ceil(k * self.oversampling))),
+                      max(self.n_valid, 1))
+        s, i = (np.asarray(jax.device_get(a))
+                for a in self._b.search(q, k_fetch, row_mask=row_mask))
+        if not self.rescore:
+            out_s = np.full((len(q), k), -np.inf, np.float32)
+            out_i = np.full((len(q), k), -1, np.int32)
+            w = min(k, k_fetch)
+            out_s[:, :w] = s[:, :w]
+            out_i[:, :w] = i[:, :w]
+            return out_s, out_i
+        safe = np.clip(i, 0, None)
+        cand = np.asarray(self._v[safe.ravel()], np.float32) \
+            .reshape(len(q), k_fetch, -1)                  # [Q, kf, d]
+        scores = np.einsum("qkd,qd->qk", cand, q).astype(np.float32)
+        scores[i < 0] = -np.inf
+        tie_id = np.where(i < 0, np.iinfo(np.int32).max, i)
+        order = np.lexsort((tie_id, -scores), axis=1)[:, :k]
+        out_s = np.full((len(q), k), -np.inf, np.float32)
+        out_i = np.full((len(q), k), -1, np.int32)
+        w = order.shape[1]
+        out_s[:, :w] = np.take_along_axis(scores, order, axis=1)
+        out_i[:, :w] = np.take_along_axis(i, order, axis=1)
+        out_i[np.isneginf(out_s)] = -1
+        return out_s, out_i
+
+
 class Reverso:
     """Visual investigation engine: detect -> embed -> store -> search."""
 
@@ -865,6 +921,20 @@ class Reverso:
                                         mesh=self.mesh)
                 index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe,
                                           impl=scfg.ivf_impl)
+            elif self.config.store.dtype == "binary":
+                # qdrant binary quantization: packed candidate scan
+                # (16x bf16 HBM capacity) + exact f32 rescore of the
+                # top oversampling*k ids against the on-disk rows
+                from .store import BinaryIndex
+                if store.distance in ("euclid", "manhattan"):
+                    raise StoreError(
+                        "binary quantization ranks by sign dots — it "
+                        "needs a cosine or dot store (this store's "
+                        f"distance is {store.distance})")
+                index = _BinaryRescoreAdapter(
+                    BinaryIndex(vectors, mesh=self.mesh), vectors,
+                    oversampling=scfg.binary_oversampling,
+                    rescore=scfg.binary_rescore)
             else:
                 index = DeviceIndex(
                     vectors, mesh=self.mesh,
@@ -1586,7 +1656,11 @@ class Reverso:
           * `prefetch=[...]` + `query` — multi-stage: the union of
             branch candidates is rescored EXACTLY (fp32 dot, ties to
             the lower row id) against `query`; e.g. a cheap IVF/int8
-            prefetch feeding an exact rerank.
+            prefetch feeding an exact rerank. A `query` of
+            `{"formula": <expr>, "defaults": {...}}` instead rescores
+            the union with a qdrant score-boosting FORMULA over
+            prefetch scores, payload values, filter conditions, geo
+            distance and decay functions (grammar: store/formula.py).
 
         A top-level `filter` applies inside every branch scan (so
         branches return their full limit of valid candidates), exactly
@@ -1612,6 +1686,17 @@ class Reverso:
         k = self.config.search.top_k if k is None else int(k)
         store.refresh()
         gmask = self._filter_mask(filter) if filter is not None else None
+
+        formula = None
+        if isinstance(query, dict) and "formula" in query:
+            # qdrant formula query (score boosting): validate the
+            # expression BEFORE any scan so malformed specs fail fast
+            from .store.formula import parse_formula
+            formula = parse_formula(query["formula"])
+            if prefetch is None:
+                raise ValueError("formula queries rescore prefetch "
+                                 "candidates — provide prefetch "
+                                 "branches (qdrant requires this too)")
 
         def hits_out(pairs):
             ids = [pid for _, pid in pairs]
@@ -1733,6 +1818,22 @@ class Reverso:
         cand = sorted({pid for ids, _ in branches for pid in ids})
         if not cand:
             return []
+        if formula is not None:
+            # formula rescore (qdrant score boosting): host-side
+            # expression over prefetch scores / payload values /
+            # conditions — see store/formula.py for the grammar
+            from .store.formula import FormulaContext, eval_formula
+            ctx = FormulaContext(
+                cand,
+                [dict(zip(ids, scores)) for ids, scores in branches],
+                payload_of=lambda pid: (store.payloads([pid]) or [{}])[0]
+                or {},
+                condition_mask=self._filter_mask,
+                defaults=query.get("defaults"))
+            scores = eval_formula(formula, ctx)
+            order = np.lexsort((np.asarray(cand), -scores))[:k]
+            return hits_out([(float(scores[j]), int(cand[j]))
+                             for j in order])
         if using and using in store.sparse:
             # sparse rescore: candidates with no overlapping term drop
             # (sparse semantics — no shared dimension means no score)

@@ -11,7 +11,8 @@ from .persist import (
     delete_alias,
     resolve_alias,
 )
-from .index import DeviceIndex, HostIndex, MultiVecIndex, SearchResult
+from .index import (BinaryIndex, DeviceIndex, HostIndex, MultiVecIndex,
+                    SearchResult)
 from .ivf import IVFIndex
 from .sparse import SparseIndex
 from .filter import (

@@ -208,6 +208,79 @@ class MultiVecIndex:
         return scores, ids
 
 
+class BinaryIndex:
+    """Sign-packed candidate index — the device half of qdrant's
+    binary quantization (1 bit/dimension in HBM, 16x the bf16
+    capacity; ops/binary.py documents the asymmetric scoring model).
+
+    `search` returns CANDIDATES under the binary proxy score
+    `sum q_i * sign(x_i - mean_i)` — callers that need true scores
+    rescore the top oversampling*k ids against the full-precision rows
+    (the engine's rescore adapter does; qdrant's `rescore`/
+    `oversampling` search params are exactly this split). Bits are
+    packed against the PER-DIM MEAN, not zero: q.x = q.mean +
+    q.(x - mean), the first term is constant per query (rank-neutral)
+    and the second is what the sign bits approximate — centering makes
+    the approximation exact-in-expectation even when dimensions carry
+    consistent offsets (real embedding towers do). Quality scales with
+    dimension; intended for d >= 512 unit-normalized embeddings."""
+
+    def __init__(self, vectors: np.ndarray, *, mesh: Optional[Mesh] = None,
+                 axis: str = "data"):
+        from ..ops.binary import pack_signs
+
+        v = np.asarray(vectors, np.float32)
+        self.n_valid = len(v)
+        self.dim = v.shape[1] if v.ndim == 2 and v.size else 0
+        self.mesh = mesh
+        self.axis = axis
+        self.center = (v.mean(axis=0, dtype=np.float64).astype(np.float32)
+                       if self.n_valid else
+                       np.zeros((max(self.dim, 1),), np.float32))
+        d8 = max((self.dim + 7) // 8, 1)
+        n_shards = mesh.shape[axis] if mesh is not None else 1
+        padded = _round_up(max(self.n_valid, 1), 128 * n_shards)
+        host = np.zeros((padded, d8), np.uint8)
+        if self.n_valid:
+            host[:self.n_valid] = pack_signs(v - self.center[None, :])
+        arr = jnp.asarray(host)
+        if mesh is not None:
+            arr = jax.device_put(arr, row_sharding(mesh, axis))
+        self.matrix = arr
+
+    @property
+    def nbytes(self) -> int:
+        return self.matrix.size * self.matrix.dtype.itemsize
+
+    def _padded_mask(self, row_mask) -> jnp.ndarray:
+        m = np.zeros((self.matrix.shape[0],), np.bool_)
+        src = np.asarray(row_mask, bool)
+        m[:min(len(src), self.n_valid)] = src[:self.n_valid]
+        arr = jnp.asarray(m)
+        if self.mesh is not None:
+            arr = jax.device_put(arr, row_sharding(self.mesh, self.axis))
+        return arr
+
+    def search(self, queries, k: int, *, row_mask=None, **_):
+        from ..ops.binary import binary_topk_xla, sharded_binary_topk
+
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.n_valid == 0:
+            qn = q.shape[0]
+            return (jnp.full((qn, k), -jnp.inf, jnp.float32),
+                    jnp.full((qn, k), -1, jnp.int32))
+        mask = self._padded_mask(row_mask) if row_mask is not None else None
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            q = jax.device_put(q, replicated_sharding(self.mesh))
+            return sharded_binary_topk(self.matrix, q, k, self.dim,
+                                       self.mesh, axis=self.axis,
+                                       n_valid=self.n_valid, row_mask=mask)
+        return binary_topk_xla(self.matrix, q, k, self.dim,
+                               n_valid=self.n_valid, row_mask=mask)
+
+
 class DeviceIndex:
     """Immutable snapshot of an embedding matrix, resident on device.
 

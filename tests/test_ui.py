@@ -483,3 +483,19 @@ def test_hybrid_spaces_through_universal_endpoint(server, tmp_path):
                    {"target": {"indices": [1, 1], "values": [1.0, 2.0]},
                     "using": "txt"})
     assert code == 400 and "duplicate" in r["error"], r
+
+    # formula rescoring rides the same endpoint (qdrant score boosting)
+    code, r = post(base, "/api/query/universal",
+                   {"target": {"formula": {"sum": ["$score", 1.0]}},
+                    "prefetch": [{"query": dense[3].tolist(),
+                                  "limit": 5}],
+                    "max_results": 3})
+    assert code == 200, r
+    assert r["hits"][0]["id"] == 3
+    # cos(3,3) + 1.0 — the branch scanned in bf16, so ~2 within rounding
+    assert abs(r["hits"][0]["score"] - 2.0) < 5e-3
+    # malformed formula is a 400
+    code, r = post(base, "/api/query/universal",
+                   {"target": {"formula": {"sum": []}},
+                    "prefetch": [{"query": dense[3].tolist()}]})
+    assert code == 400, r
