@@ -8,7 +8,14 @@ from .topk import (
     sharded_cosine_topk,
     apply_score_threshold,
 )
-from .binary import binary_topk_xla, pack_signs, sharded_binary_topk
+from .binary import (
+    binary_topk,
+    binary_topk_pallas,
+    binary_topk_xla,
+    lane_plane_width,
+    pack_signs,
+    sharded_binary_topk,
+)
 from .ivf_scan import ivf_probe_scan
 from .l1 import (
     manhattan_topk_host,

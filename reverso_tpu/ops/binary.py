@@ -28,6 +28,7 @@ ties to the lower row id, -1 in absent slots.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,22 +45,28 @@ from .topk import _pad_dim, _round_up
 _CHUNK_ROWS = 65536
 
 
-def pack_signs(vectors: np.ndarray) -> np.ndarray:
-    """[N, d] float -> [N, ceil(d/8)] uint8 of sign bits (x > 0) in
-    PLANAR layout: bit j of byte b is dimension j*d8 + b (d8 =
-    ceil(d/8); trailing pad dims read as zeros -> bit 0). Planar
+def pack_signs(vectors: np.ndarray,
+               plane_width: Optional[int] = None) -> np.ndarray:
+    """[N, d] float -> [N, W] uint8 of sign bits (x > 0) in PLANAR
+    layout: bit j of byte b is dimension j*W + b (W = plane_width,
+    default ceil(d/8); dims >= d read as zeros -> bit 0). Planar
     instead of byte-major because the device unpack then needs no bit
     interleave: plane j is just `(packed >> j) & 1`, a full-width
     shifted copy, and the 8 planes concatenate along columns back into
     the ORIGINAL dimension order — so queries never permute, and XLA /
-    Mosaic never materialize a [C, d8, 8] bit tensor."""
+    Mosaic never materialize a [C, W, 8] bit tensor. The Pallas scan
+    passes `plane_width=round_up(ceil(d/8), 128)` so each plane is a
+    whole number of VMEM lane tiles (its unpack writes planes straight
+    into lane slices of the ±1 scratch)."""
     v = np.asarray(vectors)
     n = len(v)
     d = v.shape[1] if v.ndim == 2 and v.size else 0
-    d8 = max((d + 7) // 8, 1)
-    bits = np.zeros((n, 8 * d8), np.uint8)
+    w = plane_width if plane_width is not None else max((d + 7) // 8, 1)
+    if 8 * w < d:
+        raise ValueError(f"plane_width {w} too small for d={d}")
+    bits = np.zeros((n, 8 * w), np.uint8)
     bits[:, :d] = v > 0
-    planes = bits.reshape(n, 8, d8)
+    planes = bits.reshape(n, 8, w)
     weights = (1 << np.arange(8, dtype=np.uint16))[None, :, None]
     return (planes.astype(np.uint16) * weights).sum(axis=1).astype(np.uint8)
 
@@ -133,6 +140,92 @@ def binary_topk_xla(packed: jnp.ndarray, queries: jnp.ndarray, k: int,
         top_i = _pad_dim(top_i, 1, k)
     top_i = jnp.where(jnp.isneginf(top_s), -1, top_i)
     return top_s, top_i.astype(jnp.int32)
+
+
+def lane_plane_width(d: int) -> int:
+    """Plane width the Pallas scan needs: ceil(d/8) rounded up to a
+    whole VMEM lane tile (128 uint8 columns). Costs at most one lane
+    tile of padding per plane — 0 at d=1024, 2x at d=512 (still 8x
+    smaller than int8 rows)."""
+    return _round_up(max((d + 7) // 8, 1), 128)
+
+
+def binary_topk_pallas(packed: jnp.ndarray, queries: jnp.ndarray, k: int,
+                       d: int, *, q_tile: int = 256, db_tile: int = 1024,
+                       n_valid=None, interpret=None, row_mask=None):
+    """Fused binary candidate top-k — the streaming-kernel mode of the
+    packed scan. Same results as `binary_topk_xla`, at kernel speed:
+    the DMA ring moves [db_tile, W] uint8 tiles (16x less HBM than the
+    bf16 scan), each tile unpacks once into a ±1 bf16 VMEM scratch (8
+    shifted plane stores — the planar pack layout exists for this),
+    and the existing MXU matmul + fused k-select run unchanged.
+
+    packed: [N, W] uint8 with W = lane_plane_width(d) (whole lane
+    tiles — `pack_signs(v, plane_width=W)`). queries: [Q, d] full
+    precision (cast to bf16; products against ±1 are exact). k <= 128.
+    """
+    import jax
+
+    from .topk import _Q_RESIDENT, _topk_pallas_jit
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, w = packed.shape
+    if w % 128 != 0 or 8 * w < d:
+        raise ValueError(f"packed plane width {w} must be a 128-multiple "
+                         f">= ceil(d/8) (d={d}); pack with "
+                         f"pack_signs(v, plane_width=lane_plane_width(d))")
+    if k > 128:
+        raise ValueError("fused kernel supports k <= 128")
+    q = queries.shape[0]
+    if n_valid is None:
+        n_valid = n
+    qs = _pad_dim(jnp.asarray(queries, jnp.bfloat16), 1, 8 * w)
+    kpad = _round_up(max(k, 8), 8)
+    q_tile = min(q_tile, _round_up(q, 8))
+    group, n_bufs = 2, 4
+    d_full = 8 * w
+
+    def _vmem_total(q_rows: int) -> int:
+        q_p = _round_up(q_rows, q_tile)
+        return (q_p * d_full * 2                  # resident bf16 queries
+                + n_bufs * db_tile * w            # u8 ring
+                + db_tile * d_full * 2            # unpack scratch
+                + q_p * kpad * 16                 # state + outputs
+                + q_tile * group * db_tile * 4    # column iota
+                + q_p * group * db_tile * 4)      # group scores
+
+    q_chunk = min(_Q_RESIDENT, _round_up(q, q_tile))
+    while q_chunk > q_tile and _vmem_total(q_chunk) > 14 * 2 ** 20:
+        q_chunk -= q_tile
+
+    if row_mask is not None:
+        row_mask = jnp.asarray(row_mask, jnp.int8)
+        if row_mask.shape[0] < n:
+            row_mask = _pad_dim(row_mask, 0, n)
+        row_mask = row_mask[:n]
+    outs = [
+        _topk_pallas_jit(packed, qs[lo:lo + q_chunk], n_valid,
+                         k=k, kpad=kpad, q_tile=q_tile, db_tile=db_tile,
+                         interpret=interpret,
+                         q_out=min(q_chunk, q - lo), n_bufs=n_bufs,
+                         group=group, db_mask=row_mask)
+        for lo in range(0, q, q_chunk)
+    ]
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([s for s, _ in outs], axis=0),
+            jnp.concatenate([i for _, i in outs], axis=0))
+
+
+def binary_topk(packed: jnp.ndarray, queries: jnp.ndarray, k: int,
+                d: int, **kw):
+    """Dispatch: fused kernel when its contract holds (k <= 128,
+    lane-aligned planes), chunked XLA otherwise."""
+    if k <= 128 and packed.shape[1] % 128 == 0:
+        return binary_topk_pallas(packed, queries, k, d, **kw)
+    kw.pop("interpret", None)
+    return binary_topk_xla(packed, queries, k, d, **kw)
 
 
 def sharded_binary_topk(packed: jnp.ndarray, queries: jnp.ndarray, k: int,

@@ -184,20 +184,38 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, *rest,
                         k: int, kpad: int, db_tile: int, q_tile: int,
                         n_tiles: int, n_bufs: int, group: int,
                         defer: bool = False, int8_mode: bool = False,
+                        binary_mode: bool = False,
                         state_mode: str = "sorted", masked: bool = False):
+    # binary mode (sign-packed candidate scan, ops/binary.py): the DMA
+    # ring carries [db_tile, d8] uint8 tiles (16x smaller than bf16);
+    # each tile unpacks ONCE into the u_scr [db_tile, 8*d8] ±1 bf16
+    # scratch — 8 shifted plane stores into whole lane slices, no
+    # interleave (planar pack layout) — and the matmul reads u_scr.
     if masked:
         # row-mask mode (payload-filtered search): a [n_tiles, 4, db_tile]
         # int8 mask streams through its own tiny buffer ring in lockstep
         # with the db tiles; masked rows score -inf before the k-select.
         # The 4 identical sublane rows exist because int8 VMEM tiling is
         # (4, 128): a 1-sublane slice can't be DMA'd, a 4-sublane one can
-        (mask_hbm, scores_out, idx_out,
-         q_vmem, bufs, mbufs, s_scr, i_scr, col_scr, sp_scr,
-         db_sems, m_sems, q_sem) = rest
+        if binary_mode:
+            (mask_hbm, scores_out, idx_out,
+             q_vmem, bufs, u_scr, mbufs, s_scr, i_scr, col_scr, sp_scr,
+             db_sems, m_sems, q_sem) = rest
+        else:
+            (mask_hbm, scores_out, idx_out,
+             q_vmem, bufs, mbufs, s_scr, i_scr, col_scr, sp_scr,
+             db_sems, m_sems, q_sem) = rest
+            u_scr = None
     else:
-        (scores_out, idx_out,
-         q_vmem, bufs, s_scr, i_scr, col_scr, sp_scr,
-         db_sems, q_sem) = rest
+        if binary_mode:
+            (scores_out, idx_out,
+             q_vmem, bufs, u_scr, s_scr, i_scr, col_scr, sp_scr,
+             db_sems, q_sem) = rest
+        else:
+            (scores_out, idx_out,
+             q_vmem, bufs, s_scr, i_scr, col_scr, sp_scr,
+             db_sems, q_sem) = rest
+            u_scr = None
         mask_hbm = mbufs = m_sems = None
     # Queries HBM -> VMEM once; they stay resident for the whole scan.
     # int8 mode: q_vmem is [2, qp, d] — the query's two int8 digits
@@ -378,9 +396,28 @@ def _topk_stream_kernel(n_valid_ref, q_hbm, db_hbm, *rest,
         base = i * db_tile
         sp_ref = sp_scr if not defer else sp_scr.at[par]
 
+        if binary_mode:
+            # unpack this tile once, before the query-tile loop: plane
+            # jb (a full-width i32 shift+mask) lands in lane columns
+            # [jb*d8, (jb+1)*d8) of the ±1 scratch — original dim order
+            # by the planar pack contract
+            d8c = bufs.shape[2]
+            x = bufs[j][...].astype(jnp.int32)
+            for jb in range(8):
+                plane = (x >> jb) & 1
+                u_scr[:, jb * d8c:(jb + 1) * d8c] = \
+                    (2 * plane - 1).astype(jnp.bfloat16)
+
         for qt in range(n_qt):
             lo = qt * q_tile
-            if int8_mode:
+            if binary_mode:
+                # one bf16 MXU pass against the unpacked ±1 tile;
+                # f32 accumulation (products are ±q_i, exact in bf16)
+                s = jax.lax.dot_general(
+                    q_vmem[lo:lo + q_tile, :], u_scr[...],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            elif int8_mode:
                 # Two s8 MXU passes (hi/lo query digits), exact s32
                 # accumulation, f32 combine. |dot| <= d*127^2 < 2^24 so
                 # each partial is exactly representable in f32; the
@@ -484,8 +521,19 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
     path (exact w.r.t. the stored representation)."""
     n, d = db.shape
     q = queries.shape[0]
-    d_p = _round_up(d, 128)
     int8_mode = jnp.dtype(db.dtype) == jnp.int8
+    # uint8 db = sign-packed binary candidate scan (ops/binary.py):
+    # db columns are PACKED planes (d8 = plane width, a multiple of
+    # 128), the query dim is 8*d8, and the kernel unpacks each tile
+    # in VMEM
+    binary_mode = jnp.dtype(db.dtype) == jnp.uint8
+    if binary_mode:
+        assert d % 128 == 0, ("binary plane width must be whole lane "
+                              "tiles", d)
+        assert queries.shape[1] == 8 * d, (queries.shape, d)
+        d_p = d                  # packed columns move through the ring
+    else:
+        d_p = _round_up(d, 128)
     # whole unroll units (the kernel unrolls by lcm(ring, group) — or a
     # whole number of staging-parity periods in defer mode — for static
     # buffer slots AND static extraction-group phases)
@@ -509,6 +557,8 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
             _pad_dim(_pad_dim(q_hi, 1, d_p), 0, q_p),
             _pad_dim(_pad_dim(q_lo, 1, d_p), 0, q_p)])
         row_scale = c2 * jnp.asarray(db_scale, jnp.float32)   # [Q, 1]
+    elif binary_mode:
+        qs_p = _pad_dim(jnp.asarray(queries, jnp.bfloat16), 0, q_p)
     else:
         qs_p = _pad_dim(_pad_dim(queries, 1, d_p), 0, q_p)
     n_valid = jnp.asarray(n_valid, jnp.int32).reshape(1)
@@ -518,7 +568,8 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
     kernel = functools.partial(
         _topk_stream_kernel, k=k, kpad=kpad, db_tile=db_tile, q_tile=q_tile,
         n_tiles=n_tiles, n_bufs=n_bufs, group=group, defer=defer,
-        int8_mode=int8_mode, state_mode=state_mode, masked=masked)
+        int8_mode=int8_mode, binary_mode=binary_mode,
+        state_mode=state_mode, masked=masked)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -527,10 +578,15 @@ def _topk_pallas_jit(db: jnp.ndarray, queries: jnp.ndarray, n_valid, *,
     ]
     inputs = [n_valid, qs_p, db_p]
     scratch_shapes = [
-        pltpu.VMEM(((2, q_p, d_p) if int8_mode else (q_p, d_p)),
-                   db_p.dtype),
+        pltpu.VMEM(((2, q_p, d_p) if int8_mode else
+                    (q_p, 8 * d_p) if binary_mode else (q_p, d_p)),
+                   qs_p.dtype),
         pltpu.VMEM((n_bufs, db_tile, d_p), db_p.dtype),
     ]
+    if binary_mode:
+        # the per-tile unpacked ±1 block the matmuls read
+        scratch_shapes.append(pltpu.VMEM((db_tile, 8 * d_p),
+                                         jnp.bfloat16))
     if masked:
         # [n_tiles, 4, db_tile] int8 (sublanes replicated to satisfy the
         # (4, 128) int8 tiling), DMA'd tile-by-tile beside the db ring

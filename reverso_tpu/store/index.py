@@ -227,7 +227,7 @@ class BinaryIndex:
 
     def __init__(self, vectors: np.ndarray, *, mesh: Optional[Mesh] = None,
                  axis: str = "data"):
-        from ..ops.binary import pack_signs
+        from ..ops.binary import lane_plane_width, pack_signs
 
         v = np.asarray(vectors, np.float32)
         self.n_valid = len(v)
@@ -237,12 +237,17 @@ class BinaryIndex:
         self.center = (v.mean(axis=0, dtype=np.float64).astype(np.float32)
                        if self.n_valid else
                        np.zeros((max(self.dim, 1),), np.float32))
-        d8 = max((self.dim + 7) // 8, 1)
+        # lane-aligned plane width: the Pallas scan DMAs whole lane
+        # tiles (<= one 128-byte tile of padding per plane)
+        d8 = lane_plane_width(self.dim)
         n_shards = mesh.shape[axis] if mesh is not None else 1
-        padded = _round_up(max(self.n_valid, 1), 128 * n_shards)
+        # pre-align rows to the kernel's unroll (lcm(ring 4, group 2) *
+        # db_tile) so the in-jit pad is a no-op, like DeviceIndex
+        padded = _round_up(max(self.n_valid, 1), 4096 * n_shards)
         host = np.zeros((padded, d8), np.uint8)
         if self.n_valid:
-            host[:self.n_valid] = pack_signs(v - self.center[None, :])
+            host[:self.n_valid] = pack_signs(v - self.center[None, :],
+                                             plane_width=d8)
         arr = jnp.asarray(host)
         if mesh is not None:
             arr = jax.device_put(arr, row_sharding(mesh, axis))
@@ -262,7 +267,7 @@ class BinaryIndex:
         return arr
 
     def search(self, queries, k: int, *, row_mask=None, **_):
-        from ..ops.binary import binary_topk_xla, sharded_binary_topk
+        from ..ops.binary import binary_topk, sharded_binary_topk
 
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
@@ -277,8 +282,9 @@ class BinaryIndex:
             return sharded_binary_topk(self.matrix, q, k, self.dim,
                                        self.mesh, axis=self.axis,
                                        n_valid=self.n_valid, row_mask=mask)
-        return binary_topk_xla(self.matrix, q, k, self.dim,
-                               n_valid=self.n_valid, row_mask=mask)
+        # fused streaming kernel when its contract holds, XLA otherwise
+        return binary_topk(self.matrix, q, k, self.dim,
+                           n_valid=self.n_valid, row_mask=mask)
 
 
 class DeviceIndex:

@@ -100,14 +100,20 @@ def main():
     qs = jax.block_until_ready(qs / jnp.linalg.norm(qs, axis=1,
                                                     keepdims=True))
 
+    from reverso_tpu.ops.binary import binary_topk_pallas
+
     if args.sweep_chunk:
         for c in (8192, 32768, 65536, 131072):
             t, _o = timed(lambda c=c: binary_topk_xla(packed, qs,
                                                       k_fetch, d, chunk=c))
             print(f"  chunk={c}: {t*1e3:.2f} ms", flush=True)
+    t_pal, (ps, pi) = timed(lambda: binary_topk_pallas(packed, qs,
+                                                       k_fetch, d))
     t_bin, (bs, bi) = timed(lambda: binary_topk_xla(packed, qs, k_fetch, d))
     t_bf16, (es, ei) = timed(lambda: cosine_topk_pallas(
         db16, qs.astype(jnp.bfloat16), k, n_valid=n))
+    print(f"  PALLAS packed scan {t_pal*1e3:.2f} ms ({q/t_pal:,.0f} QPS); "
+          f"ids == xla: {bool((np.asarray(pi) == np.asarray(bi)).all())}")
     bi_h, ei_h = np.asarray(bi), np.asarray(ei)
     recall = np.mean([len(set(bi_h[r]) & set(ei_h[r])) / k
                       for r in range(q)])

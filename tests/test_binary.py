@@ -14,7 +14,9 @@ import numpy as np
 import pytest
 
 from reverso_tpu.ops.binary import (
+    binary_topk_pallas,
     binary_topk_xla,
+    lane_plane_width,
     pack_signs,
     sharded_binary_topk,
 )
@@ -94,6 +96,40 @@ def test_binary_topk_mask_nvalid_and_kn():
     assert (i[0, n:] == -1).all() and np.isneginf(s[0, n:]).all()
 
 
+def test_binary_pallas_matches_xla_and_brute():
+    """The fused streaming-kernel mode (interpret on CPU) must agree
+    with the chunked XLA scan and the fp64 reference — incl. row
+    masks, n_valid, and k > n padding. Query values are multiples of
+    0.5 so every f32 partial sum is exact regardless of accumulation
+    order (bitwise-comparable across impls)."""
+    rng = np.random.default_rng(10)
+    n, d, k = 700, 160, 9          # W = lane_plane_width(160) = 128
+    w = lane_plane_width(d)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs[33] = vecs[4]             # exact tie
+    packed = jnp.asarray(pack_signs(vecs, plane_width=w))
+    qs = (np.round(rng.normal(size=(5, d)) * 4) / 2).astype(np.float32)
+    sp, ip = jax.device_get(binary_topk_pallas(packed, jnp.asarray(qs),
+                                               k, d))
+    sx, ix = jax.device_get(binary_topk_xla(packed, jnp.asarray(qs),
+                                            k, d))
+    np.testing.assert_array_equal(ip, ix)
+    np.testing.assert_array_equal(sp, sx)
+    want = brute_binary(vecs, qs[0], k)
+    assert [int(x) for x in ip[0]] == [w_[0] for w_ in want]
+    # masked
+    keep = rng.random(n) < 0.35
+    sp, ip = jax.device_get(binary_topk_pallas(
+        packed, jnp.asarray(qs), k, d, row_mask=jnp.asarray(keep)))
+    sx, ix = jax.device_get(binary_topk_xla(
+        packed, jnp.asarray(qs), k, d, row_mask=jnp.asarray(keep)))
+    np.testing.assert_array_equal(ip, ix)
+    # n_valid + k > n_valid padding
+    sp, ip = jax.device_get(binary_topk_pallas(packed, jnp.asarray(qs),
+                                               60, d, n_valid=50))
+    assert (ip < 50).all() and (ip[:, 50:] == -1).all()
+
+
 def test_sharded_binary_matches_single_device():
     from reverso_tpu.parallel import make_mesh, replicate, shard_rows
 
@@ -124,10 +160,12 @@ def test_sharded_binary_matches_single_device():
 
 def test_binary_index_candidates():
     rng = np.random.default_rng(4)
-    vecs = rng.normal(size=(100, 40)).astype(np.float32)
+    # kernel-shaped: rows pre-padded to the unroll (4096), planes
+    # lane-aligned — at realistic shapes the 16x capacity win holds
+    vecs = rng.normal(size=(4096, 1024)).astype(np.float32)
     idx = BinaryIndex(vecs)
-    assert idx.nbytes < vecs.nbytes / 7    # ~16x smaller than f32 rows
-    q = (np.round(rng.normal(size=40) * 4) / 2).astype(np.float32)
+    assert idx.nbytes * 16 <= vecs.nbytes / 2   # vs the bf16 copy
+    q = (np.round(rng.normal(size=1024) * 4) / 2).astype(np.float32)
     s, i = jax.device_get(idx.search(q, 6))
     # bits are packed against the per-dim mean (rank-neutral centering)
     want = brute_binary(vecs - vecs.mean(axis=0, dtype=np.float64
