@@ -149,13 +149,16 @@ def cmd_search(args) -> int:
         if args.group_by:
             text, groups = engine.search_groups(
                 args.threshold, args.top_k, group_by=args.group_by,
-                group_size=args.group_size, filter=args.filter or None)
+                group_size=args.group_size, filter=args.filter or None,
+                with_lookup=getattr(args, "with_lookup", None) or None)
             if args.json:
                 print(json.dumps([
                     {"key": g["key"],
                      "hits": [{"id": it["id"], "filename": it["filename"],
                                "score": it["score"], "bbox": it["bbox"]}
-                              for it in g["hits"]]}
+                              for it in g["hits"]],
+                     **({"lookup": g.get("lookup")}
+                        if "lookup" in g else {})}
                     for g in groups], indent=2))
             else:
                 print(text)
@@ -228,6 +231,13 @@ def cmd_search_text(args) -> int:
     return 0 if items else 2
 
 
+def _lookup_from_arg(text):
+    """--lookup-from COLLECTION[:SPACE] -> qdrant lookup_from dict."""
+    if not text:
+        return None
+    coll, _, space = text.partition(":")
+    return {"collection": coll, "vector": space or None}
+
 def cmd_recommend(args) -> int:
     """Search by positive/negative example point ids (qdrant's recommend
     API role). Point ids are the row ids search results report; no
@@ -239,7 +249,8 @@ def cmd_recommend(args) -> int:
         return 1
     text, items = engine.recommend(
         args.positive, args.negative or None, args.top_k, args.threshold,
-        strategy=args.strategy, filter=args.filter or None)
+        strategy=args.strategy, filter=args.filter or None,
+        lookup_from=_lookup_from_arg(getattr(args, "lookup_from", None)))
     if args.json:
         print(json.dumps([
             {"id": it["id"], "filename": it["filename"], "score": it["score"],
@@ -320,7 +331,9 @@ def cmd_query(args) -> int:
         hits = engine.query(target, prefetch=prefetch or None,
                             fusion=args.fusion, k=args.top_k,
                             filter=args.filter or None, seed=args.seed,
-                            using=getattr(args, "using", "") or "")
+                            using=getattr(args, "using", "") or "",
+                            lookup_from=_lookup_from_arg(
+                                getattr(args, "lookup_from", None)))
     except (StoreError, FilterError, ValueError) as e:
         print(f"❌ {e}", file=sys.stderr)
         return 1
@@ -1190,6 +1203,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "search_groups): --top-k counts groups, each "
                         "reporting its best --group-size hits")
     s.add_argument("--group-size", type=int, default=3)
+    s.add_argument("--with-lookup", default=None, metavar="COLL",
+                   help="join each group key against a point of "
+                        "ANOTHER collection (qdrant with_lookup): int "
+                        "keys are row ids there, string keys match "
+                        "region_id")
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("search-text",
@@ -1218,6 +1236,10 @@ def build_parser() -> argparse.ArgumentParser:
     rc.add_argument("--json", action="store_true")
     rc.add_argument("--filter", action="append", default=[],
                     help="payload filter clause(s), as in `search`")
+    rc.add_argument("--lookup-from", default=None, metavar="COLL[:SPACE]",
+                    help="resolve example point ids in ANOTHER "
+                         "collection's vector space (qdrant "
+                         "lookup_from)")
     rc.set_defaults(fn=cmd_recommend)
 
     dc = sub.add_parser("discover",
@@ -1267,6 +1289,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="global payload filter, applied inside every "
                          "branch")
     qr.add_argument("--json", action="store_true")
+    qr.add_argument("--lookup-from", default=None, metavar="COLL[:SPACE]",
+                    help="resolve point-id operands (target, prefetch "
+                         "branches) in ANOTHER collection (qdrant "
+                         "lookup_from)")
     qr.set_defaults(fn=cmd_query)
 
     mx = sub.add_parser("matrix",

@@ -1292,7 +1292,7 @@ class Reverso:
                       query_index: int = 0, *,
                       group_by: str = "filename", group_size: int = 3,
                       embeddings=_USE_ENGINE_STATE, filter=None,
-                      using: str = ""):
+                      using: str = "", with_lookup=None):
         """Grouped similarity search — qdrant's search_groups API role
         over the reference's store (core_system.py:659-664): results
         are bucketed by a payload field and each bucket reports its top
@@ -1306,7 +1306,11 @@ class Reverso:
         the full masked scan. Rows without the `group_by` key are
         skipped (qdrant semantics). Returns (text, groups) where groups
         is a list of {"key", "hits"} with hits shaped like
-        search_similar items."""
+        search_similar items. `with_lookup={"collection": name,
+        "with_vectors": bool?}` (or just the name) joins each group key
+        against a point of another collection — qdrant's with_lookup:
+        int keys are row ids there, string keys match region_id; each
+        group gains a "lookup" record (None when absent)."""
         import jax
 
         cfg = self.config.search
@@ -1395,13 +1399,83 @@ class Reverso:
                 text += f"     {payload.get('filename', 'Unknown')} (Similarity: {s:.3f})\n"
             text += "\n"
             groups.append({"key": kv, "hits": items})
+        if with_lookup is not None:
+            # qdrant with_lookup: join each group key against a point
+            # of ANOTHER collection — int keys are row ids, string
+            # keys match region_id (one payload stream over the lookup
+            # collection builds the map; intended for modest document
+            # collections, qdrant's usage). Missing keys get
+            # lookup=None.
+            try:
+                spec = (with_lookup if isinstance(with_lookup, dict)
+                        else {"collection": with_lookup})
+                lstore, _ = self._lookup_store(spec)
+            except (StoreError, ValueError) as e:
+                return (f"❌ {e}", [])
+            try:
+                rid_map = None
+                for gdict in groups:
+                    kv = gdict["key"]
+                    row = None
+                    if isinstance(kv, bool):
+                        row = None
+                    elif isinstance(kv, (int, np.integer)) or (
+                            isinstance(kv, float) and
+                            float(kv).is_integer()):
+                        r = int(kv)
+                        row = r if 0 <= r < lstore.count else None
+                    elif isinstance(kv, str):
+                        if rid_map is None:
+                            rid_map = {}
+                            pays = lstore.payloads(
+                                list(range(lstore.count)))
+                            for r, p in enumerate(pays):
+                                rid = (p or {}).get("region_id")
+                                if isinstance(rid, str) \
+                                        and rid not in rid_map:
+                                    rid_map[rid] = r
+                        row = rid_map.get(kv)
+                    if row is None:
+                        gdict["lookup"] = None
+                        continue
+                    rec = {"id": row,
+                           "payload": lstore.payloads([row])[0]}
+                    if spec.get("with_vectors"):
+                        rec["vector"] = np.asarray(
+                            lstore.vectors()[row], np.float32).tolist()
+                    gdict["lookup"] = rec
+            finally:
+                lstore.close()
         return text, groups
 
-    def _resolve_examples(self, examples,
-                          using: str = "") -> Optional[np.ndarray]:
+    def _lookup_store(self, spec):
+        """qdrant lookup_from: `{"collection": name, "vector": space?}`
+        (or just the collection name) -> (read-only VectorStore,
+        space). Point-id operands then resolve against THAT
+        collection's vectors instead of the loaded one. Caller closes
+        the store."""
+        if isinstance(spec, str):
+            spec = {"collection": spec}
+        if not isinstance(spec, dict) or not spec.get("collection"):
+            raise ValueError('lookup_from must be {"collection": name, '
+                             '"vector": space?} or a collection name')
+        from .store.persist import resolve_alias
+        name = resolve_alias(self.db_root, str(spec["collection"]))
+        store = VectorStore.open(self.db_root, name)
+        space = str(spec.get("vector") or "")
+        if space and space not in store.spaces():
+            store.close()
+            raise ValueError(f"lookup collection {name!r} has no vector "
+                             f"space {space!r}")
+        return store, space
+
+    def _resolve_examples(self, examples, using: str = "",
+                          lookup=None) -> Optional[np.ndarray]:
         """Recommend inputs -> [M, d] f32. Accepts stored point ids
         (ints), [d] vectors, [M, d] arrays, or a mixed list of those;
-        point ids resolve in the `using` vector space."""
+        point ids resolve in the `using` vector space — or, with
+        `lookup=(store, space)` (qdrant lookup_from), in ANOTHER
+        collection's space (dims must match the target space)."""
         if examples is None:
             return None
         if not isinstance(examples, (list, tuple)):
@@ -1409,7 +1483,8 @@ class Reverso:
         rows: list[np.ndarray] = []
         for e in examples:
             if isinstance(e, (int, np.integer)):
-                store = self._store
+                store, space = ((self._store, using) if lookup is None
+                                else lookup)
                 if store is None:
                     raise StoreError("no database loaded")
                 i = int(e)
@@ -1417,7 +1492,7 @@ class Reverso:
                     raise ValueError(
                         f"point id {i} out of range (store has "
                         f"{store.count} points)")
-                rows.append(np.asarray(store.vectors(using)[i],
+                rows.append(np.asarray(store.vectors(space)[i],
                                        np.float32))
             else:
                 v = np.asarray(e, np.float32)
@@ -1427,13 +1502,24 @@ class Reverso:
                     rows.extend(v)
                 else:
                     raise ValueError(f"bad example shape {v.shape}")
-        return np.stack(rows) if rows else None
+        if not rows:
+            return None
+        out = np.stack(rows)
+        if lookup is not None and self._store is not None:
+            expected = self._store.spaces().get(using)
+            if expected and out.shape[1] != expected:
+                raise ValueError(
+                    f"lookup_from vectors are {out.shape[1]}-d but the "
+                    f"target space {using or 'default'!r} is "
+                    f"{expected}-d")
+        return out
 
     def recommend(self, positive, negative=None,
                   max_results: Optional[int] = None,
                   similarity_threshold: Optional[float] = None, *,
                   strategy: str = "average", filter=None,
-                  use_batcher: bool = False, using: str = ""):
+                  use_batcher: bool = False, using: str = "",
+                  lookup_from=None):
         """Search by positive/negative example points — the role of
         qdrant's recommend API over the reference's store
         (core_system.py:659-664 is the search it feeds). Examples are
@@ -1445,6 +1531,10 @@ class Reverso:
         (text, items) like search_similar. Unlike search_similar there
         is no default score threshold (qdrant's recommend has none, and
         best_score values are not plain cosines once negatives bite).
+        `lookup_from={"collection": name, "vector": space?}` resolves
+        example point ids in ANOTHER collection (qdrant lookup_from);
+        those ids then refer to that collection, so no example
+        self-exclusion applies here.
         """
         import jax
         from .ops.recommend import average_query
@@ -1456,18 +1546,27 @@ class Reverso:
         threshold = (-np.inf if similarity_threshold is None
                      else float(similarity_threshold))
         # example points never recommend themselves (qdrant semantics);
-        # over-fetch so exclusion cannot shrink the page below k
+        # over-fetch so exclusion cannot shrink the page below k.
+        # Ids under lookup_from name points of the OTHER collection —
+        # nothing to exclude locally.
         exclude = set()
-        for group in (positive, negative):
-            if group is None:
-                continue
-            for e in (group if isinstance(group, (list, tuple)) else [group]):
-                if isinstance(e, (int, np.integer)):
-                    exclude.add(int(e))
+        if lookup_from is None:
+            for group in (positive, negative):
+                if group is None:
+                    continue
+                for e in (group if isinstance(group, (list, tuple))
+                          else [group]):
+                    if isinstance(e, (int, np.integer)):
+                        exclude.add(int(e))
         k_fetch = k + len(exclude)
+        lstore = None
         try:
-            pos = self._resolve_examples(positive, using)
-            neg = self._resolve_examples(negative, using)
+            lookup = None
+            if lookup_from is not None:
+                lstore, lspace = self._lookup_store(lookup_from)
+                lookup = (lstore, lspace)
+            pos = self._resolve_examples(positive, using, lookup=lookup)
+            neg = self._resolve_examples(negative, using, lookup=lookup)
             if pos is None or not len(pos):
                 return ("❌ Recommend needs at least one positive example.", [])
             mask = self._filter_mask(filter) if filter is not None else None
@@ -1495,6 +1594,9 @@ class Reverso:
                         "(use 'average' or 'best_score').", [])
         except (StoreError, ValueError) as e:
             return (f"❌ {e}", [])
+        finally:
+            if lstore is not None:
+                lstore.close()
         hits = [(float(s), int(i)) for s, i in zip(scores[0], ids[0])
                 if i >= 0 and s >= threshold and int(i) not in exclude][:k]
         if not hits:
@@ -1503,7 +1605,7 @@ class Reverso:
 
     def discover(self, target=None, context=None,
                  max_results: Optional[int] = None, *, filter=None,
-                 using: str = ""):
+                 using: str = "", lookup_from=None):
         """qdrant's discovery API role over the reference's store
         (core_system.py:659-664 is the search it feeds). `context` is a
         list of (positive, negative) example pairs — stored point ids or
@@ -1525,12 +1627,18 @@ class Reverso:
         if target is None and not pairs:
             return ("❌ Discover needs a target and/or context pairs.", [])
         exclude = set()
-        for e in [target, *(x for p in pairs for x in p)]:
-            if isinstance(e, (int, np.integer)):
-                exclude.add(int(e))
+        if lookup_from is None:
+            for e in [target, *(x for p in pairs for x in p)]:
+                if isinstance(e, (int, np.integer)):
+                    exclude.add(int(e))
         k_fetch = k + len(exclude)
+        lstore = None
         try:
-            tgt = (self._resolve_examples(target, using)
+            lookup = None
+            if lookup_from is not None:
+                lstore, lspace = self._lookup_store(lookup_from)
+                lookup = (lstore, lspace)
+            tgt = (self._resolve_examples(target, using, lookup=lookup)
                    if target is not None else None)
             if tgt is not None and len(tgt) != 1:
                 raise ValueError("discover takes exactly one target")
@@ -1540,8 +1648,10 @@ class Reverso:
                            for p in pairs):
                     raise ValueError(
                         "context must be (positive, negative) pairs")
-                pos = self._resolve_examples([p[0] for p in pairs], using)
-                neg = self._resolve_examples([p[1] for p in pairs], using)
+                pos = self._resolve_examples([p[0] for p in pairs],
+                                             using, lookup=lookup)
+                neg = self._resolve_examples([p[1] for p in pairs],
+                                             using, lookup=lookup)
                 if len(pos) != len(pairs) or len(neg) != len(pairs):
                     raise ValueError(
                         "each context pair needs exactly one positive and "
@@ -1558,11 +1668,96 @@ class Reverso:
                     index.context(pos, neg, k_fetch, row_mask=mask))
         except (StoreError, ValueError) as e:
             return (f"❌ {e}", [])
+        finally:
+            if lstore is not None:
+                lstore.close()
         hits = [(float(s), int(i)) for s, i in zip(scores[0], ids[0])
                 if i >= 0 and int(i) not in exclude][:k]
         if not hits:
             return ("❌ No discovery results found.", [])
         return self._render_hits(hits, store)
+
+    def _exact_scores(self, vecs: np.ndarray, qv: np.ndarray) -> np.ndarray:
+        """Exact f32 similarity of rows against one query under the
+        store's distance (distance metrics report -distance so
+        higher-is-better holds everywhere)."""
+        vecs = np.asarray(vecs, np.float32)
+        if self._store.distance == "euclid":
+            return -np.linalg.norm(vecs - qv[None, :], axis=1)
+        if self._store.distance == "manhattan":
+            return -np.abs(vecs - qv[None, :]).sum(axis=1)
+        return vecs @ qv
+
+    def _mmr_select(self, spec: dict, k: int, gmask, using: str,
+                    cand=None) -> list:
+        """Maximal Marginal Relevance result diversification — the
+        qdrant 1.15 `mmr` query. Greedy: the first pick is the most
+        relevant candidate; each later pick maximizes
+        `(1 - diversity) * rel - diversity * max_sim_to_selected`
+        (diversity 0 = plain top-k, 1 = pure diversity), ties to the
+        lower point id. Returns [(relevance score, id)] in SELECTION
+        order. `cand` (prefetch union) replaces the candidate scan;
+        relevance is then the exact rescore against `nearest`.
+        Candidate pool size is `candidates_limit` (default
+        max(10*k, 100)) — MMR needs pairwise sims, so the pool is
+        deliberately k-scale, qdrant's own shape."""
+        import jax
+
+        store = self._store
+        mmr = spec.get("mmr")
+        if not isinstance(mmr, dict):
+            raise ValueError('mmr must be an object: {"diversity": ..., '
+                             '"candidates_limit": ...}')
+        diversity = float(mmr.get("diversity", 0.5))
+        if not 0.0 <= diversity <= 1.0:
+            raise ValueError(f"mmr diversity must be in [0, 1], got "
+                             f"{diversity}")
+        climit = int(mmr.get("candidates_limit", max(10 * k, 100)))
+        if climit < 1:
+            raise ValueError("mmr candidates_limit must be >= 1")
+        if "nearest" not in spec:
+            raise ValueError('an mmr query needs a "nearest" operand: '
+                             '{"nearest": <vector|id>, "mmr": {...}}')
+        if using and (using in store.sparse or using in store.multi):
+            raise StoreError("mmr needs a dense vector space (pairwise "
+                             "similarities of the candidates)")
+        qv = self._resolve_query_vector(spec["nearest"], using)
+        if cand is None:
+            kf = min(climit, max(store.count, 1))
+            s, i = jax.device_get(
+                self._get_index(using).search(qv[None], kf,
+                                              row_mask=gmask))
+            valid = i[0] >= 0
+            cand = [int(x) for x in i[0][valid]]
+            rel = np.asarray(s[0][valid], np.float64)
+            vecs = np.asarray(store.vectors(using)[cand], np.float32)
+        else:
+            cand = list(cand)
+            vecs = np.asarray(store.vectors(using)[cand], np.float32)
+            rel = self._exact_scores(vecs, qv).astype(np.float64)
+            if len(cand) > climit:
+                keep = np.lexsort((np.asarray(cand), -rel))[:climit]
+                keep.sort()
+                cand = [cand[j] for j in keep]
+                vecs, rel = vecs[keep], rel[keep]
+        if not cand:
+            return []
+        ids = np.asarray(cand, np.int64)
+        max_sim = np.full(len(cand), -np.inf)
+        remaining = np.ones(len(cand), bool)
+        out = []
+        for step in range(min(k, len(cand))):
+            obj = rel if step == 0 else \
+                (1.0 - diversity) * rel - diversity * max_sim
+            obj = np.where(remaining, obj, -np.inf)
+            j = int(np.lexsort((ids, -obj))[0])
+            if np.isneginf(obj[j]):
+                break
+            out.append((float(rel[j]), int(ids[j])))
+            remaining[j] = False
+            max_sim = np.maximum(max_sim,
+                                 self._exact_scores(vecs, vecs[j]))
+        return out
 
     def _resolve_query_vector(self, q, using: str = "") -> np.ndarray:
         """A query operand -> [d] fp32 vector: int row id, region_id
@@ -1634,7 +1829,8 @@ class Reverso:
     def query(self, query=None, *, prefetch=None,
               fusion: Optional[str] = None, k: Optional[int] = None,
               filter=None, with_payload: bool = True, seed=None,
-              use_batcher: bool = False, using: str = ""):
+              use_batcher: bool = False, using: str = "",
+              lookup_from=None):
         """Universal query API — the role of qdrant's query_points
         with prefetch + fusion / multi-stage rescoring (the modern
         face of the store the reference drove via plain `search`,
@@ -1661,6 +1857,12 @@ class Reverso:
             the union with a qdrant score-boosting FORMULA over
             prefetch scores, payload values, filter conditions, geo
             distance and decay functions (grammar: store/formula.py).
+            A `query` of `{"nearest": <operand>, "mmr": {"diversity":
+            0..1, "candidates_limit": n}}` returns a DIVERSIFIED
+            top-k (qdrant 1.15 MMR): greedy max of `(1-diversity)*rel
+            - diversity*max_sim_to_selected` over the candidate pool
+            (the prefetch union, or a plain scan when standalone),
+            results in selection order with relevance scores.
 
         A top-level `filter` applies inside every branch scan (so
         branches return their full limit of valid candidates), exactly
@@ -1687,16 +1889,50 @@ class Reverso:
         store.refresh()
         gmask = self._filter_mask(filter) if filter is not None else None
 
+        if lookup_from is not None:
+            # qdrant lookup_from: point-id operands (top-level query,
+            # mmr "nearest", prefetch branch queries) resolve against
+            # ANOTHER collection's vectors. Resolved up front so the
+            # lookup store closes before any scan runs.
+            lstore, lspace = self._lookup_store(lookup_from)
+            try:
+                def _lk(op):
+                    if isinstance(op, (int, np.integer)):
+                        i = int(op)
+                        if not 0 <= i < lstore.count:
+                            raise StoreError(
+                                f"lookup point id {i} out of range "
+                                f"[0, {lstore.count})")
+                        return np.asarray(lstore.vectors(lspace)[i],
+                                          np.float32)
+                    return op
+                if isinstance(query, dict) and "nearest" in query:
+                    query = {**query, "nearest": _lk(query["nearest"])}
+                else:
+                    query = _lk(query)
+                if prefetch is not None:
+                    prefetch = [
+                        {**spec, "query": _lk(spec["query"])}
+                        if isinstance(spec, dict) and "query" in spec
+                        else _lk(spec)
+                        for spec in prefetch]
+            finally:
+                lstore.close()
+
         formula = None
         if isinstance(query, dict) and "formula" in query:
             # qdrant formula query (score boosting): validate the
             # expression BEFORE any scan so malformed specs fail fast
             from .store.formula import parse_formula
+            if "mmr" in query:
+                raise ValueError("pass either a formula or an mmr "
+                                 "query, not both")
             formula = parse_formula(query["formula"])
             if prefetch is None:
                 raise ValueError("formula queries rescore prefetch "
                                  "candidates — provide prefetch "
                                  "branches (qdrant requires this too)")
+        is_mmr = isinstance(query, dict) and "mmr" in query
 
         def hits_out(pairs):
             ids = [pid for _, pid in pairs]
@@ -1722,6 +1958,10 @@ class Reverso:
                                  "prefetch branches")
             if is_random(query):
                 return hits_out([(0.0, r) for r in random_rows(k, gmask)])
+            if is_mmr:
+                # qdrant mmr query: diversified top-k over the
+                # candidate scan (selection order, relevance scores)
+                return hits_out(self._mmr_select(query, k, gmask, using))
             if using and using in store.sparse:
                 sq = self._resolve_sparse_query(query, using)
                 s1, i1 = self._get_sparse_index(using).search(
@@ -1818,6 +2058,11 @@ class Reverso:
         cand = sorted({pid for ids, _ in branches for pid in ids})
         if not cand:
             return []
+        if is_mmr:
+            # diversified rerank of the prefetch union: relevance is
+            # the exact rescore against the mmr "nearest" operand
+            return hits_out(self._mmr_select(query, k, gmask, using,
+                                             cand=cand))
         if formula is not None:
             # formula rescore (qdrant score boosting): host-side
             # expression over prefetch scores / payload values /
@@ -1882,7 +2127,7 @@ class Reverso:
         store.refresh()
         reqs = [dict(r) for r in requests]
         allowed = {"query", "prefetch", "fusion", "k", "filter",
-                   "with_payload", "seed", "using"}
+                   "with_payload", "seed", "using", "lookup_from"}
         for r in reqs:
             bad = set(r) - allowed
             if bad:
@@ -1894,7 +2139,12 @@ class Reverso:
             q = r.get("query")
             plain = (not r.get("prefetch") and r.get("fusion") is None
                      and q is not None
-                     and not (isinstance(q, dict) and "sample" in q)
+                     and not (isinstance(q, dict)
+                              and ("sample" in q or "formula" in q
+                                   or "mmr" in q))
+                     # lookup_from ids resolve in another collection —
+                     # the per-request query() path handles the open
+                     and r.get("lookup_from") is None
                      # sparse spaces score host-side per request (no
                      # device launch to coalesce); multivector queries
                      # are ragged [Tq, d] operands with their own
