@@ -248,8 +248,16 @@ def sharded_binary_topk(packed: jnp.ndarray, queries: jnp.ndarray, k: int,
         shard_id = jax.lax.axis_index(axis)
         local_valid = jnp.clip(jnp.asarray(n_valid) - shard_id * local_n,
                                0, local_n)
-        s, i = binary_topk_xla(db_shard, qs, k, d, n_valid=local_valid,
-                               row_mask=mask_shard)
+        # fused kernel per shard when its contract holds (same
+        # dispatch rule as the single-device path)
+        if k <= 128 and packed.shape[1] % 128 == 0:
+            s, i = binary_topk_pallas(db_shard, qs, k, d,
+                                      n_valid=local_valid,
+                                      row_mask=mask_shard)
+        else:
+            s, i = binary_topk_xla(db_shard, qs, k, d,
+                                   n_valid=local_valid,
+                                   row_mask=mask_shard)
         i = jnp.where(i >= 0, i + shard_id * local_n, i)
         all_s = jax.lax.all_gather(s, axis)
         all_i = jax.lax.all_gather(i, axis)

@@ -152,6 +152,17 @@ def test_sharded_binary_matches_single_device():
         shard_rows(packed, mesh), replicate(jnp.asarray(qs), mesh),
         k, d, mesh, row_mask=jnp.asarray(keep)))
     np.testing.assert_array_equal(i1, i8)
+    # lane-aligned planes route each shard through the fused kernel —
+    # results must still equal the single-device XLA scan
+    wl = lane_plane_width(d)
+    packed_l = jnp.asarray(pack_signs(vecs, plane_width=wl))
+    s1, i1 = jax.device_get(binary_topk_xla(packed_l, jnp.asarray(qs),
+                                            k, d))
+    s8, i8 = jax.device_get(sharded_binary_topk(
+        shard_rows(packed_l, mesh), replicate(jnp.asarray(qs), mesh),
+        k, d, mesh))
+    np.testing.assert_array_equal(i1, i8)
+    np.testing.assert_allclose(s1, s8, rtol=1e-6)
 
 
 # ---------------------------------------------------------------------------
