@@ -199,8 +199,13 @@ class _BinaryRescoreAdapter:
         q = np.asarray(jax.device_get(queries), np.float32)
         if q.ndim == 1:
             q = q[None]
+        if self.n_valid == 0:
+            # empty store: the same clean -1 page every index returns
+            # (the rescore gather below would index a [0, d] array)
+            return (np.full((len(q), k), -np.inf, np.float32),
+                    np.full((len(q), k), -1, np.int32))
         k_fetch = min(max(k, int(_math.ceil(k * self.oversampling))),
-                      max(self.n_valid, 1))
+                      self.n_valid)
         s, i = (np.asarray(jax.device_get(a))
                 for a in self._b.search(q, k_fetch, row_mask=row_mask))
         if not self.rescore:
@@ -894,8 +899,14 @@ class Reverso:
                 # prefetch-branch callers are agnostic.
                 from .store import MultiVecIndex
                 subs, indptr = store.multivectors(using)
+                # "binary"/"int8" are modes of the DENSE index; the
+                # MaxSim matrix coerces to bf16 (jnp.dtype("binary")
+                # would crash, and int8 makes MaxSim inexact)
+                mv_dtype = self.config.store.dtype
+                if mv_dtype in ("binary", "int8"):
+                    mv_dtype = "bfloat16"
                 index = MultiVecIndex(np.asarray(subs), indptr,
-                                      dtype=self.config.store.dtype)
+                                      dtype=mv_dtype)
                 self._indexes[using] = (key, index)
                 return index
             if using not in store.spaces():
@@ -916,9 +927,13 @@ class Reverso:
                 # IVF applies to the DEFAULT space only (its k-means
                 # cache is keyed per store); named spaces use the exact
                 # device scan
+                # IVF probes dense clusters: "binary" is a mode of the
+                # exact index, not an IVF cell dtype — coerce to bf16
+                ivf_dtype = self.config.store.dtype
+                if ivf_dtype == "binary":
+                    ivf_dtype = "bfloat16"
                 ivf = load_or_build_ivf(store, vectors, scfg,
-                                        self.config.store.dtype,
-                                        mesh=self.mesh)
+                                        ivf_dtype, mesh=self.mesh)
                 index = _IVFSearchAdapter(ivf, scfg.ivf_nprobe,
                                           impl=scfg.ivf_impl)
             elif self.config.store.dtype == "binary":
@@ -1896,6 +1911,22 @@ class Reverso:
             # lookup store closes before any scan runs.
             lstore, lspace = self._lookup_store(lookup_from)
             try:
+                rid_rows: dict = {}
+
+                def _rid_map() -> dict:
+                    # region_id -> row of the LOOKUP collection, built
+                    # once per call (string ids must not fall through
+                    # to the local collection — they name the lookup
+                    # one, like every other id under lookup_from)
+                    if not rid_rows:
+                        pays = lstore.payloads(list(range(lstore.count)))
+                        for r, p in enumerate(pays):
+                            rid = (p or {}).get("region_id")
+                            if isinstance(rid, str) \
+                                    and rid not in rid_rows:
+                                rid_rows[rid] = r
+                    return rid_rows
+
                 def _lk(op):
                     if isinstance(op, (int, np.integer)):
                         i = int(op)
@@ -1904,6 +1935,14 @@ class Reverso:
                                 f"lookup point id {i} out of range "
                                 f"[0, {lstore.count})")
                         return np.asarray(lstore.vectors(lspace)[i],
+                                          np.float32)
+                    if isinstance(op, str):
+                        row = _rid_map().get(op)
+                        if row is None:
+                            raise StoreError(
+                                f"no point with region_id {op!r} in "
+                                f"the lookup collection")
+                        return np.asarray(lstore.vectors(lspace)[row],
                                           np.float32)
                     return op
                 if isinstance(query, dict) and "nearest" in query:
@@ -2071,8 +2110,7 @@ class Reverso:
             ctx = FormulaContext(
                 cand,
                 [dict(zip(ids, scores)) for ids, scores in branches],
-                payload_of=lambda pid: (store.payloads([pid]) or [{}])[0]
-                or {},
+                payloads_of=store.payloads,
                 condition_mask=self._filter_mask,
                 defaults=query.get("defaults"))
             scores = eval_formula(formula, ctx)
@@ -2100,12 +2138,7 @@ class Reverso:
             return hits_out([(float(scores[j]), int(cand[j]))
                              for j in order if np.isfinite(scores[j])])
         vecs = np.asarray(store.vectors(using)[cand], np.float32)
-        if store.distance == "euclid":
-            scores = -np.linalg.norm(vecs - qv[None, :], axis=1)
-        elif store.distance == "manhattan":
-            scores = -np.abs(vecs - qv[None, :]).sum(axis=1)
-        else:
-            scores = vecs @ qv
+        scores = self._exact_scores(vecs, qv)
         order = np.lexsort((np.asarray(cand), -scores))[:k]
         return hits_out([(float(scores[j]), int(cand[j])) for j in order])
 

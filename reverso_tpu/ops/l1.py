@@ -140,29 +140,45 @@ def sharded_manhattan_topk(db: jnp.ndarray, queries: jnp.ndarray, k: int,
 def manhattan_topk_host(vectors: np.ndarray, queries: np.ndarray, k: int,
                         *, row_mask=None, chunk: int = 16384):
     """Host (numpy) exact Manhattan top-k — the HostIndex counterpart
-    for no-accelerator deployments. Same result contract."""
+    for no-accelerator deployments. Same result contract. Carries a
+    running top-k across row chunks (the [Q, N] score matrix never
+    materializes — at 1M rows x 256 queries it would be a gigabyte;
+    memory stays O(Q * (k + chunk)))."""
     v = np.asarray(vectors, np.float32)
     q = np.asarray(queries, np.float32)
     if q.ndim == 1:
         q = q[None]
     n = len(v)
+    nq = len(q)
     keep = None
     if row_mask is not None:
         keep = np.asarray(row_mask, bool)[:n]
-    scores = np.empty((len(q), n), np.float32)
+    k_eff = min(k, n)
+    run_s = np.full((nq, k_eff), -np.inf, np.float32)
+    run_i = np.full((nq, k_eff), -1, np.int64)
     for lo in range(0, n, chunk):
         block = v[lo:lo + chunk]
-        scores[:, lo:lo + len(block)] = -np.abs(
-            q[:, None, :] - block[None]).sum(-1)
-    if keep is not None:
-        scores[:, ~keep] = -np.inf
-    k_eff = min(k, n)
-    out_s = np.full((len(q), k), -np.inf, np.float32)
-    out_i = np.full((len(q), k), -1, np.int32)
+        s = -np.abs(q[:, None, :] - block[None]).sum(
+            -1, dtype=np.float32)
+        cols = np.arange(lo, lo + len(block))
+        if keep is not None:
+            s[:, ~keep[lo:lo + len(block)]] = -np.inf
+        # merge: carry (lower ids) precedes the chunk; lexsort on
+        # (-score, id) keeps the exact tie order
+        all_s = np.concatenate([run_s, s], axis=1)
+        all_i = np.concatenate(
+            [run_i, cols[None].repeat(nq, 0)], axis=1)
+        # absent carry slots (id -1) must sort last: their score is
+        # -inf, and lexsort's id key only breaks FINITE ties
+        order = np.lexsort(
+            (np.where(all_i < 0, np.iinfo(np.int64).max, all_i),
+             -all_s), axis=1)[:, :k_eff]
+        run_s = np.take_along_axis(all_s, order, axis=1)
+        run_i = np.take_along_axis(all_i, order, axis=1)
+    out_s = np.full((nq, k), -np.inf, np.float32)
+    out_i = np.full((nq, k), -1, np.int32)
     if n:
-        order = np.lexsort((np.arange(n)[None].repeat(len(q), 0),
-                            -scores), axis=1)[:, :k_eff]
-        out_s[:, :k_eff] = np.take_along_axis(scores, order, axis=1)
-        out_i[:, :k_eff] = order
+        out_s[:, :k_eff] = run_s
+        out_i[:, :k_eff] = run_i.astype(np.int32)
         out_i[np.isneginf(out_s)] = -1
     return out_s, out_i

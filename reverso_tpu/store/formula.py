@@ -47,9 +47,9 @@ from typing import Any, Callable, Optional
 import numpy as np
 
 from .filter import (
-    _EARTH_RADIUS_M,
     _collect_path,
     _geo_point,
+    _haversine_m,
     _parse_datetime,
     _path_segments,
 )
@@ -138,25 +138,29 @@ class FormulaContext:
 
     ids:            [C] candidate row ids (ascending)
     branch_scores:  per prefetch branch, {row id: score}
-    payload_of:     row id -> payload dict (called once per id, lazily)
+    payloads_of:    BATCHED fetcher: [row ids] -> [payload dicts]
+                    (called at most once, lazily — one sidecar-seek
+                    pass instead of one call per candidate)
     condition_mask: filter-condition spec -> bool array indexed by ROW
                     id (the engine's cached filter machinery)
     defaults:       {"$score": v, payload_key: v} fallbacks
     """
 
-    def __init__(self, ids, branch_scores, payload_of: Callable,
+    def __init__(self, ids, branch_scores, payloads_of: Callable,
                  condition_mask: Callable,
                  defaults: Optional[dict] = None):
         self.ids = np.asarray(ids, np.int64)
         self.branch_scores = list(branch_scores)
-        self._payload_of = payload_of
+        self._payloads_of = payloads_of
         self._condition_mask = condition_mask
         self.defaults = dict(defaults or {})
         self._payloads: Optional[list] = None
 
     def payloads(self) -> list:
         if self._payloads is None:
-            self._payloads = [self._payload_of(int(i)) for i in self.ids]
+            self._payloads = [p or {} for p in
+                              self._payloads_of([int(i)
+                                                 for i in self.ids])]
         return self._payloads
 
     # -- variable resolution -------------------------------------------
@@ -204,7 +208,8 @@ class FormulaContext:
         return out
 
     def geo_var(self, key: str) -> np.ndarray:
-        """Payload geo points as (lat, lon) radian pairs."""
+        """Payload geo points as (lon, lat) DEGREE pairs — the units
+        the shared filter haversine takes."""
         segs = _path_segments(key) or [key]
         out = np.empty((len(self.ids), 2), np.float64)
         for r, payload in enumerate(self.payloads()):
@@ -215,7 +220,7 @@ class FormulaContext:
                 raise FormulaError(f"geo payload key {key!r} missing on "
                                    f"point {int(self.ids[r])}")
             lon, lat = _geo_point(vals[0], what=f"payload key {key!r}")
-            out[r] = (math.radians(lat), math.radians(lon))
+            out[r] = (lon, lat)
         return out
 
     def condition(self, spec: dict) -> np.ndarray:
@@ -299,22 +304,25 @@ def eval_formula(spec: Any, ctx: FormulaContext) -> np.ndarray:
             if op == "log10":
                 return np.log10(eval_formula(body, ctx))
             if op == "geo_distance":
+                # the SAME clamped haversine the geo filter conditions
+                # use (float error near antipodes can push the arcsin
+                # argument past 1.0 -> NaN without the clamp)
                 lon0, lat0 = _geo_point(body["origin"],
                                         what="geo_distance origin")
                 pts = ctx.geo_var(body["to"])
-                lat0, lon0 = math.radians(lat0), math.radians(lon0)
-                dlat = pts[:, 0] - lat0
-                dlon = pts[:, 1] - lon0
-                a = (np.sin(dlat / 2) ** 2
-                     + math.cos(lat0) * np.cos(pts[:, 0])
-                     * np.sin(dlon / 2) ** 2)
-                return 2 * _EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+                return _haversine_m(pts[:, 0], pts[:, 1], lon0, lat0)
             # decays
             x = eval_formula(body["x"], ctx)
             target = body.get("target", 0.0)
             if isinstance(target, str):
-                t = np.full(n, _parse_datetime(
-                    target, what=f"{op} target"), np.float64)
+                # an RFC 3339 string is a datetime constant; any other
+                # string is a normal variable node (payload key /
+                # $score) — the docstring's "datetime payload key"
+                try:
+                    t = np.full(n, _parse_datetime(
+                        target, what=f"{op} target"), np.float64)
+                except Exception:
+                    t = eval_formula(target, ctx)
             else:
                 t = eval_formula(target, ctx)
             midpoint = float(body.get("midpoint", 0.5))

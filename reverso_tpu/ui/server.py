@@ -515,6 +515,7 @@ def make_handler(state: UIState):
                     filter=body.get("filter") or None,
                     seed=_seed_of(body),
                     using=str(body.get("using") or ""),
+                    lookup_from=body.get("lookup_from") or None,
                     use_batcher=True))
             self._json({"hits": hits})
 

@@ -308,6 +308,41 @@ def test_engine_binary_end_to_end(tmp_path):
     assert text.startswith("❌")
 
 
+def test_engine_binary_empty_store_and_multivec_coexistence(tmp_path):
+    """--index-dtype binary must not break the non-dense-index paths:
+    an EMPTY store returns a clean empty page (the rescore gather used
+    to index a [0, d] array), and a multivector space coerces its
+    MaxSim matrix to bf16 instead of crashing on jnp.dtype('binary')."""
+    import dataclasses as _dc
+
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    rng = np.random.default_rng(12)
+    d = 16
+    root = str(tmp_path / "db")
+    VectorStore.create(root, "bqm", d, multi={"tok": 8}).close()
+    cfg = default_config()
+    cfg = _dc.replace(
+        cfg, model=_dc.replace(MODEL_PRESETS["test-tiny"],
+                               dtype="float32"),
+        store=_dc.replace(cfg.store, root_dir=root, dtype="binary"))
+    engine = Reverso(cfg)
+    engine.load_database("bqm")
+    q = rng.normal(size=d).astype(np.float32)
+    assert engine.query(q.tolist(), k=3) == []          # empty store
+    mv = [(rng.normal(size=(2, 8))).astype(np.float32) for _ in range(6)]
+    mv = [m / np.linalg.norm(m, axis=1, keepdims=True) for m in mv]
+    dense = rng.normal(size=(6, d)).astype(np.float32)
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    msg = engine.upsert_points(
+        {"": dense, "tok": mv},
+        [{"region_id": f"r{i}"} for i in range(6)])
+    assert msg.startswith("✅"), msg
+    hits = engine.query(mv[2].tolist(), k=2, using="tok")
+    assert hits and hits[0]["id"] == 2
+
+
 def test_engine_binary_rejects_distance_stores(tmp_path):
     engine, vecs, rng = make_engine(tmp_path, distance="euclid", n=20)
     q = vecs[0]

@@ -242,6 +242,16 @@ def test_manhattan_topk_fp64_parity_and_ties():
     hs, hi = manhattan_topk_host(vecs, q[None], 10)
     np.testing.assert_array_equal(hi, i)
     np.testing.assert_allclose(hs, s, atol=1e-5)
+    # the host scan carries a running top-k across row chunks — a
+    # chunk smaller than n must merge identically (ties included)
+    cs, ci = manhattan_topk_host(vecs, q[None], 10, chunk=7)
+    np.testing.assert_array_equal(ci, hi)
+    np.testing.assert_allclose(cs, hs, atol=0)
+    keep = np.arange(len(vecs)) % 3 == 0
+    ms, mi = manhattan_topk_host(vecs, q[None], 10, row_mask=keep)
+    cs, ci = manhattan_topk_host(vecs, q[None], 10, row_mask=keep,
+                                 chunk=7)
+    np.testing.assert_array_equal(ci, mi)
 
 
 def test_host_index_distance_parity():

@@ -23,7 +23,7 @@ def ctx_of(ids, branches, payloads, defaults=None, cond=None):
     pay = {i: p for i, p in zip(ids, payloads)}
     return FormulaContext(
         ids, branches,
-        payload_of=lambda pid: pay.get(pid, {}),
+        payloads_of=lambda pids: [pay.get(p, {}) for p in pids],
         condition_mask=cond or (lambda spec: np.zeros(max(ids) + 1, bool)),
         defaults=defaults)
 
@@ -120,14 +120,25 @@ def test_decays_and_geo():
                                       "target": "2024-01-01T00:00:00Z",
                                       "scale": 86400.0 * 2}}, c2)
     np.testing.assert_allclose(got, [1.0, 0.5])
+    # decay target can be a payload key (per the grammar), not only an
+    # RFC 3339 literal
+    pay2b = [{"ts": "2024-01-03T00:00:00Z", "t0": "2024-01-01T00:00:00Z"},
+             {"ts": "2024-01-01T00:00:00Z", "t0": "2024-01-01T00:00:00Z"}]
+    c2b = ctx_of([0, 1], [{}], pay2b)
+    got = eval_formula({"exp_decay": {"x": "ts", "target": "t0",
+                                      "scale": 86400.0 * 2}}, c2b)
+    np.testing.assert_allclose(got, [0.5, 1.0])
     # geo_distance: ~111 km per degree of latitude
     pay3 = [{"loc": {"lat": 1.0, "lon": 0.0}},
-            {"loc": {"lat": 0.0, "lon": 0.0}}]
-    c3 = ctx_of([0, 1], [{}], pay3)
+            {"loc": {"lat": 0.0, "lon": 0.0}},
+            {"loc": {"lat": 0.0, "lon": 180.0}}]   # antipode: no NaN
+    c3 = ctx_of([0, 1, 2], [{}], pay3)
     got = eval_formula({"geo_distance": {
         "origin": {"lat": 0.0, "lon": 0.0}, "to": "loc"}}, c3)
     assert got[0] == pytest.approx(111_195, rel=1e-3)
     assert got[1] == 0.0
+    assert np.isfinite(got[2]) and got[2] == pytest.approx(
+        np.pi * 6_371_008.8, rel=1e-6)
 
 
 def test_condition_nodes_use_the_mask():

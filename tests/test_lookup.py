@@ -88,6 +88,11 @@ def test_query_and_discover_lookup_from(tmp_path):
                                   lookup_from="docs")
     assert items and [it["id"] for it in items] == \
         [h["id"] for h in want[:3]]
+    # string (region_id) operands resolve in the LOOKUP collection too
+    hits = engine.query("d1", k=4, lookup_from="docs")
+    assert [h["id"] for h in hits] == [h["id"] for h in want]
+    with pytest.raises(StoreError, match="lookup collection"):
+        engine.query("r0", lookup_from="docs")   # local-only region_id
 
 
 def test_search_groups_with_lookup(tmp_path):
