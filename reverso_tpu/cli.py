@@ -406,7 +406,9 @@ def cmd_points(args) -> int:
         points, next_offset = engine.scroll(
             args.filter or None, offset=offset, limit=args.limit,
             order_by=args.order_by,
-            direction="desc" if args.desc else "asc")
+            direction="desc" if args.desc else "asc",
+            with_vectors=getattr(args, "vectors", False),
+            using=getattr(args, "space", "") or "")
     except (StoreError, FilterError, ValueError) as e:
         print(f"❌ {e}", file=sys.stderr)
         return 1
@@ -1229,7 +1231,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="example point id to move toward (repeatable)")
     rc.add_argument("--negative", action="append", type=int, default=[],
                     help="example point id to move away from (repeatable)")
-    rc.add_argument("--strategy", choices=("average", "best_score"),
+    rc.add_argument("--strategy",
+                    choices=("average", "sum_scores", "best_score"),
                     default="average")
     rc.add_argument("--threshold", type=float, default=None)
     rc.add_argument("--top-k", type=int, default=None)
@@ -1331,6 +1334,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "unordered rows excluded)")
     pt.add_argument("--desc", action="store_true",
                     help="descending order (with --order-by)")
+    pt.add_argument("--vectors", action="store_true",
+                    help="include each point's stored vector (qdrant "
+                         "with_vectors)")
+    pt.add_argument("--space", default="",
+                    help="vector space --vectors reads ('' = default)")
     pt.add_argument("--json", action="store_true")
     pt.set_defaults(fn=cmd_points)
 

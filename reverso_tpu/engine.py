@@ -1540,9 +1540,12 @@ class Reverso:
         (core_system.py:659-664 is the search it feeds). Examples are
         stored point ids (row ids as returned in search results) or raw
         embedding vectors; `strategy` is "average" (ONE composed query
-        through the fused kernel; works on every index incl. IVF) or
-        "best_score" (every row ranked against every example via
-        qdrant's best-score combine; exact index only). Returns
+        through the fused kernel; works on every index incl. IVF),
+        "sum_scores" (qdrant's summed-similarity strategy — also ONE
+        composed query by dot linearity, scores are the summed sims;
+        cosine/dot stores), or "best_score" (every row ranked against
+        every example via qdrant's best-score combine; exact index
+        only). Returns
         (text, items) like search_similar. Unlike search_similar there
         is no default score threshold (qdrant's recommend has none, and
         best_score values are not plain cosines once negatives bite).
@@ -1552,7 +1555,7 @@ class Reverso:
         self-exclusion applies here.
         """
         import jax
-        from .ops.recommend import average_query
+        from .ops.recommend import average_query, sum_scores_query
 
         store = self._store
         if store is None:
@@ -1585,8 +1588,19 @@ class Reverso:
             if pos is None or not len(pos):
                 return ("❌ Recommend needs at least one positive example.", [])
             mask = self._filter_mask(filter) if filter is not None else None
-            if strategy == "average":
-                q = average_query(pos, neg)
+            if strategy in ("average", "sum_scores"):
+                if strategy == "sum_scores":
+                    # qdrant sum_scores composes to one UNnormalized
+                    # query by dot linearity (ops.recommend); the
+                    # returned scores are the summed similarities,
+                    # which only a dot-family metric defines
+                    if store.distance in ("euclid", "manhattan"):
+                        return ("❌ strategy='sum_scores' sums dot "
+                                "similarities — not defined on a "
+                                f"{store.distance}-distance store.", [])
+                    q = sum_scores_query(pos, neg)
+                else:
+                    q = average_query(pos, neg)
                 if mask is None and use_batcher and k_fetch <= 128:
                     # coalesce with in-flight searches: the composed
                     # query is just one more row in the launch batch
@@ -1605,8 +1619,8 @@ class Reverso:
                 scores, ids = jax.device_get(
                     index.best_score(pos, neg, k_fetch, row_mask=mask))
             else:
-                return (f"❌ Unknown strategy '{strategy}' "
-                        "(use 'average' or 'best_score').", [])
+                return (f"❌ Unknown strategy '{strategy}' (use "
+                        "'average', 'sum_scores', or 'best_score').", [])
         except (StoreError, ValueError) as e:
             return (f"❌ {e}", [])
         finally:
@@ -2223,12 +2237,15 @@ class Reverso:
 
     def scroll(self, filter=None, *, offset=0, limit: int = 100,
                with_payload: bool = True, order_by: Optional[str] = None,
-               direction: str = "asc"):
+               direction: str = "asc", with_vectors: bool = False,
+               using: str = ""):
         """Page through stored points (ids + payloads), optionally
         filtered — the role of qdrant's scroll API. Returns
         (points, next_offset): `points` is a list of {"id", "payload"}
-        dicts; `next_offset` is the token to pass as `offset` for the
-        next page, or None when exhausted.
+        dicts (plus "vector" from the `using` space under
+        `with_vectors=True`, qdrant's scroll selector); `next_offset`
+        is the token to pass as `offset` for the next page, or None
+        when exhausted.
 
         Default order is by row id; `offset` is then a row id, so pages
         stay stable under concurrent appends. With `order_by=<payload
@@ -2291,6 +2308,10 @@ class Reverso:
         payloads = (store.payloads(page) if with_payload
                     else [None] * len(page))
         points = [{"id": i, "payload": p} for i, p in zip(page, payloads)]
+        if with_vectors and page:
+            vecs = np.asarray(store.vectors(using)[page], np.float32)
+            for pt, v in zip(points, vecs):
+                pt["vector"] = v.tolist()
         return points, next_offset
 
     def retrieve(self, ids, *, with_payload: bool = True,

@@ -25,6 +25,7 @@ from .l1 import (
 from .norm import l2_normalize
 from .recommend import (
     average_query,
+    sum_scores_query,
     best_score_topk,
     context_topk,
     discover_topk,

@@ -53,6 +53,30 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .topk import _dot_precision, _pad_dim, _round_up
 
 
+def sum_scores_query(positives, negatives=None) -> np.ndarray:
+    """Compose qdrant's sum_scores recommend strategy into ONE query.
+
+    score(row) = sum_p <row, p> - sum_n <row, n> = <row, sum(p) - sum(n)>
+    by linearity of the dot product, so the strategy is exact through
+    any dot/cosine index in a single fused-kernel search and the
+    returned scores ARE the summed similarities. The composed vector is
+    deliberately NOT normalized (that would rescale the scores).
+    Returns a [d] float32 vector."""
+    pos = np.asarray(positives, np.float32)
+    if pos.ndim == 1:
+        pos = pos[None]
+    if pos.shape[0] == 0:
+        raise ValueError("recommend needs at least one positive example")
+    q = pos.sum(axis=0)
+    if negatives is not None:
+        neg = np.asarray(negatives, np.float32)
+        if neg.ndim == 1:
+            neg = neg[None]
+        if neg.shape[0]:
+            q = q - neg.sum(axis=0)
+    return q.astype(np.float32)
+
+
 def average_query(positives, negatives=None) -> np.ndarray:
     """Compose one L2-normalized query from example vectors (host-side).
 

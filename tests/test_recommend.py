@@ -438,6 +438,57 @@ def test_engine_recommend_average(engine_store):
     assert items[0]["id"] == 3
 
 
+def test_engine_recommend_sum_scores(engine_store):
+    """qdrant's sum_scores strategy: scores are summed similarities,
+    rank == dot with sum(pos) - sum(neg) by linearity."""
+    engine, vecs = engine_store
+    text, items = engine.recommend([3, 7], negative=[5], max_results=5,
+                                   strategy="sum_scores")
+    assert items, text
+    sims = vecs.astype(np.float64) @ (vecs[3] + vecs[7]
+                                      - vecs[5]).astype(np.float64)
+    order = [int(i) for i in np.lexsort((np.arange(len(vecs)), -sims))
+             if i not in (3, 5, 7)][:5]
+    assert [it["id"] for it in items] == order
+    # scores ARE the summed sims (not cosines of a composed unit
+    # query); tolerance covers the fixture's bf16 index storage
+    np.testing.assert_allclose([it["score"] for it in items],
+                               sims[order], atol=5e-3)
+
+
+def test_engine_recommend_sum_scores_rejects_distance_stores(tmp_path):
+    import dataclasses as _dc
+
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso
+
+    rng = np.random.default_rng(3)
+    root = str(tmp_path / "db2")
+    vecs = rng.normal(size=(10, 8)).astype(np.float32)
+    with VectorStore.create(root, "eu", 8, distance="euclid") as s:
+        s.append(vecs, [{} for _ in range(10)])
+    cfg = default_config()
+    cfg = _dc.replace(
+        cfg, model=_dc.replace(MODEL_PRESETS["test-tiny"],
+                               dtype="float32"),
+        store=_dc.replace(cfg.store, root_dir=root, dtype="float32"))
+    engine = Reverso(cfg)
+    engine.load_database("eu")
+    text, items = engine.recommend([1], strategy="sum_scores")
+    assert text.startswith("❌") and "sum_scores" in text and not items
+
+
+def test_engine_scroll_with_vectors(engine_store):
+    engine, vecs = engine_store
+    points, nxt = engine.scroll(limit=4, with_vectors=True)
+    assert len(points) == 4 and nxt == 4
+    for pt in points:
+        np.testing.assert_allclose(pt["vector"], vecs[pt["id"]],
+                                   atol=1e-6)
+    points, _ = engine.scroll(limit=4)
+    assert "vector" not in points[0]
+
+
 def test_engine_recommend_best_score_and_filters(engine_store):
     engine, vecs = engine_store
     text, items = engine.recommend([1], negative=[2], max_results=6,
