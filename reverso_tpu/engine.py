@@ -1003,6 +1003,21 @@ class Reverso:
                 self._filter_cols_key = key
             return self._filter_cols
 
+    @staticmethod
+    def _payloads_with(store, ids, with_payload):
+        """Payloads for `ids` under a qdrant with_payload selector:
+        bool, key string/list (include shorthand), or
+        {"include"|"exclude": [paths]} — the PayloadSelector role
+        (store.filter.compile_payload_selector). Malformed selectors
+        raise before any store IO (FilterError -> UI 400)."""
+        from .store.filter import compile_payload_selector
+
+        sel = compile_payload_selector(with_payload)
+        if sel is False:
+            return [None] * len(ids)
+        pays = store.payloads(ids)
+        return pays if sel is True else [sel(p) for p in pays]
+
     def _filter_mask(self, filter_spec) -> Optional[np.ndarray]:
         """Evaluate a payload filter (dict/string/Filter; see
         `store.filter`) against the loaded store -> [count] bool mask.
@@ -1906,7 +1921,13 @@ class Reverso:
         OWN `"using"` — qdrant's hybrid-search shape, e.g. a text-space
         branch and an image-space branch fused by RRF, or a named-space
         prefetch rescored exactly in the default space. Returns a list
-        of {"id", "score", "payload"} dicts, best first."""
+        of {"id", "score", "payload"} dicts, best first.
+
+        `with_payload` also accepts qdrant's selector forms — a key
+        string/list (include shorthand) or {"include"|"exclude":
+        [payload paths]} — applied per hit (see
+        store.filter.compile_payload_selector); same on query_batch,
+        scroll, and retrieve."""
         import jax
 
         store = self._store
@@ -1989,8 +2010,7 @@ class Reverso:
 
         def hits_out(pairs):
             ids = [pid for _, pid in pairs]
-            payloads = (store.payloads(ids) if with_payload
-                        else [None] * len(ids))
+            payloads = self._payloads_with(store, ids, with_payload)
             return [{"id": pid, "score": float(sc), "payload": p}
                     for (sc, pid), p in zip(pairs, payloads)]
 
@@ -2229,8 +2249,7 @@ class Reverso:
                          if iv >= 0]
                 ids = [pid for _, pid in pairs]
                 wp = reqs[n].get("with_payload", with_payload)
-                payloads = (store.payloads(ids) if wp
-                            else [None] * len(ids))
+                payloads = self._payloads_with(store, ids, wp)
                 results[n] = [{"id": pid, "score": sc, "payload": p}
                               for (sc, pid), p in zip(pairs, payloads)]
         return results
@@ -2305,8 +2324,7 @@ class Reverso:
             ids = ids[ids >= int(offset)][:limit + 1]
             next_offset = int(ids[limit]) if len(ids) > limit else None
         page = [int(i) for i in ids[:limit]]
-        payloads = (store.payloads(page) if with_payload
-                    else [None] * len(page))
+        payloads = self._payloads_with(store, page, with_payload)
         points = [{"id": i, "payload": p} for i, p in zip(page, payloads)]
         if with_vectors and page:
             vecs = np.asarray(store.vectors(using)[page], np.float32)
@@ -2346,8 +2364,7 @@ class Reverso:
                     rows.append(r)
             elif 0 <= int(i) < store.count:
                 rows.append(int(i))
-        payloads = (store.payloads(rows) if with_payload
-                    else [None] * len(rows))
+        payloads = self._payloads_with(store, rows, with_payload)
         points = [{"id": r, "payload": p} for r, p in zip(rows, payloads)]
         if with_vectors and rows:
             if using and using in store.sparse:

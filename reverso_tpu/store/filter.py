@@ -34,6 +34,7 @@ with each condition one of
     {"is_empty": {"key": K}}            # absent, null, or [] payload
     {"is_null": {"key": K}}             # present and exactly null
     {"has_id": [id, ...]}               # row ids (int) / region_id (str)
+    {"has_vector": "space"}             # point has that vector set
     {"nested": {"key": K, "filter": F}} # one array ELEMENT matches F
     nested filter dict                  # recursive must/should/must_not
 
@@ -97,6 +98,12 @@ Semantics notes (all pinned by tests/test_filter.py):
   match.
 - `has_id`: integer ids select store rows directly; string ids match
   the `region_id` payload (the point-id role — see Reverso.retrieve).
+- `has_vector`: qdrant's HasVectorCondition. Dense spaces ("" = the
+  default space) are populated for every committed row, so the
+  condition is all-rows there; sparse/multivector spaces match rows
+  with at least one stored entry (a row appended as None/empty has no
+  vector). Unknown space names are a FilterError (caught before any
+  scan, like every other malformed spec).
 """
 from __future__ import annotations
 
@@ -136,6 +143,8 @@ class Condition:
     value: Any = None
 
     def keys(self) -> set:
+        if self.op == "has_vector":
+            return set()          # answered by the store, not payloads
         if self.op == "has_id":
             # the id column is only needed when string ids are present;
             # pure-row-id filters must not force extracting the
@@ -309,9 +318,9 @@ def _parse_nested(inner: Any) -> Condition:
         raise FilterError(f"nested key must be a string, got {key!r}")
     filt = parse_filter(inner["filter"])
     for c in _walk_conditions(filt):
-        if c.op == "has_id":
-            raise FilterError("has_id is not allowed inside a nested "
-                              "filter (elements have no point id)")
+        if c.op in ("has_id", "has_vector"):
+            raise FilterError(f"{c.op} is not allowed inside a nested "
+                              "filter (elements have no point identity)")
     return Condition(_normalize_key(key), "nested", filt)
 
 
@@ -329,6 +338,12 @@ def _parse_keyless(spec: dict) -> Optional[Condition]:
                 f"has_id needs a list of int row ids / str region ids, "
                 f"got {spec['has_id']!r}")
         return Condition(ID_KEY, "has_id", tuple(ids))
+    if set(spec) == {"has_vector"}:
+        space = spec["has_vector"]
+        if not isinstance(space, str):
+            raise FilterError(f"has_vector needs a vector space name "
+                              f"string, got {spec['has_vector']!r}")
+        return Condition("", "has_vector", space)
     for name in ("is_empty", "is_null"):
         if set(spec) == {name}:
             target = spec[name]
@@ -538,7 +553,7 @@ def parse_filter(spec: Any) -> Filter:
         return Filter((keyless,))
     conds = []
     for k, v in spec.items():
-        if k in ("has_id", "is_empty", "is_null"):
+        if k in ("has_id", "has_vector", "is_empty", "is_null"):
             # keep the condition meaning inside shorthand conjunctions
             # too (a payload key literally named e.g. "has_id" must use
             # the explicit {"key": "has_id", ...} form instead)
@@ -950,6 +965,31 @@ class PayloadColumns:
         if v is None:
             v = self._views[key] = TypedView(self.column(key))
         return v
+
+    def vector_presence(self, space: str) -> np.ndarray:
+        """[count] bool — rows that HAVE a vector in `space` (the
+        has_vector condition). Dense spaces are append-complete (every
+        committed row carries every dense space), so presence is
+        all-True; sparse/multivector spaces read the indptr sidecar
+        (zero entries == vector not set). Unknown names are a
+        FilterError so malformed specs 400 before any scan."""
+        store = self._store
+        key = ("hasvec", space)
+        got = self._derived.get(key)
+        if got is not None:
+            return got
+        if space in store.spaces():
+            m = np.ones(self.count, np.bool_)
+        elif space in getattr(store, "sparse", {}) \
+                or space in getattr(store, "multi", {}):
+            ind = np.asarray(store.ragged_indptr(space)[:self.count],
+                             np.int64)
+            m = np.diff(ind, prepend=np.int64(0)) > 0
+        else:
+            raise FilterError(f"has_vector: unknown vector space "
+                              f"{space!r}")
+        self._derived[key] = m
+        return m
 
     def present(self, key: str) -> np.ndarray:
         """[count] bool: rows whose payload carries `key` at all.
@@ -1475,6 +1515,8 @@ def _eval_condition(cond: "Condition | Filter",
                 if c is not None:
                     m |= view.codes == c
         return m
+    if cond.op == "has_vector":
+        return columns.vector_presence(cond.value)
     if cond.op == "nested":
         # one element satisfying the WHOLE inner filter (all inner
         # conditions bind to the same element, unlike path conditions)
@@ -1566,6 +1608,111 @@ def evaluate_filter(filt: Filter, columns: PayloadColumns) -> np.ndarray:
     for c in filt.must_not:
         mask &= ~_eval_condition(c, columns)
     return mask
+
+
+# ---------------------------------------------------------------------------
+# Payload selectors (qdrant's with_payload include/exclude forms)
+# ---------------------------------------------------------------------------
+
+_SEL_LEAF = object()          # trie terminator: the whole subtree
+
+
+def _selector_trie(paths) -> dict:
+    """Include/exclude key list -> nested {segment: subtrie|LEAF}.
+    Keys use the same payload-path syntax as filters ('a.b', 'a[].b');
+    a shorter path subsumes any longer one under it."""
+    if isinstance(paths, str):
+        paths = [paths]
+    if not isinstance(paths, (list, tuple)) or not paths or not all(
+            isinstance(p, str) and p for p in paths):
+        raise FilterError(
+            f"payload selector needs a non-empty list of key strings, "
+            f"got {paths!r}")
+    trie: dict = {}
+    for p in paths:
+        segs = _path_segments(p) or [p]
+        node = trie
+        for s in segs[:-1]:
+            nxt = node.get(s)
+            if nxt is _SEL_LEAF:
+                break                      # 'a' already includes 'a.b'
+            if nxt is None:
+                nxt = node[s] = {}
+            node = nxt
+        else:
+            node[segs[-1]] = _SEL_LEAF
+    return trie
+
+
+_SEL_NOTHING = object()
+
+
+def _sel_include(value, trie):
+    """Pruned copy of `value` keeping only trie paths; _SEL_NOTHING
+    when nothing along the paths exists. Lists traverse implicitly
+    (qdrant payload-path style): elements with no selected content are
+    dropped from the copied array."""
+    if trie is _SEL_LEAF:
+        return value
+    if isinstance(value, dict):
+        out = {}
+        for k, sub in trie.items():
+            if k in value:
+                got = _sel_include(value[k], sub)
+                if got is not _SEL_NOTHING:
+                    out[k] = got
+        return out if out else _SEL_NOTHING
+    if isinstance(value, list):
+        kept = [g for g in (_sel_include(e, trie) for e in value)
+                if g is not _SEL_NOTHING]
+        return kept if kept else _SEL_NOTHING
+    return _SEL_NOTHING
+
+
+def _sel_exclude(value, trie):
+    """Copy of `value` with trie paths removed (arrays element-wise)."""
+    if isinstance(value, dict):
+        out = {}
+        for k, v in value.items():
+            sub = trie.get(k)
+            if sub is _SEL_LEAF:
+                continue
+            out[k] = v if sub is None else _sel_exclude(v, sub)
+        return out
+    if isinstance(value, list):
+        return [_sel_exclude(e, trie) for e in value]
+    return value
+
+
+def compile_payload_selector(selector):
+    """Normalize a qdrant `with_payload` value.
+
+    Returns True (attach full payloads), False (attach None), or a
+    callable dict->dict applying the selector. Accepted forms, same as
+    qdrant's PayloadSelector: bool; a key string or list of keys
+    (include shorthand); {"include": [keys]}; {"exclude": [keys]}.
+    Keys are payload paths (dots descend, arrays traverse implicitly).
+    Malformed selectors raise FilterError before any store IO."""
+    if selector is True or selector is None:
+        return selector is True
+    if selector is False:
+        return False
+    if isinstance(selector, dict):
+        if set(selector) == {"include"}:
+            trie = _selector_trie(selector["include"])
+            return lambda p: (lambda g: g if g is not _SEL_NOTHING
+                              else {})(_sel_include(p, trie))
+        if set(selector) == {"exclude"}:
+            trie = _selector_trie(selector["exclude"])
+            return lambda p: _sel_exclude(p, trie)
+        raise FilterError(
+            f"payload selector dict must be exactly {{'include': [...]}}"
+            f" or {{'exclude': [...]}}, got {sorted(selector)!r}")
+    if isinstance(selector, (str, list, tuple)):
+        trie = _selector_trie(selector)
+        return lambda p: (lambda g: g if g is not _SEL_NOTHING
+                          else {})(_sel_include(p, trie))
+    raise FilterError(f"bad with_payload value {selector!r}")
 
 
 def payload_mask(store, spec: Any) -> np.ndarray:

@@ -261,6 +261,92 @@ def test_has_id(tmp_path):
     assert parse_filter({"has_id": ["r0"]}).keys() == {"region_id"}
 
 
+def test_payload_selector():
+    from reverso_tpu.store.filter import compile_payload_selector
+
+    p = {"a": 1, "b": {"c": 2, "d": 3},
+         "items": [{"x": 1, "y": 2}, {"y": 3}, 7]}
+    assert compile_payload_selector(True) is True
+    assert compile_payload_selector(None) is False
+    assert compile_payload_selector(False) is False
+    # include shorthand: key list / single string
+    sel = compile_payload_selector(["a", "b.c"])
+    assert sel(p) == {"a": 1, "b": {"c": 2}}
+    assert compile_payload_selector("a")(p) == {"a": 1}
+    # arrays traverse implicitly; elements without a match drop
+    sel = compile_payload_selector({"include": ["items.x"]})
+    assert sel(p) == {"items": [{"x": 1}]}
+    # a shorter path subsumes a longer one
+    sel = compile_payload_selector(["b", "b.c"])
+    assert sel(p)["b"] == {"c": 2, "d": 3}
+    # nothing matched -> empty payload, not None
+    assert compile_payload_selector(["zz"])(p) == {}
+    # exclude removes paths, keeps everything else (arrays element-wise)
+    sel = compile_payload_selector({"exclude": ["b.d", "items.y"]})
+    assert sel(p) == {"a": 1, "b": {"c": 2},
+                      "items": [{"x": 1}, {}, 7]}
+    assert compile_payload_selector({"exclude": ["a"]})(p) == {
+        "b": {"c": 2, "d": 3}, "items": [{"x": 1, "y": 2}, {"y": 3}, 7]}
+    # the source payload is never mutated
+    assert p["b"] == {"c": 2, "d": 3}
+    # malformed selectors fail before any IO
+    for bad in ({"include": ["a"], "exclude": ["b"]}, {"nope": []},
+                {"include": []}, {"include": [3]}, 42):
+        with pytest.raises(FilterError):
+            compile_payload_selector(bad)
+
+
+def test_has_vector(tmp_path):
+    # store with a named dense space + sparse + multi; sparse row 1 and
+    # multi rows 0/3 were appended empty -> "vector not set"
+    rng = np.random.default_rng(0)
+    dense = random_unit(rng, 4, 8)
+    with VectorStore.create(str(tmp_path), "hv", 8, named={"aux": 4},
+                            sparse={"text": {}},
+                            multi={"tok": 6}) as s:
+        s.append({"": dense, "aux": random_unit(rng, 4, 4)},
+                 [{"region_id": f"r{i}"} for i in range(4)],
+                 sparse_vectors={"text": [
+                     {"indices": [1], "values": [1.0]}, None,
+                     {"indices": [2, 5], "values": [0.5, 2.0]},
+                     {"indices": [], "values": []}]},
+                 multi_vectors={"tok": [
+                     None, rng.normal(size=(3, 6)),
+                     rng.normal(size=(1, 6)), np.zeros((0, 6))]})
+        s.flush()
+        # dense spaces: every committed row has one
+        np.testing.assert_array_equal(
+            payload_mask(s, {"has_vector": ""}), [1, 1, 1, 1])
+        np.testing.assert_array_equal(
+            payload_mask(s, {"must": [{"has_vector": "aux"}]}),
+            [1, 1, 1, 1])
+        # sparse: empty/None rows have no vector
+        np.testing.assert_array_equal(
+            payload_mask(s, {"has_vector": "text"}), [1, 0, 1, 0])
+        # multi: zero sub-vectors == not set
+        np.testing.assert_array_equal(
+            payload_mask(s, {"has_vector": "tok"}), [0, 1, 1, 0])
+        # composes with other conditions and with must_not
+        np.testing.assert_array_equal(
+            payload_mask(s, {"must": [{"has_vector": "text"},
+                                      {"has_id": [0, 1]}]}),
+            [1, 0, 0, 0])
+        np.testing.assert_array_equal(
+            payload_mask(s, {"must_not": [{"has_vector": "tok"}]}),
+            [1, 0, 0, 1])
+        # unknown space -> FilterError (surfaces as a 400, not a scan)
+        with pytest.raises(FilterError):
+            payload_mask(s, {"has_vector": "nope"})
+        # malformed value -> parse error; no payload keys are extracted
+        with pytest.raises(FilterError):
+            parse_filter({"has_vector": 3})
+        assert parse_filter({"has_vector": "text"}).keys() == set()
+        # not allowed inside nested (elements have no point identity)
+        with pytest.raises(FilterError):
+            parse_filter({"nested": {"key": "items", "filter":
+                                     {"has_vector": "text"}}})
+
+
 def test_geo_conditions(tmp_path):
     store, _ = _make_rich_store(tmp_path)
     # bounding box around Berlin

@@ -847,6 +847,28 @@ def test_engine_retrieve(engine_store):
     assert engine.retrieve([]) == []
 
 
+def test_with_payload_selectors(engine_store):
+    # qdrant PayloadSelector forms flow through retrieve/scroll/query
+    engine, vecs = engine_store
+    pts = engine.retrieve([2], with_payload=["filename"])
+    assert pts[0]["payload"] == {"filename": "f2.jpg"}
+    pts = engine.retrieve([2], with_payload={"exclude": ["region_id",
+                                                         "confidence"]})
+    assert set(pts[0]["payload"]) == {"filename", "detected_class"}
+    pts, _ = engine.scroll(limit=2, with_payload="detected_class")
+    assert pts[0]["payload"] == {"detected_class": "person"}
+    hits = engine.query(vecs[5], k=3,
+                        with_payload={"include": ["region_id"]})
+    assert hits[0]["id"] == 5
+    assert hits[0]["payload"] == {"region_id": "r5"}
+    [res] = engine.query_batch([{"query": vecs[5], "k": 2,
+                                 "with_payload": ["filename"]}])
+    assert res[0]["payload"] == {"filename": "f5.jpg"}
+    from reverso_tpu.store.filter import FilterError
+    with pytest.raises(FilterError):
+        engine.retrieve([2], with_payload={"bogus": []})
+
+
 def test_engine_facet(engine_store):
     engine, _ = engine_store
     rows = engine.facet("detected_class")
