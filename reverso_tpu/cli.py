@@ -327,13 +327,28 @@ def cmd_query(args) -> int:
         target = {"text": args.text}
     elif args.random:
         target = {"sample": "random"}
+    kw = dict(prefetch=prefetch or None, fusion=args.fusion,
+              filter=args.filter or None, seed=args.seed,
+              using=getattr(args, "using", "") or "",
+              lookup_from=_lookup_from_arg(
+                  getattr(args, "lookup_from", None)))
     try:
-        hits = engine.query(target, prefetch=prefetch or None,
-                            fusion=args.fusion, k=args.top_k,
-                            filter=args.filter or None, seed=args.seed,
-                            using=getattr(args, "using", "") or "",
-                            lookup_from=_lookup_from_arg(
-                                getattr(args, "lookup_from", None)))
+        if args.group_by:
+            # qdrant query_points_groups: bucket the universal query
+            # by a payload key
+            groups = engine.query_groups(
+                target, group_by=args.group_by,
+                group_size=args.group_size, limit=args.top_k, **kw)
+            if args.json:
+                print(json.dumps({"groups": groups}, indent=2))
+            else:
+                for g in groups:
+                    print(f"{args.group_by}={g['key']}")
+                    for h in g["hits"]:
+                        print(f"  {h['id']}\t{h['score']:.6f}\t"
+                              f"{json.dumps(h['payload'])}")
+            return 0 if groups else 2
+        hits = engine.query(target, k=args.top_k, **kw)
     except (StoreError, FilterError, ValueError) as e:
         print(f"❌ {e}", file=sys.stderr)
         return 1
@@ -1296,6 +1311,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="resolve point-id operands (target, prefetch "
                          "branches) in ANOTHER collection (qdrant "
                          "lookup_from)")
+    qr.add_argument("--group-by", default=None, metavar="KEY",
+                    help="bucket results by a payload key (qdrant "
+                         "query_points_groups); --top-k becomes the "
+                         "group count")
+    qr.add_argument("--group-size", type=int, default=3,
+                    help="hits per group with --group-by")
     qr.set_defaults(fn=cmd_query)
 
     mx = sub.add_parser("matrix",

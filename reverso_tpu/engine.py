@@ -1430,53 +1430,57 @@ class Reverso:
             text += "\n"
             groups.append({"key": kv, "hits": items})
         if with_lookup is not None:
-            # qdrant with_lookup: join each group key against a point
-            # of ANOTHER collection — int keys are row ids, string
-            # keys match region_id (one payload stream over the lookup
-            # collection builds the map; intended for modest document
-            # collections, qdrant's usage). Missing keys get
-            # lookup=None.
             try:
-                spec = (with_lookup if isinstance(with_lookup, dict)
-                        else {"collection": with_lookup})
-                lstore, _ = self._lookup_store(spec)
+                self._attach_group_lookups(groups, with_lookup)
             except (StoreError, ValueError) as e:
                 return (f"❌ {e}", [])
-            try:
-                rid_map = None
-                for gdict in groups:
-                    kv = gdict["key"]
-                    row = None
-                    if isinstance(kv, bool):
-                        row = None
-                    elif isinstance(kv, (int, np.integer)) or (
-                            isinstance(kv, float) and
-                            float(kv).is_integer()):
-                        r = int(kv)
-                        row = r if 0 <= r < lstore.count else None
-                    elif isinstance(kv, str):
-                        if rid_map is None:
-                            rid_map = {}
-                            pays = lstore.payloads(
-                                list(range(lstore.count)))
-                            for r, p in enumerate(pays):
-                                rid = (p or {}).get("region_id")
-                                if isinstance(rid, str) \
-                                        and rid not in rid_map:
-                                    rid_map[rid] = r
-                        row = rid_map.get(kv)
-                    if row is None:
-                        gdict["lookup"] = None
-                        continue
-                    rec = {"id": row,
-                           "payload": lstore.payloads([row])[0]}
-                    if spec.get("with_vectors"):
-                        rec["vector"] = np.asarray(
-                            lstore.vectors()[row], np.float32).tolist()
-                    gdict["lookup"] = rec
-            finally:
-                lstore.close()
         return text, groups
+
+    def _attach_group_lookups(self, groups, with_lookup) -> None:
+        """qdrant with_lookup: join each group key against a point of
+        ANOTHER collection — int keys are row ids, string keys match
+        region_id (one payload stream over the lookup collection
+        builds the map; intended for modest document collections,
+        qdrant's usage). Each group dict gains a "lookup" record
+        (None when the key names no point). Shared by search_groups
+        and query_groups."""
+        spec = (with_lookup if isinstance(with_lookup, dict)
+                else {"collection": with_lookup})
+        lstore, _ = self._lookup_store(spec)
+        try:
+            rid_map = None
+            for gdict in groups:
+                kv = gdict["key"]
+                row = None
+                if isinstance(kv, bool):
+                    row = None
+                elif isinstance(kv, (int, np.integer)) or (
+                        isinstance(kv, float) and
+                        float(kv).is_integer()):
+                    r = int(kv)
+                    row = r if 0 <= r < lstore.count else None
+                elif isinstance(kv, str):
+                    if rid_map is None:
+                        rid_map = {}
+                        pays = lstore.payloads(
+                            list(range(lstore.count)))
+                        for r, p in enumerate(pays):
+                            rid = (p or {}).get("region_id")
+                            if isinstance(rid, str) \
+                                    and rid not in rid_map:
+                                rid_map[rid] = r
+                    row = rid_map.get(kv)
+                if row is None:
+                    gdict["lookup"] = None
+                    continue
+                rec = {"id": row,
+                       "payload": lstore.payloads([row])[0]}
+                if spec.get("with_vectors"):
+                    rec["vector"] = np.asarray(
+                        lstore.vectors()[row], np.float32).tolist()
+                gdict["lookup"] = rec
+        finally:
+            lstore.close()
 
     def _lookup_store(self, spec):
         """qdrant lookup_from: `{"collection": name, "vector": space?}`
@@ -2175,6 +2179,105 @@ class Reverso:
         scores = self._exact_scores(vecs, qv)
         order = np.lexsort((np.asarray(cand), -scores))[:k]
         return hits_out([(float(scores[j]), int(cand[j])) for j in order])
+
+    def query_groups(self, query=None, *, group_by: str,
+                     prefetch=None, fusion: Optional[str] = None,
+                     group_size: int = 3, limit: Optional[int] = None,
+                     filter=None, with_payload=True, seed=None,
+                     using: str = "", lookup_from=None,
+                     with_lookup=None):
+        """Grouped universal query — qdrant's query_points_groups:
+        any query() shape (plain/nearest, prefetch + RRF/DBSF fusion,
+        exact/formula/MMR rescore, random sampling, named/sparse
+        spaces, lookup_from) bucketed by a payload field, each bucket
+        reporting its top `group_size` hits. Replaces the reference's
+        one-image-floods-the-page search results
+        (core_system.py:659-664) at the universal-query surface the
+        way search_groups does for the plain engine search.
+
+        Groups are ranked by their best hit (first appearance in the
+        underlying result order — for MMR that is selection order);
+        hits within a group keep result order. Rows without the
+        `group_by` key are skipped (qdrant semantics); list/dict keys
+        group by their canonical JSON (the search_groups convention).
+        The scan deepens (doubling the internal limit, scaling
+        explicit prefetch branch limits with it) until every selected
+        group is full or the candidate pool is exhausted — exact for
+        plain queries; for prefetch shapes the pool is the fused/
+        rescored union, so deepening is best-effort exactly as in
+        qdrant. Returns a list of {"key", "hits"} dicts, best group
+        first; `with_lookup` joins each group key against a point of
+        another collection (see search_groups)."""
+        store = self._store
+        if store is None:
+            raise StoreError("no database loaded")
+        if not group_by or not isinstance(group_by, str):
+            raise ValueError("query_groups needs a group_by payload "
+                             "key (qdrant requires one too)")
+        limit = self.config.search.top_k if limit is None else int(limit)
+        group_size = max(1, int(group_size))
+        store.refresh()
+        cols = self._payload_columns()
+        key_col = cols.column(group_by)
+        has_key = cols.present(group_by)
+
+        def scaled(factor: int):
+            # deepen explicit branch limits alongside the top-level k
+            # (implicit limits already scale: query() defaults them
+            # from k); non-dict branches keep their implicit limit
+            if prefetch is None or factor == 1:
+                return prefetch
+            out = []
+            for spec in prefetch:
+                if isinstance(spec, dict) and "limit" in spec:
+                    spec = {**spec,
+                            "limit": int(spec["limit"]) * factor}
+                out.append(spec)
+            return out
+
+        k0 = min(store.count, max(limit * group_size, 32))
+        k = k0
+        while True:
+            hits = self.query(query, prefetch=scaled(max(1, k // k0)),
+                              fusion=fusion, k=k, filter=filter,
+                              with_payload=False, seed=seed,
+                              using=using, lookup_from=lookup_from)
+            sel: dict = {}
+            complete = False
+            for h in hits:
+                i = h["id"]
+                if not has_key[i]:
+                    continue
+                kv = key_col[i]
+                if not isinstance(kv, (str, int, float, bool)):
+                    kv = json.dumps(kv, sort_keys=True)
+                got = sel.get(kv)
+                if got is None:
+                    if len(sel) >= limit:
+                        continue
+                    sel[kv] = [h]
+                elif len(got) < group_size:
+                    got.append(h)
+                if (len(sel) == limit
+                        and all(len(v) >= group_size
+                                for v in sel.values())):
+                    complete = True
+                    break
+            if complete or len(hits) < k or k >= store.count:
+                break
+            k = min(store.count, k * 2)
+
+        ids = [h["id"] for hits in sel.values() for h in hits]
+        pays = dict(zip(ids, self._payloads_with(store, ids,
+                                                 with_payload)))
+        groups = []
+        for kv, hits in sel.items():
+            for h in hits:
+                h["payload"] = pays.get(h["id"])
+            groups.append({"key": kv, "hits": hits})
+        if with_lookup is not None:
+            self._attach_group_lookups(groups, with_lookup)
+        return groups
 
     def query_batch(self, requests, *, with_payload: bool = True):
         """Run several universal queries in ONE call — qdrant's

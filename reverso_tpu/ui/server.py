@@ -265,6 +265,7 @@ def make_handler(state: UIState):
                     "/api/query/search_groups": self._search_groups,
                     "/api/points": self._points,
                     "/api/query/universal": self._query,
+                    "/api/query/groups": self._query_groups,
                     "/api/query/batch": self._query_batch,
                     "/api/query/matrix": self._matrix,
                     "/api/points/facet": self._facet,
@@ -518,6 +519,26 @@ def make_handler(state: UIState):
                     lookup_from=body.get("lookup_from") or None,
                     use_batcher=True))
             self._json({"hits": hits})
+
+        def _query_groups(self, body: dict) -> None:
+            """Grouped universal query (qdrant query_points_groups):
+            any universal-query shape bucketed by a payload key."""
+            target = body.get("target")
+            if isinstance(target, float):
+                target = int(target)
+            groups = state.check_no_build_overlap(
+                lambda: engine.query_groups(
+                    target, group_by=str(body.get("group_by") or ""),
+                    prefetch=body.get("prefetch") or None,
+                    fusion=body.get("fusion") or None,
+                    group_size=int(body.get("group_size") or 3),
+                    limit=body.get("max_results"),
+                    filter=body.get("filter") or None,
+                    seed=_seed_of(body),
+                    using=str(body.get("using") or ""),
+                    lookup_from=body.get("lookup_from") or None,
+                    with_lookup=body.get("with_lookup") or None))
+            self._json({"groups": groups})
 
         def _query_batch(self, body: dict) -> None:
             """Several universal queries in one call (qdrant

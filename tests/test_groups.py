@@ -198,3 +198,118 @@ def test_cli_search_group_by(tmp_path, capsys):
     # the query image's own group first
     assert groups[0]["key"] == "img_000.jpg"
     assert all(len(g["hits"]) == 1 for g in groups)
+
+# ---------------------------------------------------------------------------
+# query_groups (qdrant query_points_groups: universal query + group_by)
+# ---------------------------------------------------------------------------
+
+def test_query_groups_plain_matches_brute(engine_store):
+    engine, vecs, payloads = engine_store
+    q = vecs[17]
+    groups = engine.query_groups(q, group_by="filename",
+                                 group_size=2, limit=4)
+    want = brute_groups(vecs, q, keys_of(payloads, "filename"),
+                        -2.0, 4, 2)
+    assert [g["key"] for g in groups] == list(want)
+    assert {g["key"]: [h["id"] for h in g["hits"]]
+            for g in groups} == want
+    # payloads attached, scores globally ordered inside each group
+    for g in groups:
+        assert all(h["payload"]["filename"] == g["key"]
+                   for h in g["hits"])
+        ss = [h["score"] for h in g["hits"]]
+        assert ss == sorted(ss, reverse=True)
+
+
+def test_query_groups_deepening_and_missing_key(engine_store):
+    engine, vecs, payloads = engine_store
+    q = vecs[100]
+    # 3 rows per filename, group_size=3: top groups' last members rank
+    # deep -> forces the doubling loop past the initial limit
+    groups = engine.query_groups(q, group_by="filename",
+                                 group_size=3, limit=3)
+    want = brute_groups(vecs, q, keys_of(payloads, "filename"),
+                        -2.0, 3, 3)
+    assert {g["key"]: [h["id"] for h in g["hits"]]
+            for g in groups} == want
+    assert all(len(g["hits"]) == 3 for g in groups)
+    # rows without the key are skipped (qdrant semantics)
+    groups = engine.query_groups(q, group_by="tag", group_size=2,
+                                 limit=3)
+    want = brute_groups(vecs, q, keys_of(payloads, "tag"), -2.0, 3, 2)
+    assert {g["key"]: [h["id"] for h in g["hits"]]
+            for g in groups} == want
+
+
+def test_query_groups_filter_and_selector(engine_store):
+    engine, vecs, payloads = engine_store
+    q = vecs[50]
+    groups = engine.query_groups(
+        q, group_by="filename", group_size=2, limit=3,
+        filter={"detected_class": "person"},
+        with_payload=["detected_class"])
+    mask = np.array([p["detected_class"] == "person" for p in payloads])
+    want = brute_groups(vecs, q, keys_of(payloads, "filename"),
+                        -2.0, 3, 2, mask=mask)
+    assert {g["key"]: [h["id"] for h in g["hits"]]
+            for g in groups} == want
+    for g in groups:
+        for h in g["hits"]:
+            assert h["payload"] == {"detected_class": "person"}
+
+
+def test_query_groups_prefetch_fusion(engine_store):
+    engine, vecs, payloads = engine_store
+    n = len(vecs)
+    pf = [{"query": vecs[5], "limit": n}, {"query": vecs[9], "limit": n}]
+    groups = engine.query_groups(prefetch=pf, fusion="rrf",
+                                 group_by="filename", group_size=2,
+                                 limit=4)
+    # truth: group-by over the full fused order (branches cover the
+    # whole store, so deepening never changes the pool)
+    fused = engine.query(prefetch=pf, fusion="rrf", k=n,
+                         with_payload=False)
+    keys = keys_of(payloads, "filename")
+    sel = {}
+    for h in fused:
+        kv = keys[h["id"]]
+        got = sel.get(kv)
+        if got is None:
+            if len(sel) >= 4:
+                continue
+            sel[kv] = [h["id"]]
+        elif len(got) < 2:
+            got.append(h["id"])
+    assert {g["key"]: [h["id"] for h in g["hits"]]
+            for g in groups} == sel
+    # exact rescore of the union, grouped
+    groups = engine.query_groups(vecs[17], prefetch=pf,
+                                 group_by="filename", group_size=2,
+                                 limit=4)
+    want = brute_groups(vecs, vecs[17], keys, -2.0, 4, 2)
+    assert {g["key"]: [h["id"] for h in g["hits"]]
+            for g in groups} == want
+
+
+def test_query_groups_errors(engine_store):
+    engine, vecs, _ = engine_store
+    with pytest.raises(ValueError):
+        engine.query_groups(vecs[0], group_by="")
+    with pytest.raises(ValueError):
+        engine.query_groups(None, group_by="filename")
+
+
+def test_cli_query_group_by(engine_store, capsys):
+    from reverso_tpu.cli import main
+
+    engine, vecs, payloads = engine_store
+    root = engine.db_root
+    rc = main(["--db-root", root, "query", "grp", "--target", "17",
+               "--group-by", "filename", "--group-size", "2",
+               "--top-k", "3", "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    groups = json.loads(out)["groups"]
+    assert len(groups) == 3
+    assert groups[0]["key"] == payloads[17]["filename"]
+    assert all(len(g["hits"]) == 2 for g in groups)

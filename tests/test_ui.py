@@ -343,6 +343,17 @@ def test_recommend_and_points_endpoints(server, tmp_path):
                    {"target": {"sample": "random"}, "seed": 1.5})
     assert code == 400 and "seed" in r["error"], r
 
+    # grouped universal query (qdrant query_points_groups role)
+    code, r = post(base, "/api/query/groups",
+                   {"target": 0, "group_by": "filename",
+                    "group_size": 2, "max_results": 3})
+    assert code == 200 and len(r["groups"]) == 3, r
+    for g in r["groups"]:
+        assert all(h["payload"]["filename"] == g["key"]
+                   for h in g["hits"])
+    code, r = post(base, "/api/query/groups", {"target": 0})
+    assert code == 400 and "group_by" in r["error"], r
+
     # batched universal queries (qdrant query_batch_points role)
     code, r = post(base, "/api/query/batch",
                    {"requests": [{"query": 0, "k": 2},
