@@ -63,6 +63,11 @@ def _make_config(args):
     if getattr(args, "binary_oversampling", None) is not None:
         scfg = dataclasses.replace(
             scfg, binary_oversampling=args.binary_oversampling)
+    if getattr(args, "pq_m", None) is not None:
+        scfg = dataclasses.replace(scfg, pq_m=args.pq_m)
+    if getattr(args, "pq_oversampling", None) is not None:
+        scfg = dataclasses.replace(
+            scfg, pq_oversampling=args.pq_oversampling)
     if scfg is not cfg.search:
         cfg = dataclasses.replace(cfg, search=scfg)
     if getattr(args, "ingest_backend", None):
@@ -1154,7 +1159,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "deformable attention and is gone with the "
                         "Pallas kernel (PERF.md)")
     p.add_argument("--index-dtype",
-                   choices=["float32", "bfloat16", "int8", "binary"],
+                   choices=["float32", "bfloat16", "int8", "binary", "pq"],
                    default=None,
                    help="on-device search-index dtype (disk stays fp32): "
                         "bfloat16 (default) / int8 (2x capacity, same scan "
@@ -1162,10 +1167,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(strict parity mode) / binary (16x capacity "
                         "sign-packed candidate scan + exact rescore of "
                         "the top --binary-oversampling*k — approximate; "
-                        "qdrant binary quantization)")
+                        "qdrant binary quantization) / pq (product "
+                        "quantization: --pq-m byte codes + learned "
+                        "codebooks, same rescore split — approximate; "
+                        "qdrant ProductQuantization)")
     p.add_argument("--binary-oversampling", type=float, default=None,
                    help="binary index: candidate fetch multiple before "
                         "the exact rescore (recall knob, default 3.0)")
+    p.add_argument("--pq-m", type=int, default=None,
+                   help="pq index: subspace count = bytes per row in "
+                        "HBM (0 = d/8, binary's footprint)")
+    p.add_argument("--pq-oversampling", type=float, default=None,
+                   help="pq index: candidate fetch multiple before the "
+                        "exact rescore (recall knob, default 3.0)")
     p.add_argument("--index", choices=["exact", "ivf", "host"], default=None,
                    help="search index: exact fused scan (default), IVF "
                         "k-means coarse quantizer for very large corpora, "

@@ -143,7 +143,10 @@ class StoreConfig:
     # device copy, disk persistence stays fp32 — ops.topk int8-exact) |
     # "binary" (16x bf16 capacity: sign-packed candidate scan + exact
     # f32 rescore of the top oversampling*k — qdrant binary
-    # quantization; approximate, SearchConfig.binary_* tune it)
+    # quantization; approximate, SearchConfig.binary_* tune it) |
+    # "pq" (product quantization: m-byte codes + learned codebooks,
+    # one-hot-through-MXU decompress scan + the same exact rescore —
+    # qdrant ProductQuantization; approximate, SearchConfig.pq_* tune)
     dtype: str = "bfloat16"
     capacity_step: int = 65536              # device matrix grows in multiples of this
     shard_axis: str = "data"                # mesh axis rows are sharded over
@@ -193,6 +196,13 @@ class SearchConfig:
     # surfaces the raw binary proxy scores.
     binary_oversampling: float = 3.0
     binary_rescore: bool = True
+    # product quantization (StoreConfig.dtype == "pq"): same
+    # oversample-then-rescore split as binary. pq_m = subspace count
+    # (bytes per row in HBM); 0 = d/8, matching binary's footprint
+    # with 256-entry learned codebooks instead of sign bits.
+    pq_m: int = 0
+    pq_oversampling: float = 3.0
+    pq_rescore: bool = True
 
 
 @dataclass(frozen=True)

@@ -156,6 +156,55 @@ def load_or_build_ivf(store, vectors: np.ndarray, scfg, dtype: str,
     return ivf
 
 
+def load_or_build_pq(store, vectors: np.ndarray, scfg, *,
+                     space: str = "", mesh=None):
+    """Load, extend, or build the store's PQ index for one vector
+    space, persisting the trained codebooks + codes next to the store
+    (same cache scheme as load_or_build_ivf: keyed on (space, m,
+    count, mutation_epoch); a cache with a SMALLER count at the same
+    epoch covers an intact prefix, so appends encode only the tail
+    instead of retraining k-means)."""
+    from .store import PQIndex
+    from .store.index import default_pq_m
+
+    count = store.count
+    dim = vectors.shape[1] if vectors.ndim == 2 and vectors.size else 0
+    m = scfg.pq_m if scfg.pq_m > 0 else default_pq_m(dim)
+    cache_dir = os.path.join(store.path, "index")
+    # space names are already filename-safe (the store writes
+    # vectors_<space>.bin)
+    stem = f"pq_{space}_m{m}" if space else f"pq_m{m}"
+    tail = f"_{store.mutation_epoch}.npz"
+    cache = os.path.join(cache_dir, f"{stem}_{count}{tail}")
+    pqi = None
+    if os.path.exists(cache):
+        pqi = PQIndex.load_cache(vectors, cache, m=m, mesh=mesh)
+    dirty = pqi is None
+    if pqi is None and os.path.isdir(cache_dir):
+        for f in sorted(os.listdir(cache_dir), reverse=True):
+            if f.startswith(stem + "_") and f.endswith(tail):
+                pqi = PQIndex.load_cache(
+                    vectors, os.path.join(cache_dir, f), m=m, mesh=mesh)
+                if pqi is not None:
+                    break
+    if pqi is None:
+        pqi = PQIndex(vectors, m=m, mesh=mesh)
+    if dirty:
+        def _same_cfg(f: str) -> bool:
+            return (f.startswith(stem + "_") and f.endswith(".npz")
+                    and f[len(stem) + 1:-4].replace("_", "").isdigit())
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            if os.path.isdir(cache_dir):
+                for old in os.listdir(cache_dir):
+                    if _same_cfg(old):
+                        os.remove(os.path.join(cache_dir, old))
+            pqi.save_cache(cache)
+        except OSError:
+            pass      # read-only store: rebuild per process
+    return pqi
+
+
 class _IVFSearchAdapter:
     """DeviceIndex-shaped facade over IVFIndex (approximate mode)."""
 
@@ -171,12 +220,13 @@ class _IVFSearchAdapter:
 
 
 class _BinaryRescoreAdapter:
-    """DeviceIndex-shaped facade over BinaryIndex: oversampled packed
-    candidate scan + exact f32 rescore of the candidates against the
-    full-precision rows — qdrant's BinaryQuantization search semantics
-    (`rescore`/`oversampling` params). Final results are the exact
-    (-score, idx) order of the candidate set; with rescore disabled the
-    raw binary proxy scores surface (qdrant rescore=False)."""
+    """DeviceIndex-shaped facade over a quantized CANDIDATE index
+    (BinaryIndex or PQIndex): oversampled compressed scan + exact f32
+    rescore of the candidates against the full-precision rows —
+    qdrant's quantization search semantics (`rescore`/`oversampling`
+    params). Final results are the exact (-score, idx) order of the
+    candidate set; with rescore disabled the raw proxy scores surface
+    (qdrant rescore=False)."""
 
     def __init__(self, bindex, vectors: np.ndarray, *,
                  oversampling: float = 3.0, rescore: bool = True):
@@ -903,7 +953,7 @@ class Reverso:
                 # MaxSim matrix coerces to bf16 (jnp.dtype("binary")
                 # would crash, and int8 makes MaxSim inexact)
                 mv_dtype = self.config.store.dtype
-                if mv_dtype in ("binary", "int8"):
+                if mv_dtype in ("binary", "pq", "int8"):
                     mv_dtype = "bfloat16"
                 index = MultiVecIndex(np.asarray(subs), indptr,
                                       dtype=mv_dtype)
@@ -930,7 +980,7 @@ class Reverso:
                 # IVF probes dense clusters: "binary" is a mode of the
                 # exact index, not an IVF cell dtype — coerce to bf16
                 ivf_dtype = self.config.store.dtype
-                if ivf_dtype == "binary":
+                if ivf_dtype in ("binary", "pq"):
                     ivf_dtype = "bfloat16"
                 ivf = load_or_build_ivf(store, vectors, scfg,
                                         ivf_dtype, mesh=self.mesh)
@@ -950,6 +1000,22 @@ class Reverso:
                     BinaryIndex(vectors, mesh=self.mesh), vectors,
                     oversampling=scfg.binary_oversampling,
                     rescore=scfg.binary_rescore)
+            elif self.config.store.dtype == "pq":
+                # qdrant product quantization: m-byte learned-codebook
+                # candidate scan (binary's HBM footprint at default m,
+                # better rank retention) + the same exact f32 rescore;
+                # codebooks/codes persist next to the store
+                if store.distance in ("euclid", "manhattan"):
+                    raise StoreError(
+                        "product quantization ranks by codebook dots — "
+                        "it needs a cosine or dot store (this store's "
+                        f"distance is {store.distance})")
+                pqi = load_or_build_pq(store, vectors, scfg,
+                                       space=using, mesh=self.mesh)
+                index = _BinaryRescoreAdapter(
+                    pqi, vectors,
+                    oversampling=scfg.pq_oversampling,
+                    rescore=scfg.pq_rescore)
             else:
                 index = DeviceIndex(
                     vectors, mesh=self.mesh,

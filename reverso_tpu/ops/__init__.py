@@ -17,6 +17,13 @@ from .binary import (
     sharded_binary_topk,
 )
 from .ivf_scan import ivf_probe_scan
+from .pq import (
+    pq_decode,
+    pq_encode,
+    pq_topk_xla,
+    sharded_pq_topk,
+    train_pq,
+)
 from .l1 import (
     manhattan_topk_host,
     manhattan_topk_xla,

@@ -12,7 +12,7 @@ from .persist import (
     resolve_alias,
 )
 from .index import (BinaryIndex, DeviceIndex, HostIndex, MultiVecIndex,
-                    SearchResult)
+                    PQIndex, SearchResult)
 from .ivf import IVFIndex
 from .sparse import SparseIndex
 from .filter import (

@@ -287,6 +287,154 @@ class BinaryIndex:
                            n_valid=self.n_valid, row_mask=mask)
 
 
+class PQIndex:
+    """Product-quantized candidate index — the device half of qdrant's
+    ProductQuantization (m bytes per vector in HBM; ops/pq.py documents
+    the one-hot-through-MXU decompress scan and the on-device batched
+    k-means training).
+
+    `search` returns CANDIDATES under the PQ proxy score
+    `bf16(q) . bf16(decode(codes))` — callers that need true scores
+    rescore the top oversampling*k ids against the full-precision rows
+    (the engine's rescore adapter does; qdrant's `rescore`/
+    `oversampling` search params are exactly this split). Default
+    m = d/8: the SAME d/8 bytes per row as BinaryIndex, approximated
+    by 256-entry learned codebooks instead of 1-bit signs. Pass cached
+    `codebooks`/`codes` (save_cache/load_cache) to skip training;
+    codes covering only a prefix of the rows extend by encoding the
+    tail against the cached codebooks (append-friendly, like
+    IVFIndex.extend_cache)."""
+
+    def __init__(self, vectors: np.ndarray, *, m: int = 0,
+                 mesh: Optional[Mesh] = None, axis: str = "data",
+                 iters: int = 25, sample: int = 65536, seed: int = 0,
+                 codebooks=None, codes=None):
+        from ..ops.pq import pq_encode, train_pq
+
+        v = np.asarray(vectors, np.float32)
+        self.n_valid = len(v)
+        self.dim = v.shape[1] if v.ndim == 2 and v.size else 0
+        self.mesh = mesh
+        self.axis = axis
+        if m <= 0:
+            m = default_pq_m(self.dim)
+        if self.dim and self.dim % m != 0:
+            raise ValueError(f"pq m={m} must divide d={self.dim}")
+        self.m = int(m)
+        dsub = max(self.dim // self.m, 1) if self.dim else 1
+        if self.n_valid == 0:
+            self.codebooks = np.zeros((self.m, 256, dsub), np.float32)
+            host_codes = np.zeros((0, self.m), np.uint8)
+        else:
+            self.codebooks = (np.asarray(codebooks, np.float32)
+                              if codebooks is not None else
+                              train_pq(v, self.m, iters=iters,
+                                       sample=sample, seed=seed))
+            if self.codebooks.shape != (self.m, 256, dsub):
+                raise ValueError(
+                    f"codebooks shape {self.codebooks.shape} does not "
+                    f"match (m={self.m}, 256, dsub={dsub})")
+            done = 0
+            if codes is not None:
+                codes = np.asarray(codes, np.uint8)
+                if codes.ndim != 2 or codes.shape[1] != self.m \
+                        or len(codes) > self.n_valid:
+                    raise ValueError(
+                        f"cached codes {codes.shape} do not cover a "
+                        f"prefix of [{self.n_valid}, {self.m}]")
+                done = len(codes)
+            tail = (pq_encode(v[done:], self.codebooks)
+                    if done < self.n_valid
+                    else np.zeros((0, self.m), np.uint8))
+            host_codes = (np.concatenate([codes, tail]) if done
+                          else tail)
+        self._host_codes = host_codes
+        n_shards = mesh.shape[axis] if mesh is not None else 1
+        # pre-pad rows to the XLA scan's chunk so the in-jit _pad_dim
+        # is a no-op on big stores (small stores pad to 4096 and the
+        # scan shrinks its chunk to match)
+        unit = 65536 if self.n_valid >= 65536 else 4096
+        padded = _round_up(max(self.n_valid, 1), unit * n_shards)
+        host = np.zeros((padded, self.m), np.uint8)
+        host[:self.n_valid] = host_codes
+        arr = jnp.asarray(host)
+        if mesh is not None:
+            arr = jax.device_put(arr, row_sharding(mesh, axis))
+        self.matrix = arr
+        self._cb_dev = jnp.asarray(self.codebooks)
+
+    @property
+    def nbytes(self) -> int:
+        return (self.matrix.size * self.matrix.dtype.itemsize
+                + self._cb_dev.size * self._cb_dev.dtype.itemsize)
+
+    def save_cache(self, path: str) -> None:
+        """Persist codebooks + codes (the slow-to-recompute halves)."""
+        np.savez(path, codebooks=self.codebooks,
+                 codes=self._host_codes, m=self.m, n=self.n_valid)
+
+    @classmethod
+    def load_cache(cls, vectors: np.ndarray, path: str, *,
+                   m: int = 0, mesh: Optional[Mesh] = None,
+                   axis: str = "data"):
+        """Rebuild from a save_cache file; codes covering a PREFIX of
+        `vectors` extend by encoding the tail (appends never retrain).
+        Returns None when the cache does not fit (caller retrains)."""
+        try:
+            with np.load(path) as z:
+                cb, codes = z["codebooks"], z["codes"]
+        except (OSError, KeyError, ValueError):
+            return None
+        if m > 0 and cb.shape[0] != m:
+            return None
+        if len(codes) > len(vectors):
+            return None
+        try:
+            return cls(vectors, m=cb.shape[0], mesh=mesh, axis=axis,
+                       codebooks=cb, codes=codes)
+        except ValueError:
+            return None
+
+    def _padded_mask(self, row_mask) -> jnp.ndarray:
+        m = np.zeros((self.matrix.shape[0],), np.bool_)
+        src = np.asarray(row_mask, bool)
+        m[:min(len(src), self.n_valid)] = src[:self.n_valid]
+        arr = jnp.asarray(m)
+        if self.mesh is not None:
+            arr = jax.device_put(arr, row_sharding(self.mesh, self.axis))
+        return arr
+
+    def search(self, queries, k: int, *, row_mask=None, **_):
+        from ..ops.pq import pq_topk_xla, sharded_pq_topk
+
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.n_valid == 0:
+            qn = q.shape[0]
+            return (jnp.full((qn, k), -jnp.inf, jnp.float32),
+                    jnp.full((qn, k), -1, jnp.int32))
+        mask = self._padded_mask(row_mask) if row_mask is not None else None
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            q = jax.device_put(q, replicated_sharding(self.mesh))
+            return sharded_pq_topk(self.matrix, self._cb_dev, q, k,
+                                   self.dim, self.mesh, axis=self.axis,
+                                   n_valid=self.n_valid, row_mask=mask)
+        return pq_topk_xla(self.matrix, self._cb_dev, q, k, self.dim,
+                           n_valid=self.n_valid, row_mask=mask)
+
+
+def default_pq_m(d: int) -> int:
+    """Largest subspace count with dsub >= 8 that divides d — d/8 when
+    8 | d (one byte per 8 dims: binary's HBM cost, codebook recall)."""
+    if d <= 0:
+        return 1
+    for dsub in range(8, d + 1):
+        if d % dsub == 0:
+            return max(d // dsub, 1)
+    return 1
+
+
 class DeviceIndex:
     """Immutable snapshot of an embedding matrix, resident on device.
 
