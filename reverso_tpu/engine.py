@@ -1940,6 +1940,200 @@ class Reverso:
                              "sparse text encoder is configured)")
         return q
 
+    _COMBINE_KINDS = ("recommend", "discover", "context")
+
+    @staticmethod
+    def _is_combine(q) -> bool:
+        """One of qdrant's example-combine universal-query operand
+        types: {"recommend": ...} / {"discover": ...} /
+        {"context": ...} (exactly one key, qdrant's wrapper shape)."""
+        return (isinstance(q, dict) and len(q) == 1
+                and next(iter(q)) in Reverso._COMBINE_KINDS)
+
+    @staticmethod
+    def _is_order_by(q) -> bool:
+        return isinstance(q, dict) and set(q) == {"order_by"}
+
+    @staticmethod
+    def _norm_pairs(context):
+        """Context pairs in either accepted shape -> [(pos, neg), ...]:
+        qdrant's [{"positive": p, "negative": n}, ...] or plain
+        (p, n) 2-sequences."""
+        if context is None:
+            return []
+        out = []
+        for p in context:
+            if isinstance(p, dict):
+                if set(p) != {"positive", "negative"}:
+                    raise ValueError(
+                        'context pairs are {"positive": p, "negative":'
+                        ' n} (or (p, n) tuples), got '
+                        f'{sorted(p)!r}')
+                out.append((p["positive"], p["negative"]))
+            elif isinstance(p, (list, tuple)) and len(p) == 2:
+                out.append((p[0], p[1]))
+            else:
+                raise ValueError(
+                    "context must be (positive, negative) pairs, got "
+                    f"{p!r}")
+        return out
+
+    def _combine_pairs(self, spec: dict, k: int, mask, using: str = ""):
+        """qdrant's example-combine universal-query operand types —
+        RecommendQuery / DiscoverQuery / ContextQuery inside
+        query_points — as (score, id) pairs over `mask`. All three are
+        masked index scans, so the SAME helper serves a standalone
+        query, a prefetch branch, and a rescore of the candidate union
+        (the caller passes the union as the mask). Example point ids
+        never return themselves (their mask bits clear — exact, no
+        over-fetch); ids pre-resolved to vectors by lookup_from are
+        therefore NOT excluded, matching the other lookup paths."""
+        import jax
+
+        from .ops.recommend import average_query, sum_scores_query
+
+        store = self._store
+        if using and (using in store.sparse or using in store.multi):
+            raise ValueError(
+                "recommend/discover/context operands need a dense "
+                f"vector space ({using!r} is not one)")
+        (kind, body), = spec.items()
+
+        def ids_of(x):
+            if x is None:
+                return []
+            xs = x if isinstance(x, (list, tuple)) else [x]
+            return [int(e) for e in xs if isinstance(e, (int, np.integer))]
+
+        index = self._get_index(using)
+        exclude: set = set()
+        if kind == "recommend":
+            if not isinstance(body, dict) or body.get("positive") is None:
+                raise ValueError(
+                    'recommend operand must be {"positive": [...], '
+                    '"negative": [...]?, "strategy": ...?}')
+            strategy = str(body.get("strategy") or "average")
+            if strategy == "average_vector":     # qdrant's name
+                strategy = "average"
+            pos = self._resolve_examples(body["positive"], using)
+            neg = self._resolve_examples(body.get("negative"), using)
+            if pos is None or not len(pos):
+                raise ValueError(
+                    "recommend needs at least one positive example")
+            exclude.update(ids_of(body["positive"]))
+            exclude.update(ids_of(body.get("negative")))
+            if strategy in ("average", "sum_scores"):
+                if strategy == "sum_scores" and store.distance in (
+                        "euclid", "manhattan"):
+                    raise ValueError(
+                        "strategy='sum_scores' sums dot similarities — "
+                        "not defined on a "
+                        f"{store.distance}-distance store")
+                q = (sum_scores_query(pos, neg) if strategy == "sum_scores"
+                     else average_query(pos, neg))
+                run = lambda m: index.search(q[None], k, row_mask=m)
+            elif strategy == "best_score":
+                if not hasattr(index, "best_score"):
+                    raise ValueError(
+                        "strategy='best_score' needs the exact index")
+                run = lambda m: index.best_score(pos, neg, k, row_mask=m)
+            else:
+                raise ValueError(
+                    f"unknown recommend strategy {strategy!r} (use "
+                    "'average', 'sum_scores', or 'best_score')")
+        elif kind == "discover":
+            if not isinstance(body, dict) or (
+                    body.get("target") is None
+                    and not body.get("context")):
+                raise ValueError(
+                    'discover operand must be {"target": op?, '
+                    '"context": [pairs]?} with at least one of them')
+            tgt = (self._resolve_examples(body.get("target"), using)
+                   if body.get("target") is not None else None)
+            if tgt is not None and len(tgt) != 1:
+                raise ValueError("discover takes exactly one target")
+            pairs = self._norm_pairs(body.get("context"))
+            pos = self._resolve_examples([p for p, _ in pairs], using)
+            neg = self._resolve_examples([n for _, n in pairs], using)
+            exclude.update(ids_of(body.get("target")))
+            for p, n in pairs:
+                exclude.update(ids_of(p) + ids_of(n))
+            if not hasattr(index, "discover"):
+                raise ValueError(
+                    "discover needs the exact index (not IVF)")
+            if tgt is not None:
+                t0 = tgt[0]
+                run = lambda m: index.discover(t0, pos, neg, k,
+                                               row_mask=m)
+            else:
+                run = lambda m: index.context(pos, neg, k, row_mask=m)
+        else:                                    # context
+            pairs = self._norm_pairs(body)
+            if not pairs:
+                raise ValueError("context needs at least one "
+                                 "(positive, negative) pair")
+            pos = self._resolve_examples([p for p, _ in pairs], using)
+            neg = self._resolve_examples([n for _, n in pairs], using)
+            for p, n in pairs:
+                exclude.update(ids_of(p) + ids_of(n))
+            if not hasattr(index, "context"):
+                raise ValueError(
+                    "context needs the exact index (not IVF)")
+            run = lambda m: index.context(pos, neg, k, row_mask=m)
+
+        m = mask
+        rows = [i for i in exclude if 0 <= i < store.count]
+        if rows:
+            m = (np.ones(store.count, bool) if mask is None
+                 else np.asarray(mask, bool)[:store.count].copy())
+            m[rows] = False
+        scores, ids = map(np.asarray, jax.device_get(run(m)))
+        return [(float(s), int(i)) for s, i in zip(scores[0], ids[0])
+                if i >= 0]
+
+    def _order_by_pairs(self, body, k: int, mask):
+        """qdrant's order_by universal-query operand: points sorted by
+        a numeric/datetime payload key (the ordered-scroll semantics —
+        missing/unordered rows drop, ties to the lower id). The
+        returned "score" is the ordering value (qdrant returns null
+        scores; the value is strictly more informative)."""
+        from .store.filter import _parse_datetime
+
+        if isinstance(body, str) and body:
+            key, direction, start = body, "asc", None
+        elif isinstance(body, dict) and body.get("key"):
+            key = str(body["key"])
+            direction = str(body.get("direction") or "asc")
+            start = body.get("start_from")
+        else:
+            raise ValueError(
+                'order_by operand must be a payload key or {"key": K, '
+                '"direction": "asc"|"desc"?, "start_from": v?}, got '
+                f"{body!r}")
+        if direction not in ("asc", "desc"):
+            raise ValueError(
+                f"direction must be asc|desc, got {direction!r}")
+        cols = self._payload_columns()
+        view = cols.view(key)
+        vals_all = view.num
+        if len(view.uniq):          # datetime strings order too
+            dt_rows, _ = cols.datetime_num(key)
+            vals_all = np.where(np.isnan(vals_all), dt_rows, vals_all)
+        keep = ~np.isnan(vals_all)
+        if mask is not None:
+            keep &= np.asarray(mask, bool)[:len(vals_all)]
+        ids = np.nonzero(keep)[0]
+        vals = vals_all[ids]
+        sign = 1.0 if direction == "asc" else -1.0
+        if start is not None:
+            s0 = (float(start) if isinstance(start, (int, float))
+                  and not isinstance(start, bool)
+                  else _parse_datetime(start, what="start_from"))
+            ok = sign * vals >= sign * s0
+            ids, vals = ids[ok], vals[ok]
+        order = np.lexsort((ids, sign * vals))[:k]
+        return [(float(vals[j]), int(ids[j])) for j in order]
+
     def query(self, query=None, *, prefetch=None,
               fusion: Optional[str] = None, k: Optional[int] = None,
               filter=None, with_payload: bool = True, seed=None,
@@ -1956,7 +2150,16 @@ class Reverso:
             k uniformly sampled (filtered) points, score 0.0 — qdrant's
             random-sampling query; `seed` makes the draw reproducible.
             Random branches are legal in prefetch too (e.g. a random
-            candidate pool feeding an exact rescore).
+            candidate pool feeding an exact rescore). The remaining
+            qdrant query types work here AND as prefetch branches AND
+            as the rescoring query: `{"recommend": {"positive": [...],
+            "negative": [...]?, "strategy": "average"|"sum_scores"|
+            "best_score"?}}`, `{"discover": {"target": op?, "context":
+            [pairs]?}}`, `{"context": [pairs]}` (pairs as qdrant
+            {"positive","negative"} dicts or (p, n) tuples; example
+            point ids never return themselves), and `{"order_by": key
+            | {"key", "direction"?, "start_from"?}}` (points in
+            payload order, the value as the score).
           * `prefetch=[...]` + `fusion` ("rrf" default, or "dbsf") —
             each branch is a sub-search (`{"query": ..., "filter": ...,
             "limit": n}`, or just the query operand); branch result
@@ -2050,15 +2253,47 @@ class Reverso:
                         return np.asarray(lstore.vectors(lspace)[row],
                                           np.float32)
                     return op
-                if isinstance(query, dict) and "nearest" in query:
-                    query = {**query, "nearest": _lk(query["nearest"])}
-                else:
-                    query = _lk(query)
+                def _lk_list(x):
+                    return ([_lk(e) for e in x]
+                            if isinstance(x, (list, tuple)) else _lk(x))
+
+                def _lk_q(qq):
+                    # resolve point-id operands INSIDE the qdrant query
+                    # wrappers too (recommend examples, discover
+                    # target/pairs, context pairs) — all against the
+                    # lookup collection, so no local self-exclusion
+                    if not isinstance(qq, dict):
+                        return _lk(qq)
+                    if "nearest" in qq:
+                        return {**qq, "nearest": _lk(qq["nearest"])}
+                    if set(qq) == {"recommend"} and isinstance(
+                            qq["recommend"], dict):
+                        body = dict(qq["recommend"])
+                        for side in ("positive", "negative"):
+                            if body.get(side) is not None:
+                                body[side] = _lk_list(body[side])
+                        return {"recommend": body}
+                    if set(qq) == {"discover"} and isinstance(
+                            qq["discover"], dict):
+                        body = dict(qq["discover"])
+                        if body.get("target") is not None:
+                            body["target"] = _lk(body["target"])
+                        if body.get("context"):
+                            body["context"] = [
+                                (_lk(p), _lk(n)) for p, n in
+                                self._norm_pairs(body["context"])]
+                        return {"discover": body}
+                    if set(qq) == {"context"}:
+                        return {"context": [
+                            (_lk(p), _lk(n)) for p, n in
+                            self._norm_pairs(qq["context"])]}
+                    return qq       # sample / formula / order_by
+                query = _lk_q(query)
                 if prefetch is not None:
                     prefetch = [
-                        {**spec, "query": _lk(spec["query"])}
+                        {**spec, "query": _lk_q(spec["query"])}
                         if isinstance(spec, dict) and "query" in spec
-                        else _lk(spec)
+                        else _lk_q(spec)
                         for spec in prefetch]
             finally:
                 lstore.close()
@@ -2101,6 +2336,14 @@ class Reverso:
                                  "prefetch branches")
             if is_random(query):
                 return hits_out([(0.0, r) for r in random_rows(k, gmask)])
+            if self._is_combine(query):
+                # qdrant's example-combine query types ride the same
+                # masked scans as Reverso.recommend/discover
+                return hits_out(self._combine_pairs(query, k, gmask,
+                                                    using))
+            if self._is_order_by(query):
+                return hits_out(self._order_by_pairs(query["order_by"],
+                                                     k, gmask))
             if is_mmr:
                 # qdrant mmr query: diversified top-k over the
                 # candidate scan (selection order, relevance scores)
@@ -2155,6 +2398,18 @@ class Reverso:
                 rows = random_rows(bl, bmask)
                 branches.append((rows, [0.0] * len(rows)))
                 continue
+            if self._is_combine(bq):
+                prs = self._combine_pairs(bq, bl, bmask, bu)
+                branches.append(([p for _, p in prs],
+                                 [s for s, _ in prs]))
+                continue
+            if self._is_order_by(bq):
+                # a payload-ordered candidate pool (e.g. newest-first
+                # feeding an exact rescore)
+                prs = self._order_by_pairs(bq["order_by"], bl, bmask)
+                branches.append(([p for _, p in prs],
+                                 [s for s, _ in prs]))
+                continue
             if bu and bu in store.sparse:
                 # hybrid search: a sparse branch beside dense ones,
                 # fused by RRF/DBSF or rescored exactly downstream
@@ -2201,6 +2456,16 @@ class Reverso:
         cand = sorted({pid for ids, _ in branches for pid in ids})
         if not cand:
             return []
+        if self._is_combine(query) or self._is_order_by(query):
+            # rescore the union under a combine objective / payload
+            # order: the union IS the scan mask, so the same masked
+            # scans serve this stage too
+            cmask = np.zeros(store.count, bool)
+            cmask[cand] = True
+            if self._is_order_by(query):
+                return hits_out(self._order_by_pairs(query["order_by"],
+                                                     k, cmask))
+            return hits_out(self._combine_pairs(query, k, cmask, using))
         if is_mmr:
             # diversified rerank of the prefetch union: relevance is
             # the exact rescore against the mmr "nearest" operand
@@ -2377,7 +2642,9 @@ class Reverso:
                      and q is not None
                      and not (isinstance(q, dict)
                               and ("sample" in q or "formula" in q
-                                   or "mmr" in q))
+                                   or "mmr" in q or "order_by" in q
+                                   or set(q) & {"recommend", "discover",
+                                                "context"}))
                      # lookup_from ids resolve in another collection —
                      # the per-request query() path handles the open
                      and r.get("lookup_from") is None

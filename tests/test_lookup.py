@@ -95,6 +95,31 @@ def test_query_and_discover_lookup_from(tmp_path):
         engine.query("r0", lookup_from="docs")   # local-only region_id
 
 
+def test_combine_operands_lookup_from(tmp_path):
+    """qdrant query-type wrappers (recommend/discover/context) resolve
+    their inner point ids in the lookup collection — and because they
+    arrive pre-resolved to vectors, no LOCAL row is self-excluded."""
+    engine, regions, docs = build(tmp_path)
+    hits = engine.query({"recommend": {"positive": [2]}}, k=5,
+                        lookup_from="docs")
+    scores = regions.astype(np.float64) @ docs[2].astype(np.float64)
+    want = np.lexsort((np.arange(len(regions)), -scores))[:5]
+    assert [h["id"] for h in hits] == [int(w) for w in want]
+    # the same ids WITHOUT lookup_from are local (and self-exclude)
+    hits2 = engine.query({"recommend": {"positive": [2]}}, k=5)
+    assert 2 not in {h["id"] for h in hits2}
+    # discover wrapper: target + pair ids all in the docs collection
+    hits = engine.query({"discover": {
+        "target": 1, "context": [{"positive": 2, "negative": 3}]}},
+        k=3, lookup_from="docs")
+    want = engine.query({"discover": {
+        "target": docs[1], "context": [(docs[2], docs[3])]}}, k=3)
+    assert [h["id"] for h in hits] == [h["id"] for h in want]
+    from reverso_tpu.store import StoreError
+    with pytest.raises(StoreError, match="out of range"):
+        engine.query({"context": [(0, 99)]}, lookup_from="docs")
+
+
 def test_search_groups_with_lookup(tmp_path):
     engine, regions, docs = build(tmp_path)
     q = regions[0]

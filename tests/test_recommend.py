@@ -1184,3 +1184,143 @@ def test_named_space_recommend_and_mutation(named_engine, tmp_path):
          "text": random_unit(np.random.default_rng(2), 2, 16)},
         [{"region_id": "n0"}, {"region_id": "n1"}])
     assert "ids 32..33" in msg
+
+
+# ---------------------------------------------------------------------------
+# universal-query operand types (qdrant RecommendQuery / DiscoverQuery /
+# ContextQuery / OrderByQuery inside query_points)
+# ---------------------------------------------------------------------------
+
+def _hits_arrays(hits, k):
+    s = np.full((1, k), -np.inf, np.float32)
+    i = np.full((1, k), -1, np.int32)
+    s[0, :len(hits)] = [h["score"] for h in hits]
+    i[0, :len(hits)] = [h["id"] for h in hits]
+    return s, i
+
+
+def test_query_recommend_operand(engine_store):
+    engine, vecs = engine_store
+    n = len(vecs)
+    # average (default) == composed-query search, examples excluded
+    hits = engine.query({"recommend": {"positive": [3, 7]}}, k=5)
+    q = average_query(vecs[[3, 7]])
+    mask = np.ones(n, bool)
+    mask[[3, 7]] = False
+    s64 = np.where(mask, vecs.astype(np.float64) @ q.astype(np.float64),
+                   -np.inf)
+    want = np.lexsort((np.arange(n), -s64))[:5]
+    assert [h["id"] for h in hits] == [int(w) for w in want]
+    # qdrant's strategy name aliases, vectors mix with ids
+    hits2 = engine.query({"recommend": {
+        "positive": [3, vecs[7]], "strategy": "average_vector"}}, k=5)
+    got2 = [h["id"] for h in hits2]
+    assert 3 not in got2 and 7 in got2       # only ID examples exclude
+    # best_score combine matches the fp64 truth
+    hits = engine.query({"recommend": {"positive": [3], "negative": [5],
+                                       "strategy": "best_score"}}, k=5)
+    m2 = np.ones(n, bool)
+    m2[[3, 5]] = False
+    comb = numpy_best_score64(vecs, vecs[[3]], vecs[[5]], mask=m2)
+    assert_combined_equiv(comb, *_hits_arrays(hits, 5), 5)
+    # filter composes (global filter AND example exclusion)
+    hits = engine.query({"recommend": {"positive": [4]}}, k=4,
+                        filter={"detected_class": "person"})
+    assert all(h["payload"]["detected_class"] == "person" for h in hits)
+    assert 4 not in [h["id"] for h in hits]
+    # errors are ValueErrors (UI 400s), not crashes
+    with pytest.raises(ValueError, match="strategy"):
+        engine.query({"recommend": {"positive": [1], "strategy": "nope"}})
+    with pytest.raises(ValueError, match="positive"):
+        engine.query({"recommend": {"negative": [1]}})
+
+
+def test_query_discover_context_operands(engine_store):
+    engine, vecs = engine_store
+    n = len(vecs)
+    ex = np.ones(n, bool)
+    ex[[2, 0, 5]] = False
+    # discover: target + qdrant-shaped pairs
+    hits = engine.query({"discover": {
+        "target": 2, "context": [{"positive": 0, "negative": 5}]}}, k=5)
+    comb = numpy_discover64(vecs, vecs[2], vecs[[0]], vecs[[5]], mask=ex)
+    assert_combined_equiv(comb, *_hits_arrays(hits, 5), 5)
+    # pure context, tuple pairs
+    hits = engine.query({"context": [(0, 5)]}, k=5)
+    ex2 = np.ones(n, bool)
+    ex2[[0, 5]] = False
+    comb = numpy_context64(vecs, vecs[[0]], vecs[[5]], mask=ex2)
+    assert_combined_equiv(comb, *_hits_arrays(hits, 5), 5)
+    with pytest.raises(ValueError, match="context"):
+        engine.query({"context": []})
+    with pytest.raises(ValueError, match="pairs"):
+        engine.query({"context": [{"positive": 1}]})
+    with pytest.raises(ValueError, match="discover"):
+        engine.query({"discover": {}})
+
+
+def test_query_order_by_operand(engine_store):
+    engine, vecs = engine_store
+    # payloads carry confidence = i / 40: descending = reversed ids
+    hits = engine.query({"order_by": {"key": "confidence",
+                                      "direction": "desc"}}, k=4)
+    assert [h["id"] for h in hits] == [39, 38, 37, 36]
+    assert hits[0]["score"] == pytest.approx(39 / 40)
+    # string shorthand = ascending; start_from is inclusive
+    hits = engine.query({"order_by": "confidence"}, k=3)
+    assert [h["id"] for h in hits] == [0, 1, 2]
+    hits = engine.query({"order_by": {"key": "confidence",
+                                      "start_from": 5 / 40}}, k=3)
+    assert [h["id"] for h in hits] == [5, 6, 7]
+    # composes with the global filter
+    hits = engine.query({"order_by": "confidence"}, k=3,
+                        filter={"detected_class": "person"})
+    assert [h["id"] for h in hits] == [0, 4, 8]
+    with pytest.raises(ValueError, match="direction"):
+        engine.query({"order_by": {"key": "confidence",
+                                   "direction": "up"}})
+    with pytest.raises(ValueError, match="order_by"):
+        engine.query({"order_by": {}})
+
+
+def test_query_operands_in_prefetch_and_rescore(engine_store):
+    engine, vecs = engine_store
+    n = len(vecs)
+    # combine operand as a prefetch branch feeding an exact rescore
+    hits = engine.query(vecs[9], k=3, prefetch=[
+        {"query": {"recommend": {"positive": [3, 7]}}, "limit": n}])
+    pool = engine.query({"recommend": {"positive": [3, 7]}}, k=n)
+    pool_ids = {h["id"] for h in pool}
+    s64 = vecs.astype(np.float64) @ vecs[9].astype(np.float64)
+    want = [i for i in np.lexsort((np.arange(n), -s64))
+            if int(i) in pool_ids][:3]
+    assert [h["id"] for h in hits] == [int(w) for w in want]
+    # combine operand as the RESCORING query over a prefetch union
+    hits = engine.query({"recommend": {"positive": [3],
+                                       "strategy": "best_score"}},
+                        k=3, prefetch=[{"query": vecs[9], "limit": n}])
+    m = np.ones(n, bool)
+    m[3] = False
+    comb = numpy_best_score64(vecs, vecs[[3]], None, mask=m)
+    assert_combined_equiv(comb, *_hits_arrays(hits, 3), 3)
+    # order_by branch (newest-first pool) + order_by rescore
+    hits = engine.query({"order_by": {"key": "confidence",
+                                      "direction": "desc"}}, k=3,
+                        prefetch=[{"query": vecs[9], "limit": 5}])
+    pool = engine.query(vecs[9], k=5)
+    want = sorted((h["id"] for h in pool), reverse=True)[:3]
+    assert [h["id"] for h in hits] == want
+    # query_batch falls back per request and matches query()
+    [res] = engine.query_batch([{  # noqa: F841
+        "query": {"recommend": {"positive": [3, 7]}}, "k": 5}])
+    direct = engine.query({"recommend": {"positive": [3, 7]}}, k=5)
+    assert [h["id"] for h in res] == [h["id"] for h in direct]
+    # recommend_groups / discover_groups for free via query_groups
+    groups = engine.query_groups({"recommend": {"positive": [3, 7]}},
+                                 group_by="detected_class",
+                                 group_size=2, limit=2)
+    assert {g["key"] for g in groups} <= {"person", "car"}
+    for g in groups:
+        assert all(h["payload"]["detected_class"] == g["key"]
+                   for h in g["hits"])
+        assert not {3, 7} & {h["id"] for h in g["hits"]}
