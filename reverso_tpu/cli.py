@@ -63,6 +63,8 @@ def _make_config(args):
     if getattr(args, "binary_oversampling", None) is not None:
         scfg = dataclasses.replace(
             scfg, binary_oversampling=args.binary_oversampling)
+    if getattr(args, "int8_quantile", None) is not None:
+        scfg = dataclasses.replace(scfg, int8_quantile=args.int8_quantile)
     if getattr(args, "pq_m", None) is not None:
         scfg = dataclasses.replace(scfg, pq_m=args.pq_m)
     if getattr(args, "pq_oversampling", None) is not None:
@@ -1174,6 +1176,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--binary-oversampling", type=float, default=None,
                    help="binary index: candidate fetch multiple before "
                         "the exact rescore (recall knob, default 3.0)")
+    p.add_argument("--int8-quantile", type=float, default=None,
+                   help="int8 index: abs-value quantile setting the "
+                        "quantization scale (qdrant ScalarQuantization "
+                        "quantile; e.g. 0.99 clips the outlier tail to "
+                        "+-127 and resolves the bulk more finely; "
+                        "0/default = exact abs-max, nothing clips)")
     p.add_argument("--pq-m", type=int, default=None,
                    help="pq index: subspace count = bytes per row in "
                         "HBM (0 = d/8, binary's footprint)")

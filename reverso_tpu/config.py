@@ -203,6 +203,15 @@ class SearchConfig:
     pq_m: int = 0
     pq_oversampling: float = 3.0
     pq_rescore: bool = True
+    # scalar-quantization clipping quantile (StoreConfig.dtype ==
+    # "int8"): 0.0 keeps the exact abs-max scale; 0 < q < 1 sets the
+    # int8 scale from the q abs-value quantile of the matrix (qdrant
+    # ScalarQuantization's `quantile` — outliers clip to +-127 and the
+    # bulk of the distribution gains resolution). Scores stay exact
+    # w.r.t. the STORED int8 either way — the contract never changes,
+    # only what the rounding keeps. IVF int8 cells always use abs-max
+    # (their cache persists across quantile changes).
+    int8_quantile: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -1021,7 +1021,8 @@ class Reverso:
                     vectors, mesh=self.mesh,
                     dtype=self.config.store.dtype,
                     db_tile=scfg.db_tile,
-                    distance=store.distance)
+                    distance=store.distance,
+                    int8_quantile=scfg.int8_quantile)
             self._indexes[using] = (key, index)
             return index
 

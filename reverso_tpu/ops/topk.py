@@ -783,6 +783,31 @@ def quantize_db_int8(db):
     return v8, amax / 127.0
 
 
+def int8_clip_bound(values: np.ndarray, quantile: float) -> np.float32:
+    """Host-side clipping bound for symmetric int8 quantization.
+
+    `quantile == 0` (the default everywhere) returns the exact abs-max
+    — nothing clips. With 0 < quantile < 1, returns that abs-value
+    quantile over a deterministic stride sample of the matrix, the
+    role of qdrant ScalarQuantization's `quantile` parameter: long-tail
+    outliers saturate to +-127 and the remaining 254 steps resolve the
+    bulk of the distribution more finely. The int8-exact search
+    contract is unaffected either way — scores are exact with respect
+    to the STORED int8 rows, however they were rounded. numpy f32
+    math so the DeviceIndex host mirror stays deterministic across
+    processes (no device round trip)."""
+    a = np.abs(np.asarray(values, np.float32))
+    if quantile and a.size:
+        if not 0.0 < quantile < 1.0:
+            raise ValueError(
+                f"int8 quantile must be in (0, 1), got {quantile}")
+        flat = a.reshape(-1)
+        stride = max(1, flat.size // (1 << 22))   # deterministic sample
+        bound = np.quantile(flat[::stride], quantile)
+        return np.float32(max(bound, 1e-30))
+    return np.float32(max(a.max(initial=0.0), 1e-30))
+
+
 def int8_query_digits(queries):
     """Two-digit int8 query decomposition for the exact s8 MXU path.
 

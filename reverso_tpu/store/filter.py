@@ -24,6 +24,7 @@ with each condition one of
     {"key": K, "match": {"any": [...]}} # qdrant's set-match wrapper
     {"key": K, "match": {"except": [...]}}  # none of the listed values
     {"key": K, "match": {"text": "q"}}  # token containment (see below)
+    {"key": K, "match": {"phrase": "q"}}  # consecutive tokens (see below)
     {"key": K, "any": [v1, v2, ...]}    # payload[K] in {v1, v2, ...}
     {"key": K, "range": {"gt"|"gte"|"lt"|"lte": x, ...}}
     {"key": K, "datetime_range": {...}} # bounds are RFC 3339 strings
@@ -84,6 +85,13 @@ Semantics notes (all pinned by tests/test_filter.py):
   tokens (qdrant's word-tokenizer full-text match; no index needed —
   evaluation is once per UNIQUE string thanks to the dictionary-coded
   view). Non-string payloads never match.
+- `match {"phrase": q}`: qdrant 1.15's MatchPhrase — same lowercase
+  \\w+ tokenization, but the query tokens must appear CONSECUTIVELY
+  and in order among the value's tokens ("good cheap" matches
+  "a good cheap tool", not "cheap but good"). qdrant requires a text
+  index with `phrase_matching: true`; here the dictionary-coded view
+  plays that role and no index declaration is needed. A single-token
+  phrase degenerates to token containment, like qdrant's.
 - `datetime_range`: payload values must be RFC 3339 / ISO 8601
   strings (naive timestamps are taken as UTC, like qdrant);
   unparseable or non-string values never match.
@@ -138,7 +146,7 @@ class FilterError(ValueError):
 @dataclass(frozen=True)
 class Condition:
     key: str
-    op: str        # one of _KEYED_OPS | "except" | "text" | "is_empty"
+    op: str        # _KEYED_OPS | "except" | "text" | "phrase" | "is_empty"
     #                | "is_null" | "has_id"
     value: Any = None
 
@@ -173,6 +181,15 @@ class Filter:
     def is_empty(self) -> bool:
         return not (self.must or self.should or self.must_not
                     or self.min_should)
+
+
+def _has_phrase(qseq: list, toks: list) -> bool:
+    """True when `qseq` appears as a CONSECUTIVE run inside `toks`
+    (qdrant MatchPhrase semantics; parse guarantees qseq non-empty)."""
+    span = len(qseq)
+    first = qseq[0]
+    return any(toks[i] == first and toks[i:i + span] == qseq
+               for i in range(len(toks) - span + 1))
 
 
 def _iso_compat(text: str) -> str:
@@ -392,12 +409,14 @@ def _parse_condition(spec: Any) -> "Condition | Filter":
                 op, value = "except", value["except"]
             elif set(value) == {"text"}:
                 op, value = "text", value["text"]
+            elif set(value) == {"phrase"}:
+                op, value = "phrase", value["phrase"]
             else:
                 raise FilterError(
                     f"match for key {key!r} must be a scalar, "
                     f"{{'value': v}}, {{'any': [...]}}, "
-                    f"{{'except': [...]}}, or {{'text': s}}, "
-                    f"got {value!r}")
+                    f"{{'except': [...]}}, {{'text': s}}, or "
+                    f"{{'phrase': s}}, got {value!r}")
         if op == "range":
             value = _range_dict(value, key=key, op=op)
         elif op == "datetime_range":
@@ -422,17 +441,17 @@ def _parse_condition(spec: Any) -> "Condition | Filter":
                 raise FilterError(
                     f"{op} for key {key!r} needs a list, got {value!r}")
             value = tuple(value)
-        elif op == "text":
+        elif op in ("text", "phrase"):
             if not isinstance(value, str):
                 raise FilterError(
-                    f"text match for key {key!r} needs a string, "
+                    f"{op} match for key {key!r} needs a string, "
                     f"got {value!r}")
             if not _TOKEN_RE.search(value):
                 # an empty token set would vacuously match every row
                 # holding any string — reject at parse so UI/CLI
                 # callers 400 instead of selecting everything
                 raise FilterError(
-                    f"text match for key {key!r} has no word tokens: "
+                    f"{op} match for key {key!r} has no word tokens: "
                     f"{value!r}")
         elif op == "exists":
             value = bool(value)
@@ -1545,11 +1564,15 @@ def _eval_condition(cond: "Condition | Filter",
         # except is the exact complement: "no stored value is any of
         # the listed ones" — vacuously true for rows missing the key
         return ~m if cond.op == "except" else m
-    if cond.op == "text":
-        qtok = set(_TOKEN_RE.findall(cond.value.lower()))
+    if cond.op in ("text", "phrase"):
+        if cond.op == "text":
+            qtok = set(_TOKEN_RE.findall(cond.value.lower()))
+            hit = lambda u: qtok <= set(_TOKEN_RE.findall(u.lower()))  # noqa: E731
+        else:
+            qseq = _TOKEN_RE.findall(cond.value.lower())
+            hit = lambda u: _has_phrase(qseq, _TOKEN_RE.findall(u.lower()))  # noqa: E731
         ok_uniq = np.fromiter(
-            (qtok <= set(_TOKEN_RE.findall(u.lower()))
-             for u in view.uniq.tolist()),
+            (hit(u) for u in view.uniq.tolist()),
             np.bool_, count=len(view.uniq))
         m = np.zeros(len(view.present), np.bool_)
         srows = view.codes >= 0

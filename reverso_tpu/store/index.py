@@ -34,6 +34,7 @@ from ..ops.topk import (
     cosine_topk_int8_xla,
     cosine_topk_pallas,
     cosine_topk_xla,
+    int8_clip_bound,
     sharded_cosine_topk,
     _round_up,
 )
@@ -446,7 +447,8 @@ class DeviceIndex:
 
     def __init__(self, vectors: np.ndarray, *, mesh: Optional[Mesh] = None,
                  axis: str = "data", dtype: str = "bfloat16",
-                 db_tile: int = 1024, distance: str = "cosine"):
+                 db_tile: int = 1024, distance: str = "cosine",
+                 int8_quantile: float = 0.0):
         self.distance = distance
         if distance == "manhattan":
             # L1 has no dot factorization — rows are stored plain and
@@ -493,7 +495,9 @@ class DeviceIndex:
             # int8 device copy (2x the bf16 capacity, same scan speed,
             # exact w.r.t. the stored int8 — ops.topk int8-exact path).
             # Disk persistence stays f32; only the HBM copy quantizes.
-            amax = np.float32(max(np.abs(host).max(), np.float32(1e-30)))
+            # The clipping bound comes from the REAL rows (host[:n]):
+            # the zero padding rows would drag a quantile to ~0.
+            amax = int8_clip_bound(host[:max(n, 1)], int8_quantile)
             host = np.clip(np.round(host * (np.float32(127.0) / amax)),
                            -127, 127)
             self.scale = float(amax / np.float32(127.0))

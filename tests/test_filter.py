@@ -200,6 +200,29 @@ def test_match_except_and_text(tmp_path):
     np.testing.assert_array_equal(m, [1, 0, 0, 0, 0])
 
 
+def test_match_phrase(tmp_path):
+    """qdrant 1.15 MatchPhrase: tokens must appear consecutively and in
+    order (row 0 holds 'the quick brown fox', row 1 'quick fox')."""
+    store, _ = _make_rich_store(tmp_path)
+    m = payload_mask(store, {"key": "caption", "match": {"phrase": "quick fox"}})
+    np.testing.assert_array_equal(m, [0, 1, 0, 0, 0])
+    m = payload_mask(store, {"key": "caption",
+                             "match": {"phrase": "Quick BROWN fox"}})
+    np.testing.assert_array_equal(m, [1, 0, 0, 0, 0])
+    # single-token phrase degenerates to token containment, like text
+    m = payload_mask(store, {"key": "caption", "match": {"phrase": "fox"}})
+    np.testing.assert_array_equal(m, [1, 1, 0, 0, 0])
+    # a longer phrase than the value never matches; punctuation-only
+    # and non-string queries are parse errors
+    m = payload_mask(store, {"key": "caption",
+                             "match": {"phrase": "quick fox runs"}})
+    np.testing.assert_array_equal(m, [0, 0, 0, 0, 0])
+    with pytest.raises(FilterError):
+        parse_filter({"key": "caption", "match": {"phrase": " !! "}})
+    with pytest.raises(FilterError):
+        parse_filter({"key": "caption", "match": {"phrase": 3}})
+
+
 def test_datetime_range(tmp_path):
     store, _ = _make_rich_store(tmp_path)
     # row 2's +02:00 offset makes it EARLIER than row 0 in UTC; naive

@@ -245,3 +245,36 @@ def test_vmem_budget_never_breaks_group_alignment():
         jnp.asarray(db, jnp.bfloat16), jnp.asarray(qs, jnp.bfloat16),
         10, interpret=True))
     assert (i[:, 0] == np.arange(1024)).all()
+
+
+def test_int8_quantile_clipping_keeps_exactness():
+    """qdrant ScalarQuantization's `quantile`: the clipping bound comes
+    from an abs-value quantile, the outlier tail saturates to +-127,
+    and the int8-exact contract is untouched — search results equal the
+    integer reference over the STORED (clipped) int8 rows."""
+    import pytest
+    from reverso_tpu.ops.topk import int8_clip_bound
+    from reverso_tpu.store import DeviceIndex
+
+    rng = np.random.default_rng(5)
+    n, d, k = 400, 64, 10
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    db[7] *= 50.0                                  # one outlier row
+    qs = db[:6] / np.linalg.norm(db[:6], axis=1, keepdims=True)
+
+    bound = int8_clip_bound(db, 0.99)
+    assert bound < np.abs(db).max()                # the tail clipped
+    assert int8_clip_bound(db, 0.0) == np.float32(np.abs(db).max())
+    with pytest.raises(ValueError):
+        int8_clip_bound(db, 1.5)
+
+    idx = DeviceIndex(db, dtype="int8", int8_quantile=0.99)
+    base = DeviceIndex(db, dtype="int8")
+    assert idx.scale < base.scale                  # finer bulk resolution
+    v8 = np.asarray(idx.matrix)
+    assert np.abs(v8).max() == 127                 # outlier saturated
+    s, i = map(np.asarray, idx.search(qs, k))
+    rs, ri = _int8_reference(v8[:n], idx.scale, qs, k)
+    np.testing.assert_array_equal(i, ri)
+    np.testing.assert_allclose(s, rs, atol=1e-6)
