@@ -780,6 +780,25 @@ def cmd_unlock(args) -> int:
     return 0 if not msg.startswith("❌") else 1
 
 
+def cmd_delete_vectors(args) -> int:
+    """Remove named vectors from points WITHOUT deleting the points
+    (qdrant delete_vectors role: payloads and other spaces stay; the
+    rows drop out of that space's searches and has_vector). No model
+    load."""
+    engine = _make_engine(args)
+    msg = engine.load_database(args.name)
+    if msg.startswith("❌"):
+        print(msg, file=sys.stderr)
+        return 1
+    ids = [int(raw) if raw.lstrip("-").isdigit() else raw
+           for raw in (args.ids or [])]
+    msg = engine.delete_vectors(ids or None, args.spaces or [""],
+                                filter=args.filter or None)
+    out = sys.stdout if msg.startswith("✅") else sys.stderr
+    print(msg, file=out)
+    return 0 if msg.startswith("✅") else 1
+
+
 def cmd_prune(args) -> int:
     """Delete rows matching a payload filter and/or explicit point ids
     (store compaction; no model load). --dry-run reports the match
@@ -1460,6 +1479,20 @@ def build_parser() -> argparse.ArgumentParser:
     uv.add_argument("--space", default="",
                     help="named vector space to overwrite ('' = default)")
     uv.set_defaults(fn=cmd_update_vectors)
+
+    dv = sub.add_parser("delete-vectors",
+                        help="remove named vectors from points without "
+                             "deleting the points (qdrant "
+                             "delete_vectors)")
+    dv.add_argument("name")
+    dv.add_argument("--ids", nargs="+",
+                    help="row ids and/or region_id strings")
+    dv.add_argument("--filter", action="append",
+                    help="payload filter clause(s), as in `search`")
+    dv.add_argument("--spaces", nargs="+", default=None,
+                    help="vector spaces to clear (default: the "
+                         "default dense space)")
+    dv.set_defaults(fn=cmd_delete_vectors)
 
     ip = sub.add_parser("index-payload",
                         help="persist typed payload-column views for "

@@ -281,6 +281,46 @@ class _BinaryRescoreAdapter:
         return out_s, out_i
 
 
+class _PresenceMaskedIndex:
+    """Facade over any dense index that excludes delete_vectors rows.
+
+    qdrant's delete_vectors removes a named vector from a point
+    without deleting the point; the store records those rows in a mask
+    file (VectorStore.deleted_rows) and this wrapper folds the mask
+    into every scan's `row_mask`, so the one choke point (_get_index)
+    covers every caller — plain search, the batcher, recommend/
+    discover/context, prefetch branches, groups, MMR pools. Capability
+    probing stays honest: `best_score`/`discover`/`context` resolve
+    through __getattr__, so hasattr() mirrors the wrapped index (the
+    engine's "not supported on IVF" errors keep firing)."""
+
+    _COMBINE = ("best_score", "discover", "context")
+
+    def __init__(self, index, presence: np.ndarray):
+        self._ix = index
+        self._presence = presence            # [count] bool, False = deleted
+
+    def _and(self, row_mask):
+        if row_mask is None:
+            return self._presence
+        m = np.array(row_mask, dtype=bool, copy=True)
+        n = min(len(m), len(self._presence))
+        m[:n] &= self._presence[:n]
+        return m
+
+    def search(self, queries, k: int, **kw):
+        kw["row_mask"] = self._and(kw.get("row_mask"))
+        return self._ix.search(queries, k, **kw)
+
+    def __getattr__(self, name):
+        inner = getattr(self._ix, name)      # AttributeError passes through
+        if name in self._COMBINE:
+            def call(*args, row_mask=None, **kw):
+                return inner(*args, row_mask=self._and(row_mask), **kw)
+            return call
+        return inner
+
+
 class Reverso:
     """Visual investigation engine: detect -> embed -> store -> search."""
 
@@ -708,8 +748,79 @@ class Reverso:
             return err
         return f"✅ Updated vectors of {touched} points in {name}"
 
+    def delete_vectors(self, points=None, spaces="", *,
+                       filter=None) -> str:
+        """Remove specific vectors from points WITHOUT deleting the
+        points — qdrant's delete_vectors API role (the points keep
+        their payloads and every other space; the reference app's
+        single-vector collection had no analog, core_system.py:600-622).
+        Select via `points` (row ids / region_id strings, unknown ids
+        skipped like delete_points) and/or a payload `filter`; `spaces`
+        is one space name or a list ('' = the default dense space).
+        Dense deletions are mask-based (VectorStore.delete_vector_rows:
+        every scan excludes the rows exactly, `has_vector` turns
+        False, a later update_vectors resurrects); sparse/multivector
+        deletions rewrite the ragged row empty through the staged
+        journal."""
+        from .store.filter import parse_filter, payload_mask
+
+        if self._store is None:
+            return ("❌ No database loaded. Please create or load a "
+                    "database first.")
+        name = self.current_database
+        store = self._store
+        if isinstance(spaces, str):
+            spaces = [spaces]
+        spaces = list(dict.fromkeys(spaces))
+        if not spaces:
+            return "❌ delete_vectors needs at least one vector space"
+        unknown = [s for s in spaces
+                   if s not in store.spaces() and s not in store.sparse
+                   and s not in store.multi]
+        if unknown:
+            return (f"❌ Unknown vector space(s) "
+                    f"{sorted(unknown)} (have "
+                    f"{sorted(store.spaces()) + sorted(store.sparse) + sorted(store.multi)})")
+        has_filter = False
+        try:
+            if filter is not None and not parse_filter(filter).is_empty():
+                has_filter = True
+        except Exception as e:
+            return f"❌ Bad filter: {e}"
+        rows: set = set()
+        if points:
+            rows.update(p["id"] for p in
+                        self.retrieve(list(points), with_payload=False))
+        if not points and not has_filter:
+            return "❌ delete_vectors needs points and/or a filter"
+
+        def body(w):
+            sel = set(rows)
+            if has_filter:
+                w.flush()
+                sel.update(np.nonzero(payload_mask(w, filter))[0].tolist())
+            rl = sorted(sel)
+            if not rl:
+                return 0
+            for s in spaces:
+                if s in w.sparse:
+                    w.update_sparse_vectors(rl, [None] * len(rl), s)
+                elif s in w.multi:
+                    w.update_multivectors(rl, [None] * len(rl), s)
+                else:
+                    w.delete_vector_rows(rl, s)
+            return len(rl)
+
+        err, touched = self._with_writable(body)
+        if err:
+            return err
+        labels = ", ".join(repr(s) for s in spaces)
+        return (f"✅ Deleted vectors ({labels}) of {touched} points "
+                f"in {name}")
+
     _BATCH_OPS = ("upsert", "delete", "set_payload", "overwrite_payload",
-                  "delete_payload", "clear_payload", "update_vectors")
+                  "delete_payload", "clear_payload", "update_vectors",
+                  "delete_vectors")
 
     def update_batch(self, operations) -> str:
         """Apply an ordered list of point mutations in ONE writable
@@ -724,6 +835,7 @@ class Reverso:
           {"delete_payload": {"keys": [..], "points"/"filter"}}
           {"clear_payload": {"points": .., "filter": ..}}
           {"update_vectors": {"points": [..], "vectors": [[..]]}}
+          {"delete_vectors": {"points"/"filter", "spaces": [..]}}
 
         The whole request validates up front (a malformed op rejects
         the batch before anything is touched), then ops apply strictly
@@ -784,7 +896,9 @@ class Reverso:
                                                "filter"},
                          "delete_payload": {"keys", "points", "filter"},
                          "clear_payload": {"points", "filter"},
-                         "update_vectors": {"points", "vectors"}}[kind]
+                         "update_vectors": {"points", "vectors"},
+                         "delete_vectors": {"points", "filter",
+                                            "spaces"}}[kind]
                 extra = set(body) - known
                 if extra:
                     raise ValueError(f"op #{i}: unknown {kind} key(s) "
@@ -823,8 +937,21 @@ class Reverso:
                     if not b["keys"]:
                         raise ValueError(f"op #{i}: delete_payload needs "
                                          "keys")
+                elif kind == "delete_vectors":
+                    sp = body.get("spaces", "")
+                    sp = [sp] if isinstance(sp, str) else list(sp)
+                    sp = list(dict.fromkeys(sp)) or [""]
+                    bad_sp = [s for s in sp
+                              if s not in self._store.spaces()
+                              and s not in self._store.sparse
+                              and s not in self._store.multi]
+                    if bad_sp:
+                        raise ValueError(f"op #{i}: unknown vector "
+                                         f"space(s) {sorted(bad_sp)}")
+                    b["spaces"] = sp
                 if kind in ("delete", "set_payload", "overwrite_payload",
-                            "delete_payload", "clear_payload") \
+                            "delete_payload", "clear_payload",
+                            "delete_vectors") \
                         and not points and not has_filter:
                     raise ValueError(f"op #{i}: {kind} needs points "
                                      "and/or a non-empty filter")
@@ -887,6 +1014,18 @@ class Reverso:
                     drop[sorted(rows)] = True
                     removed = w.compact(~drop) if rows else 0
                     applied.append(f"delete {removed}")
+                elif kind == "delete_vectors":
+                    rl = sorted(rows)
+                    for s in b["spaces"]:
+                        if not rl:
+                            break
+                        if s in w.sparse:
+                            w.update_sparse_vectors(rl, [None] * len(rl), s)
+                        elif s in w.multi:
+                            w.update_multivectors(rl, [None] * len(rl), s)
+                        else:
+                            w.delete_vector_rows(rl, s)
+                    applied.append(f"delete_vectors {len(rl)}")
                 else:
                     touched = w.update_payloads(
                         sorted(rows), patch=b.get("payload"),
@@ -1023,6 +1162,14 @@ class Reverso:
                     db_tile=scfg.db_tile,
                     distance=store.distance,
                     int8_quantile=scfg.int8_quantile)
+            gone = store.deleted_rows(using)
+            if gone.size:
+                # per-point delete_vectors mask: fold into every scan
+                # via the one wrapper (delete bumped vector_version, so
+                # this cache entry rebuilds whenever the mask changes)
+                presence = np.ones(count, np.bool_)
+                presence[gone] = False
+                index = _PresenceMaskedIndex(index, presence)
             self._indexes[using] = (key, index)
             return index
 
@@ -1050,6 +1197,24 @@ class Reverso:
             index = SparseIndex.from_store(store, space)
             self._sparse_indexes[space] = (key, index)
             return index
+
+    def _presence_and(self, mask, using: str = ""):
+        """AND the dense delete_vectors presence of `using` into a row
+        mask. Scans get this via _PresenceMaskedIndex; this helper is
+        for the paths that pick rows WITHOUT scanning (random sampling,
+        search_matrix) — a point whose vector was deleted must not be
+        sampled in that space. Returns None unchanged when nothing is
+        deleted (the no-mask fast paths stay intact)."""
+        store = self._store
+        if store is None or using not in store.spaces():
+            return mask
+        gone = store.deleted_rows(using)
+        if not gone.size:
+            return mask
+        m = (np.ones(store.count, np.bool_) if mask is None
+             else np.array(mask, dtype=bool, copy=True))
+        m[gone[gone < len(m)]] = False
+        return m
 
     def _payload_columns(self):
         """Cached columnar payload view for the loaded store.
@@ -1893,12 +2058,21 @@ class Reverso:
                                  f"[0, {store.count})")
             if using in store.multi:
                 return store.multivector_rows(using, [int(q)])[0]
+            if using in store.spaces() \
+                    and int(q) in store.deleted_rows(using):
+                raise StoreError(
+                    f"point {int(q)} has no vector in space {using!r} "
+                    f"(deleted via delete_vectors)")
             return np.asarray(store.vectors(using)[int(q)], np.float32)
         if isinstance(q, str):
             pts = self.retrieve([q], with_payload=False, with_vectors=True,
                                 using=using)
             if not pts:
                 raise StoreError(f"no point with region_id {q!r}")
+            if "vector" not in pts[0]:   # delete_vectors removed it
+                raise StoreError(
+                    f"point {q!r} has no vector in space {using!r} "
+                    f"(deleted via delete_vectors)")
             return pts[0]["vector"]
         if using in store.multi:
             # multivector space: [d] or [Tq, d] query operands
@@ -2327,7 +2501,8 @@ class Reverso:
         # branches draw DIFFERENT (but reproducible) samples
         rng = np.random.default_rng(seed)
 
-        def random_rows(n: int, bmask) -> list[int]:
+        def random_rows(n: int, bmask, space: str = "") -> list[int]:
+            bmask = self._presence_and(bmask, space)
             return [int(r)
                     for r in _sample_rows(rng, n, store.count, bmask)]
 
@@ -2336,7 +2511,8 @@ class Reverso:
                 raise ValueError("query() needs a query operand and/or "
                                  "prefetch branches")
             if is_random(query):
-                return hits_out([(0.0, r) for r in random_rows(k, gmask)])
+                return hits_out([(0.0, r)
+                                 for r in random_rows(k, gmask, using)])
             if self._is_combine(query):
                 # qdrant's example-combine query types ride the same
                 # masked scans as Reverso.recommend/discover
@@ -2396,7 +2572,7 @@ class Reverso:
             if gmask is not None:
                 bmask = gmask if bmask is None else (bmask & gmask)
             if is_random(bq):
-                rows = random_rows(bl, bmask)
+                rows = random_rows(bl, bmask, bu)
                 branches.append((rows, [0.0] * len(rows)))
                 continue
             if self._is_combine(bq):
@@ -2765,8 +2941,10 @@ class Reverso:
         points = [{"id": i, "payload": p} for i, p in zip(page, payloads)]
         if with_vectors and page:
             vecs = np.asarray(store.vectors(using)[page], np.float32)
+            gone = set(store.deleted_rows(using).tolist())
             for pt, v in zip(points, vecs):
-                pt["vector"] = v.tolist()
+                if pt["id"] not in gone:   # delete_vectors: absent
+                    pt["vector"] = v.tolist()
         return points, next_offset
 
     def retrieve(self, ids, *, with_payload: bool = True,
@@ -2813,8 +2991,10 @@ class Reverso:
                     pt["vector"] = mv
             else:
                 vecs = np.asarray(store.vectors(using)[rows], np.float32)
+                gone = set(store.deleted_rows(using).tolist())
                 for pt, v in zip(points, vecs):
-                    pt["vector"] = v
+                    if pt["id"] not in gone:   # delete_vectors: absent
+                        pt["vector"] = v
         return points
 
     def facet(self, key: str, filter=None, *, limit: int = 10):
@@ -2884,6 +3064,7 @@ class Reverso:
             raise ValueError("limit must be >= 1")
         store.refresh()
         mask = self._filter_mask(filter) if filter is not None else None
+        mask = self._presence_and(mask, using)   # delete_vectors rows out
         pop = int(np.count_nonzero(mask)) if mask is not None \
             else store.count
         empty = ({"ids": [], "offsets_row": [], "offsets_col": [],

@@ -107,11 +107,13 @@ Semantics notes (all pinned by tests/test_filter.py):
 - `has_id`: integer ids select store rows directly; string ids match
   the `region_id` payload (the point-id role — see Reverso.retrieve).
 - `has_vector`: qdrant's HasVectorCondition. Dense spaces ("" = the
-  default space) are populated for every committed row, so the
-  condition is all-rows there; sparse/multivector spaces match rows
-  with at least one stored entry (a row appended as None/empty has no
-  vector). Unknown space names are a FilterError (caught before any
-  scan, like every other malformed spec).
+  default space) are populated for every committed row EXCEPT rows
+  whose vector was removed via delete_vectors (the store's
+  deleted-rows mask); sparse/multivector spaces match rows with at
+  least one stored entry (a row appended as None/empty, or cleared by
+  delete_vectors, has no vector). Unknown space names are a
+  FilterError (caught before any scan, like every other malformed
+  spec).
 """
 from __future__ import annotations
 
@@ -998,7 +1000,14 @@ class PayloadColumns:
         if got is not None:
             return got
         if space in store.spaces():
+            # append-complete, MINUS any per-point delete_vectors mask
+            # (qdrant delete_vectors; store.deleted_rows). _ElementColumns
+            # and test doubles carry no store method — all-present then.
             m = np.ones(self.count, np.bool_)
+            dels = getattr(store, "deleted_rows", None)
+            if dels is not None:
+                gone = dels(space)
+                m[gone[gone < self.count]] = False
         elif space in getattr(store, "sparse", {}) \
                 or space in getattr(store, "multi", {}):
             ind = np.asarray(store.ragged_indptr(space)[:self.count],

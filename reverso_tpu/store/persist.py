@@ -58,6 +58,14 @@ PAYLOAD_FILE = "payloads.jsonl"
 PAYLOAD_IDX_FILE = "payloads.idx"
 COMPACT_MARKER = "compact.commit"
 VEC_PATCH = "vectors.patch"
+# per-point DENSE vector deletions (qdrant delete_vectors): {space:
+# [row ids]} — dense rows are fixed-width so the bytes stay in place
+# and this small mask file marks them absent (searches exclude them,
+# has_vector reports False). Sparse/multivector deletions need no mask:
+# their ragged rows are rewritten empty. Always rewritten atomically
+# (tmp+fsync+rename); ids are clipped to [0, count) on read so
+# truncate/compact never leave it pointing at ghost rows.
+DELETED_FILE = "deleted_vectors.json"
 LOCK_FILE = ".lock"
 COLLECTION_PREFIX = "simple_reverso_"   # reference core_system.py:101,597
 
@@ -1115,6 +1123,11 @@ class VectorStore:
         if os.path.exists(idx_path):
             with open(idx_path, "r+b") as f:
                 os.ftruncate(f.fileno(), count * 8)
+        # tidy the delete_vectors mask (ids beyond the new count are
+        # already dropped on READ — this rewrite is cosmetic, so a
+        # crash before it costs nothing)
+        if os.path.exists(self._deleted_path()):
+            self._write_deleted(self._read_deleted())
 
     def close_files_for_truncate(self) -> None:
         for fs in (self._vec_fs, self._sp_fs, self._sp_idx_fs):
@@ -1224,6 +1237,25 @@ class VectorStore:
             out.flush()
             os.fsync(out.fileno())
 
+        # remap the delete_vectors mask through the kept-row renumbering
+        # (surviving deleted rows keep their bit at the new id); staged
+        # like every other compacted file so the commit marker makes
+        # mask and data move together. An emptied mask stages {} — the
+        # rename then clears the old ids instead of stranding them.
+        dels = self._read_deleted()
+        if dels:
+            new_ids = np.cumsum(keep) - 1
+            staged_dels = {}
+            for s, v in dels.items():
+                surv = v[keep[v]]
+                if surv.size:
+                    staged_dels[s] = new_ids[surv].tolist()
+            dstage = self._deleted_path() + ".compact"
+            with open(dstage, "w") as f:
+                json.dump(staged_dels, f)
+                f.flush()
+                os.fsync(f.fileno())
+
         now_meta = self._meta_dict(count=new_count, bump_data=1,
                                    bump_vec=1, bump_epoch=1)
         marker = os.path.join(self.path, COMPACT_MARKER)
@@ -1240,7 +1272,7 @@ class VectorStore:
             ragged_files += [os.path.basename(e), os.path.basename(i)]
         for fname in ([vec_file(s) for s in self.spaces()]
                       + ragged_files
-                      + [PAYLOAD_FILE, PAYLOAD_IDX_FILE]):
+                      + [PAYLOAD_FILE, PAYLOAD_IDX_FILE, DELETED_FILE]):
             full = os.path.join(self.path, fname)
             try:
                 os.replace(full + ".compact", full)
@@ -1419,7 +1451,121 @@ class VectorStore:
             os.remove(patch)
         except FileNotFoundError:
             pass    # a concurrent reader's open() already rolled forward
+        # a rewritten row has a vector again: resurrect any
+        # delete_vectors mask bits for it (qdrant semantics — setting
+        # the vector re-adds it). Best-effort after the committed
+        # apply; a crash before this leaves the row updated-but-masked
+        # until the next overwrite, never a wrong search result.
+        dels = self._read_deleted()
+        have = dels.get(space)
+        if have is not None:
+            keep = have[~np.isin(have, rows)]
+            if len(keep) != len(have):
+                if len(keep):
+                    dels[space] = keep
+                else:
+                    del dels[space]
+                self._write_deleted(dels)
         return len(rows)
+
+    # -- per-point dense-vector deletion (qdrant delete_vectors) --------
+
+    def _deleted_path(self) -> str:
+        return os.path.join(self.path, DELETED_FILE)
+
+    def _read_deleted(self) -> dict:
+        """{dense space: sorted unique int64 row ids in [0, count)}.
+        A missing/empty file means no deletions. Unknown spaces and
+        out-of-range ids (a truncate that didn't tidy, a snapshot from
+        a larger incarnation) are dropped on READ rather than policed
+        at every mutation — the file is always written atomically, so
+        no torn state exists to repair."""
+        try:
+            with open(self._deleted_path()) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            return {}
+        if not isinstance(raw, dict):
+            return {}
+        out = {}
+        spaces = self.spaces()
+        for space, ids in raw.items():
+            if space not in spaces or not isinstance(ids, list):
+                continue
+            try:    # imported snapshots: malformed lists never brick a store
+                arr = np.unique(np.asarray(ids, np.int64))
+            except (TypeError, ValueError, OverflowError):
+                continue
+            arr = arr[(arr >= 0) & (arr < self.count)]
+            if arr.size:
+                out[space] = arr
+        return out
+
+    def _write_deleted(self, dels: dict) -> None:
+        path = self._deleted_path()
+        dels = {s: np.asarray(v, np.int64).tolist()
+                for s, v in dels.items() if len(v)}
+        if not dels:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dels, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def deleted_rows(self, space: str = "") -> np.ndarray:
+        """Sorted row ids whose `space` vector has been deleted
+        (qdrant delete_vectors). Dense spaces only — sparse and
+        multivector deletions physically empty the ragged row and need
+        no mask (their presence comes from the indptr sidecar)."""
+        if space not in self.spaces():
+            raise StoreError(f"unknown dense vector space {space!r} "
+                             f"(have {sorted(self.spaces())})")
+        return self._read_deleted().get(space, np.zeros(0, np.int64))
+
+    def delete_vector_rows(self, rows, space: str = "") -> int:
+        """Mark the `space` vectors of existing rows deleted — the
+        dense side of qdrant's delete_vectors. The points keep their
+        payloads and their other spaces; searches in `space` exclude
+        them exactly (the engine folds the mask into every scan),
+        `has_vector` turns False, and `update_vectors` on the row
+        resurrects it. Dense rows are fixed-width, so the bytes stay
+        in place and this small mask file IS the deletion — written
+        atomically, then data_version (has_vector answers changed) and
+        vector_version (the device index must re-mask) bump. A crash
+        between the two writes leaves the deletion durable with stale
+        versions; reopen reads the file directly, and any live reader
+        catches up at the next version bump. Returns newly-deleted
+        count (already-deleted rows are idempotent no-ops)."""
+        if not self._locked:
+            raise StoreError("store opened read-only")
+        if space not in self.spaces():
+            raise StoreError(f"unknown dense vector space {space!r} "
+                             f"(have {sorted(self.spaces())})")
+        rows = np.unique(np.asarray(list(rows), np.int64).reshape(-1))
+        if rows.size == 0:
+            return 0
+        if rows.min() < 0 or rows.max() >= self.count:
+            raise StoreError(
+                f"row ids must be in [0, {self.count}), got "
+                f"[{rows.min()}, {rows.max()}]")
+        dels = self._read_deleted()
+        have = dels.get(space, np.zeros(0, np.int64))
+        merged = np.union1d(have, rows)
+        added = int(merged.size - have.size)
+        if added == 0:
+            return 0
+        dels[space] = merged
+        self._write_deleted(dels)
+        self.data_version += 1
+        self.vector_version += 1
+        self._write_meta()
+        return added
 
     def update_sparse_vectors(self, rows, sparse_rows, space: str) -> int:
         """Overwrite the sparse vectors of existing rows — the sparse
@@ -1712,6 +1858,16 @@ class VectorStore:
                     add_prefix(os.path.basename(e),
                                self._ragged_total(space, count) * rec)
                     add_prefix(os.path.basename(i), count * 8)
+                # delete_vectors mask: always-consistent whole file
+                # (atomic writes); ids beyond the snapshot count are
+                # clipped on read after import
+                dels = self._read_deleted()
+                if dels:
+                    raw = json.dumps({s: v.tolist()
+                                      for s, v in dels.items()}).encode()
+                    info = tarfile.TarInfo(DELETED_FILE)
+                    info.size = len(raw)
+                    tar.addfile(info, _io.BytesIO(raw))
                 add_prefix(PAYLOAD_FILE, pay_bytes)
                 # sidecar may legitimately trail (legacy stores): ship
                 # what exists; import rebuilds the rest on first access
@@ -1768,7 +1924,7 @@ class VectorStore:
                 multi = _check_multi_spaces(meta.get("multi") or {},
                                             {**named, **sparse})
                 allowed = ({META_FILE, VEC_FILE, PAYLOAD_FILE,
-                            PAYLOAD_IDX_FILE}
+                            PAYLOAD_IDX_FILE, DELETED_FILE}
                            | {vec_file(s) for s in named}
                            | {SPARSE_FMT.format(s) for s in sparse}
                            | {SPARSE_IDX_FMT.format(s) for s in sparse}
