@@ -1451,21 +1451,6 @@ class VectorStore:
             os.remove(patch)
         except FileNotFoundError:
             pass    # a concurrent reader's open() already rolled forward
-        # a rewritten row has a vector again: resurrect any
-        # delete_vectors mask bits for it (qdrant semantics — setting
-        # the vector re-adds it). Best-effort after the committed
-        # apply; a crash before this leaves the row updated-but-masked
-        # until the next overwrite, never a wrong search result.
-        dels = self._read_deleted()
-        have = dels.get(space)
-        if have is not None:
-            keep = have[~np.isin(have, rows)]
-            if len(keep) != len(have):
-                if len(keep):
-                    dels[space] = keep
-                else:
-                    del dels[space]
-                self._write_deleted(dels)
         return len(rows)
 
     # -- per-point dense-vector deletion (qdrant delete_vectors) --------
@@ -1681,7 +1666,12 @@ class VectorStore:
 
     @staticmethod
     def _apply_vec_patch(path: str, rows, vecs, space: str = "") -> None:
-        """Idempotent absolute-offset writes of the patch rows."""
+        """Idempotent absolute-offset writes of the patch rows, plus
+        the delete_vectors resurrect: a rewritten row has a vector
+        again (qdrant semantics). Running the resurrect HERE puts it
+        inside the patch journal — the roll-forward replays it, so a
+        crash anywhere in update_vectors still lands the full post-op
+        state (the crash-fuzz's atomic-visibility invariant)."""
         vec_path = os.path.join(path, vec_file(space))
         row_bytes = vecs.shape[1] * 4
         with open(vec_path, "r+b") as f:
@@ -1690,6 +1680,46 @@ class VectorStore:
                 f.write(v.tobytes())
             f.flush()
             os.fsync(f.fileno())
+        VectorStore._resurrect_deleted(path, rows.tolist(), space)
+
+    @staticmethod
+    def _resurrect_deleted(dir_path: str, rows, space: str) -> None:
+        """Drop `rows` from the delete_vectors mask of `space`
+        (idempotent; atomic rewrite; a missing/foreign file is left
+        alone)."""
+        p = os.path.join(dir_path, DELETED_FILE)
+        try:
+            with open(p) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            return
+        if not isinstance(raw, dict):
+            return
+        ids = raw.get(space)
+        if not isinstance(ids, list):
+            return
+        gone = {int(r) for r in rows}
+        keep = [i for i in ids
+                if not (isinstance(i, int) and not isinstance(i, bool)
+                        and i in gone)]
+        if len(keep) == len(ids):
+            return
+        if keep:
+            raw[space] = keep
+        else:
+            raw.pop(space)
+        if raw:
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(raw, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+        else:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
 
     @staticmethod
     def _recover_vec_patch(path: str) -> None:

@@ -86,8 +86,10 @@ def _state(root, name="db"):
         tuple(r.tobytes() for r in s.multivector_rows(sp, range(s.count)))
         for sp in sorted(s.multi))
     pays = s.payloads(list(range(s.count)))
+    dels = tuple((sp, tuple(s.deleted_rows(sp).tolist()))
+                 for sp in sorted(s.spaces()))
     s.close()
-    return s.count, blobs, pays, sp_rows, mv_rows
+    return s.count, blobs, pays, sp_rows, mv_rows, dels
 
 
 DT = 8    # named-space dim, deliberately != D to catch dim mixups
@@ -116,6 +118,16 @@ def _make_template(base, kind="plain") -> str:
     if kind == "named":
         with VectorStore.create(root, "db", D, named={"text": DT}) as s:
             s.append({"": vecs, "text": random_unit(rng, N0, DT)}, pays)
+    elif kind == "deleted":
+        # named template with pre-existing delete_vectors masks, so
+        # compact/truncate/update_vectors fuzz their mask interplay
+        # (remap, clip, resurrect)
+        with VectorStore.create(root, "db", D, named={"text": DT}) as s:
+            s.append({"": vecs, "text": random_unit(rng, N0, DT)}, pays)
+        w = VectorStore.open(root, "db", writable=True)
+        w.delete_vector_rows([2, 5, 15], "")
+        w.delete_vector_rows([4], "text")
+        w.close()
     elif kind == "sparse":
         with VectorStore.create(root, "db", D,
                                 sparse={"text": {}}) as s:
@@ -188,13 +200,16 @@ OPS = {
         UPD_ROWS, UPD_SPARSE, "text"),
     "update_multi": lambda s: s.update_multivectors(
         UPD_ROWS, UPD_MULTI, "tok"),
+    "delete_vectors": lambda s: s.delete_vector_rows([1, 4, 9]),
 }
 
 
-@pytest.mark.parametrize("kind", ["plain", "named", "sparse", "multi"])
+@pytest.mark.parametrize("kind", ["plain", "named", "sparse", "multi",
+                                  "deleted"])
 @pytest.mark.parametrize("opname", sorted(OPS))
 def test_crash_at_every_syscall(tmp_path, opname, kind):
-    if opname == "update_vectors_named" and kind != "named":
+    if opname == "update_vectors_named" and kind not in ("named",
+                                                         "deleted"):
         pytest.skip("named-space op needs the named template")
     if opname == "update_sparse" and kind != "sparse":
         pytest.skip("sparse op needs the sparse template")
@@ -251,6 +266,7 @@ BATCH_SEQ = [
     ("compact", lambda s: s.compact(
         np.r_[KEEP, np.ones(len(NEW_VECS), bool)])),
     ("update_vectors", lambda s: s.update_vectors(UPD_ROWS, UPD_VECS)),
+    ("delete_vectors", lambda s: s.delete_vector_rows([1, 2])),
 ]
 
 
