@@ -940,6 +940,13 @@ class Reverso:
                 elif kind == "delete_vectors":
                     sp = body.get("spaces", "")
                     sp = [sp] if isinstance(sp, str) else list(sp)
+                    if "spaces" in body and not sp:
+                        # an explicitly empty list is a mistake, not a
+                        # request for the default space — match the
+                        # public Reverso.delete_vectors rejection
+                        raise ValueError(f"op #{i}: delete_vectors "
+                                         "needs at least one vector "
+                                         "space")
                     sp = list(dict.fromkeys(sp)) or [""]
                     bad_sp = [s for s in sp
                               if s not in self._store.spaces()
@@ -1215,6 +1222,22 @@ class Reverso:
              else np.array(mask, dtype=bool, copy=True))
         m[gone[gone < len(m)]] = False
         return m
+
+    def _drop_deleted(self, cand: list, using: str = "") -> list:
+        """Drop candidate row ids whose `using` vector was deleted via
+        delete_vectors. The exact-rescore / MMR prefetch-union paths
+        read `store.vectors(using)[cand]` directly (no index, no
+        presence mask), so a cross-space prefetch could otherwise score
+        a deleted point with its stale on-disk bytes — qdrant skips a
+        point with no vector in the rescoring space."""
+        store = self._store
+        if store is None or using not in store.spaces():
+            return cand
+        gone = store.deleted_rows(using)
+        if not gone.size:
+            return cand
+        gone_set = set(int(g) for g in gone)
+        return [c for c in cand if int(c) not in gone_set]
 
     def _payload_columns(self):
         """Cached columnar payload view for the loaded store.
@@ -2012,7 +2035,13 @@ class Reverso:
             rel = np.asarray(s[0][valid], np.float64)
             vecs = np.asarray(store.vectors(using)[cand], np.float32)
         else:
-            cand = list(cand)
+            # the prefetch union may cross spaces: a candidate found in
+            # another branch can have a deleted vector HERE — drop it
+            # before computing relevance (stale on-disk bytes must not
+            # enter the MMR pool)
+            cand = self._drop_deleted(list(cand), using)
+            if not cand:
+                return []
             vecs = np.asarray(store.vectors(using)[cand], np.float32)
             rel = self._exact_scores(vecs, qv).astype(np.float64)
             if len(cand) > climit:
@@ -2410,6 +2439,20 @@ class Reverso:
                                 rid_rows[rid] = r
                     return rid_rows
 
+                def _lk_row(row: int) -> np.ndarray:
+                    # same deleted-vector guard as the local-collection
+                    # path (_resolve_query_vector): a point whose
+                    # lspace vector was removed via delete_vectors must
+                    # not silently operand with stale on-disk bytes
+                    if lspace in lstore.spaces() \
+                            and row in lstore.deleted_rows(lspace):
+                        raise StoreError(
+                            f"lookup point {row} has no vector in "
+                            f"space {lspace!r} (deleted via "
+                            f"delete_vectors)")
+                    return np.asarray(lstore.vectors(lspace)[row],
+                                      np.float32)
+
                 def _lk(op):
                     if isinstance(op, (int, np.integer)):
                         i = int(op)
@@ -2417,16 +2460,14 @@ class Reverso:
                             raise StoreError(
                                 f"lookup point id {i} out of range "
                                 f"[0, {lstore.count})")
-                        return np.asarray(lstore.vectors(lspace)[i],
-                                          np.float32)
+                        return _lk_row(i)
                     if isinstance(op, str):
                         row = _rid_map().get(op)
                         if row is None:
                             raise StoreError(
                                 f"no point with region_id {op!r} in "
                                 f"the lookup collection")
-                        return np.asarray(lstore.vectors(lspace)[row],
-                                          np.float32)
+                        return _lk_row(row)
                     return op
                 def _lk_list(x):
                     return ([_lk(e) for e in x]
@@ -2683,6 +2724,12 @@ class Reverso:
             order = np.lexsort((np.asarray(cand), -scores))[:k]
             return hits_out([(float(scores[j]), int(cand[j]))
                              for j in order if np.isfinite(scores[j])])
+        # cross-space prefetch union: a candidate whose vector was
+        # deleted in THIS space has no score here (qdrant skips it) —
+        # drop it before reading the stale on-disk bytes
+        cand = self._drop_deleted(cand, using)
+        if not cand:
+            return []
         vecs = np.asarray(store.vectors(using)[cand], np.float32)
         scores = self._exact_scores(vecs, qv)
         order = np.lexsort((np.asarray(cand), -scores))[:k]

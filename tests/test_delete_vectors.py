@@ -208,3 +208,65 @@ def test_sparse_and_multi_delete(tmp_path):
     assert 0 not in got and len(got) == n - 1
     # the dense spaces are untouched
     assert 0 in _ids(engine.query(v[0].tolist(), k=3))
+
+
+def test_cross_space_rescore_excludes_deleted(tmp_path):
+    """A prefetch branch in one space can surface a candidate whose
+    vector is deleted in the RESCORING space; the exact rescore, the
+    MMR union, and the combine rescore must all skip it instead of
+    scoring the stale on-disk bytes (advisor r03 findings 1-2)."""
+    engine, v, v2 = build(tmp_path)
+    n = len(v)
+    engine.delete_vectors([1, 4], "")          # default space only
+    pre = [{"query": v2[1].tolist(), "using": "txt", "limit": n}]
+    # exact dense rescore of the union in the default space
+    got = _ids(engine.query(v[1].tolist(), prefetch=pre, k=n))
+    assert 1 not in got and 4 not in got and len(got) == n - 2
+    # MMR rerank of the union
+    got = _ids(engine.query(
+        {"nearest": v[1].tolist(), "mmr": {"diversity": 0.3}},
+        prefetch=pre, k=n))
+    assert 1 not in got and 4 not in got
+    # the txt space is untouched: rescoring THERE keeps every row
+    got = _ids(engine.query(v2[1].tolist(), prefetch=[
+        {"query": v[0].tolist(), "using": "txt", "limit": n}],
+        k=n, using="txt"))
+    assert 1 in got and 4 in got
+
+
+def test_lookup_from_deleted_operand_raises(tmp_path):
+    """lookup_from point-id operands must hit the same clean
+    delete_vectors StoreError as local operands, not silently read
+    the deleted row's stale bytes (advisor r03 finding 3)."""
+    engine, v, v2 = build(tmp_path)
+    root = os.path.dirname(engine._store.path)
+    rng = np.random.default_rng(7)
+    lv = unit(rng, 6, v.shape[1])
+    with VectorStore.create(root, "lk", v.shape[1]) as s:
+        s.append(lv, [{"region_id": f"L{i}"} for i in range(6)])
+    w = VectorStore.open(root, "lk", writable=True)
+    w.delete_vector_rows([2], "")
+    w.close()
+    lf = {"collection": "lk"}
+    with pytest.raises(Exception, match="delete_vectors"):
+        engine.query(2, k=3, lookup_from=lf)
+    with pytest.raises(Exception, match="delete_vectors"):
+        engine.query("L2", k=3, lookup_from=lf)
+    # a live lookup row still resolves
+    assert engine.query(0, k=3, lookup_from=lf)
+
+
+def test_batch_empty_spaces_rejected(tmp_path):
+    """update_batch delete_vectors with an explicitly empty spaces
+    list must reject (like the public API), not silently delete the
+    default space (advisor r03 finding 4)."""
+    engine, v, v2 = build(tmp_path)
+    msg = engine.update_batch([
+        {"delete_vectors": {"points": [1], "spaces": []}}])
+    assert msg.startswith("❌") and "at least one" in msg
+    assert engine.count({"has_vector": ""}) == len(v)  # nothing deleted
+    # absent key still means the default space
+    msg = engine.update_batch([
+        {"delete_vectors": {"points": [1]}}])
+    assert msg.startswith("✅"), msg
+    assert engine.count({"has_vector": ""}) == len(v) - 1
