@@ -157,13 +157,20 @@ class MultiVecIndex:
     accumulation — same storage/accuracy trade as DeviceIndex); the
     raggedness is an int32 segment-id vector. `search` accepts [d] /
     [Tq, d] queries or lists of them and chunks the query batch so the
-    intermediate [Q·Tq, M] score block stays bounded."""
+    intermediate [Q·Tq, M] score block stays bounded.
+
+    With a multi-device `mesh`, points shard in contiguous ranges over
+    the "data" axis (`ops.multivec.shard_multivec_layout`) and every
+    search runs the per-shard scan + k-sized all_gather merge
+    (`sharded_maxsim_topk`), bitwise-identical ids to the single-device
+    scan — the same contract as DeviceIndex's sharded mode."""
 
     # bound on the [Q·Tq, M] f32 intermediate per launch
     _BLOCK_BYTES = 512 * 1024 * 1024
 
     def __init__(self, sub_vectors: np.ndarray, indptr: np.ndarray, *,
-                 dtype: str = "bfloat16"):
+                 dtype: str = "bfloat16", mesh: Optional[Mesh] = None,
+                 axis: str = "data"):
         subs = np.asarray(sub_vectors, np.float32)
         self.indptr = np.asarray(indptr, np.int64)
         self.n_valid = len(self.indptr)
@@ -171,6 +178,19 @@ class MultiVecIndex:
         self._dtype = jnp.dtype(dtype)
         if self._dtype == jnp.int8:        # int8 makes MaxSim inexact
             self._dtype = jnp.dtype(jnp.bfloat16)
+        self.mesh = mesh if (mesh is not None and len(subs)
+                             and mesh.devices.size > 1) else None
+        self.axis = axis
+        if self.mesh is not None:
+            from ..parallel.sharding import row_sharding
+            from ..ops.multivec import shard_multivec_layout
+            subs_sh, seg_sh, self._local_rows = shard_multivec_layout(
+                subs, self.indptr, self.mesh.shape[axis])
+            sh = row_sharding(self.mesh, axis)
+            self.matrix = jax.device_put(
+                jnp.asarray(subs_sh, self._dtype), sh)
+            self._seg_ids = jax.device_put(jnp.asarray(seg_sh), sh)
+            return
         self.matrix = jnp.asarray(subs, self._dtype) if len(subs) else \
             jnp.zeros((0, max(self.dim, 1)), self._dtype)
         # device-resident segment ids: rebuilding + uploading [M] i32
@@ -184,7 +204,7 @@ class MultiVecIndex:
         return self.matrix.size * self.matrix.dtype.itemsize
 
     def search(self, queries, k: int, *, row_mask=None, **_):
-        from ..ops.multivec import maxsim_topk
+        from ..ops.multivec import maxsim_topk, sharded_maxsim_topk
 
         if isinstance(queries, (list, tuple)):
             qlist = list(queries)
@@ -200,10 +220,16 @@ class MultiVecIndex:
         per_q = max(1, self._BLOCK_BYTES // (4 * tq * m))
         outs = []
         for lo in range(0, len(qlist), per_q):
-            outs.append(maxsim_topk(self.matrix, self.indptr,
-                                    qlist[lo:lo + per_q], k,
-                                    row_mask=row_mask,
-                                    seg_ids=self._seg_ids))
+            if self.mesh is not None:
+                outs.append(sharded_maxsim_topk(
+                    self.matrix, self._seg_ids, qlist[lo:lo + per_q], k,
+                    self.mesh, self.axis, n_rows=self.n_valid,
+                    local_rows=self._local_rows, row_mask=row_mask))
+            else:
+                outs.append(maxsim_topk(self.matrix, self.indptr,
+                                        qlist[lo:lo + per_q], k,
+                                        row_mask=row_mask,
+                                        seg_ids=self._seg_ids))
         scores = np.concatenate([jax.device_get(s) for s, _ in outs])
         ids = np.concatenate([jax.device_get(i) for _, i in outs])
         return scores, ids

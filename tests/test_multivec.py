@@ -138,6 +138,57 @@ def test_maxsim_score_rows_host():
             np.testing.assert_allclose(scores[i], want, atol=1e-4)
 
 
+def test_sharded_maxsim_matches_single_device():
+    """Point-sharded MaxSim scan (8-device virtual mesh) returns the
+    single-device ids exactly — masked and unmasked, ragged T with
+    empty points, n_rows not divisible by the shard count."""
+    import jax
+    from jax.sharding import Mesh
+    from reverso_tpu.ops.multivec import (shard_multivec_layout,
+                                          sharded_maxsim_topk)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    rng = np.random.default_rng(7)
+    for n, d, k in [(37, 16, 5), (64, 32, 10), (5, 8, 8)]:
+        rows = random_multi(rng, n, d)
+        flat, indptr = flat_of(rows, d)
+        queries = [rng.normal(size=(3, d)).astype(np.float32),
+                   rng.normal(size=(d,)).astype(np.float32)]
+        subs_sh, seg_sh, local_rows = shard_multivec_layout(
+            flat, indptr, 8)
+        for mask in (None, (rng.random(n) < 0.5).astype(np.int8)):
+            ref_s, ref_i = map(np.asarray, maxsim_topk(
+                flat, indptr, queries, k, row_mask=mask))
+            s, i = map(np.asarray, sharded_maxsim_topk(
+                subs_sh, seg_sh, queries, k, mesh, n_rows=n,
+                local_rows=local_rows, row_mask=mask))
+            assert np.array_equal(i, ref_i), (n, d, k, mask is None)
+            np.testing.assert_allclose(s, ref_s, atol=1e-5, rtol=1e-5)
+
+
+def test_multivec_index_mesh_matches_single_device():
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    rng = np.random.default_rng(11)
+    n, d = 29, 16
+    rows = random_multi(rng, n, d)
+    flat, indptr = flat_of(rows, d)
+    single = MultiVecIndex(flat, indptr, dtype="float32")
+    sharded = MultiVecIndex(flat, indptr, dtype="float32", mesh=mesh)
+    qs = [rng.normal(size=(2, d)).astype(np.float32) for _ in range(3)]
+    s1, i1 = single.search(qs, 6)
+    s2, i2 = sharded.search(qs, 6)
+    assert np.array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5, rtol=1e-5)
+    keep = (rng.random(n) < 0.4).astype(np.int8)
+    s1, i1 = single.search(qs, 6, row_mask=keep)
+    s2, i2 = sharded.search(qs, 6, row_mask=keep)
+    assert np.array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5, rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # store persistence (the ragged machinery is shared with sparse and
 # fuzz-covered in test_crashfuzz; these pin the multi-specific parts)
