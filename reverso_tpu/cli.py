@@ -720,7 +720,8 @@ def cmd_index_payload(args) -> int:
     if msg.startswith("❌"):
         print(msg, file=sys.stderr)
         return 1
-    msg = engine.index_payload(args.keys)
+    msg = engine.index_payload(args.keys,
+                               text=getattr(args, "text", False))
     out = sys.stdout if msg.startswith("✅") else sys.stderr
     print(msg, file=out)
     return 0 if msg.startswith("✅") else 1
@@ -998,7 +999,13 @@ def cmd_tune(args) -> int:
     except Exception as e:
         print(f"❌ {e}", file=sys.stderr)
         return 1
-    vecs = np.ascontiguousarray(np.asarray(store.vectors()), np.float32)
+    space = getattr(args, "space", "") or ""
+    if space and space not in store.spaces():
+        print(f"❌ unknown vector space {space!r} "
+              f"(have {sorted(store.spaces())})", file=sys.stderr)
+        return 1
+    vecs = np.ascontiguousarray(np.asarray(store.vectors(space)),
+                                np.float32)
     n = len(vecs)
     if n == 0:
         print("❌ store is empty", file=sys.stderr)
@@ -1020,7 +1027,8 @@ def cmd_tune(args) -> int:
                 f"({cfg.search.ivf_clusters}): serving uses the EXACT "
                 f"scan for this config; tune is informational only")
         print(f"⚠️ {note}", file=sys.stderr)
-    ivf = load_or_build_ivf(store, vecs, cfg.search, cfg.store.dtype)
+    ivf = load_or_build_ivf(store, vecs, cfg.search, cfg.store.dtype,
+                            space=space)
     _, true_i = jax.device_get(ivf.search(q, k, nprobe=ivf.n_clusters))
 
     def recall_at(nprobe):
@@ -1500,6 +1508,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "create_payload_index)")
     ip.add_argument("name")
     ip.add_argument("keys", nargs="+", help="payload keys to index")
+    ip.add_argument("--text", action="store_true",
+                    help="also build + persist the full-text inverted "
+                         "index for these keys (qdrant text index)")
     ip.set_defaults(fn=cmd_index_payload)
 
     al = sub.add_parser("alias",
@@ -1578,6 +1589,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="self-queries sampled from the store")
     tu.add_argument("--k", type=int, default=10)
     tu.add_argument("--seed", type=int, default=0)
+    tu.add_argument("--space", default="",
+                    help="named vector space to tune (default: the "
+                         "default space)")
     tu.set_defaults(fn=cmd_tune)
 
     vid = sub.add_parser("video", help="extract keyframes from videos")
