@@ -1024,6 +1024,58 @@ class PayloadColumns:
         Treat as read-only (shared with the memoized view)."""
         return self.view(key).present
 
+    def text_index(self, key: str):
+        """Memoized full-text inverted index over `key`'s unique-string
+        dictionary (store/text.py — the qdrant full-text payload index
+        role). Loaded from the typed-column cache when `index-payload
+        --text` persisted it for this store version (digest-checked
+        against the live dictionary), else built in-process on first
+        use — which costs about one legacy per-unique evaluation, so
+        every text/phrase query after the first is pure postings
+        work."""
+        from .text import TextIndex
+
+        got = self._derived.get(("text", key))
+        if got is None:
+            view = self.view(key)
+            ti = None
+            store = getattr(self, "_store", None)
+            if (store is not None
+                    and os.environ.get("REVERSO_PAYCOL_CACHE", "1") != "0"):
+                path = _paycols_path(store)
+                if os.path.exists(path):
+                    try:
+                        with np.load(path, allow_pickle=False) as z:
+                            ti = TextIndex.from_arrays(z, key, view.uniq)
+                    except Exception:
+                        ti = None
+            if ti is None:
+                ti = TextIndex.build(view.uniq)
+            got = self._derived[("text", key)] = ti
+        return got
+
+    def persist_text(self, keys: Sequence[str]) -> Optional[str]:
+        """Persist full-text indexes (plus the backing typed views, so
+        dictionary ordering and postings always travel together) for
+        `keys` into the typed-column cache file. Returns the path or
+        None when the filesystem refused."""
+        path = self.persist(keys, force=True)
+        if path is None:
+            return None
+        arrays: dict = {}
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                arrays.update({name: z[name] for name in z.files})
+            for k in keys:
+                arrays.update(self.text_index(k).to_arrays(k))
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, **arrays)
+            os.replace(tmp, path)
+            return path
+        except OSError:
+            return None
+
     def datetime_num(self, key: str) -> tuple:
         """(rows [count] f64, elements [E] f64) epoch seconds for
         RFC 3339 string payloads, NaN for everything else (missing /
@@ -1574,15 +1626,24 @@ def _eval_condition(cond: "Condition | Filter",
         # the listed ones" — vacuously true for rows missing the key
         return ~m if cond.op == "except" else m
     if cond.op in ("text", "phrase"):
-        if cond.op == "text":
-            qtok = set(_TOKEN_RE.findall(cond.value.lower()))
-            hit = lambda u: qtok <= set(_TOKEN_RE.findall(u.lower()))  # noqa: E731
+        if os.environ.get("REVERSO_TEXT_INDEX", "1") != "0":
+            # inverted-index path (store/text.py): postings
+            # intersection instead of re-tokenizing every unique
+            # string per query; the kill switch keeps the legacy
+            # evaluator reachable (it is also the parity oracle)
+            ti = columns.text_index(cond.key)
+            ok_uniq = (ti.text_match(cond.value) if cond.op == "text"
+                       else ti.phrase_match(cond.value))
         else:
-            qseq = _TOKEN_RE.findall(cond.value.lower())
-            hit = lambda u: _has_phrase(qseq, _TOKEN_RE.findall(u.lower()))  # noqa: E731
-        ok_uniq = np.fromiter(
-            (hit(u) for u in view.uniq.tolist()),
-            np.bool_, count=len(view.uniq))
+            if cond.op == "text":
+                qtok = set(_TOKEN_RE.findall(cond.value.lower()))
+                hit = lambda u: qtok <= set(_TOKEN_RE.findall(u.lower()))  # noqa: E731
+            else:
+                qseq = _TOKEN_RE.findall(cond.value.lower())
+                hit = lambda u: _has_phrase(qseq, _TOKEN_RE.findall(u.lower()))  # noqa: E731
+            ok_uniq = np.fromiter(
+                (hit(u) for u in view.uniq.tolist()),
+                np.bool_, count=len(view.uniq))
         m = np.zeros(len(view.present), np.bool_)
         srows = view.codes >= 0
         m[srows] = ok_uniq[view.codes[srows]]

@@ -1291,3 +1291,117 @@ def test_sharded_pallas_row_mask(masked_case):
                                        jax.sharding.PartitionSpec("data")))))
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# full-text inverted index (store/text.py — qdrant text payload index)
+# ---------------------------------------------------------------------------
+
+def test_text_index_parity_fuzz(tmp_path, monkeypatch):
+    """The inverted-index text/phrase path returns bitwise-identical
+    masks to the legacy per-unique evaluator on adversarial corpora:
+    repeated tokens, substring-vs-token traps, unicode, arrays of
+    strings, missing keys, non-string rows."""
+    rng = np.random.default_rng(9)
+    words = ["fox", "quick", "brown", "the", "a", "лиса", "42",
+             "foxes", "qu", "ick", "x"]
+    payloads = []
+    for i in range(120):
+        kind = rng.integers(0, 5)
+        if kind == 0:
+            payloads.append({})                       # missing key
+        elif kind == 1:
+            payloads.append({"cap": int(i)})          # non-string
+        elif kind == 2:
+            toks = rng.choice(words, rng.integers(0, 6))
+            payloads.append({"cap": " ".join(toks)})
+        elif kind == 3:                               # punctuated
+            toks = rng.choice(words, rng.integers(1, 4))
+            payloads.append({"cap": "!,".join(toks) + "."})
+        else:                                         # array payload
+            vals = [" ".join(rng.choice(words, rng.integers(0, 4)))
+                    for _ in range(rng.integers(0, 3))]
+            payloads.append({"cap": vals})
+    vecs = random_unit(rng, len(payloads), 8)
+    with VectorStore.create(str(tmp_path), "txt", 8) as s:
+        s.append(vecs, payloads)
+    store = VectorStore.open(str(tmp_path), "txt")
+    queries = (["fox", "quick fox", "FOX Quick", "fox fox",
+                "foxes", "qu", "лиса", "42 the", "brown a x the"]
+               + [" ".join(rng.choice(words, rng.integers(1, 4)))
+                  for _ in range(12)])
+    for q in queries:
+        for op in ("text", "phrase"):
+            spec = {"key": "cap", "match": {op: q}}
+            monkeypatch.setenv("REVERSO_TEXT_INDEX", "0")
+            legacy = payload_mask(store, spec)
+            monkeypatch.setenv("REVERSO_TEXT_INDEX", "1")
+            indexed = payload_mask(store, spec)
+            np.testing.assert_array_equal(indexed, legacy,
+                                          err_msg=f"{op} {q!r}")
+    store.close()
+
+
+def test_text_index_persist_and_reload(tmp_path, monkeypatch):
+    """index_payload(text=True) persists the postings next to the
+    typed views; a fresh process loads them without rebuilding, and a
+    digest mismatch falls back to a clean rebuild."""
+    import reverso_tpu.store.text as text_mod
+    from reverso_tpu.store.filter import PayloadColumns, parse_filter, \
+        evaluate_filter
+
+    payloads = [{"cap": f"sentence number {i} quick brown fox"}
+                for i in range(30)]
+    vecs = random_unit(np.random.default_rng(0), len(payloads), 8)
+    with VectorStore.create(str(tmp_path), "txtp", 8) as s:
+        s.append(vecs, payloads)
+    store = VectorStore.open(str(tmp_path), "txtp")
+    cols = PayloadColumns(store)
+    cols.ensure(["cap"])
+    path = cols.persist_text(["cap"])
+    assert path is not None
+
+    # fresh columns: the index must come from disk, not a rebuild
+    def boom(*a, **k):
+        raise AssertionError("TextIndex rebuilt despite persisted cache")
+    monkeypatch.setattr(text_mod.TextIndex, "build", boom)
+    cols2 = PayloadColumns(store)
+    filt = parse_filter({"key": "cap", "match": {"phrase": "quick brown"}})
+    cols2.ensure(["cap"])
+    m = evaluate_filter(filt, cols2)
+    assert m.all()
+    monkeypatch.undo()
+
+    # digest mismatch (simulate a cache paired with a different
+    # dictionary): loader must reject and rebuild
+    import numpy as _np
+    monkeypatch.setattr(text_mod, "uniq_digest",
+                        lambda uniq: _np.zeros(16, _np.uint8) - 1)
+    cols3 = PayloadColumns(store)
+    cols3.ensure(["cap"])
+    m2 = evaluate_filter(filt, cols3)
+    np.testing.assert_array_equal(m2, m)
+    store.close()
+
+
+def test_text_index_engine_and_cli(tmp_path, capsys):
+    from reverso_tpu.cli import main
+
+    root = str(tmp_path / "db")
+    payloads = [{"region_id": f"r{i}",
+                 "cap": ("quick brown fox" if i % 2 else "lazy dog")}
+                for i in range(10)]
+    vecs = random_unit(np.random.default_rng(1), len(payloads), 8)
+    import os as _os
+    _os.makedirs(root, exist_ok=True)
+    with VectorStore.create(root, "txtc", 8) as s:
+        s.append(vecs, payloads)
+    rc = main(["--db-root", root, "--model", "test-tiny",
+               "index-payload", "txtc", "cap", "--text"])
+    out = capsys.readouterr()
+    assert rc == 0, out.err
+    assert "text-indexed" in out.out
+    store = VectorStore.open(root, "txtc")
+    m = payload_mask(store, {"key": "cap", "match": {"phrase": "brown fox"}})
+    np.testing.assert_array_equal(m, [i % 2 == 1 for i in range(10)])
+    store.close()
