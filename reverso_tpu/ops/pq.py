@@ -10,7 +10,16 @@ local mode, reference core_system.py:600-622); here PQ completes the
 capacity ladder next to int8 (2x, exact) and binary (16x, sign proxy):
 at m = d/8 a PQ row costs the SAME d/8 bytes of HBM as a binary row
 but approximates with 256-entry learned codebooks instead of 1-bit
-signs, so it holds rank much better on low-margin corpora.
+signs.
+
+STATUS (round 4, measured — EVAL.md "PQ vs binary at matched HBM"):
+retained for qdrant API parity, NOT recommended. On the real chip at
+matched HBM the binary scan dominates PQ on BOTH corpus shapes —
+equal recall@10 (0.998) on near-duplicate data, HIGHER recall on the
+tie-dense no-margin corpus (0.502 vs PQ's 0.409 — codebooks trained
+on near-identical members collapse toward the centers and rank no
+better than signs), at 3.2x less scan time (55 vs 175 ms @1M x 1024).
+Use `--index-dtype binary` for capacity, `int8` for 2x-exact.
 
 TPU-native shape of the scan: TPUs have no fast gather, so the classic
 ADC table lookup is re-expressed as matmul work the MXU can run — each
