@@ -510,4 +510,52 @@ void reverso_f32_to_bf16(const float* src, uint16_t* dst, int64_t count,
   for (auto& th : threads) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Sparse inverted-index scoring (store/sparse.py hot loop).
+//
+// One query touches nseg postings segments (one per matched query
+// term); each segment's rows are SORTED ascending (the build is a
+// stable argsort by term with row order preserved). Threads partition
+// the ROW space [0, n_rows): every thread binary-searches its row
+// range inside each segment and accumulates only its own rows, so
+// there are no write races, total work stays exactly E touched
+// postings, and per-row accumulation order is segment order — bit-
+// identical (f64 adds in the same order) to the single-thread and
+// numpy reference paths.
+void reverso_sparse_score(const int32_t* rows, const float* vals,
+                          const int64_t* seg_lo, const int64_t* seg_hi,
+                          const float* qv, int nseg, int64_t n_rows,
+                          double* scores, uint8_t* touched,
+                          int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  n_threads = std::max(1, n_threads);
+  // tiny queries: threading overhead dominates under ~64k postings
+  int64_t total = 0;
+  for (int s = 0; s < nseg; ++s) total += seg_hi[s] - seg_lo[s];
+  if (total < 65536) n_threads = 1;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  auto worker = [&](int64_t r0, int64_t r1) {
+    for (int s = 0; s < nseg; ++s) {
+      const int32_t* b = rows + seg_lo[s];
+      const int32_t* e = rows + seg_hi[s];
+      const int32_t* lo = std::lower_bound(b, e, (int32_t)r0);
+      const int32_t* hi = std::lower_bound(lo, e, (int32_t)r1);
+      const float* v = vals + (lo - rows);
+      const double q = (double)qv[s];
+      for (const int32_t* p = lo; p != hi; ++p, ++v) {
+        scores[*p] += (double)*v * q;
+        touched[*p] = 1;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) {
+    int64_t r0 = t * chunk, r1 = std::min(n_rows, r0 + chunk);
+    if (r0 >= r1) break;
+    threads.emplace_back(worker, r0, r1);
+  }
+  worker(0, std::min(n_rows, chunk));
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

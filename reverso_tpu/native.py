@@ -85,6 +85,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
+        if hasattr(lib, "reverso_sparse_score"):
+            lib.reverso_sparse_score.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         _LIB = lib
         return _LIB
 
@@ -279,3 +288,36 @@ def f32_to_bf16_bits(x: np.ndarray, n_threads: int = 0) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         x.size, n_threads)
     return out
+
+
+def sparse_score(rows: np.ndarray, vals: np.ndarray, seg_lo: np.ndarray,
+                 seg_hi: np.ndarray, qv: np.ndarray, n_rows: int,
+                 scores: np.ndarray, touched: np.ndarray,
+                 n_threads: int = 0) -> bool:
+    """Accumulate sparse postings into `scores`/`touched` in place
+    (store/sparse.py hot loop): for each segment s, scores[rows[i]] +=
+    vals[i] * qv[s] over postings [seg_lo[s], seg_hi[s]). Rows within
+    a segment must be sorted ascending (the SparseIndex build
+    guarantees it) — threads partition the row space and binary-search
+    each segment, so results are BIT-identical to the sequential f64
+    reference. Returns False when the native library is unavailable
+    (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "reverso_sparse_score"):
+        return False
+    assert rows.dtype == np.int32 and vals.dtype == np.float32
+    assert scores.dtype == np.float64 and touched.dtype == np.uint8
+    seg_lo = np.ascontiguousarray(seg_lo, np.int64)
+    seg_hi = np.ascontiguousarray(seg_hi, np.int64)
+    qv = np.ascontiguousarray(qv, np.float32)
+    lib.reverso_sparse_score(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        seg_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seg_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        qv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(qv), n_rows,
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        touched.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads)
+    return True

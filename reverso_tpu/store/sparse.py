@@ -12,6 +12,18 @@ realistic shapes (1M rows x ~100 nnz, ~50-term queries) that is
 sub-millisecond warm — far below the tunnel round-trip a device
 launch would cost.
 
+Measured (round 4, `scripts/bench_sparse.py`, PERF.md "Sparse
+inverted-index scan"): cost is O(touched postings), so latency is set
+by the VOCABULARY SHAPE, not row count alone — a long-tail vocabulary
+(1M terms) touches thousands of postings per query (sub-ms); a hot
+Zipf vocabulary (30k terms) touches millions (tens of ms in numpy).
+The accumulate therefore routes through the native C++ scorer
+(`native/reverso_native.cpp::reverso_sparse_score`) when available:
+threads partition the ROW space and binary-search each postings
+segment (rows are sorted within a segment), so it is race-free,
+work-conserving, and BIT-identical to the sequential f64 numpy
+reference it falls back to.
+
 Exactness contract matches the dense paths: scores are f64 dot
 products accumulated in deterministic term order, results ordered by
 (-score, row id), `-1` marks absent slots. Rows sharing NO query term
@@ -56,7 +68,9 @@ class SparseIndex:
         e = len(entries)
         if e:
             nnz = np.diff(np.concatenate([[0], np.asarray(indptr)]))
-            row_of = np.repeat(np.arange(n, dtype=np.int64), nnz)
+            # int32 row ids: halves postings memory traffic (the scan
+            # is bandwidth-bound) and is what the native scorer takes
+            row_of = np.repeat(np.arange(n, dtype=np.int32), nnz)
             term = entries["i"].astype(np.int64)
             order = np.argsort(term, kind="stable")  # stable: row-id tie
             term = term[order]
@@ -67,7 +81,7 @@ class SparseIndex:
         else:
             terms = np.zeros(0, np.int64)
             starts = np.zeros(1, np.int64)
-            rows = np.zeros(0, np.int64)
+            rows = np.zeros(0, np.int32)
             vals = np.zeros(0, np.float32)
         return cls(n, terms, starts, rows, vals)
 
@@ -109,8 +123,11 @@ class SparseIndex:
             with np.load(path, allow_pickle=False) as z:
                 if int(z["n_rows"]) != n_rows:
                     return None
+                rows = np.asarray(z["rows"])
+                if rows.dtype != np.int32:   # pre-round-4 i64 caches
+                    rows = rows.astype(np.int32)
                 return cls(n_rows, z["terms"], z["starts"],
-                           np.asarray(z["rows"]), np.asarray(z["vals"]))
+                           rows, np.asarray(z["vals"]))
         except (OSError, ValueError, KeyError):
             return None
 
@@ -129,15 +146,30 @@ class SparseIndex:
         if k < 1:
             raise StoreError(f"k must be >= 1, got {k}")
         scores = np.zeros(self.n_rows, np.float64)
-        touched = np.zeros(self.n_rows, bool)
+        touched_u8 = np.zeros(self.n_rows, np.uint8)
         pos = np.searchsorted(self.terms, q_idx.astype(np.int64))
+        seg_lo, seg_hi, seg_qv = [], [], []
         for p, t, qv in zip(pos.tolist(), q_idx.tolist(), q_val.tolist()):
             if p >= len(self.terms) or self.terms[p] != t:
                 continue
-            lo, hi = int(self.starts[p]), int(self.starts[p + 1])
-            r = self.rows[lo:hi]
-            scores[r] += self.vals[lo:hi].astype(np.float64) * qv
-            touched[r] = True
+            seg_lo.append(int(self.starts[p]))
+            seg_hi.append(int(self.starts[p + 1]))
+            seg_qv.append(qv)
+        from ..native import sparse_score
+        rows32 = self.rows if self.rows.dtype == np.int32 \
+            else self.rows.astype(np.int32)
+        if seg_lo and not sparse_score(
+                rows32, self.vals, np.asarray(seg_lo), np.asarray(seg_hi),
+                np.asarray(seg_qv, np.float32), self.n_rows,
+                scores, touched_u8):
+            # numpy reference (no native library): bit-identical —
+            # the native path accumulates f64 in the same per-row
+            # segment order
+            for lo, hi, qv in zip(seg_lo, seg_hi, seg_qv):
+                r = self.rows[lo:hi]
+                scores[r] += self.vals[lo:hi].astype(np.float64) * qv
+                touched_u8[r] = 1
+        touched = touched_u8.astype(bool)
         if row_mask is not None:
             touched &= np.asarray(row_mask, bool)[: self.n_rows]
         if threshold is not None:

@@ -582,3 +582,45 @@ def test_cli_sparse_upsert_query_update(tmp_path, capsys):
     hits = json.loads(out.out)["hits"]
     assert hits and hits[0]["id"] == rid and \
         abs(hits[0]["score"] - 7.0) < 1e-6
+
+
+def test_native_sparse_score_parity(monkeypatch):
+    """Native C++ postings accumulate == the numpy reference, bitwise
+    (same f64 per-row segment order), across hot/cold terms, duplicate
+    rows across segments, and masked/thresholded searches."""
+    from reverso_tpu import native as native_mod
+    from reverso_tpu.store.sparse import SparseIndex
+
+    if not native_mod.native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    n, nnz, vocab = 5000, 20, 40   # tiny vocab -> huge postings lists
+    # store invariant: indices UNIQUE within a row (check_sparse_row)
+    terms, vals, ends = [], [], []
+    total = 0
+    for _ in range(n):
+        t = rng.choice(vocab, nnz, replace=False)
+        terms.append(t)
+        vals.append(rng.standard_normal(nnz).astype(np.float32))
+        total += nnz
+        ends.append(total)
+    entries = np.empty(total, dtype=[("i", np.uint32), ("v", np.float32)])
+    entries["i"] = np.concatenate(terms).astype(np.uint32)
+    entries["v"] = np.concatenate(vals)
+    indptr = np.asarray(ends, np.int64)
+    idx = SparseIndex.build(entries, indptr)
+    assert idx.rows.dtype == np.int32
+
+    for trial in range(8):
+        w = int(rng.integers(1, 8))
+        q_idx = rng.choice(vocab + 5, w, replace=False)  # some missing
+        q = {"indices": q_idx.tolist(),
+             "values": rng.standard_normal(w).astype(np.float32).tolist()}
+        mask = (rng.random(n) < 0.7) if trial % 2 else None
+        s_nat, i_nat = idx.search(q, 12, row_mask=mask)
+        monkeypatch.setattr(native_mod, "_LIB", None)
+        monkeypatch.setattr(native_mod, "_TRIED", True)
+        s_py, i_py = idx.search(q, 12, row_mask=mask)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(i_nat, i_py)
+        np.testing.assert_array_equal(s_nat, s_py)   # bitwise
