@@ -84,14 +84,32 @@ class GroundedSamDetector:
         self.dino_size = dino_size
         self.text_len = text_len
 
+        # Images cross host->device as RESIZED uint8; normalization
+        # runs inside the jit (fp32, identical math to the former host
+        # pass). This quarters the per-image transfer — ~20 MB/img of
+        # f32 to ~5 MB (DINO 800px + SAM 1024px) — which is the
+        # difference between PCIe noise on a real host and the
+        # dominant cost through this environment's ~100 MB/s tunnel.
         @jax.jit
-        def _dino_fwd(params, images, ids, attn, pos, token_mask):
-            return self.dino.apply({"params": params}, images, ids, attn,
+        def _dino_fwd(params, images_u8, ids, attn, pos, token_mask):
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = (x - DINO_MEAN) / DINO_STD
+            return self.dino.apply({"params": params}, x, ids, attn,
                                    pos, token_mask)
 
         @jax.jit
-        def _sam_fwd(params, images, boxes):
-            return self.sam.apply({"params": params}, images, boxes,
+        def _sam_fwd(params, images_u8, boxes, nh, nw):
+            # normalize, then zero the pad ring AFTER normalization
+            # (SAM's transform pads the normalized image with zeros);
+            # nh/nw are [B] per-image valid extents
+            x = (images_u8.astype(jnp.float32) - SAM_MEAN) / SAM_STD
+            b, s = images_u8.shape[0], images_u8.shape[1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (b, s, s, 1), 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (b, s, s, 1), 2)
+            nh_ = nh.reshape(b, 1, 1, 1)
+            nw_ = nw.reshape(b, 1, 1, 1)
+            x = jnp.where((row < nh_) & (col < nw_), x, 0.0)
+            return self.sam.apply({"params": params}, x, boxes,
                                   multimask_output=False)
 
         self._dino_fwd = _dino_fwd
@@ -130,27 +148,42 @@ class GroundedSamDetector:
         return ids, attn, pos, token_mask, spans
 
     def _prep_dino_image(self, image: np.ndarray) -> np.ndarray:
+        """Resized uint8 [1, S, S, 3] — normalization happens in-jit
+        (see _dino_fwd) so only u8 bytes cross to the device."""
         s = self.dino_size
         img = cv2.resize(image, (s, s), interpolation=cv2.INTER_LINEAR)
-        x = img.astype(np.float32) / 255.0
-        return ((x - DINO_MEAN) / DINO_STD)[None]
+        return np.ascontiguousarray(img, np.uint8)[None]
 
     def _prep_sam_image(self, image: np.ndarray):
+        """Longest-side-resized uint8 in a [1, size, size, 3] zero
+        canvas; normalization + pad-ring zeroing happen in-jit."""
         size = self.sam_cfg.vision.image_size
         h, w = image.shape[:2]
         scale = size / max(h, w)
         nh, nw = round(h * scale), round(w * scale)
         img = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        x = (img.astype(np.float32) - SAM_MEAN) / SAM_STD
-        out = np.zeros((size, size, 3), np.float32)
-        out[:nh, :nw] = x
+        out = np.zeros((size, size, 3), np.uint8)
+        out[:nh, :nw] = img
         return out[None], (nh, nw), scale
+
+    # DINO micro-batch: batch-4 was the measured sweet spot (PERF.md);
+    # the ingest batch (64 images for the embed stage) chunks down to
+    # this so detection never compiles giant batch shapes or stages
+    # hundreds of MB per forward. Partial chunks pad by repeating the
+    # first image (one compile shape) and drop the pad results.
+    dino_batch: int = 4
+
+    # SAM micro-batch: images segment in chunks of this many through
+    # ONE forward (per-image nh/nw masking in-jit), quartering the
+    # per-image dispatch+sync overhead vs the former per-image calls.
+    sam_batch: int = 4
 
     def detect_batch(self, images: Sequence[np.ndarray],
                      prompts: Sequence[str]) -> list[Regions]:
-        """Batched detection: one GroundingDINO forward for all images
-        (bf16 batch-4 measured 40% faster per image than batch-1 fp32,
-        PERF.md). SAM still runs per image (box counts vary)."""
+        """Batched detection: GroundingDINO forwards in `dino_batch`
+        chunks (bf16 batch-4 measured 40% faster per image than
+        batch-1 fp32, PERF.md), then SAM forwards batched in
+        `sam_batch` chunks over the images that kept boxes."""
         if not len(images):
             return []
         if cv2 is None:   # same clear error as detect(); this is the
@@ -158,18 +191,47 @@ class GroundedSamDetector:
             # _prep_dino_image gives the operator no hint
             raise RuntimeError("OpenCV required for detector preprocessing")
         ids, attn, pos, token_mask, spans = self._prep_text(prompts)
-        b = len(images)
-        dino_in = np.concatenate([self._prep_dino_image(im) for im in images])
-        logits, boxes = self._dino_fwd(
-            self.dino_params, jnp.asarray(dino_in),
-            jnp.asarray(np.repeat(ids, b, axis=0)),
-            jnp.asarray(np.repeat(attn, b, axis=0)),
-            jnp.asarray(np.repeat(pos, b, axis=0)),
-            jnp.asarray(np.repeat(token_mask, b, axis=0)))
-        scores_b = jax.device_get(jax.nn.sigmoid(logits))
-        boxes_b = jax.device_get(boxes)
-        return [self._postprocess(images[j], scores_b[j], boxes_b[j],
-                                  prompts, spans) for j in range(b)]
+        sels: list = []
+        cb = max(1, int(self.dino_batch))
+        text = None
+        for lo in range(0, len(images), cb):
+            chunk = list(images[lo:lo + cb])
+            b = len(chunk)
+            pad = (cb - b) if len(images) > cb else 0
+            dino_in = np.concatenate(
+                [self._prep_dino_image(im) for im in chunk]
+                + [self._prep_dino_image(chunk[0])] * pad)
+            if text is None or text[0].shape[0] != b + pad:
+                text = tuple(jnp.asarray(np.repeat(a, b + pad, axis=0))
+                             for a in (ids, attn, pos, token_mask))
+            logits, boxes = self._dino_fwd(
+                self.dino_params, jnp.asarray(dino_in), *text)
+            scores_b = jax.device_get(jax.nn.sigmoid(logits))
+            boxes_b = jax.device_get(boxes)
+            sels.extend(self._select_boxes(chunk[j], scores_b[j],
+                                           boxes_b[j], spans)
+                        for j in range(b))
+
+        # SAM batched over the images that kept any box
+        names = list(prompts)
+        out: list[Optional[Regions]] = [None] * len(images)
+        todo = [i for i, s in enumerate(sels) if s is not None]
+        sb = max(1, int(self.sam_batch))
+        for lo in range(0, len(todo), sb):
+            grp = todo[lo:lo + sb]
+            masks_grp = self._segment_batch(
+                [images[i] for i in grp], [sels[i][0] for i in grp],
+                pad_to=sb if len(todo) > sb else 0)
+            for i, masks in zip(grp, masks_grp):
+                xy, confs, cls_ids = sels[i]
+                out[i] = Regions(boxes=xy, confidences=confs,
+                                 class_ids=cls_ids, class_names=names,
+                                 masks=masks)
+        for i, s in enumerate(sels):
+            if s is None:
+                h, w = images[i].shape[:2]
+                out[i] = Regions.empty(h, w, names)
+        return out
 
     def detect(self, image: np.ndarray, prompts: Sequence[str]) -> Regions:
         if cv2 is None:
@@ -188,12 +250,27 @@ class GroundedSamDetector:
                      boxes: np.ndarray, prompts: Sequence[str],
                      spans) -> Regions:
         h, w = image.shape[:2]
+        sel = self._select_boxes(image, scores, boxes, spans)
+        if sel is None:
+            return Regions.empty(h, w, list(prompts))
+        xy, confs, cls_ids = sel
+        masks = self._segment(image, xy)
+        return Regions(boxes=xy, confidences=confs, class_ids=cls_ids,
+                       class_names=list(prompts), masks=masks)
+
+    def _select_boxes(self, image: np.ndarray, scores: np.ndarray,
+                      boxes: np.ndarray, spans):
+        """Threshold + class-assign DINO outputs for one image:
+        (xy [nb, 4] f32 pixel boxes, confs [nb] f32, cls_ids [nb] i32)
+        or None when nothing survives. Split from _postprocess so
+        detect_batch can run SAM batched across images."""
+        h, w = image.shape[:2]
 
         best = np.nanmax(np.where(np.isfinite(scores), scores, 0.0), axis=-1)
         keep = np.nonzero(best > self.cfg.box_threshold)[0]
         keep = keep[np.argsort(-best[keep])][: self.cfg.max_regions]
         if keep.size == 0:
-            return Regions.empty(h, w, list(prompts))
+            return None
 
         # class per box: prompt whose token span scores highest
         cls_ids, confs, keep2 = [], [], []
@@ -207,7 +284,7 @@ class GroundedSamDetector:
             confs.append(float(best[q]))
             keep2.append(q)
         if not keep2:
-            return Regions.empty(h, w, list(prompts))
+            return None
         keep = np.asarray(keep2)
 
         # cxcywh [0,1] -> xyxy pixels in the original image
@@ -218,37 +295,57 @@ class GroundedSamDetector:
         ], axis=1)
         xy[:, 0::2] = xy[:, 0::2].clip(0, w - 1)
         xy[:, 1::2] = xy[:, 1::2].clip(0, h - 1)
-
-        masks = self._segment(image, xy)
-        return Regions(
-            boxes=xy.astype(np.float32),
-            confidences=np.asarray(confs, np.float32),
-            class_ids=np.asarray(cls_ids, np.int32),
-            class_names=list(prompts),
-            masks=masks,
-        )
+        return (xy.astype(np.float32), np.asarray(confs, np.float32),
+                np.asarray(cls_ids, np.int32))
 
     def _segment(self, image: np.ndarray, boxes_xyxy: np.ndarray) -> np.ndarray:
         """SAM masks for xyxy boxes (original-image pixels)."""
-        h, w = image.shape[:2]
-        sam_in, (nh, nw), scale = self._prep_sam_image(image)
-        # pad box count to a small set of static shapes to limit re-jits
-        nb = len(boxes_xyxy)
-        nb_pad = 1 << (nb - 1).bit_length() if nb > 1 else 1
-        nb_pad = min(max(nb_pad, 1), self.cfg.max_regions)
-        nb_pad = max(nb_pad, nb)
-        boxes = np.zeros((1, nb_pad, 4), np.float32)
-        boxes[0, :nb] = boxes_xyxy * scale
+        return self._segment_batch([image], [boxes_xyxy])[0]
 
+    def _segment_batch(self, images: Sequence[np.ndarray],
+                       boxes_list: Sequence[np.ndarray], *,
+                       pad_to: int = 0) -> list[np.ndarray]:
+        """SAM masks for several images in ONE forward. `boxes_list[j]`
+        is [nb_j, 4] xyxy in image-j pixels; box counts pad to a shared
+        pow2 bucket (small static-shape set), partial image groups pad
+        to `pad_to` by repeating image 0 (one compile shape per
+        (batch, nb_pad) pair; pad results dropped). Returns one
+        [nb_j, h_j, w_j] bool mask stack per image."""
+        bs = len(images)
+        pad = max(0, pad_to - bs)
+        preps = [self._prep_sam_image(im) for im in images]
+        nb_max = max((len(b) for b in boxes_list), default=1)
+        # pad box count to a small set of static shapes to limit re-jits
+        nb_pad = 1 << (nb_max - 1).bit_length() if nb_max > 1 else 1
+        nb_pad = min(max(nb_pad, 1), max(self.cfg.max_regions, nb_max))
+        nb_pad = max(nb_pad, nb_max)
+        sam_in = np.concatenate([p[0] for p in preps]
+                                + [preps[0][0]] * pad)
+        boxes = np.zeros((bs + pad, nb_pad, 4), np.float32)
+        for j, bx in enumerate(boxes_list):
+            boxes[j, :len(bx)] = np.asarray(bx, np.float32) * preps[j][2]
+        nh = np.asarray([p[1][0] for p in preps]
+                        + [preps[0][1][0]] * pad, np.int32)
+        nw = np.asarray([p[1][1] for p in preps]
+                        + [preps[0][1][1]] * pad, np.int32)
         mask_logits, _ = self._sam_fwd(self.sam_params, jnp.asarray(sam_in),
-                                       jnp.asarray(boxes))
-        mask_logits = jax.device_get(mask_logits)[0, :nb, 0]  # [NB, S/4, S/4]
+                                       jnp.asarray(boxes),
+                                       jnp.asarray(nh), jnp.asarray(nw))
+        mask_logits = jax.device_get(mask_logits)   # [B, NB, 1, S/4, S/4]
 
         size = self.sam_cfg.vision.image_size
-        out = np.zeros((nb, h, w), bool)
-        for i, ml in enumerate(mask_logits):
-            full = cv2.resize(ml, (size, size), interpolation=cv2.INTER_LINEAR)
-            crop = full[:nh, :nw]
-            m = cv2.resize(crop, (w, h), interpolation=cv2.INTER_LINEAR)
-            out[i] = m > 0.0   # logit 0 == probability cfg.mask_threshold (0.5)
+        out = []
+        for j, image in enumerate(images):
+            h, w = image.shape[:2]
+            nh_j, nw_j = preps[j][1]
+            nb = len(boxes_list[j])
+            masks = np.zeros((nb, h, w), bool)
+            for i in range(nb):
+                full = cv2.resize(mask_logits[j, i, 0], (size, size),
+                                  interpolation=cv2.INTER_LINEAR)
+                crop = full[:nh_j, :nw_j]
+                m = cv2.resize(crop, (w, h), interpolation=cv2.INTER_LINEAR)
+                # logit 0 == probability cfg.mask_threshold (0.5)
+                masks[i] = m > 0.0
+            out.append(masks)
         return out
