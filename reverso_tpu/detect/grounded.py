@@ -197,7 +197,12 @@ class GroundedSamDetector:
         for lo in range(0, len(images), cb):
             chunk = list(images[lo:lo + cb])
             b = len(chunk)
-            pad = (cb - b) if len(images) > cb else 0
+            # ALWAYS pad to the full chunk: one DINO compile shape
+            # serves builds AND single-image queries (a separate b=1
+            # shape would cost its own 30-180 s remote compile on the
+            # first interactive query; ~3x redundant FLOPs on a lone
+            # image is noise next to that)
+            pad = cb - b
             dino_in = np.concatenate(
                 [self._prep_dino_image(im) for im in chunk]
                 + [self._prep_dino_image(chunk[0])] * pad)
@@ -234,17 +239,10 @@ class GroundedSamDetector:
         return out
 
     def detect(self, image: np.ndarray, prompts: Sequence[str]) -> Regions:
-        if cv2 is None:
-            raise RuntimeError("OpenCV required for detector preprocessing")
-        ids, attn, pos, token_mask, spans = self._prep_text(prompts)
-        dino_in = self._prep_dino_image(image)
-
-        logits, boxes = self._dino_fwd(
-            self.dino_params, jnp.asarray(dino_in), jnp.asarray(ids),
-            jnp.asarray(attn), jnp.asarray(pos), jnp.asarray(token_mask))
-        scores = jax.device_get(jax.nn.sigmoid(logits))[0]   # [Q, T]
-        boxes = jax.device_get(boxes)[0]                     # [Q, 4] cxcywh
-        return self._postprocess(image, scores, boxes, prompts, spans)
+        """Single-image detection — routed through detect_batch so the
+        interactive query path reuses the exact compiled shapes the
+        build path warmed (DINO pads to dino_batch)."""
+        return self.detect_batch([image], prompts)[0]
 
     def _postprocess(self, image: np.ndarray, scores: np.ndarray,
                      boxes: np.ndarray, prompts: Sequence[str],
