@@ -194,6 +194,10 @@ class GroundedSamDetector:
         sels: list = []
         cb = max(1, int(self.dino_batch))
         text = None
+        # two-phase: dispatch every DINO chunk first (jax dispatch is
+        # async — later chunks compute while earlier results drain),
+        # then device_get + host postprocess in order
+        pending = []
         for lo in range(0, len(images), cb):
             chunk = list(images[lo:lo + cb])
             b = len(chunk)
@@ -206,28 +210,34 @@ class GroundedSamDetector:
             dino_in = np.concatenate(
                 [self._prep_dino_image(im) for im in chunk]
                 + [self._prep_dino_image(chunk[0])] * pad)
-            if text is None or text[0].shape[0] != b + pad:
-                text = tuple(jnp.asarray(np.repeat(a, b + pad, axis=0))
+            if text is None:
+                text = tuple(jnp.asarray(np.repeat(a, cb, axis=0))
                              for a in (ids, attn, pos, token_mask))
             logits, boxes = self._dino_fwd(
                 self.dino_params, jnp.asarray(dino_in), *text)
-            scores_b = jax.device_get(jax.nn.sigmoid(logits))
+            pending.append((chunk, jax.nn.sigmoid(logits), boxes))
+        for chunk, sig, boxes in pending:
+            scores_b = jax.device_get(sig)
             boxes_b = jax.device_get(boxes)
             sels.extend(self._select_boxes(chunk[j], scores_b[j],
                                            boxes_b[j], spans)
-                        for j in range(b))
+                        for j in range(len(chunk)))
 
-        # SAM batched over the images that kept any box
+        # SAM batched over the images that kept any box — same
+        # two-phase dispatch/drain so mask upsampling of group g
+        # overlaps group g+1's forward
         names = list(prompts)
         out: list[Optional[Regions]] = [None] * len(images)
         todo = [i for i, s in enumerate(sels) if s is not None]
         sb = max(1, int(self.sam_batch))
+        handles = []
         for lo in range(0, len(todo), sb):
             grp = todo[lo:lo + sb]
-            masks_grp = self._segment_batch(
+            handles.append((grp, self._segment_dispatch(
                 [images[i] for i in grp], [sels[i][0] for i in grp],
-                pad_to=sb if len(todo) > sb else 0)
-            for i, masks in zip(grp, masks_grp):
+                pad_to=sb if len(todo) > sb else 0)))
+        for grp, handle in handles:
+            for i, masks in zip(grp, self._segment_finish(handle)):
                 xy, confs, cls_ids = sels[i]
                 out[i] = Regions(boxes=xy, confidences=confs,
                                  class_ids=cls_ids, class_names=names,
@@ -309,6 +319,13 @@ class GroundedSamDetector:
         to `pad_to` by repeating image 0 (one compile shape per
         (batch, nb_pad) pair; pad results dropped). Returns one
         [nb_j, h_j, w_j] bool mask stack per image."""
+        return self._segment_finish(
+            self._segment_dispatch(images, boxes_list, pad_to=pad_to))
+
+    def _segment_dispatch(self, images, boxes_list, *, pad_to: int = 0):
+        """Async half of _segment_batch: prep + dispatch the SAM
+        forward, return a handle for _segment_finish (dispatch is
+        async, so several groups can be in flight)."""
         bs = len(images)
         pad = max(0, pad_to - bs)
         preps = [self._prep_sam_image(im) for im in images]
@@ -329,8 +346,11 @@ class GroundedSamDetector:
         mask_logits, _ = self._sam_fwd(self.sam_params, jnp.asarray(sam_in),
                                        jnp.asarray(boxes),
                                        jnp.asarray(nh), jnp.asarray(nw))
-        mask_logits = jax.device_get(mask_logits)   # [B, NB, 1, S/4, S/4]
+        return (mask_logits, images, boxes_list, preps)
 
+    def _segment_finish(self, handle) -> list[np.ndarray]:
+        mask_logits, images, boxes_list, preps = handle
+        mask_logits = jax.device_get(mask_logits)   # [B, NB, 1, S/4, S/4]
         size = self.sam_cfg.vision.image_size
         out = []
         for j, image in enumerate(images):
