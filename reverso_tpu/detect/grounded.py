@@ -233,9 +233,12 @@ class GroundedSamDetector:
         handles = []
         for lo in range(0, len(todo), sb):
             grp = todo[lo:lo + sb]
+            # always pad to the full SAM batch: one compile shape per
+            # nb_pad bucket serves builds AND single-image queries
+            # (same policy as the DINO chunks above)
             handles.append((grp, self._segment_dispatch(
                 [images[i] for i in grp], [sels[i][0] for i in grp],
-                pad_to=sb if len(todo) > sb else 0)))
+                pad_to=sb)))
         for grp, handle in handles:
             for i, masks in zip(grp, self._segment_finish(handle)):
                 xy, confs, cls_ids = sels[i]
