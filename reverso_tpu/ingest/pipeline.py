@@ -246,18 +246,24 @@ def build_database(
     since_checkpoint = 0
     stopped = False
 
-    def embed_padded(pixels):
-        """Embed at ONE fixed batch shape: tail batches and batches
-        shrunk by unreadable files pad up to batch_size, so the whole
-        build reuses a single jit compile (each fresh shape costs a
-        30-180 s remote compile on this setup — the IVF split loop
-        learned this the hard way, CLAUDE.md)."""
+    def embed_dispatch(pixels):
+        """Dispatch the embed at ONE fixed batch shape: tail batches
+        and batches shrunk by unreadable files pad up to batch_size,
+        so the whole build reuses a single jit compile (each fresh
+        shape costs a 30-180 s remote compile on this setup — the IVF
+        split loop learned this the hard way, CLAUDE.md). Returns the
+        DEVICE array — dispatch is async, so in region mode the ViT
+        forward runs underneath the detect stage and only the final
+        np.asarray pays wall time."""
         b = pixels.shape[0]
         if b < batch_size:
             pad = np.zeros((batch_size - b,) + pixels.shape[1:],
                            pixels.dtype)
             pixels = np.concatenate([pixels, pad])
-        return np.asarray(encoder.encode_image(pixels))[:b]
+        return encoder.encode_image(pixels)[:b]
+
+    def embed_padded(pixels):
+        return np.asarray(embed_dispatch(pixels))
 
     def checkpoint():
         store.flush()
@@ -311,9 +317,15 @@ def build_database(
                 # masked-ROI per-region embeddings.
                 roi_mode = config.ingest.region_embed_mode == "region"
                 emb = None
+                emb_dev = None
                 if not roi_mode:
+                    # dispatch BEFORE detect: jax dispatch is async, so
+                    # the whole-image ViT forward computes underneath
+                    # the detect stage's tunnel/host time; the one
+                    # np.asarray in global_emb then finds it finished
+                    # (the "embed" stage records dispatch + that sync)
                     with timer.stage("embed", len(batch.paths)):
-                        emb = embed_padded(batch.pixels)
+                        emb_dev = embed_dispatch(batch.pixels)
 
                 def global_emb(j):
                     # roi mode needs the whole-image embedding only for
@@ -321,10 +333,12 @@ def build_database(
                     # lazily (once per batch, same padded shape) avoids
                     # a second full ViT forward per image when every
                     # region has a mask
-                    nonlocal emb
+                    nonlocal emb, emb_dev
                     if emb is None:
                         with timer.stage("embed", len(batch.paths)):
-                            emb = embed_padded(batch.pixels)
+                            if emb_dev is None:
+                                emb_dev = embed_dispatch(batch.pixels)
+                            emb = np.asarray(emb_dev)
                     return emb[j]
 
                 vecs, metas = [], []
