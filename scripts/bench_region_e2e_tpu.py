@@ -133,6 +133,10 @@ def main():
     ap.add_argument("--size", default="1280x960")
     ap.add_argument("--batch", type=int, default=4,
                     help="ingest batch (detector chunks to dino_batch)")
+    ap.add_argument("--region-mode", action="store_true",
+                    help="fused masked-ROI per-region embeddings (the "
+                         "north-star mode) instead of the reference's "
+                         "compat global-embedding-per-region")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -166,8 +170,11 @@ def main():
         cfg, model=pe.cfg,
         store=dataclasses.replace(cfg.store, root_dir=os.path.join(
             work, "db")),
-        ingest=dataclasses.replace(cfg.ingest, batch_size=args.batch,
-                                   max_regions=args.regions))
+        ingest=dataclasses.replace(
+            cfg.ingest, batch_size=args.batch,
+            max_regions=args.regions,
+            region_embed_mode="region" if args.region_mode
+            else "compat"))
     eng = Reverso(cfg, encoder=pe, detector=detector)
 
     wall1, transcript, m1 = run_build(eng, folder, "region_e2e_warm")
