@@ -257,18 +257,6 @@ class GroundedSamDetector:
         build path warmed (DINO pads to dino_batch)."""
         return self.detect_batch([image], prompts)[0]
 
-    def _postprocess(self, image: np.ndarray, scores: np.ndarray,
-                     boxes: np.ndarray, prompts: Sequence[str],
-                     spans) -> Regions:
-        h, w = image.shape[:2]
-        sel = self._select_boxes(image, scores, boxes, spans)
-        if sel is None:
-            return Regions.empty(h, w, list(prompts))
-        xy, confs, cls_ids = sel
-        masks = self._segment(image, xy)
-        return Regions(boxes=xy, confidences=confs, class_ids=cls_ids,
-                       class_names=list(prompts), masks=masks)
-
     def _select_boxes(self, image: np.ndarray, scores: np.ndarray,
                       boxes: np.ndarray, spans):
         """Threshold + class-assign DINO outputs for one image:
@@ -308,10 +296,6 @@ class GroundedSamDetector:
         xy[:, 1::2] = xy[:, 1::2].clip(0, h - 1)
         return (xy.astype(np.float32), np.asarray(confs, np.float32),
                 np.asarray(cls_ids, np.int32))
-
-    def _segment(self, image: np.ndarray, boxes_xyxy: np.ndarray) -> np.ndarray:
-        """SAM masks for xyxy boxes (original-image pixels)."""
-        return self._segment_batch([image], [boxes_xyxy])[0]
 
     def _segment_batch(self, images: Sequence[np.ndarray],
                        boxes_list: Sequence[np.ndarray], *,

@@ -89,7 +89,13 @@ def load_or_build_ivf(store, vectors: np.ndarray, scfg, dtype: str,
     dirty = ivf is None
     if ivf is None and os.path.isdir(cache_dir):
         for f in sorted(os.listdir(cache_dir), reverse=True):
-            if f.startswith(stem + "_") and f.endswith(tail):
+            # between stem_ and tail there must be EXACTLY the digit
+            # count — a bare startswith would let another space whose
+            # name nests into this stem (e.g. space "c8" with
+            # clusters=8) serve as the extend base and silently search
+            # the wrong centroids
+            if (f.startswith(stem + "_") and f.endswith(tail)
+                    and f[len(stem) + 1:-len(tail)].isdigit()):
                 ivf = IVFIndex.extend_cache(
                     vectors, os.path.join(cache_dir, f),
                     dtype=dtype, mesh=mesh)
@@ -150,7 +156,10 @@ def load_or_build_pq(store, vectors: np.ndarray, scfg, *,
     dirty = pqi is None
     if pqi is None and os.path.isdir(cache_dir):
         for f in sorted(os.listdir(cache_dir), reverse=True):
-            if f.startswith(stem + "_") and f.endswith(tail):
+            # same digit-count guard as the IVF extend loop (space
+            # names can nest into each other's stems)
+            if (f.startswith(stem + "_") and f.endswith(tail)
+                    and f[len(stem) + 1:-len(tail)].isdigit()):
                 pqi = PQIndex.load_cache(
                     vectors, os.path.join(cache_dir, f), m=m, mesh=mesh)
                 if pqi is not None:

@@ -354,45 +354,48 @@ def build_database(
                     else:
                         regions_list = [detector.detect(im, prompts)
                                         for im in imgs_u8]
-                    for j, path in enumerate(batch.paths):
-                        regions = regions_list[j]
-                        n = min(len(regions), config.ingest.max_regions)
-                        region_embs = None
-                        if roi_mode and regions.masks is not None and n > 0:
-                            from ..engine import _resize_mask
-                            # pad the region dim to a pow2 bucket: the
-                            # jit specializes on R, and per-image region
-                            # counts (1..max_regions) would otherwise
-                            # compile up to 50 distinct shapes remotely
-                            rb = 1 << (n - 1).bit_length()
-                            resized = np.zeros((rb, size, size),
-                                               np.float32)
-                            for i in range(n):
-                                resized[i] = _resize_mask(
-                                    regions.masks[i], size)
-                            with timer.stage("roi_embed", n):
-                                _, re_ = encoder.encode_regions(
-                                    batch.pixels[j:j + 1], resized[None])
-                            region_embs = np.asarray(re_)[0][:n]
-                        kept = 0
+                # per-image embed/metadata assembly runs OUTSIDE the
+                # detect stage so the nested embed/roi_embed timers
+                # aren't double-counted into it
+                for j, path in enumerate(batch.paths):
+                    regions = regions_list[j]
+                    n = min(len(regions), config.ingest.max_regions)
+                    region_embs = None
+                    if roi_mode and regions.masks is not None and n > 0:
+                        from ..engine import _resize_mask
+                        # pad the region dim to a pow2 bucket: the
+                        # jit specializes on R, and per-image region
+                        # counts (1..max_regions) would otherwise
+                        # compile up to 50 distinct shapes remotely
+                        rb = 1 << (n - 1).bit_length()
+                        resized = np.zeros((rb, size, size),
+                                           np.float32)
                         for i in range(n):
-                            meta = region_metadata(regions, i)
-                            if meta is None:
-                                continue
-                            if meta["bbox"] is None:
-                                w, h = batch.sizes[j]
-                                meta["bbox"] = [0, 0, w, h]
-                            meta["image_source"] = path
-                            meta["filename"] = os.path.basename(path)
-                            meta["original_region_id"] = meta["region_id"]
-                            meta["region_id"] = str(uuid.uuid4())
-                            vecs.append(region_embs[i]
-                                        if region_embs is not None
-                                        else global_emb(j))
-                            metas.append(meta)
-                            kept += 1
-                        if kept == 0:
-                            log(f"⚠️ No regions found in {os.path.basename(path)}, skipping")
+                            resized[i] = _resize_mask(
+                                regions.masks[i], size)
+                        with timer.stage("roi_embed", n):
+                            _, re_ = encoder.encode_regions(
+                                batch.pixels[j:j + 1], resized[None])
+                        region_embs = np.asarray(re_)[0][:n]
+                    kept = 0
+                    for i in range(n):
+                        meta = region_metadata(regions, i)
+                        if meta is None:
+                            continue
+                        if meta["bbox"] is None:
+                            w, h = batch.sizes[j]
+                            meta["bbox"] = [0, 0, w, h]
+                        meta["image_source"] = path
+                        meta["filename"] = os.path.basename(path)
+                        meta["original_region_id"] = meta["region_id"]
+                        meta["region_id"] = str(uuid.uuid4())
+                        vecs.append(region_embs[i]
+                                    if region_embs is not None
+                                    else global_emb(j))
+                        metas.append(meta)
+                        kept += 1
+                    if kept == 0:
+                        log(f"⚠️ No regions found in {os.path.basename(path)}, skipping")
                 if metas:
                     with timer.stage("append", len(metas)):
                         store.append(np.stack(vecs), metas)

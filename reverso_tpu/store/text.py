@@ -131,6 +131,8 @@ class TextIndex:
             if p is None or not len(p):
                 return np.zeros(0, np.int32)
             posts.append(p)
+        if not posts:          # no tokens: callers handle vacuous-match
+            return np.zeros(0, np.int32)
         posts.sort(key=len)
         acc = posts[0]
         for p in posts[1:]:
@@ -140,10 +142,16 @@ class TextIndex:
         return acc
 
     def text_match(self, query: str) -> np.ndarray:
-        """ok_uniq [n_uniq] bool: query tokens ⊆ string tokens."""
+        """ok_uniq [n_uniq] bool: query tokens ⊆ string tokens. A
+        token-less query vacuously matches every string (the legacy
+        evaluator's empty-subset semantics; parse_filter rejects such
+        filters before they reach here, but this surface must not
+        depend on that remote guard)."""
+        toks = _TOKEN_RE.findall(query.lower())
+        if not toks:
+            return np.ones(self.n_uniq, np.bool_)
         out = np.zeros(self.n_uniq, np.bool_)
-        cand = self._candidates(_TOKEN_RE.findall(query.lower()))
-        out[cand] = True
+        out[self._candidates(toks)] = True
         return out
 
     def _owner(self) -> np.ndarray:
