@@ -335,7 +335,12 @@ def build_database(
                     # region has a mask
                     nonlocal emb, emb_dev
                     if emb is None:
-                        with timer.stage("embed", len(batch.paths)):
+                        # compat mode already counted this batch's
+                        # images at the dispatch-side stage; only the
+                        # roi-mode lazy fallback counts here
+                        n_items = 0 if emb_dev is not None \
+                            else len(batch.paths)
+                        with timer.stage("embed", n_items):
                             if emb_dev is None:
                                 emb_dev = embed_dispatch(batch.pixels)
                             emb = np.asarray(emb_dev)
