@@ -159,3 +159,37 @@ def test_detector_dtype_threads_into_model_configs():
     det32 = GroundedSamDetector(None, None, None)
     assert det32.dino_cfg.dtype == "float32"
     assert det32.sam_cfg.dtype == "float32"
+
+
+def test_detect_reuses_batch_shapes(detector):
+    """Single-image detect() must feed the SAME jit input shapes as a
+    full-chunk build batch (DINO pads to dino_batch, SAM groups pad to
+    sam_batch): a fresh single-image shape costs a 191-230 s remote
+    compile on the first interactive query after a build (measured
+    twice in round 4 — this test pins the fix)."""
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            for _ in range(5)]
+    shapes: set = set()
+    orig_dino, orig_sam = detector._dino_fwd, detector._sam_fwd
+
+    def spy_dino(params, images_u8, *rest):
+        shapes.add(("dino", images_u8.shape[0]))
+        return orig_dino(params, images_u8, *rest)
+
+    def spy_sam(params, images_u8, *rest):
+        shapes.add(("sam", images_u8.shape[0]))
+        return orig_sam(params, images_u8, *rest)
+
+    detector._dino_fwd, detector._sam_fwd = spy_dino, spy_sam
+    try:
+        detector.detect_batch(imgs, ["red", "blue"])   # build-style
+        build_shapes = set(shapes)
+        shapes.clear()
+        detector.detect(imgs[0], ["red", "blue"])      # query-style
+        query_shapes = set(shapes)
+    finally:
+        detector._dino_fwd, detector._sam_fwd = orig_dino, orig_sam
+    assert query_shapes <= build_shapes, (query_shapes, build_shapes)
+    # and the batch dims are exactly the configured micro-batches
+    assert ("dino", detector.dino_batch) in build_shapes
