@@ -242,13 +242,16 @@ class GroundedSamDetector:
         for grp, handle in handles:
             for i, masks in zip(grp, self._segment_finish(handle)):
                 xy, confs, cls_ids = sels[i]
+                # fresh list per image: results must not alias one
+                # mutable class_names (a caller editing one would edit
+                # all)
                 out[i] = Regions(boxes=xy, confidences=confs,
-                                 class_ids=cls_ids, class_names=names,
-                                 masks=masks)
+                                 class_ids=cls_ids,
+                                 class_names=list(names), masks=masks)
         for i, s in enumerate(sels):
             if s is None:
                 h, w = images[i].shape[:2]
-                out[i] = Regions.empty(h, w, names)
+                out[i] = Regions.empty(h, w, list(names))
         return out
 
     def detect(self, image: np.ndarray, prompts: Sequence[str]) -> Regions:

@@ -34,6 +34,15 @@ import numpy as np
 from .store import VectorStore, StoreError
 
 
+def _unwrap_nearest(q):
+    """qdrant NearestQuery: {"nearest": op} == the bare operand. Only
+    the exact one-key wrapper unwraps — beside "mmr" the dict is the
+    mmr spec, and multi-key dicts are other query types."""
+    if isinstance(q, dict) and set(q) == {"nearest"}:
+        return q["nearest"]
+    return q
+
+
 def _sample_rows(rng: np.random.Generator, n: int, count: int,
                  mask=None) -> np.ndarray:
     """Up to `n` distinct row ids drawn uniformly without replacement
@@ -865,6 +874,10 @@ class UniversalQuery:
                                  "candidates — provide prefetch "
                                  "branches (qdrant requires this too)")
         is_mmr = isinstance(query, dict) and "mmr" in query
+        # qdrant's NearestQuery wrapper: {"nearest": op} alone is the
+        # plain top-k shape (with "mmr" beside it the wrapper stays —
+        # _mmr_select reads both keys)
+        query = _unwrap_nearest(query) if not is_mmr else query
 
         def hits_out(pairs):
             ids = [pid for _, pid in pairs]
@@ -946,6 +959,8 @@ class UniversalQuery:
                 bq, bf, bl, bu = spec, None, max(2 * k, 20), ""
             if bq is None:
                 raise ValueError("every prefetch branch needs a query")
+            if not (isinstance(bq, dict) and "mmr" in bq):
+                bq = _unwrap_nearest(bq)
             bmask = self._filter_mask(bf) if bf is not None else None
             if gmask is not None:
                 bmask = gmask if bmask is None else (bmask & gmask)
@@ -1199,6 +1214,8 @@ class UniversalQuery:
         groups: dict[tuple, list[int]] = {}
         for n, r in enumerate(reqs):
             q = r.get("query")
+            if isinstance(q, dict) and set(q) == {"nearest"}:
+                q = r["query"] = q["nearest"]   # qdrant NearestQuery
             plain = (not r.get("prefetch") and r.get("fusion") is None
                      and q is not None
                      and not (isinstance(q, dict)

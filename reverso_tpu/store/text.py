@@ -170,9 +170,14 @@ class TextIndex:
         token (plus an owner check so runs never straddle strings) —
         no per-candidate python loop, O(T·span) element ops."""
         qseq = _TOKEN_RE.findall(query.lower())
+        if not qseq:
+            # a zero-token run is vacuously present everywhere — same
+            # edge contract as text_match above (parse_filter rejects
+            # these, but the two surfaces must agree without it)
+            return np.ones(self.n_uniq, np.bool_)
         out = np.zeros(self.n_uniq, np.bool_)
         codes = [self._vindex.get(t) for t in qseq]
-        if not codes or any(c is None for c in codes):
+        if any(c is None for c in codes):
             return out
         qarr = np.asarray(codes, np.int32)
         span = len(qarr)

@@ -202,6 +202,31 @@ def test_query_random_cannot_rescore(engine_store):
 # query_batch
 # ---------------------------------------------------------------------------
 
+def test_query_nearest_wrapper(engine_store):
+    """qdrant NearestQuery: {"nearest": op} == the bare operand, in
+    plain queries, prefetch branches, and query_batch coalescing."""
+    engine, vecs = engine_store
+    q = vecs[7].tolist()
+    bare = engine.query(q, k=5)
+    wrapped = engine.query({"nearest": q}, k=5)
+    assert [h["id"] for h in wrapped] == [h["id"] for h in bare]
+    assert [h["score"] for h in wrapped] == [h["score"] for h in bare]
+    # point-id operand through the wrapper
+    byid = engine.query({"nearest": 7}, k=5)
+    assert [h["id"] for h in byid] == [h["id"] for h in bare]
+    # prefetch branch wrapped vs bare
+    b1 = engine.query(prefetch=[{"query": {"nearest": q}, "limit": 10}],
+                      fusion="rrf", k=5)
+    b2 = engine.query(prefetch=[{"query": q, "limit": 10}],
+                      fusion="rrf", k=5)
+    assert [h["id"] for h in b1] == [h["id"] for h in b2]
+    # query_batch treats the wrapper as plain (coalescing path)
+    rb = engine.query_batch([{"query": {"nearest": q}, "k": 5},
+                             {"query": q, "k": 5}])
+    assert [h["id"] for h in rb[0]] == [h["id"] for h in rb[1]] \
+        == [h["id"] for h in bare]
+
+
 def test_query_batch_matches_sequential(engine_store):
     engine, vecs = engine_store
     f = {"must": [{"key": "detected_class", "match": {"value": "car"}}]}

@@ -624,3 +624,40 @@ def test_native_sparse_score_parity(monkeypatch):
         monkeypatch.undo()
         np.testing.assert_array_equal(i_nat, i_py)
         np.testing.assert_array_equal(s_nat, s_py)   # bitwise
+
+
+def test_native_sparse_score_parity_threaded(monkeypatch):
+    """Parity with the MULTITHREADED row-partition path: the native
+    scorer forces n_threads=1 below 65536 touched postings
+    (native/reverso_native.cpp), so this corpus is sized to exceed it —
+    10-term vocab, 20k rows x 6 nnz = 120k postings, and the query
+    names every term (>= 65536 touched => threads actually run)."""
+    from reverso_tpu import native as native_mod
+    from reverso_tpu.store.sparse import SparseIndex
+
+    if not native_mod.native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    n, nnz, vocab = 20000, 6, 10
+    terms, vals, ends = [], [], []
+    total = 0
+    for _ in range(n):
+        t = rng.choice(vocab, nnz, replace=False)  # unique within row
+        terms.append(t)
+        vals.append(rng.standard_normal(nnz).astype(np.float32))
+        total += nnz
+        ends.append(total)
+    entries = np.empty(total, dtype=[("i", np.uint32), ("v", np.float32)])
+    entries["i"] = np.concatenate(terms).astype(np.uint32)
+    entries["v"] = np.concatenate(vals)
+    idx = SparseIndex.build(entries, np.asarray(ends, np.int64))
+    q = {"indices": list(range(vocab)),
+         "values": rng.standard_normal(vocab).astype(np.float32).tolist()}
+    for mask in (None, rng.random(n) < 0.6):
+        s_nat, i_nat = idx.search(q, 25, row_mask=mask)
+        monkeypatch.setattr(native_mod, "_LIB", None)
+        monkeypatch.setattr(native_mod, "_TRIED", True)
+        s_py, i_py = idx.search(q, 25, row_mask=mask)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(i_nat, i_py)
+        np.testing.assert_array_equal(s_nat, s_py)   # bitwise
