@@ -1004,6 +1004,12 @@ def cmd_tune(args) -> int:
         print(f"❌ unknown vector space {space!r} "
               f"(have {sorted(store.spaces())})", file=sys.stderr)
         return 1
+    if store.distance not in ("cosine", "dot"):
+        # serving's IVF gate only engages for these metrics — a tuned
+        # cache on a euclid/manhattan store would never be used
+        print(f"❌ IVF indexes cosine/dot stores only (this store's "
+              f"distance is {store.distance})", file=sys.stderr)
+        return 1
     vecs = np.ascontiguousarray(np.asarray(store.vectors(space)),
                                 np.float32)
     n = len(vecs)

@@ -1095,12 +1095,20 @@ class Reverso(UniversalQuery):
                 from .store import HostIndex
                 index = HostIndex(vectors, distance=store.distance)
             elif (scfg.index == "ivf"
-                    and store.distance == "cosine"
+                    and store.distance in ("cosine", "dot")
                     and count > scfg.ivf_clusters * 4):
                 # IVF per vector space (qdrant indexes each named
                 # space independently) — the k-means cache is keyed
                 # (space, clusters, count, epoch, spill, balance), so
                 # per-space caches reload/extend across handle swaps.
+                # Dot stores index too (qdrant indexes every metric):
+                # the whole pipeline is dot-based — spherical k-means
+                # clusters unnormalized rows by direction (assignment
+                # weights rows by magnitude, which MIPS probing wants),
+                # probe scores and in-cluster scans are raw dots, i.e.
+                # the metric itself. Euclid/manhattan fall through to
+                # the exact index (their augment/L1 scans don't have an
+                # IVF form here — documented raise-free fallback).
                 # IVF probes dense clusters: "binary" is a mode of the
                 # exact index, not an IVF cell dtype — coerce to bf16
                 ivf_dtype = self.config.store.dtype

@@ -1097,3 +1097,122 @@ def test_engine_ivf_named_spaces(tmp_path, monkeypatch):
     assert [h["id"] for h in hits2] == [h["id"] for h in hits]
     hits2_d = eng2.query(dense[7].tolist(), k=5)
     assert [h["id"] for h in hits2_d] == [h["id"] for h in hits_d]
+
+
+def test_engine_ivf_dot_store(tmp_path):
+    """Dot-distance stores index with IVF too (round-5 lift of the
+    cosine-only gate; qdrant indexes every metric): the whole IVF
+    pipeline is dot-based, so unnormalized rows cluster by
+    magnitude-weighted direction and in-cluster scans score the metric
+    itself. Full probe == brute-force dot; partial probe keeps recall
+    on clustered data; euclid stores still fall through to the exact
+    index."""
+    import dataclasses
+
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso, _IVFSearchAdapter
+    from reverso_tpu.models.pe import PerceptionEncoder
+    from reverso_tpu.store import VectorStore
+
+    root = str(tmp_path / "db")
+    rng = np.random.default_rng(11)
+    n, d = 600, 32
+    # clustered UNNORMALIZED rows: direction clusters x magnitude spread
+    centers = random_unit(rng, 12, d)
+    rows = np.concatenate(
+        [c[None] * rng.uniform(0.5, 3.0, (50, 1)).astype(np.float32)
+         + 0.05 * rng.standard_normal((50, d)).astype(np.float32)
+         for c in centers])
+    rows = rows[rng.permutation(n)].astype(np.float32)
+    with VectorStore.create(root, "dotivf", d, distance="dot") as s:
+        s.append(rows, [{"region_id": f"r{i}"} for i in range(n)])
+
+    def make(nprobe, name="dotivf"):
+        cfg = default_config()
+        enc = PerceptionEncoder(dataclasses.replace(
+            MODEL_PRESETS["test-tiny"], dtype="float32"))
+        cfg = dataclasses.replace(
+            cfg, model=enc.cfg,
+            store=dataclasses.replace(cfg.store, root_dir=root,
+                                      dtype="float32"),
+            search=dataclasses.replace(cfg.search, index="ivf",
+                                       ivf_clusters=12, ivf_nprobe=nprobe))
+        eng = Reverso(cfg, encoder=enc)
+        eng.load_database(name)
+        return eng
+
+    eng = make(nprobe=12)
+    assert isinstance(eng._get_index(""), _IVFSearchAdapter)
+    qs = rows[:20]
+    dots64 = rows.astype(np.float64) @ qs.astype(np.float64).T
+    true = np.argsort(-dots64, axis=0, kind="stable")[:10].T
+    # full probe reproduces brute-force dot (set-exact; near-tie order
+    # may differ between f32 accumulation and the f64 reference)
+    for j, q in enumerate(qs):
+        hits = eng.query(q.tolist(), k=10)
+        assert recall_at_k([[h["id"] for h in hits]], [true[j]]) == 1.0
+        got = np.asarray([h["score"] for h in hits])
+        want = dots64[[h["id"] for h in hits], j]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    # partial probe: high recall on clustered data
+    eng2 = make(nprobe=4)
+    got = [[h["id"] for h in eng2.query(q.tolist(), k=10)] for q in qs]
+    assert recall_at_k(got, list(true)) >= 0.9
+
+    # euclid still falls through to the exact (augmented) dense index
+    with VectorStore.create(root, "euivf", d, distance="euclid") as s:
+        s.append(rows, [{"region_id": f"r{i}"} for i in range(n)])
+    enge = make(nprobe=12, name="euivf")
+    assert not isinstance(enge._get_index(""), _IVFSearchAdapter)
+
+
+def test_engine_ivf_dot_sharded_and_per_space(tmp_path):
+    """Dot IVF composes with the rest of the gate's machinery: a
+    row-sharded (8-device mesh) dot IVF returns the same ids as the
+    single-device one, and NAMED dot spaces route through per-space
+    IVF adapters."""
+    import dataclasses
+
+    from reverso_tpu.config import MODEL_PRESETS, default_config
+    from reverso_tpu.engine import Reverso, _IVFSearchAdapter
+    from reverso_tpu.models.pe import PerceptionEncoder
+    from reverso_tpu.store import VectorStore
+
+    root = str(tmp_path / "db")
+    rng = np.random.default_rng(13)
+    n, d, dn = 500, 32, 16
+    dense = (random_unit(rng, n, d)
+             * rng.uniform(0.5, 2.0, (n, 1)).astype(np.float32))
+    named = (random_unit(rng, n, dn)
+             * rng.uniform(0.5, 2.0, (n, 1)).astype(np.float32))
+    with VectorStore.create(root, "dsh", d, named={"txt": dn},
+                            distance="dot") as s:
+        s.append({"": dense, "txt": named},
+                 [{"region_id": f"r{i}"} for i in range(n)])
+
+    def make(use_mesh):
+        cfg = default_config()
+        enc = PerceptionEncoder(dataclasses.replace(
+            MODEL_PRESETS["test-tiny"], dtype="float32"))
+        cfg = dataclasses.replace(
+            cfg, model=enc.cfg,
+            store=dataclasses.replace(cfg.store, root_dir=root,
+                                      dtype="float32"),
+            search=dataclasses.replace(cfg.search, index="ivf",
+                                       ivf_clusters=8, ivf_nprobe=4))
+        eng = Reverso(cfg, encoder=enc, use_mesh=use_mesh)
+        eng.load_database("dsh")
+        return eng
+
+    eng = make(False)
+    engm = make(True)
+    assert isinstance(eng._get_index("txt"), _IVFSearchAdapter)
+    assert engm._get_index("")._ivf.mesh is not None
+    for q, sp in [(dense[3], ""), (named[3], "txt")]:
+        h1 = eng.query(q.tolist(), k=8, using=sp)
+        h2 = engm.query(q.tolist(), k=8, using=sp)
+        assert [x["id"] for x in h1] == [x["id"] for x in h2], sp
+        assert [x["score"] for x in h1] == [x["score"] for x in h2], sp
+        # NB: no self-match assertion — under dot a bigger-magnitude
+        # neighbor can legitimately outscore the query row itself
+        assert len(h1) == 8
