@@ -78,3 +78,23 @@ def test_engine_region_mode(tmp_path, encoder, rng):
     assert not np.allclose(embs[0], embs[1])
     text, items = engine.search_similar(similarity_threshold=0.3)
     assert items
+
+
+def test_roi_beats_compat_region_recall():
+    """The north-star claim, pinned with retrieval evidence: on a
+    corpus where region-level retrieval is decidable at deterministic
+    init (2x2 grids of distinct noise textures; queries = perturbed
+    full-image copies of single patterns, embedded globally — the
+    deployed query path), masked-ROI embeddings retrieve the correct
+    REGION far better than the reference's global-per-region scheme
+    (core_system.py:406). Full methodology + bigger-run numbers:
+    scripts/eval_roi_quality.py and EVAL.md."""
+    import sys as _sys
+    _sys.path.insert(0, "scripts")
+    from eval_roi_quality import run_eval
+
+    res = run_eval(P=16, N=32, jitters=2, seed=0)
+    c, r = res["compat"], res["roi"]
+    assert r["recall@1"] >= c["recall@1"] + 0.2, res
+    assert r["mrr"] >= c["mrr"] + 0.2, res
+    assert r["recall@10"] >= c["recall@10"], res
