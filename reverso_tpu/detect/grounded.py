@@ -97,6 +97,22 @@ class GroundedSamDetector:
             return self.dino.apply({"params": params}, x, ids, attn,
                                    pos, token_mask)
 
+        # Mask transfer format: thresholded BITS by default. The old
+        # path shipped fp32 logits [B, NB, 1, S/4, S/4] down the tunnel
+        # (~2 MB/img at 8 boxes — the largest single download in the
+        # region-ingest loop, EVAL.md accounting); thresholding at the
+        # decoder's native S/4 grid in-jit and bit-packing cuts that
+        # 32x (~64 KB/img). The boundary placed by bilinearly
+        # upsampling the 0/1 indicator differs from the logits' true
+        # zero crossing by at most half a decoder cell (~2 px on the
+        # 1024 canvas, sub-pixel after the resize to image space);
+        # tests pin IoU vs the logits path. REVERSO_MASK_LOGITS=1
+        # restores the exact legacy transfer.
+        # fixed at construction (the jit traces it as a constant —
+        # flipping the attribute later would desync jit and host)
+        self.mask_bits = os.environ.get("REVERSO_MASK_LOGITS", "0") != "1"
+        mask_bits = self.mask_bits
+
         @jax.jit
         def _sam_fwd(params, images_u8, boxes, nh, nw):
             # normalize, then zero the pad ring AFTER normalization
@@ -109,10 +125,39 @@ class GroundedSamDetector:
             nh_ = nh.reshape(b, 1, 1, 1)
             nw_ = nw.reshape(b, 1, 1, 1)
             x = jnp.where((row < nh_) & (col < nw_), x, 0.0)
-            return self.sam.apply({"params": params}, x, boxes,
-                                  multimask_output=False)
+            logits, iou = self.sam.apply({"params": params}, x, boxes,
+                                         multimask_output=False)
+            if not mask_bits:
+                return logits, iou
+            # logit 0 == probability cfg.mask_threshold (0.5); pack 8
+            # grid columns per byte, big-endian to match np.unpackbits
+            m = logits[:, :, 0] > 0.0            # [B, NB, S4, S4]
+            b_, nb, s4 = m.shape[0], m.shape[1], m.shape[2]
+            w8 = jnp.asarray(1 << np.arange(8)[::-1], jnp.uint32)
+            packed = (m.reshape(b_, nb, s4, s4 // 8, 8)
+                      .astype(jnp.uint32) * w8).sum(-1).astype(jnp.uint8)
+            return packed, iou
+
+        # Score reduction in-jit: _select_boxes only ever consumes the
+        # per-query best over tokens and the per-(query, prompt) span
+        # max — downloading those ([B,Q] + [B,Q,P] + boxes, ~25 KB/img)
+        # instead of the full sigmoid grid ([B,Q,L] fp32, ~230 KB/img)
+        # is another ~10x off the region-ingest tunnel bill. Semantics
+        # match the former host math exactly: best sanitizes non-finite
+        # scores to 0, span maxes are raw (empty spans report 0.0).
+        @jax.jit
+        def _dino_reduce(logits, span_mask):
+            s = jax.nn.sigmoid(logits)                       # [B, Q, L]
+            sane = jnp.where(jnp.isfinite(s), s, 0.0)
+            best = sane.max(-1)                              # [B, Q]
+            sm = jnp.where(span_mask[None, None], s[:, :, None, :],
+                           -jnp.inf).max(-1)                 # [B, Q, P]
+            has = span_mask.any(-1)
+            sm = jnp.where(has[None, None], sm, 0.0)
+            return best, sm
 
         self._dino_fwd = _dino_fwd
+        self._dino_reduce = _dino_reduce
         self._sam_fwd = _sam_fwd
 
     @classmethod
@@ -213,14 +258,23 @@ class GroundedSamDetector:
             if text is None:
                 text = tuple(jnp.asarray(np.repeat(a, cb, axis=0))
                              for a in (ids, attn, pos, token_mask))
+                # logits pad to max_text_len (contrastive_logits), not
+                # the tokenized length — mask at the padded width
+                span_mask = np.zeros(
+                    (len(spans), self.dino_cfg.max_text_len), bool)
+                for p, (s0, e0) in enumerate(spans):
+                    span_mask[p, s0:e0] = True
+                span_mask = jnp.asarray(span_mask)
             logits, boxes = self._dino_fwd(
                 self.dino_params, jnp.asarray(dino_in), *text)
-            pending.append((chunk, jax.nn.sigmoid(logits), boxes))
-        for chunk, sig, boxes in pending:
-            scores_b = jax.device_get(sig)
+            best, smax = self._dino_reduce(logits, span_mask)
+            pending.append((chunk, best, smax, boxes))
+        for chunk, best, smax, boxes in pending:
+            best_b = jax.device_get(best)
+            smax_b = jax.device_get(smax)
             boxes_b = jax.device_get(boxes)
-            sels.extend(self._select_boxes(chunk[j], scores_b[j],
-                                           boxes_b[j], spans)
+            sels.extend(self._select_boxes(chunk[j], best_b[j],
+                                           smax_b[j], boxes_b[j])
                         for j in range(len(chunk)))
 
         # SAM batched over the images that kept any box — same
@@ -260,15 +314,17 @@ class GroundedSamDetector:
         build path warmed (DINO pads to dino_batch)."""
         return self.detect_batch([image], prompts)[0]
 
-    def _select_boxes(self, image: np.ndarray, scores: np.ndarray,
-                      boxes: np.ndarray, spans):
-        """Threshold + class-assign DINO outputs for one image:
-        (xy [nb, 4] f32 pixel boxes, confs [nb] f32, cls_ids [nb] i32)
-        or None when nothing survives. Split from _postprocess so
-        detect_batch can run SAM batched across images."""
+    def _select_boxes(self, image: np.ndarray, best: np.ndarray,
+                      span_max: np.ndarray, boxes: np.ndarray):
+        """Threshold + class-assign DINO outputs for one image from
+        the in-jit reductions (`_dino_reduce`): best [Q] = sanitized
+        max sigmoid over tokens, span_max [Q, P] = raw per-prompt span
+        maxes. Returns (xy [nb, 4] f32 pixel boxes, confs [nb] f32,
+        cls_ids [nb] i32) or None when nothing survives. Split from
+        _postprocess so detect_batch can run SAM batched across
+        images."""
         h, w = image.shape[:2]
 
-        best = np.nanmax(np.where(np.isfinite(scores), scores, 0.0), axis=-1)
         keep = np.nonzero(best > self.cfg.box_threshold)[0]
         keep = keep[np.argsort(-best[keep])][: self.cfg.max_regions]
         if keep.size == 0:
@@ -277,10 +333,8 @@ class GroundedSamDetector:
         # class per box: prompt whose token span scores highest
         cls_ids, confs, keep2 = [], [], []
         for q in keep:
-            per_prompt = [scores[q, s:e].max() if e > s else 0.0
-                          for s, e in spans]
-            cid = int(np.argmax(per_prompt))
-            if per_prompt[cid] <= self.cfg.text_threshold:
+            cid = int(np.argmax(span_max[q]))
+            if span_max[q, cid] <= self.cfg.text_threshold:
                 continue
             cls_ids.append(cid)
             confs.append(float(best[q]))
@@ -339,9 +393,13 @@ class GroundedSamDetector:
         return (mask_logits, images, boxes_list, preps)
 
     def _segment_finish(self, handle) -> list[np.ndarray]:
-        mask_logits, images, boxes_list, preps = handle
-        mask_logits = jax.device_get(mask_logits)   # [B, NB, 1, S/4, S/4]
+        mask_dev, images, boxes_list, preps = handle
+        mask_dev = jax.device_get(mask_dev)
         size = self.sam_cfg.vision.image_size
+        if self.mask_bits:
+            # [B, NB, S4, S4//8] packed bits -> 0/255 u8 grids (u8
+            # bilinear resizes are also ~2-4x cheaper than f32 ones)
+            grids = np.unpackbits(mask_dev, axis=-1) * np.uint8(255)
         out = []
         for j, image in enumerate(images):
             h, w = image.shape[:2]
@@ -349,11 +407,21 @@ class GroundedSamDetector:
             nb = len(boxes_list[j])
             masks = np.zeros((nb, h, w), bool)
             for i in range(nb):
-                full = cv2.resize(mask_logits[j, i, 0], (size, size),
-                                  interpolation=cv2.INTER_LINEAR)
-                crop = full[:nh_j, :nw_j]
-                m = cv2.resize(crop, (w, h), interpolation=cv2.INTER_LINEAR)
-                # logit 0 == probability cfg.mask_threshold (0.5)
-                masks[i] = m > 0.0
+                if self.mask_bits:
+                    full = cv2.resize(grids[j, i], (size, size),
+                                      interpolation=cv2.INTER_LINEAR)
+                    crop = full[:nh_j, :nw_j]
+                    m = cv2.resize(crop, (w, h),
+                                   interpolation=cv2.INTER_LINEAR)
+                    # 127 == the indicator's 0.5 level == logit 0
+                    masks[i] = m > 127
+                else:
+                    full = cv2.resize(mask_dev[j, i, 0], (size, size),
+                                      interpolation=cv2.INTER_LINEAR)
+                    crop = full[:nh_j, :nw_j]
+                    m = cv2.resize(crop, (w, h),
+                                   interpolation=cv2.INTER_LINEAR)
+                    # logit 0 == probability cfg.mask_threshold (0.5)
+                    masks[i] = m > 0.0
             out.append(masks)
         return out

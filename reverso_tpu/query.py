@@ -688,7 +688,7 @@ class UniversalQuery:
               fusion: Optional[str] = None, k: Optional[int] = None,
               filter=None, with_payload: bool = True, seed=None,
               use_batcher: bool = False, using: str = "",
-              lookup_from=None):
+              lookup_from=None, _branch_results=None):
         """Universal query API — the role of qdrant's query_points
         with prefetch + fusion / multi-stage rescoring (the modern
         face of the store the reference drove via plain `search`,
@@ -947,7 +947,16 @@ class UniversalQuery:
                              "branch)")
 
         branches = []
-        for spec in prefetch:
+        for bi, spec in enumerate(prefetch):
+            if (_branch_results is not None
+                    and bi < len(_branch_results)
+                    and _branch_results[bi] is not None):
+                # query_batch precomputed this plain dense branch in a
+                # coalesced cross-request launch (same space/filter/
+                # limit requests share one device scan) — the pairs
+                # are exactly what the scan below would produce
+                branches.append(_branch_results[bi])
+                continue
             if isinstance(spec, dict) and (
                     "query" in spec or "filter" in spec or "limit" in spec
                     or "using" in spec):
@@ -1186,6 +1195,62 @@ class UniversalQuery:
             self._attach_group_lookups(groups, with_lookup)
         return groups
 
+    def _plan_hybrid_branches(self, r: dict):
+        """query_batch coalescing plan for one universal request with
+        prefetch branches: per branch either ((space, limit,
+        branch-filter-key, global-filter-key), qv, branch-filter) when
+        the branch is a PLAIN dense vector scan — the shape that
+        dominates hybrid/multi-stage load — or None (random/combine/
+        order_by/sparse/multivector branches run inside query() as
+        usual). Returns None when the request can't participate at all
+        (no prefetch, lookup_from rewrites branch operands, or a
+        branch operand fails to resolve — the sequential path then
+        raises the real error). Mirrors query()'s branch-spec parsing
+        exactly; tests pin batched == sequential."""
+        import json as _json
+
+        store = self._store
+        if r.get("lookup_from") is not None:
+            return None
+        prefetch = r.get("prefetch")
+        if not prefetch or not isinstance(prefetch, (list, tuple)):
+            return None
+        k = (self.config.search.top_k if r.get("k") is None
+             else int(r["k"]))
+        out: list = []
+        any_eligible = False
+        for spec in prefetch:
+            if isinstance(spec, dict) and (
+                    "query" in spec or "filter" in spec
+                    or "limit" in spec or "using" in spec):
+                bq = spec.get("query")
+                bf = spec.get("filter")
+                bl = int(spec.get("limit", max(2 * k, 20)))
+                bu = str(spec.get("using") or "")
+            else:
+                bq, bf, bl, bu = spec, None, max(2 * k, 20), ""
+            bq = _unwrap_nearest(bq)
+            if (bq is None or isinstance(bq, dict)
+                    or bu in store.sparse or bu in store.multi):
+                out.append(None)
+                continue
+            try:
+                qv = self._resolve_query_vector(bq, bu)
+            except Exception:
+                return None
+            if qv.ndim != 1:
+                out.append(None)
+                continue
+            try:
+                gkey = _json.dumps(r.get("filter"), sort_keys=True,
+                                   default=repr)
+                bkey = _json.dumps(bf, sort_keys=True, default=repr)
+            except (TypeError, ValueError):
+                gkey, bkey = repr(r.get("filter")), repr(bf)
+            out.append(((bu, bl, bkey, gkey), qv, bf))
+            any_eligible = True
+        return out if any_eligible else None
+
     def query_batch(self, requests, *, with_payload: bool = True):
         """Run several universal queries in ONE call — qdrant's
         query_batch_points role, TPU-shaped: plain vector requests
@@ -1212,6 +1277,7 @@ class UniversalQuery:
                                  f"(allowed: {sorted(allowed)})")
         results: list = [None] * len(reqs)
         groups: dict[tuple, list[int]] = {}
+        hybrid: list[tuple] = []     # (request idx, branch plan)
         for n, r in enumerate(reqs):
             q = r.get("query")
             if isinstance(q, dict) and set(q) == {"nearest"}:
@@ -1236,7 +1302,16 @@ class UniversalQuery:
                 # carry the batch-level payload default into the
                 # fallback call (per-request with_payload still wins)
                 r.setdefault("with_payload", with_payload)
-                results[n] = self.query(**r)
+                # hybrid/universal requests with plain dense prefetch
+                # branches coalesce those branch scans across the
+                # batch (round-5 lift of the plain-requests-only
+                # coalescing); everything else runs per request
+                plan = (self._plan_hybrid_branches(r)
+                        if r.get("prefetch") else None)
+                if plan is None:
+                    results[n] = self.query(**r)
+                else:
+                    hybrid.append((n, plan))
                 continue
             try:
                 fkey = _json.dumps(r.get("filter"), sort_keys=True,
@@ -1266,6 +1341,41 @@ class UniversalQuery:
                 payloads = self._payloads_with(store, ids, wp)
                 results[n] = [{"id": pid, "score": sc, "payload": p}
                               for (sc, pid), p in zip(pairs, payloads)]
+
+        if hybrid:
+            # one stacked launch per (space, limit, branch-filter,
+            # global-filter) across ALL hybrid requests: R two-branch
+            # hybrid queries cost ~2 device scans instead of 2R
+            scan_groups: dict[tuple, list[tuple]] = {}
+            for hi, (n, plan) in enumerate(hybrid):
+                for bi, ent in enumerate(plan):
+                    if ent is not None:
+                        scan_groups.setdefault(ent[0], []).append(
+                            (hi, bi, ent[1]))
+            branch_res = [[None] * len(plan) for _, plan in hybrid]
+            for key, members in scan_groups.items():
+                bu, bl, _, _ = key
+                hi0, bi0, _ = members[0]
+                n0, plan0 = hybrid[hi0]
+                bf = plan0[bi0][2]
+                gf = reqs[n0].get("filter")
+                bmask = (self._filter_mask(bf) if bf is not None
+                         else None)
+                if gf is not None:
+                    gm = self._filter_mask(gf)
+                    bmask = gm if bmask is None else (bmask & gm)
+                vecs = np.stack([qv for _, _, qv in members])
+                s, i = jax.device_get(
+                    self._get_index(bu).search(vecs, bl,
+                                               row_mask=bmask))
+                for row, (hi, bi, _) in enumerate(members):
+                    valid = i[row] >= 0
+                    branch_res[hi][bi] = (
+                        [int(x) for x in i[row][valid]],
+                        [float(x) for x in s[row][valid]])
+            for hi, (n, _) in enumerate(hybrid):
+                results[n] = self.query(**reqs[n],
+                                        _branch_results=branch_res[hi])
         return results
 
     def scroll(self, filter=None, *, offset=0, limit: int = 100,

@@ -133,6 +133,85 @@ def test_engine_pipeline_with_real_detector(detector, tmp_path):
     assert items, text
 
 
+def test_mask_bits_transfer_matches_logits(detector, monkeypatch):
+    """The default bit-packed mask transfer (threshold at the decoder
+    grid in-jit, 32x less download) reproduces the legacy fp32-logits
+    path: identical boxes/classes, near-identical masks (boundary may
+    shift sub-cell where the indicator's 0.5 level and the logits'
+    zero crossing interpolate differently)."""
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (52, 44, 3), dtype=np.uint8)
+            for _ in range(2)]
+    assert detector.mask_bits           # default is the packed path
+    got_bits = detector.detect_batch(imgs, ["person", "car"])
+
+    monkeypatch.setenv("REVERSO_MASK_LOGITS", "1")
+    legacy = GroundedSamDetector(
+        detector.dino_params, detector.sam_params, detector.tokenizer,
+        cfg=detector.cfg, dino_cfg=detector.dino_cfg,
+        sam_cfg=detector.sam_cfg, dino_size=detector.dino_size,
+        text_len=detector.text_len)
+    assert not legacy.mask_bits
+    got_logits = legacy.detect_batch(imgs, ["person", "car"])
+
+    for rb, rl in zip(got_bits, got_logits):
+        np.testing.assert_allclose(rb.boxes, rl.boxes, atol=1e-4)
+        np.testing.assert_array_equal(rb.class_ids, rl.class_ids)
+        assert rb.masks.shape == rl.masks.shape
+        # random-init logits hover near zero with NO margin — the
+        # worst case for early thresholding; the confident-logits
+        # equivalence (the deployed regime) is pinned below
+        agree = (rb.masks == rl.masks).mean()
+        assert agree >= 0.70, agree
+
+
+def test_mask_bits_postprocess_equivalence_confident_logits(detector):
+    """On CONFIDENT logits (the real-weights regime: |logit| large
+    away from the boundary), the packed-bits host transform and the
+    legacy logits transform produce near-identical masks — the
+    bilinear 0.5-level of the indicator tracks the logits' zero
+    crossing to within a fraction of a decoder cell."""
+    import os as _os
+
+    rng = np.random.default_rng(4)
+    s4 = detector.sam_cfg.vision.image_size // 4     # decoder grid
+    size = detector.sam_cfg.vision.image_size
+    nb, B = 3, 2
+    yy, xx = np.mgrid[0:s4, 0:s4].astype(np.float32)
+    logits = np.zeros((B, nb, 1, s4, s4), np.float32)
+    for j in range(B):
+        for i in range(nb):
+            cy, cx = rng.uniform(3, s4 - 3, 2)
+            r = rng.uniform(2, s4 / 2)
+            # sharp blob: +/-8 a cell away from the boundary
+            logits[j, i, 0] = 8.0 * (r - np.hypot(yy - cy, xx - cx))
+    w8 = (1 << np.arange(8)[::-1]).astype(np.uint32)
+    packed = ((logits[:, :, 0] > 0)
+              .reshape(B, nb, s4, s4 // 8, 8)
+              .astype(np.uint32) * w8).sum(-1).astype(np.uint8)
+
+    imgs = [rng.integers(0, 256, (52, 44, 3), np.uint8)
+            for _ in range(B)]
+    preps = [detector._prep_sam_image(im) for im in imgs]
+    boxes_list = [np.zeros((nb, 4), np.float32)] * B
+
+    masks_bits = detector._segment_finish(
+        (packed, imgs, boxes_list, preps))
+    legacy = GroundedSamDetector(
+        detector.dino_params, detector.sam_params, detector.tokenizer,
+        cfg=detector.cfg, dino_cfg=detector.dino_cfg,
+        sam_cfg=detector.sam_cfg, dino_size=detector.dino_size,
+        text_len=detector.text_len)
+    legacy.mask_bits = False     # host-side switch only (no jit here)
+    masks_log = legacy._segment_finish(
+        (logits, imgs, boxes_list, preps))
+    for mb, ml in zip(masks_bits, masks_log):
+        inter = (mb & ml).sum()
+        union = (mb | ml).sum()
+        assert union > 0
+        assert inter / union >= 0.95, inter / union
+
+
 def test_detect_batch_matches_single(detector):
     rng = np.random.default_rng(3)
     imgs = [rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)

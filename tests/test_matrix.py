@@ -332,3 +332,53 @@ def test_cli_matrix_and_random(tmp_path, capsys):
     rc = main(base + ["query", "clim", "--random", "--target", "1"])
     assert rc == 1
     assert "only one of" in capsys.readouterr().err
+
+
+def test_query_batch_hybrid_coalescing(engine_store, monkeypatch):
+    """Round-5 lift of the plain-requests-only coalescing: universal
+    requests with plain dense prefetch branches share one stacked
+    device scan per (space, limit, branch-filter, global-filter) —
+    and the results are EXACTLY what sequential query() calls give."""
+    engine, vecs = engine_store
+    carf = {"must": [{"key": "detected_class",
+                      "match": {"value": "car"}}]}
+    reqs = []
+    for j in range(6):
+        reqs.append({"prefetch": [
+            {"query": vecs[j].tolist(), "limit": 12},
+            {"query": {"nearest": vecs[j + 1].tolist()}, "limit": 8,
+             "filter": carf},
+        ], "fusion": "rrf", "k": 5})
+    # exact-rescore shape (final vector query over the branch union)
+    reqs.append({"prefetch": [{"query": vecs[3].tolist(),
+                               "limit": 12}],
+                 "query": vecs[4].tolist(), "k": 5})
+    # dbsf fusion + a global filter
+    reqs.append({"prefetch": [
+        {"query": vecs[8].tolist(), "limit": 12},
+        {"query": vecs[9].tolist(), "limit": 12}],
+        "fusion": "dbsf", "k": 4, "filter": carf})
+    seq = [engine.query(**dict(r)) for r in reqs]
+
+    calls = []
+    real = engine._get_index
+
+    class Proxy:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def search(self, q, *a, **k):
+            calls.append(np.asarray(q).shape[0])
+            return self._inner.search(q, *a, **k)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    monkeypatch.setattr(engine, "_get_index",
+                        lambda using="": Proxy(real(using)))
+    got = engine.query_batch(reqs)
+    assert got == seq
+    # scan groups: (limit 12, no filters) x7 members; (limit 8, car
+    # branch filter) x6; (limit 12, car global filter) x2 -> 3
+    # launches for 15 branch scans
+    assert sorted(calls) == [2, 6, 7], calls

@@ -661,3 +661,29 @@ def test_native_sparse_score_parity_threaded(monkeypatch):
         monkeypatch.undo()
         np.testing.assert_array_equal(i_nat, i_py)
         np.testing.assert_array_equal(s_nat, s_py)   # bitwise
+
+
+def test_query_batch_hybrid_sparse_dense(sparse_engine):
+    """query_batch's round-5 branch coalescing: hybrid requests whose
+    DENSE branch coalesces across the batch while the sparse branch
+    runs host-side per request == sequential query() exactly."""
+    engine, dense, rows = sparse_engine
+    reqs = []
+    for rid in range(6):
+        if not len(rows[rid]["indices"]):
+            continue
+        sq = {"indices": [int(i) for i in rows[rid]["indices"]],
+              "values": [float(v) for v in rows[rid]["values"]]}
+        reqs.append({"prefetch": [
+            {"query": sq, "using": "text", "limit": 8},
+            {"query": dense[rid].tolist(), "limit": 8}],
+            "fusion": "rrf", "k": 5})
+        reqs.append({"query": dense[(rid + 1) % 24].tolist(),
+                     "prefetch": [{"query": sq, "using": "text",
+                                   "limit": 12},
+                                  {"query": dense[rid].tolist(),
+                                   "limit": 12}], "k": 4})
+    assert len(reqs) >= 4
+    seq = [engine.query(**dict(r)) for r in reqs]
+    got = engine.query_batch(reqs)
+    assert got == seq
