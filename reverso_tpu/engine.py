@@ -49,14 +49,6 @@ from .viz import visualize_detections as _viz, render_result_thumbnail, to_rgb_a
 log = get_logger("engine")
 
 
-def _resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
-    """Nearest-neighbor mask resize to the model input resolution."""
-    h, w = mask.shape
-    ys = (np.arange(size) * h // size).clip(0, h - 1)
-    xs = (np.arange(size) * w // size).clip(0, w - 1)
-    return mask[np.ix_(ys, xs)].astype(np.float32)
-
-
 def load_or_build_ivf(store, vectors: np.ndarray, scfg, dtype: str,
                       *, space: str = "", mesh=None):
     """Load, extend, or build the store's IVF index for one vector
@@ -1430,15 +1422,15 @@ class Reverso(UniversalQuery):
         use_roi = (self.config.ingest.region_embed_mode == "region"
                    and regions.masks is not None and n > 0)
         if use_roi:
-            size = self.config.model.image_size
             # pow2 region bucket: the jit specializes on R, so raw
             # per-query region counts would compile a fresh (remote,
-            # 30-180 s) program per distinct count
+            # 30-180 s) program per distinct count. Masks pool onto
+            # the patch grid HOST-side (~18 KB up instead of ~3.6 MB
+            # of f32 pixel masks — see encode_regions), same shapes
+            # the batched ingest path warms.
             rb = 1 << (n - 1).bit_length()
-            resized = np.zeros((rb, size, size), np.float32)
-            for i in range(n):
-                resized[i] = _resize_mask(regions.masks[i], size)
-            _, region_embs = self.encoder.encode_regions(px, resized[None])
+            pooled = self.encoder.pool_masks([regions.masks[:n]], rb)
+            _, region_embs = self.encoder.encode_regions(px, pooled)
             region_embs = np.asarray(region_embs)[0][:n]
         else:
             emb = np.asarray(self.encoder.encode_image(px))[0]

@@ -362,26 +362,40 @@ def build_database(
                 # per-image embed/metadata assembly runs OUTSIDE the
                 # detect stage so the nested embed/roi_embed timers
                 # aren't double-counted into it
+                roi_handle = None
+                if roi_mode:
+                    # ONE batched ROI forward for the whole ingest
+                    # batch, with masks pooled onto the patch grid
+                    # host-side: the former per-image launches each
+                    # uploaded ~3.6 MB of f32 pixel masks and paid a
+                    # dispatch+sync round trip — ~200 ms/img of the
+                    # ROI e2e bill through the tunnel (EVAL.md);
+                    # pooled grids are ~18 KB/img and one launch
+                    # serves the batch. Region dim pads to a pow2
+                    # bucket (the jit specializes on R; per-image
+                    # counts would compile up to 50 remote shapes).
+                    # The forward is DISPATCHED here (async) and
+                    # synced once after metadata assembly, so the ViT
+                    # computes underneath the host-side bbox/uuid
+                    # work.
+                    ns = [min(len(r), config.ingest.max_regions)
+                          if r.masks is not None else 0
+                          for r in regions_list]
+                    nmax = max(ns, default=0)
+                    if nmax > 0:
+                        rb = 1 << (nmax - 1).bit_length()
+                        with timer.stage("roi_embed", len(batch.paths)):
+                            pooled = encoder.pool_masks(
+                                [r.masks if r.masks is not None
+                                 else [] for r in regions_list], rb)
+                            _, roi_handle = encoder.encode_regions(
+                                batch.pixels, pooled)
+                roi_slots = []        # (vecs index, image j, region i)
                 for j, path in enumerate(batch.paths):
                     regions = regions_list[j]
                     n = min(len(regions), config.ingest.max_regions)
-                    region_embs = None
-                    if roi_mode and regions.masks is not None and n > 0:
-                        from ..engine import _resize_mask
-                        # pad the region dim to a pow2 bucket: the
-                        # jit specializes on R, and per-image region
-                        # counts (1..max_regions) would otherwise
-                        # compile up to 50 distinct shapes remotely
-                        rb = 1 << (n - 1).bit_length()
-                        resized = np.zeros((rb, size, size),
-                                           np.float32)
-                        for i in range(n):
-                            resized[i] = _resize_mask(
-                                regions.masks[i], size)
-                        with timer.stage("roi_embed", n):
-                            _, re_ = encoder.encode_regions(
-                                batch.pixels[j:j + 1], resized[None])
-                        region_embs = np.asarray(re_)[0][:n]
+                    use_roi = (roi_handle is not None
+                               and regions.masks is not None and n > 0)
                     kept = 0
                     for i in range(n):
                         meta = region_metadata(regions, i)
@@ -394,13 +408,20 @@ def build_database(
                         meta["filename"] = os.path.basename(path)
                         meta["original_region_id"] = meta["region_id"]
                         meta["region_id"] = str(uuid.uuid4())
-                        vecs.append(region_embs[i]
-                                    if region_embs is not None
-                                    else global_emb(j))
+                        if use_roi:
+                            vecs.append(None)
+                            roi_slots.append((len(vecs) - 1, j, i))
+                        else:
+                            vecs.append(global_emb(j))
                         metas.append(meta)
                         kept += 1
                     if kept == 0:
                         log(f"⚠️ No regions found in {os.path.basename(path)}, skipping")
+                if roi_slots:
+                    with timer.stage("roi_embed", 0):   # the sync half
+                        roi_all = np.asarray(roi_handle)
+                    for vi, j, i in roi_slots:
+                        vecs[vi] = roi_all[j][i]
                 if metas:
                     with timer.stage("append", len(metas)):
                         store.append(np.stack(vecs), metas)

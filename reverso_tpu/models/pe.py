@@ -14,6 +14,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    import cv2
+except ImportError:          # pragma: no cover
+    cv2 = None
+
 from ..config import ModelConfig, MODEL_PRESETS
 from ..ops.norm import l2_normalize
 from .vit import VisionTransformer
@@ -181,21 +186,67 @@ class PerceptionEncoder:
 
         images: [B, H, W, 3] preprocessed at the model resolution;
         masks: [B, R, H, W] bool/float region masks at the same
-        resolution. One ViT forward produces the whole-image embedding
-        AND R per-region embeddings (masked attention pooling over the
-        token grid) — the improvement over the reference, which stored
-        the global embedding for every region (core_system.py:406).
-        Returns (global [B, E], regions [B, R, E]), all L2-normalized.
+        resolution, OR [B, R, g*g] masks ALREADY average-pooled onto
+        the patch grid (any coverage fraction in [0, 1]). The pooled
+        form is what the ingest hot path ships: pooling full-res pixel
+        masks host-side shrinks the per-image mask upload from ~3.6 MB
+        of f32 pixels to ~18 KB of grid weights — through this
+        environment's ~100 MB/s tunnel that is most of ROI mode's cost
+        (EVAL.md region section). One ViT forward produces the
+        whole-image embedding AND R per-region embeddings (masked
+        attention pooling over the token grid) — the improvement over
+        the reference, which stored the global embedding for every
+        region (core_system.py:406). Returns (global [B, E],
+        regions [B, R, E]), all L2-normalized.
         """
         masks = jnp.asarray(masks, jnp.float32)
         p = self.cfg.patch_size
         g = self.cfg.grid_size
         b, r = masks.shape[:2]
-        # average-pool pixel masks onto the patch grid
-        mg = masks.reshape(b, r, g, p, g, p).mean(axis=(3, 5))
-        images, mg, b = self._stage_batch(images, mg.reshape(b, r, g * g))
+        if masks.ndim == 4:
+            # average-pool pixel masks onto the patch grid
+            mg = (masks.reshape(b, r, g, p, g, p).mean(axis=(3, 5))
+                  .reshape(b, r, g * g))
+        elif masks.ndim == 3:
+            if masks.shape[2] != g * g:
+                raise ValueError(
+                    f"pooled masks must be [B, R, {g * g}], got "
+                    f"{masks.shape}")
+            mg = masks
+        else:
+            raise ValueError(f"masks must be [B, R, H, W] or "
+                             f"[B, R, {g * g}], got {masks.shape}")
+        images, mg, b = self._stage_batch(images, mg)
         emb, regions = self._fwd_regions(self.params, images, mg)
         return emb[:b], regions[:b]
+
+    def pool_masks(self, masks_list, r_pad: int) -> np.ndarray:
+        """Host-side patch-grid pooling for `encode_regions`'s [B, R,
+        g*g] form: per image a list/array of [H, W] bool/float masks at
+        ANY resolution (original image space included — no intermediate
+        model-res resize needed), area-averaged onto the g x g grid.
+        Returns [B, r_pad, g*g] float32 (pad regions all-zero = the
+        empty-mask fallback the pooling already handles)."""
+        g = self.cfg.grid_size
+        out = np.zeros((len(masks_list), r_pad, g * g), np.float32)
+        for j, masks in enumerate(masks_list):
+            for i, m in enumerate(masks[:r_pad]):
+                m = np.asarray(m)
+                if cv2 is not None:
+                    mg = cv2.resize(m.astype(np.uint8) * 255, (g, g),
+                                    interpolation=cv2.INTER_AREA)
+                    out[j, i] = mg.reshape(-1).astype(np.float32) / 255.0
+                else:    # exact block mean when divisible, else strided
+                    h, w = m.shape
+                    ys = (np.arange(g + 1) * h // g)
+                    xs = (np.arange(g + 1) * w // g)
+                    mf = m.astype(np.float32)
+                    for gy in range(g):
+                        for gx in range(g):
+                            blk = mf[ys[gy]:max(ys[gy + 1], ys[gy] + 1),
+                                     xs[gx]:max(xs[gx + 1], xs[gx] + 1)]
+                            out[j, i, gy * g + gx] = blk.mean()
+        return out
 
     @property
     def embed_dim(self) -> int:

@@ -280,6 +280,65 @@ class BinaryIndex:
             arr = jax.device_put(arr, row_sharding(mesh, axis))
         self.matrix = arr
 
+    @classmethod
+    def from_chunks(cls, chunk_fn, n: int, d: int, *,
+                    mesh: Optional[Mesh] = None, axis: str = "data",
+                    chunk: int = 1 << 19, center=None) -> "BinaryIndex":
+        """Device-side chunked build: pack a corpus that never exists
+        as one host (or device) f32 array. `chunk_fn(lo, rows)` returns
+        a DEVICE [rows, d] float block — a seeded generator, a staged
+        disk read, anything. Two passes: per-dim mean (skipped when
+        `center` is given), then centered sign-pack straight into the
+        padded uint8 buffer via dynamic_update_slice. Bit layout and
+        padding are IDENTICAL to the host constructor (pinned by
+        tests/test_binary.py); 16M x 1024 packs into 2 GB of HBM while
+        the f32 source would be 64 GB. The capacity artifact
+        (scripts/bench_capacity.py, EVAL.md) builds through this."""
+        from ..ops.binary import lane_plane_width
+
+        self = cls.__new__(cls)
+        self.n_valid = int(n)
+        self.dim = int(d)
+        self.mesh = mesh
+        self.axis = axis
+        d8 = lane_plane_width(d)
+        n_shards = mesh.shape[axis] if mesh is not None else 1
+        padded = _round_up(max(n, 1), 4096 * n_shards)
+
+        if center is None:
+            sums = np.zeros(d, np.float64)
+            for lo in range(0, n, chunk):
+                rows = min(chunk, n - lo)
+                x = chunk_fn(lo, rows)
+                sums += np.asarray(
+                    jnp.sum(jnp.asarray(x, jnp.float32), axis=0),
+                    np.float64)
+            center = (sums / max(n, 1)).astype(np.float32)
+        self.center = np.asarray(center, np.float32)
+
+        w8 = jnp.asarray(1 << np.arange(8, dtype=np.uint32))
+        cdev = jnp.asarray(self.center)
+
+        @jax.jit
+        def pack_block(buf, x, lo):
+            # planar pack, same layout as ops.binary.pack_signs: bit j
+            # of byte b = dim j*d8 + b; dims >= d (lane pad) are zeros
+            bits = (jnp.asarray(x, jnp.float32) - cdev) > 0
+            bits = jnp.pad(bits, ((0, 0), (0, 8 * d8 - d)))
+            planes = bits.reshape(bits.shape[0], 8, d8)
+            pk = (planes.astype(jnp.uint32)
+                  * w8[None, :, None]).sum(axis=1).astype(jnp.uint8)
+            return jax.lax.dynamic_update_slice(buf, pk, (lo, 0))
+
+        buf = jnp.zeros((padded, d8), jnp.uint8)
+        for lo in range(0, n, chunk):
+            rows = min(chunk, n - lo)
+            buf = pack_block(buf, chunk_fn(lo, rows), jnp.int32(lo))
+        if mesh is not None:
+            buf = jax.device_put(buf, row_sharding(mesh, axis))
+        self.matrix = buf
+        return self
+
     @property
     def nbytes(self) -> int:
         return self.matrix.size * self.matrix.dtype.itemsize

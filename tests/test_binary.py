@@ -375,3 +375,35 @@ def test_cli_binary_index(tmp_path, capsys):
     exact = vecs.astype(np.float64) @ q.astype(np.float64)
     want = np.lexsort((np.arange(40), -exact))[:3]
     assert [h["id"] for h in hits] == [int(w) for w in want]
+
+
+def test_from_chunks_matches_host_build():
+    """Device-side chunked build == the host constructor: bitwise
+    packed matrix at a shared center, matching padding, same search
+    results; the auto-computed chunked center tracks the host f64
+    mean."""
+    import jax.numpy as jnp
+
+    from reverso_tpu.store.index import BinaryIndex
+
+    rng = np.random.default_rng(7)
+    n, d = 5000, 256
+    v = rng.standard_normal((n, d)).astype(np.float32) + 0.05
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    host = BinaryIndex(v)
+
+    def chunk_fn(lo, rows):
+        return jnp.asarray(v[lo:lo + rows])
+
+    dev = BinaryIndex.from_chunks(chunk_fn, n, d, chunk=1024,
+                                  center=host.center)
+    assert dev.matrix.shape == host.matrix.shape
+    np.testing.assert_array_equal(np.asarray(dev.matrix),
+                                  np.asarray(host.matrix))
+    auto = BinaryIndex.from_chunks(chunk_fn, n, d, chunk=1024)
+    np.testing.assert_allclose(auto.center, host.center, atol=1e-5)
+    q = v[:8]
+    s1, i1 = map(np.asarray, host.search(q, 10))
+    s2, i2 = map(np.asarray, dev.search(q, 10))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)

@@ -98,3 +98,43 @@ def test_roi_beats_compat_region_recall():
     assert r["recall@1"] >= c["recall@1"] + 0.2, res
     assert r["mrr"] >= c["mrr"] + 0.2, res
     assert r["recall@10"] >= c["recall@10"], res
+
+
+def test_encode_regions_pooled_masks_match_pixel_masks(encoder, rng):
+    """[B, R, g*g] host-pooled masks == [B, R, H, W] pixel masks
+    through encode_regions (the pooled form is the ingest hot path:
+    ~18 KB/img up the tunnel instead of ~3.6 MB — round 5)."""
+    s = TINY.image_size
+    g = TINY.image_size // TINY.patch_size
+    p = TINY.patch_size
+    b, r = 2, 3
+    imgs = rng.standard_normal((b, s, s, 3)).astype(np.float32)
+    masks = (rng.random((b, r, s, s)) < 0.4)
+    ge1, re1 = encoder.encode_regions(imgs, masks)
+    # exact block mean on host == the in-jit pixel pooling
+    pooled = (masks.astype(np.float32)
+              .reshape(b, r, g, p, g, p).mean(axis=(3, 5))
+              .reshape(b, r, g * g))
+    ge2, re2 = encoder.encode_regions(imgs, pooled)
+    np.testing.assert_allclose(np.asarray(ge1), np.asarray(ge2),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(re1), np.asarray(re2),
+                               atol=1e-6)
+
+
+def test_pool_masks_area_average(encoder):
+    """pool_masks pools masks at ANY source resolution: a full mask
+    pools to all-ones, an empty one to zeros, a half-covering one to
+    ~0.5 mean coverage; pad rows stay zero."""
+    g = TINY.image_size // TINY.patch_size
+    h, w = 97, 133          # deliberately not divisible by the grid
+    full = np.ones((h, w), bool)
+    empty = np.zeros((h, w), bool)
+    half = np.zeros((h, w), bool)
+    half[:, :w // 2] = True
+    out = encoder.pool_masks([[full, empty, half]], 4)
+    assert out.shape == (1, 4, g * g)
+    np.testing.assert_allclose(out[0, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], 0.0, atol=1e-6)
+    assert abs(out[0, 2].mean() - 0.5) < 0.02
+    np.testing.assert_allclose(out[0, 3], 0.0, atol=1e-6)
