@@ -8,6 +8,7 @@ searched with the Pallas streaming top-k kernel + an all_gather merge.
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Optional, Sequence
@@ -319,7 +320,10 @@ class BinaryIndex:
         w8 = jnp.asarray(1 << np.arange(8, dtype=np.uint32))
         cdev = jnp.asarray(self.center)
 
-        @jax.jit
+        # the buffer is DONATED: without aliasing, every update holds
+        # input + output copies live — 2x the packed bytes, which is
+        # exactly what OOMs a 32M x 1024 (4 GB) build on a 16 GB chip
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def pack_block(buf, x, lo):
             # planar pack, same layout as ops.binary.pack_signs: bit j
             # of byte b = dim j*d8 + b; dims >= d (lane pad) are zeros

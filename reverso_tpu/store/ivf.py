@@ -619,6 +619,166 @@ class IVFIndex:
         return self
 
     @classmethod
+    def from_chunks(cls, chunk_fn, n: int, d: int, *,
+                    chunk: int = 1 << 19, n_clusters: int = 256,
+                    train_iters: int = 10, train_sample: int = 131072,
+                    dtype: str = "bfloat16", seed: int = 0,
+                    spill: float = 0.0):
+        """Build from a VIRTUAL corpus: `chunk_fn(lo, rows)` returns a
+        device [rows, d] float block for any in-range window — a seeded
+        generator, a staged disk read — so the source never exists as
+        one array anywhere. An 8M x 1024 bf16 source is 16 GB and
+        cannot sit in HBM beside its own int8 index; this path streams
+        it: k-means sample gather, chunked assignment (`_assign_all`),
+        per-chunk abs-max, then a per-chunk quantize+scatter into the
+        DONATED cluster-sorted buffer (pad slots scatter with
+        mode="drop"). Same `_kmeans_fit`/`_plan_entries` math as every
+        other build; int8 quantization uses the identical host-f32
+        scale + device f32-multiply rounding as `from_device`
+        (bitwise-pinned by tests/test_ivf.py). `balance` is not
+        supported (its split step random-accesses source rows);
+        single-device only — shard the SEARCH via the sharded scan
+        instead. Capacity artifact: scripts/bench_capacity.py --ivf."""
+        if n <= 0:
+            raise ValueError("empty index")
+        if not 0.0 <= spill <= 1.0:
+            raise ValueError(f"spill must be in [0, 1], got {spill}")
+        n_clusters = min(n_clusters, n)
+        rng = np.random.default_rng(seed)
+        self = object.__new__(cls)
+        self._int8 = jnp.dtype(dtype) == jnp.int8
+        self._dtype = jnp.bfloat16 if self._int8 else jnp.dtype(dtype)
+        self.db_scale = None
+        if self._int8 and d * 127 * 127 >= 2 ** 24:
+            raise ValueError(
+                f"int8 IVF requires d <= 1040 for exact f32 partials "
+                f"(got d={d})")
+
+        # k-means sample: the SAME unsorted draw as from_device (the
+        # init picks positions INTO the sample, so sample-row order is
+        # part of the k-means seed), assembled per chunk by scatter.
+        # Index arrays pad to ONE static shape — per-chunk selection
+        # counts vary, and a raw shape per chunk would remote-compile
+        # the scatter once per chunk (minutes each on this toolchain).
+        sample_idx = (rng.choice(n, min(train_sample, n),
+                                 replace=False)
+                      if n > train_sample else np.arange(n))
+        s_total = len(sample_idx)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _fill_sample(smp, blk, src_idx, pos):
+            rows_g = jnp.take(blk, src_idx, axis=0, mode="fill",
+                              fill_value=0).astype(smp.dtype)
+            return smp.at[pos].set(rows_g, mode="drop")
+
+        s_pad = min(s_total, chunk)
+        sample = jnp.zeros((s_total, d), self._dtype)
+        for lo in range(0, n, chunk):
+            rows = min(chunk, n - lo)
+            sel = np.nonzero((sample_idx >= lo)
+                             & (sample_idx < lo + rows))[0]
+            if len(sel):
+                src = np.full(s_pad, rows, np.int32)   # fill -> 0 row
+                # pad pos must be OUT OF BOUNDS HIGH: mode="drop"
+                # drops only past-the-end indices; -1 would WRAP to
+                # the last row and overwrite it with the fill row
+                pos = np.full(s_pad, s_total, np.int32)
+                src[:len(sel)] = sample_idx[sel] - lo
+                pos[:len(sel)] = sel
+                sample = _fill_sample(sample, chunk_fn(lo, rows),
+                                      jnp.asarray(src),
+                                      jnp.asarray(pos))
+        init = jnp.asarray(rng.choice(len(sample_idx), n_clusters,
+                                      replace=False))
+        cent_d, _ = _kmeans_fit(sample, init, n_clusters=n_clusters,
+                                iters=train_iters)
+
+        # assignment + abs-max in one streamed pass over the chunks
+        # (chunk_fn windows align to `chunk`; _assign_all's internal
+        # ranges stay inside one window)
+        amax_acc = [np.float32(0.0)]
+        cache = {}
+
+        def rows_at(lo, hi):
+            base = (lo // chunk) * chunk
+            if cache.get("base") != base:
+                blk = chunk_fn(base, min(chunk, n - base))
+                cache["base"] = base
+                cache["blk"] = blk
+                if self._int8:
+                    amax_acc[0] = max(
+                        amax_acc[0],
+                        np.float32(jax.jit(
+                            lambda e: jnp.max(jnp.abs(e)))(blk)))
+            return cache["blk"][lo - base:hi - base].astype(self._dtype)
+
+        want_spill = spill > 0.0 and n_clusters > 1
+        assign, second, margin = _assign_all(
+            rows_at, n, cent_d, want_spill,
+            chunk=min(262144, chunk))
+        cache.clear()
+        order, counts, n_spill = _plan_entries(
+            n, n_clusters, assign, second, margin, spill, None)
+
+        dest, starts, m_lay = _aligned_layout(counts)
+        self.cmax = int(counts.max())
+        cmax_pad = _round_up(max(self.cmax, 8), 8)
+        m = m_lay
+        self.n = n
+        self.m = m
+        self.n_entries = len(order)
+        self.n_spill = int(n_spill)
+        self.dim = d
+        self.n_clusters = n_clusters
+        self.centroids = cent_d
+        row_ids = np.full(m_lay, -1, np.int64)
+        row_ids[dest] = order
+        self.row_ids = jnp.asarray(row_ids.astype(np.int32))
+        self.offsets = jnp.asarray(starts.astype(np.int32))
+        self.counts = jnp.asarray(counts.astype(np.int32))
+        self._cmax_pad = cmax_pad
+        self.mesh = None
+        self.axis = "data"
+
+        inv = np.float32(0.0)
+        if self._int8:
+            amax = np.float32(max(amax_acc[0], np.float32(1e-30)))
+            self.db_scale = float(amax / np.float32(127.0))
+            inv = np.float32(127.0) / amax
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("int8",))
+        def scatter_block(buf, x, src_local, pos, inv_s, *, int8):
+            rows = jnp.take(x, src_local, axis=0,
+                            mode="fill", fill_value=0
+                            ).astype(jnp.float32)
+            if int8:
+                rows = jnp.clip(jnp.round(rows * inv_s), -127,
+                                127).astype(jnp.int8)
+            else:
+                rows = rows.astype(buf.dtype)
+            return buf.at[pos].set(rows, mode="drop")
+
+        store_dt = jnp.int8 if self._int8 else self._dtype
+        buf = jnp.zeros((m + cmax_pad, d), store_dt)
+        # per chunk: which layout entries source from this window
+        ord64 = np.asarray(order, np.int64)
+        pad_len = chunk if spill == 0.0 else 2 * chunk
+        for lo in range(0, n, chunk):
+            rows = min(chunk, n - lo)
+            sel = np.nonzero((ord64 >= lo) & (ord64 < lo + rows))[0]
+            src_local = np.full(pad_len, rows, np.int32)  # fill -> 0 row
+            pos = np.full(pad_len, m + cmax_pad, np.int32)  # drop (OOB high)
+            src_local[:len(sel)] = (ord64[sel] - lo).astype(np.int32)
+            pos[:len(sel)] = dest[sel].astype(np.int32)
+            buf = scatter_block(buf, chunk_fn(lo, rows),
+                                jnp.asarray(src_local),
+                                jnp.asarray(pos), jnp.float32(inv),
+                                int8=self._int8)
+        self.matrix = buf
+        return self
+
+    @classmethod
     def load_cache_device(cls, emb, path: str, *,
                           dtype: str = "bfloat16", mesh=None,
                           axis: str = "data"):

@@ -51,6 +51,11 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--oversample", type=int, default=3)
+    ap.add_argument("--ivf", action="store_true",
+                    help="int8 IVF capacity run (IVFIndex.from_chunks) "
+                         "instead of the binary index")
+    ap.add_argument("--clusters", type=int, default=2048)
+    ap.add_argument("--nprobes", default="8,16,32")
     args = ap.parse_args()
 
     from reverso_tpu.cli import _enable_compile_cache
@@ -82,19 +87,25 @@ def main() -> int:
     sigma = float(np.sqrt((1 - within_cos) / within_cos / d))
 
     @jax.jit
-    def gen_chunk_j(rows_arange, key):
+    def gen_chunk_j(cent, rows_arange, key):
+        # `cent` is an ARGUMENT, not a closure capture: a captured
+        # device array bakes 268 MB of literals into the HLO and the
+        # remote-compile endpoint rejects the program (HTTP 413)
         cid = (rows_arange.astype(jnp.uint32) * jnp.uint32(2654435761)
                % jnp.uint32(C)).astype(jnp.int32)
         noise = jax.random.normal(key, (rows_arange.shape[0], d),
                                   jnp.float32)
-        x = jnp.take(centers, cid, axis=0) + sigma * noise
+        x = jnp.take(cent, cid, axis=0) + sigma * noise
         return _normalize(x)
 
     def chunk_fn(lo, rows):
         key = jax.random.fold_in(jax.random.PRNGKey(11),
                                  lo // args.chunk)
         ar = jnp.arange(lo, lo + rows)
-        return gen_chunk_j(ar, key)
+        return gen_chunk_j(centers, ar, key)
+
+    if args.ivf:
+        return run_ivf(args, bench, chunk_fn, ref)
 
     t0 = time.perf_counter()
     idx = BinaryIndex.from_chunks(chunk_fn, n, d, chunk=args.chunk)
@@ -176,6 +187,101 @@ def main() -> int:
         "recall_at_10_3x": round(float(rec), 4),
         "scan_ms_q1": round(lat[1], 2),
         "scan_ms_q256": round(lat[256], 2),
+        "ref_pre": ref, "ref_post": ref2,
+    }))
+    return 0
+
+
+def run_ivf(args, bench, chunk_fn, ref):
+    """8-16M x 1024 int8 IVF: `IVFIndex.from_chunks` build (the bf16
+    source would be 16-32 GB and cannot sit beside its own index —
+    the virtual-corpus path streams it), recall vs the exact int8
+    scan over the index's OWN sorted rows, latency at serving Q."""
+    import jax
+    import jax.numpy as jnp
+
+    from reverso_tpu.ops.topk import cosine_topk_int8_xla
+    from reverso_tpu.store.ivf import IVFIndex
+
+    n, d = args.n, args.d
+    t0 = time.perf_counter()
+    ivf = IVFIndex.from_chunks(chunk_fn, n, d, chunk=args.chunk,
+                               n_clusters=args.clusters, dtype="int8",
+                               seed=0)
+    np.asarray(ivf.matrix[:1, :8])
+    t_build = time.perf_counter() - t0
+    gb = ivf.matrix.nbytes / 2**30
+    print(f"IVF build: {t_build:.1f}s  C={args.clusters} "
+          f"cmax={ivf.cmax}  int8 {gb:.2f} GiB "
+          f"({100 * gb / 16:.0f}% of 16 GiB HBM)", flush=True)
+
+    # queries: perturbed chunk-0 rows (same recipe as the binary run)
+    rows0 = chunk_fn(0, min(args.chunk, n))
+    qi = jnp.arange(args.queries) * (min(args.chunk, n)
+                                     // args.queries)
+    qsigma = 0.29 / float(np.sqrt(d))
+    queries = jnp.take(rows0, qi, axis=0) + qsigma * jax.random.normal(
+        jax.random.PRNGKey(23), (args.queries, d), jnp.float32)
+    queries = queries / jnp.linalg.norm(queries, axis=1,
+                                        keepdims=True)
+    del rows0
+    host_q = np.asarray(queries)
+
+    # exact ground truth over the index's OWN int8 rows (isolates
+    # probe misses from quantization, which both paths share)
+    row_ids = jnp.concatenate([ivf.row_ids,
+                               jnp.full((1,), -1, jnp.int32)])
+
+    def exact(q):
+        s, pos = cosine_topk_int8_xla(ivf.matrix, ivf.db_scale, q,
+                                      args.k, n_valid=ivf.m)
+        return s, jnp.where(pos < 0, -1,
+                            row_ids[jnp.clip(pos, 0, ivf.m)])
+
+    t0 = time.perf_counter()
+    _, i_true = jax.device_get(exact(queries))
+    print(f"exact int8 ground truth: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    nprobes = [int(x) for x in args.nprobes.split(",")]
+    recall = {}
+    for np_ in nprobes:
+        _, ids = jax.device_get(ivf.search(queries, args.k,
+                                           nprobe=np_))
+        recall[np_] = float(np.mean(
+            [len(set(p) & set(t)) / args.k
+             for p, t in zip(ids, i_true)]))
+        print(f"recall@{args.k} nprobe={np_}: {recall[np_]:.4f}",
+              flush=True)
+
+    lat = {}
+    for q_n in (1, 8):
+        q = host_q[:q_n]
+        qdev = jax.device_put(q)
+        for np_ in nprobes:
+            def run():
+                return ivf.search(qdev, args.k, nprobe=np_)
+            np.asarray(run()[0][:1])
+            dt = bench._best_time(run, lambda r: np.asarray(r[0][:1]),
+                                  budget_s=20.0, k=8)
+            lat[f"q{q_n}_np{np_}"] = round(dt * 1e3, 2)
+            print(f"IVF Q={q_n} nprobe={np_}: {dt * 1e3:.2f} ms",
+                  flush=True)
+        def run_ex():
+            return exact(qdev)
+        np.asarray(run_ex()[0][:1])
+        dt = bench._best_time(run_ex, lambda r: np.asarray(r[0][:1]),
+                              budget_s=20.0, k=8)
+        lat[f"q{q_n}_exact"] = round(dt * 1e3, 2)
+        print(f"exact Q={q_n}: {dt * 1e3:.2f} ms", flush=True)
+
+    ref2 = bench._contention_reference()
+    print(f"contention ref (post): {ref2}", flush=True)
+    print(json.dumps({
+        "mode": "ivf_int8", "n": n, "d": d,
+        "clusters": args.clusters, "cmax": int(ivf.cmax),
+        "int8_gib": round(gb, 2), "build_s": round(t_build, 1),
+        "recall": recall, "latency_ms": lat,
         "ref_pre": ref, "ref_post": ref2,
     }))
     return 0

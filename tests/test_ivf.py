@@ -1216,3 +1216,36 @@ def test_engine_ivf_dot_sharded_and_per_space(tmp_path):
         # NB: no self-match assertion — under dot a bigger-magnitude
         # neighbor can legitimately outscore the query row itself
         assert len(h1) == 8
+
+
+def test_from_chunks_matches_from_device(corpus):
+    """Virtual-corpus build (chunk_fn windows, donated scatter buffer)
+    == from_device on the same f32 source: bitwise matrix/row_ids and
+    identical searches, int8 and bf16, with and without spill."""
+    import jax.numpy as jnp
+
+    n, d = corpus.shape
+    emb = jnp.asarray(corpus)
+
+    def chunk_fn(lo, rows):
+        return emb[lo:lo + rows]
+
+    for dtype, spill in [("int8", 0.0), ("int8", 0.1),
+                         ("float32", 0.0)]:
+        a = IVFIndex.from_device(emb, n_clusters=16, dtype=dtype,
+                                 seed=3, spill=spill)
+        b = IVFIndex.from_chunks(chunk_fn, n, d, chunk=1024,
+                                 n_clusters=16, dtype=dtype, seed=3,
+                                 spill=spill)
+        assert a.m == b.m and a.cmax == b.cmax
+        assert a.db_scale == b.db_scale
+        np.testing.assert_array_equal(np.asarray(a.row_ids),
+                                      np.asarray(b.row_ids))
+        np.testing.assert_array_equal(
+            np.asarray(a.matrix).view(np.uint8),
+            np.asarray(b.matrix).view(np.uint8))
+        qs = corpus[:5]
+        sa, ia = map(np.asarray, a.search(qs, 8, nprobe=4))
+        sb, ib = map(np.asarray, b.search(qs, 8, nprobe=4))
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(sa, sb)
