@@ -228,18 +228,37 @@ def run_ivf(args, bench, chunk_fn, ref):
     host_q = np.asarray(queries)
 
     # exact ground truth over the index's OWN int8 rows (isolates
-    # probe misses from quantization, which both paths share)
-    row_ids = jnp.concatenate([ivf.row_ids,
-                               jnp.full((1,), -1, jnp.int32)])
+    # probe misses from quantization, which both paths share). The
+    # matrix scans in 1M-row SLICES merged on host: the monolithic
+    # scan would pad-copy the whole 8 GB matrix to a chunk multiple
+    # and blow HBM at exactly the capacity int8 exists for.
+    row_ids_h = np.concatenate([np.asarray(ivf.row_ids),
+                                np.full(1, -1, np.int32)])
+    mm = ivf.matrix.shape[0]
+    piece = 1 << 20                      # multiple of the scan chunk
 
-    def exact(q):
-        s, pos = cosine_topk_int8_xla(ivf.matrix, ivf.db_scale, q,
-                                      args.k, n_valid=ivf.m)
-        return s, jnp.where(pos < 0, -1,
-                            row_ids[jnp.clip(pos, 0, ivf.m)])
+    def exact(q, k):
+        ps, pi = [], []
+        for lo in range(0, mm, piece):
+            hi = min(lo + piece, mm)
+            nv = max(0, min(hi, ivf.m) - lo)
+            if nv == 0:
+                continue
+            s, pos = jax.device_get(cosine_topk_int8_xla(
+                ivf.matrix[lo:hi], ivf.db_scale, q, k, n_valid=nv))
+            ps.append(s)
+            pi.append(np.where(pos < 0, -1, pos + lo))
+        s_cat = np.concatenate(ps, axis=1)
+        p_cat = np.concatenate(pi, axis=1)
+        # (-score, layout position) == the monolithic stable order
+        order = np.lexsort((p_cat, -s_cat), axis=1)[:, :k]
+        pos_g = np.take_along_axis(p_cat, order, axis=1)
+        ids = np.where(pos_g < 0, -1,
+                       row_ids_h[np.clip(pos_g, 0, ivf.m)])
+        return np.take_along_axis(s_cat, order, axis=1), ids
 
     t0 = time.perf_counter()
-    _, i_true = jax.device_get(exact(queries))
+    _, i_true = exact(queries, args.k)
     print(f"exact int8 ground truth: {time.perf_counter() - t0:.1f}s",
           flush=True)
 
@@ -267,13 +286,15 @@ def run_ivf(args, bench, chunk_fn, ref):
             lat[f"q{q_n}_np{np_}"] = round(dt * 1e3, 2)
             print(f"IVF Q={q_n} nprobe={np_}: {dt * 1e3:.2f} ms",
                   flush=True)
-        def run_ex():
-            return exact(qdev)
-        np.asarray(run_ex()[0][:1])
-        dt = bench._best_time(run_ex, lambda r: np.asarray(r[0][:1]),
-                              budget_s=20.0, k=8)
-        lat[f"q{q_n}_exact"] = round(dt * 1e3, 2)
-        print(f"exact Q={q_n}: {dt * 1e3:.2f} ms", flush=True)
+        # exact latency: one timed pass of the sliced scan (it syncs
+        # per slice, so block-minima estimation does not apply; this
+        # is an upper bound that includes the host merges)
+        t0 = time.perf_counter()
+        exact(q, args.k)
+        lat[f"q{q_n}_exact"] = round((time.perf_counter() - t0) * 1e3,
+                                     2)
+        print(f"exact Q={q_n} (sliced, one pass): "
+              f"{lat[f'q{q_n}_exact']:.2f} ms", flush=True)
 
     ref2 = bench._contention_reference()
     print(f"contention ref (post): {ref2}", flush=True)
