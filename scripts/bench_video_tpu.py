@@ -122,11 +122,11 @@ def main() -> int:
     out, t_s1 = cli(["--db-root", root, "--model", args.model,
                      "search", q, "--name", "cfg3", "--top-k", "5",
                      "--json"])
-    hits = json.loads(out)["hits"]
+    hits = json.loads(out)          # list of {filename, score, ...}
     out, t_s2 = cli(["--db-root", root, "--model", args.model,
                      "search", q, "--name", "cfg3", "--top-k", "5",
                      "--json"])
-    hits2 = json.loads(out)["hits"]
+    hits2 = json.loads(out)
     top = [h["filename"] for h in hits2[:3]]
     print(f"search: cold {t_s1:.1f}s, warm process {t_s2:.1f}s; "
           f"top hits {top}", flush=True)
