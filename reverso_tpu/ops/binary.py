@@ -103,26 +103,40 @@ def binary_topk_xla(packed: jnp.ndarray, queries: jnp.ndarray, k: int,
         n_valid = n
     n_valid = jnp.asarray(n_valid, jnp.int32)
     chunk = min(chunk, _round_up(n, 128))
-    n_p = _round_up(n, chunk)
-    db_p = _pad_dim(packed, 0, n_p).reshape(n_p // chunk, chunk, d8)
-    mask_p = None
-    if row_mask is not None:
-        mask_p = _pad_dim(jnp.asarray(row_mask, jnp.bool_),
-                          0, n_p).reshape(n_p // chunk, chunk)
     qb = queries.astype(jnp.bfloat16)
     k_eff = min(k, n)
+    # chunks are DYNAMIC-SLICED out of the resident matrix — the
+    # former pad-to-chunk-multiple materialized a full padded COPY
+    # (a transient the size of the whole packed index; see the same
+    # fix in ops/topk.py cosine_topk_int8_xla). The tail chunk clamps
+    # its start and drops the re-read overlap rows.
+    mask_arr = (jnp.asarray(row_mask, jnp.bool_)
+                if row_mask is not None else None)
+    if mask_arr is not None and mask_arr.shape[0] < n:
+        mask_arr = _pad_dim(mask_arr, 0, n)
+    if n <= chunk:
+        packed = _pad_dim(packed, 0, chunk)
+        if mask_arr is not None:
+            mask_arr = _pad_dim(mask_arr, 0, chunk)
+        n_rows, n_steps = chunk, 1
+    else:
+        n_rows, n_steps = n, -(-n // chunk)
 
-    def body(carry, xs):
+    def body(carry, i):
         s_c, i_c = carry
-        block, base, mask_c = xs
+        base = i * chunk
+        start = jnp.minimum(base, n_rows - chunk)   # tail clamps
+        block = jax.lax.dynamic_slice(packed, (start, 0), (chunk, d8))
         u = _unpack_pm1(block, d)                          # [C, d] ±1
         s = jax.lax.dot_general(
             qb, u, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # [Q, C]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-        s = jnp.where(col < n_valid, s, -jnp.inf)
-        if mask_c is not None:
-            s = jnp.where(mask_c[None, :], s, -jnp.inf)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        # col >= base drops the clamped tail's re-read rows exactly
+        s = jnp.where((col >= base) & (col < n_valid), s, -jnp.inf)
+        if mask_arr is not None:
+            mblk = jax.lax.dynamic_slice(mask_arr, (start,), (chunk,))
+            s = jnp.where(mblk[None, :], s, -jnp.inf)
         # stable merge: carry (lower ids) precedes the chunk, lax.top_k
         # keeps the leftmost of equal scores -> (-score, idx) order
         all_s = jnp.concatenate([s_c, s], axis=1)
@@ -132,8 +146,8 @@ def binary_topk_xla(packed: jnp.ndarray, queries: jnp.ndarray, k: int,
 
     init = (jnp.full((q, k_eff), -jnp.inf, jnp.float32),
             jnp.full((q, k_eff), -1, jnp.int32))
-    bases = jnp.arange(n_p // chunk, dtype=jnp.int32) * chunk
-    (top_s, top_i), _ = jax.lax.scan(body, init, (db_p, bases, mask_p))
+    (top_s, top_i), _ = jax.lax.scan(
+        body, init, jnp.arange(n_steps, dtype=jnp.int32))
     if k_eff < k:
         top_s = _pad_dim(top_s, 1, k)
         top_s = top_s.at[:, k_eff:].set(-jnp.inf)

@@ -844,35 +844,52 @@ def cosine_topk_int8_xla(db_i8: jnp.ndarray, db_scale,
     Tie order matches the stable single-shot scan: earlier (lower-id)
     candidates precede the chunk in the concat, and lax.top_k is
     stable. `row_mask` ([N] bool) excludes rows exactly (filtered
-    search), chunked through the scan alongside the matrix."""
+    search), chunked through the scan alongside the matrix.
+
+    Chunks are DYNAMIC-SLICED out of the resident matrix (the former
+    pad-to-chunk-multiple + reshape materialized a full padded COPY —
+    a silent 2x HBM transient that OOM'd exact scans at exactly the
+    capacity int8 exists for, observed at 8M x 1024). The tail chunk
+    clamps its start and drops the re-read overlap rows, so results
+    and tie order are identical to the padded formulation."""
     n, d = db_i8.shape
     q = queries.shape[0]
     if n_valid is None:
         n_valid = n
     n_valid = jnp.asarray(n_valid, jnp.int32)
     chunk = min(chunk, _round_up(n, 128))
-    n_p = _round_up(n, chunk)
-    db_p = _pad_dim(db_i8, 0, n_p).reshape(n_p // chunk, chunk, d)
-    mask_p = None
-    if row_mask is not None:
-        mask_p = _pad_dim(jnp.asarray(row_mask, jnp.bool_),
-                          0, n_p).reshape(n_p // chunk, chunk)
     q32 = queries.astype(jnp.float32)
     scale = jnp.asarray(db_scale, jnp.float32)
     k_eff = min(k, n)
+    mask_arr = (jnp.asarray(row_mask, jnp.bool_)
+                if row_mask is not None else None)
+    if mask_arr is not None and mask_arr.shape[0] < n:
+        mask_arr = _pad_dim(mask_arr, 0, n)
+    if n <= chunk:
+        # single block: pad once (bounded by one chunk, no 2x copy)
+        db_i8 = _pad_dim(db_i8, 0, chunk)
+        if mask_arr is not None:
+            mask_arr = _pad_dim(mask_arr, 0, chunk)
+        n_rows, n_steps = chunk, 1
+    else:
+        n_rows, n_steps = n, -(-n // chunk)
 
-    def body(carry, xs):
+    def body(carry, i):
         s_c, i_c = carry
-        block, base, mask_c = xs
+        base = i * chunk
+        start = jnp.minimum(base, n_rows - chunk)   # tail clamps
+        block = jax.lax.dynamic_slice(db_i8, (start, 0), (chunk, d))
         s = jax.lax.dot_general(
             q32, block.astype(jnp.float32) * scale,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-        s = jnp.where(col < n_valid, s, -jnp.inf)
-        if mask_c is not None:
-            s = jnp.where(mask_c[None, :], s, -jnp.inf)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        # col >= base drops the clamped tail's re-read rows exactly
+        s = jnp.where((col >= base) & (col < n_valid), s, -jnp.inf)
+        if mask_arr is not None:
+            mblk = jax.lax.dynamic_slice(mask_arr, (start,), (chunk,))
+            s = jnp.where(mblk[None, :], s, -jnp.inf)
         all_s = jnp.concatenate([s_c, s], axis=1)
         all_i = jnp.concatenate([i_c, col], axis=1)
         top_s, pos = jax.lax.top_k(all_s, k_eff)
@@ -880,8 +897,8 @@ def cosine_topk_int8_xla(db_i8: jnp.ndarray, db_scale,
 
     init = (jnp.full((q, k_eff), -jnp.inf, jnp.float32),
             jnp.full((q, k_eff), -1, jnp.int32))
-    bases = jnp.arange(n_p // chunk, dtype=jnp.int32) * chunk
-    (top_s, top_i), _ = jax.lax.scan(body, init, (db_p, bases, mask_p))
+    (top_s, top_i), _ = jax.lax.scan(
+        body, init, jnp.arange(n_steps, dtype=jnp.int32))
     if k_eff < k:
         top_s = _pad_dim(top_s, 1, k)
         top_s = top_s.at[:, k_eff:].set(-jnp.inf)
